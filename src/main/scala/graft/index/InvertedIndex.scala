@@ -1,0 +1,49 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.text.Tokenize
+
+/** The reference's statistical inverted index (4 Cassandra tables,
+  * app/cassandra/schema.cql:5-32; built by 2 hadoop-streaming MR jobs,
+  * app/index.sh:53-73) as one declarative lineage over a documents
+  * DataFrame. Spark's partial+final HashAggregateExec replaces the
+  * combiner-less mapper/reducer pipes — strictly less shuffle IO.
+  *
+  * Scale notes (100 TB): every table below is a single groupBy — partial
+  * aggregation happens map-side, the shuffle carries (key, partial) only.
+  * Skewed terms (stopwords) stay cheap for exactly that reason: the
+  * map-side combine collapses per-partition duplicates before the exchange.
+  * Persist postings bucketed by `term` for repeated query workloads.
+  */
+object InvertedIndex {
+
+  /** term_frequency_in_doc (schema.cql:12-19; MR2 mapper2.py:22-23 +
+    * reducer2.py:49-64): occurrences per (doc, term). */
+  def termFrequency(docs: DataFrame): DataFrame =
+    Tokenize.termOccurrences(docs)
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("term_frequency"))
+
+  /** doc_frequency_of_term (schema.cql:5-10; MR1 mapper1.py:20-23 +
+    * reducer1.py:33-43): number of docs containing each term. */
+  def docFrequency(docs: DataFrame): DataFrame =
+    Tokenize.distinctTerms(docs)
+      .groupBy("term")
+      .agg(count(lit(1)).as("doc_frequency"))
+
+  /** doc_info (schema.cql:21-26; reducer2.py:66-70): token count per doc.
+    * Computed as size(tokens) — no shuffle at all, unlike the reference's
+    * second full MR pass. */
+  def docInfo(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(Tokenize.tokens(col("text"))).cast("long").as("doc_length"))
+
+  /** corpus_info (schema.cql:28-32; reducer2.py:80-92): single-row global
+    * stats. */
+  def corpusInfo(docs: DataFrame): DataFrame =
+    docInfo(docs).agg(
+      count(lit(1)).as("doc_n"),
+      sum("doc_length").as("total_doc_length"),
+      avg("doc_length").as("avg_doc_length"))
+}

@@ -1,0 +1,60 @@
+package graft.rank
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.index.InvertedIndex
+
+/** Okapi BM25 ranking (app/query.py:130-143) as ONE declarative plan — no
+  * driver-side collect loops (the reference does O(terms + docs) sequential
+  * Cassandra round-trips, app/query.py:58-103; here those are two broadcast
+  * joins).
+  *
+  * Formula parity (app/query.py:131-135): raw IDF `ln(N/df)` (no +0.5
+  * smoothing, no max(0,.)), k1=1.0, b=0.75, score summed per doc, top-k
+  * descending. Ties broken by doc_id ascending and scores rounded to 4
+  * decimals for cross-engine determinism (SURVEY.md §7.4).
+  *
+  * Scale notes (100 TB): query terms enter as a broadcast literal side; tf
+  * is pruned to query terms BEFORE any join with per-doc stats, so the big
+  * side of every join is already |query-terms|-bounded. Top-k plans as
+  * TakeOrderedAndProject (per-partition heap + driver merge of k rows), not
+  * a global sort.
+  */
+object BM25 {
+
+  def search(spark: SparkSession, docs: DataFrame, query: String,
+             k1: Double = 1.0, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    import spark.implicits._
+    // T6: whitespace split + dedup + lowercase of the query string.
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+    val qTerms = terms.toSeq.toDF("term")
+
+    val tf = InvertedIndex.termFrequency(docs)
+    val dfreq = InvertedIndex.docFrequency(docs)
+    val dl = InvertedIndex.docInfo(docs)
+    val stats = InvertedIndex.corpusInfo(docs)
+
+    // Restrict postings + vocab to query terms first (J3 as joins, not loops).
+    val qtf = tf.join(broadcast(qTerms), Seq("term"))
+    val qdf = dfreq.join(broadcast(qTerms), Seq("term"))
+
+    val scored = qtf
+      .join(broadcast(qdf), Seq("term"))                  // J1
+      .join(dl, Seq("doc_id"))                            // J2
+      .crossJoin(broadcast(stats))                        // N, avgdl as 1-row side
+      .withColumn("bm25",
+        log(col("doc_n").cast("double") / col("doc_frequency")) *
+          (lit(k1 + 1) * col("term_frequency")) /
+          (lit(k1) * (lit(1 - b) +
+            lit(b) * col("doc_length") / col("avg_doc_length")) +
+            col("term_frequency")))
+
+    // A6 sum per doc -> O1 top-k. Empty-on-OOV (S9) falls out naturally:
+    // zero surviving postings => zero rows, schema intact.
+    scored.groupBy("doc_id")
+      .agg(sum("bm25").as("score"))
+      .select(col("doc_id"), round(col("score"), 4).as("doc_rank"))
+      .orderBy(desc("doc_rank"), asc("doc_id"))
+      .limit(topK)
+  }
+}

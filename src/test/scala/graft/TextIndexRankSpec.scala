@@ -1,0 +1,76 @@
+package graft
+
+import graft.index.InvertedIndex
+import graft.rank.BM25
+
+class TextIndexRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "Apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "cherry cherry cherry, it's cherry!"),
+    (4L, ""), // empty doc: length 0, no postings
+  ).toDF("doc_id", "text")
+
+  test("term frequency counts occurrences per (doc, term)") {
+    val tf = InvertedIndex.termFrequency(corpus)
+      .as[(Long, String, Long)].collect().toSet
+    assert(tf.contains((1L, "apple", 2L)))
+    assert(tf.contains((3L, "cherry", 4L)))
+    assert(tf.contains((3L, "it's", 1L))) // apostrophes kept by [a-z0-9_']
+    assert(!tf.exists(_._1 == 4L))
+  }
+
+  test("doc frequency counts each doc once per term") {
+    val df = InvertedIndex.docFrequency(corpus)
+      .as[(String, Long)].collect().toMap
+    assert(df("banana") == 2L)
+    assert(df("cherry") == 2L)
+    assert(df("apple") == 1L)
+  }
+
+  test("doc info = token count incl. duplicates; empty doc has length 0") {
+    val dl = InvertedIndex.docInfo(corpus).as[(Long, Long)].collect().toMap
+    assert(dl == Map(1L -> 3L, 2L -> 2L, 3L -> 5L, 4L -> 0L))
+  }
+
+  test("corpus info aggregates globally") {
+    val row = InvertedIndex.corpusInfo(corpus).collect().head
+    assert(row.getLong(0) == 4L)
+    assert(row.getLong(1) == 10L)
+    assert(math.abs(row.getDouble(2) - 2.5) < 1e-12)
+  }
+
+  test("BM25 matches hand-computed score (k1=1, b=0.75, raw ln idf)") {
+    val res = BM25.search(spark, corpus, "apple")
+      .as[(Long, Double)].collect()
+    assert(res.map(_._1).toSeq == Seq(1L))
+    val n = 4.0; val df = 1.0; val tf = 2.0; val dlen = 3.0; val avgdl = 2.5
+    val expected = math.log(n / df) * (2.0 * tf) /
+      (1.0 * (0.25 + 0.75 * dlen / avgdl) + tf)
+    assert(math.abs(res.head._2 - math.rint(expected * 1e4) / 1e4) <= 1e-9)
+  }
+
+  test("multi-term query sums per-term scores; ranking is descending") {
+    val res = BM25.search(spark, corpus, "banana cherry")
+      .as[(Long, Double)].collect()
+    assert(res.length == 3)
+    assert(res.map(_._2).toSeq == res.map(_._2).toSeq.sorted.reverse)
+    // short doc matching BOTH terms beats the long single-term-heavy doc
+    assert(res.head._1 == 2L)
+  }
+
+  test("all-OOV query returns empty result with intact schema (S9)") {
+    val res = BM25.search(spark, corpus, "zzz qqq")
+    assert(res.columns.toSeq == Seq("doc_id", "doc_rank"))
+    assert(res.count() == 0)
+  }
+
+  test("query term dedup + case fold (T6): repeated terms score once") {
+    val once = BM25.search(spark, corpus, "apple").as[(Long, Double)].collect()
+    val twice = BM25.search(spark, corpus, "Apple APPLE apple")
+      .as[(Long, Double)].collect()
+    assert(once.toSeq == twice.toSeq)
+  }
+}

@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle compare.
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+Reads each <verifyOutDir>/<name>/ spark parquet result, runs the matching
+oracle SQL from oracle_sql.json in DuckDB (tables = <sfDir>/*.parquet views),
+and compares: schema (sorted col names), row count, and values (cols sorted
+by name, rows as emitted). Exits nonzero on any mismatch."""
+import sys, json, glob, os, math
+import duckdb, pyarrow.parquet as pq
+
+sf, out = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in glob.glob(f"{sf}/*.parquet"):
+    name = os.path.basename(t)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{t}'")
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fail = 0
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    return v
+for name, sql in sorted(oracle.items()):
+    d = f"{out}/{name}"
+    if not os.path.isdir(d):
+        print(f"FAIL {name}: no spark output dir"); fail += 1; continue
+    try:
+        spark_tbl = pq.read_table(d)
+    except Exception as e:
+        print(f"FAIL {name}: cannot read spark output: {e}"); fail += 1; continue
+    try:
+        duck = con.execute(sql).fetch_arrow_table()
+    except Exception as e:
+        print(f"FAIL {name}: oracle SQL error: {e}"); fail += 1; continue
+    scols, dcols = sorted(spark_tbl.column_names), sorted(duck.column_names)
+    if scols != dcols:
+        print(f"FAIL {name}: columns {scols} != {dcols}"); fail += 1; continue
+    if spark_tbl.num_rows != duck.num_rows:
+        print(f"FAIL {name}: rows {spark_tbl.num_rows} != {duck.num_rows}"); fail += 1; continue
+    srows = [tuple(norm(r[c]) for c in scols) for r in spark_tbl.to_pylist()]
+    drows = [tuple(norm(r[c]) for c in dcols) for r in duck.to_pylist()]
+    if srows != drows:
+        if sorted(map(repr, srows)) == sorted(map(repr, drows)):
+            print(f"WARN {name}: values match only after row sort (ordering differs)")
+            for i, (a, b) in enumerate(zip(srows, drows)):
+                if a != b:
+                    print(f"  first order diff at row {i}: spark={a} duck={b}"); break
+        else:
+            bad = [(i, a, b) for i, (a, b) in enumerate(zip(srows, drows)) if a != b][:3]
+            print(f"FAIL {name}: value mismatch, e.g. {bad}"); fail += 1; continue
+    print(f"OK   {name} ({spark_tbl.num_rows} rows)")
+print("ALL OK" if fail == 0 else f"{fail} FAILURES")
+sys.exit(1 if fail else 0)
