@@ -4,14 +4,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.index.InvertedIndex
 import graft.rank.BM25
+import graft.relational.Relational
+import graft.events.Events
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every entry pairs a DataFrame plan with DuckDB oracle SQL over the same
   * parquet tables. Determinism rules (SURVEY.md §7.4): identical column
-  * names+order, explicit total ORDER BY on both sides, floats rounded to 4
-  * decimals, computed ints cast to BIGINT on the DuckDB side (its sum()
-  * yields INT128), regex char class pinned to [a-z0-9_'].
+  * names+order, explicit total ORDER BY on both sides, floats rounded or
+  * decimal-exact, computed ints cast to BIGINT on the DuckDB side (its
+  * sum() yields INT128), money sums accumulate as DECIMAL(18,2) then cast
+  * DOUBLE, timestamps emitted as strings, regex char class pinned to
+  * [a-z0-9_'].
   */
 object SparkEntry {
 
@@ -19,7 +23,7 @@ object SparkEntry {
     * against our synthetic corpus vocabulary). Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     BM25.search(spark, table(spark, "/root/testdata/sf0.001", "documents"),
-      "spark join window")
+      FlagshipQuery)
 
   val FlagshipQuery = "spark join window"
 
@@ -44,6 +48,66 @@ object SparkEntry {
     // S9: all-OOV query must yield empty result with intact schema, not fail.
     "bm25_oov" -> ((s, dir) =>
       BM25.search(s, table(s, dir, "documents"), "zzzznotaword qqqqnotaword")),
+
+    // ---- relational surface (SURVEY §7.3 step 2) ----
+    "rel_pricing_summary" -> ((s, dir) =>
+      Relational.pricingSummary(table(s, dir, "lineitem"), "1998-09-01")),
+    "rel_filter_project" -> ((s, dir) =>
+      Relational.filterProject(table(s, dir, "lineitem"))),
+    "rel_revenue_by_segment" -> ((s, dir) =>
+      Relational.revenueBySegment(table(s, dir, "orders"), table(s, dir, "customer"))),
+    "rel_local_supplier_revenue" -> ((s, dir) =>
+      Relational.localSupplierRevenue(table(s, dir, "customer"),
+        table(s, dir, "orders"), table(s, dir, "lineitem"),
+        table(s, dir, "supplier"), table(s, dir, "nation"),
+        table(s, dir, "region"), "ASIA", "1996-01-01", "1998-01-01")),
+    "rel_volume_by_brand" -> ((s, dir) =>
+      Relational.volumeByBrand(table(s, dir, "lineitem"), table(s, dir, "part"))),
+    "rel_semi_join" -> ((s, dir) =>
+      Relational.bigSpenders(table(s, dir, "customer"), table(s, dir, "orders"), 450000.0)),
+    "rel_anti_join" -> ((s, dir) =>
+      Relational.dormantCustomers(table(s, dir, "customer"), table(s, dir, "orders"), "2001-01-01")),
+    "rel_outer_join_agg" -> ((s, dir) =>
+      Relational.orderCountsIncludingIdle(table(s, dir, "customer"),
+        table(s, dir, "orders"), "2001-01-01")),
+    "rel_distinct" -> ((s, dir) =>
+      Relational.distinctFlagStatus(table(s, dir, "lineitem"))),
+    "rel_union_all" -> ((s, dir) =>
+      Relational.urgentOrHighUnion(table(s, dir, "orders"))),
+    "rel_intersect" -> ((s, dir) =>
+      Relational.buildingBigSpenders(table(s, dir, "customer"), table(s, dir, "orders"), 300000.0)),
+    "rel_except" -> ((s, dir) =>
+      Relational.neverUrgent(table(s, dir, "customer"), table(s, dir, "orders"))),
+    "rel_topk" -> ((s, dir) =>
+      Relational.topOrders(table(s, dir, "orders"), 10)),
+    "rel_window_rank" -> ((s, dir) =>
+      Relational.topOrdersPerCustomer(table(s, dir, "orders"), 3)),
+    "rel_window_running_sum" -> ((s, dir) =>
+      Relational.runningSpend(table(s, dir, "orders"))),
+    "rel_window_lag" -> ((s, dir) =>
+      Relational.daysBetweenOrders(table(s, dir, "orders"))),
+    "rel_rollup" -> ((s, dir) =>
+      Relational.rollupFlagStatus(table(s, dir, "lineitem"))),
+    "rel_count_distinct" -> ((s, dir) =>
+      Relational.customersPerPriority(table(s, dir, "orders"))),
+    "rel_case_agg" -> ((s, dir) =>
+      Relational.discountedRevenueByFlag(table(s, dir, "lineitem"))),
+    "rel_scalar_subquery" -> ((s, dir) =>
+      Relational.aboveAveragePerPriority(table(s, dir, "orders"))),
+
+    // ---- event-time surface (SURVEY §7.3 step 3, batch form) ----
+    "ev_tumbling_hourly" -> ((s, dir) =>
+      Events.tumblingHourly(table(s, dir, "events"))),
+    "ev_sliding_hourly" -> ((s, dir) =>
+      Events.slidingHourly(table(s, dir, "events"))),
+    "ev_sessionize" -> ((s, dir) =>
+      Events.sessionize(table(s, dir, "events"))),
+    "ev_user_stats" -> ((s, dir) =>
+      Events.userStats(table(s, dir, "events"))),
+    "ev_daily_top_type" -> ((s, dir) =>
+      Events.dailyTopType(table(s, dir, "events"))),
+    "ev_props_json" -> ((s, dir) =>
+      Events.propsKSumByType(table(s, dir, "events"))),
   )
 
   /** DuckDB-runnable oracle SQL, one per queries key, same column names. */
@@ -65,6 +129,147 @@ object SparkEntry {
         |       round(avg(doc_length), 4) AS avg_doc_length FROM dl""".stripMargin,
     "bm25_search" -> bm25OracleSql("('spark','join','window')"),
     "bm25_oov" -> bm25OracleSql("('zzzznotaword','qqqqnotaword')"),
+
+    "rel_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "rel_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2000-04-01' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "rel_revenue_by_segment" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "rel_local_supplier_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "rel_volume_by_brand" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "rel_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "rel_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+    "rel_outer_join_agg" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS spent
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01') o
+        |  ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "rel_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus",
+    "rel_union_all" ->
+      """SELECT o_orderkey, o_custkey, 'urgent' AS bucket FROM orders WHERE o_orderpriority = '1-URGENT'
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, 'high' AS bucket FROM orders WHERE o_orderpriority = '2-HIGH'
+        |ORDER BY o_orderkey, bucket""".stripMargin,
+    "rel_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000.0
+        |ORDER BY c_custkey""".stripMargin,
+    "rel_except" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY c_custkey""".stripMargin,
+    "rel_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "rel_window_rank" ->
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM r WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "rel_window_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "rel_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(date_diff('day', CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |       CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "rel_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "rel_count_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "rel_case_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_discount > 0.05
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS discounted_revenue,
+        |  CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "rel_scalar_subquery" ->
+      """WITH m AS (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_price FROM orders)
+        |SELECT o_orderpriority, count(*) AS n_above FROM orders, m
+        |WHERE o_totalprice > mean_price
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "ev_tumbling_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "ev_sliding_hourly" ->
+      """WITH b AS (SELECT value, ts, time_bucket(INTERVAL '30 minutes', ts) AS b30 FROM events),
+        |w AS (SELECT unnest([b30, b30 - INTERVAL '30 minutes']) AS window_start, value, ts FROM b)
+        |SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w WHERE ts >= window_start AND ts < window_start + INTERVAL '60 minutes'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM events),
+        |s AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session FROM e),
+        |n AS (SELECT user_id, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM s)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+        |FROM n GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "ev_user_stats" ->
+      """SELECT user_id, count(*) AS n_events, count(DISTINCT event_type) AS n_types,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_seen,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_seen,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ev_daily_top_type" ->
+      """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n FROM events GROUP BY 1, 2),
+        |r AS (SELECT day, event_type, n, row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS rn FROM d)
+        |SELECT day, event_type, n FROM r WHERE rn = 1 ORDER BY day""".stripMargin,
+    "ev_props_json" ->
+      """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 
   /** BM25 oracle pipeline (k1=1, b=0.75, raw ln(N/df) idf — app/query.py:131-135). */

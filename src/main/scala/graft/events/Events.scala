@@ -1,0 +1,91 @@
+package graft.events
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-time analytics over the `events` table (SURVEY.md §7.3 step 3),
+  * in batch form so every op is DuckDB-oracle-checkable; the Structured
+  * Streaming wrappers over the same logic live in graft.streaming.
+  *
+  * Timestamps are emitted as `yyyy-MM-dd HH:mm:ss[.SSSSSS]` strings — a
+  * parquet TIMESTAMP from Spark is UTC-adjusted while DuckDB's is naive,
+  * which would false-negative any value compare.
+  *
+  * Scale notes: all windows group on (bucket, key) — an even shuffle unless
+  * one user dominates; sessionization is a single window function pass, no
+  * self-join, no per-user collect.
+  */
+object Events {
+
+  private def money(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** Tumbling 1-hour windows per event type: count + exact value sum. */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(money(col("value"))).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  /** Sliding windows (1 hour long, every 30 minutes): each event lands in
+    * exactly 2 epoch-aligned windows. */
+  def slidingHourly(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"),
+        sum(money(col("value"))).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n"), col("sum_value"))
+      .orderBy("window_start")
+
+  /** Gap-based sessionization (batch): a new session starts after >gap of
+    * user inactivity. Gap compares integer microseconds (unix_micros) so
+    * the boundary is exact in both engines. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUserTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUserTime))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapMicros, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUserTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        fmtTs(min(col("ts"))).as("session_start"),
+        fmtTs(max(col("ts"))).as("session_end"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Per-user profile: volume, type diversity, first/last seen, value sum. */
+  def userStats(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        fmtTs(min(col("ts"))).as("first_seen"),
+        fmtTs(max(col("ts"))).as("last_seen"),
+        sum(money(col("value"))).cast("double").as("total_value"))
+      .orderBy("user_id")
+
+  /** Daily most-frequent event type (agg + ranking window on top). */
+  def dailyTopType(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("day").orderBy(desc("n"), asc("event_type"))
+    daily.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("day", "event_type", "n")
+      .orderBy("day")
+  }
+
+  /** JSON prop extraction: sum of props.k per event type. */
+  def propsKSumByType(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+      .orderBy("event_type")
+}

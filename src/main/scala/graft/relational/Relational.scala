@@ -1,0 +1,222 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** General relational operator surface (SURVEY.md §7.3 step 2): the §2
+  * operator categories widened to the TPC-H-ish testdata. Every function is
+  * a pure DataFrame -> DataFrame plan; Catalyst handles pushdown, pruning,
+  * join selection, partial aggregation.
+  *
+  * Determinism-for-oracle rules used throughout:
+  *  - money/quantity aggregates accumulate as DECIMAL(18,2) (exact, order
+  *    independent) and surface as DOUBLE — float summation order would
+  *    otherwise diverge between Spark's partial/final shuffle tree and the
+  *    oracle's sequential scan;
+  *  - every result gets a total ORDER BY;
+  *  - window orderings always include a unique key tie-break.
+  *
+  * Scale notes (100 TB): group-bys are partial+final hash aggregates;
+  * dimension joins (region/nation/part/supplier) are broadcast-eligible and
+  * hinted; fact-fact joins shuffle on the join key — at 1000 executors that
+  * is the intended hash-partitioned exchange, with AQE handling skew.
+  */
+object Relational {
+
+  /** Exact money arithmetic: DECIMAL(18,2) in, exact sums out. */
+  def money(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  /** TPC-H Q1-shaped pricing summary: scan-heavy filter + 6-way aggregate.
+    * At scale: single shuffle of 6 groups x partial rows; filter and the
+    * 7-column projection both reach the parquet scan. */
+  def pricingSummary(lineitem: DataFrame, cutoff: String): DataFrame = {
+    val discPrice = money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))
+    lineitem
+      .filter(col("l_shipdate") <= ts(cutoff))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(money(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        sum(discPrice * (lit(1) + money(col("l_tax")))).cast("double").as("sum_charge"),
+        (sum(money(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Filter + narrow projection — exists to prove scan pushdown: the plan
+    * must show PushedFilters + a 5-column ReadSchema. */
+  def filterProject(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= ts("2000-01-01") &&
+        col("l_shipdate") < ts("2000-04-01") && col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Fact ⋈ dimension + aggregate: revenue per market segment. */
+  def revenueBySegment(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(money(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy("c_mktsegment")
+
+  /** TPC-H Q5-shaped 6-table join: local-supplier revenue per nation in one
+    * region+year window. nation/region broadcast; customer/supplier hash
+    * join the fact tables on their keys. */
+  def localSupplierRevenue(customer: DataFrame, orders: DataFrame,
+                           lineitem: DataFrame, supplier: DataFrame,
+                           nation: DataFrame, region: DataFrame,
+                           regionName: String, from: String, until: String): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === regionName &&
+        col("o_orderdate") >= ts(from) && col("o_orderdate") < ts(until))
+      .groupBy("n_name")
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+
+  /** Fact ⋈ broadcast dimension, aggregate per brand. */
+  def volumeByBrand(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        sum(money(col("l_quantity"))).cast("double").as("total_qty"))
+      .orderBy("p_brand")
+
+  /** Left-semi: customers having at least one order above a threshold. */
+  def bigSpenders(customer: DataFrame, orders: DataFrame, minTotal: Double): DataFrame =
+    customer.join(orders.filter(col("o_totalprice") > minTotal),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Left-anti: customers with no order in a date window. */
+  def dormantCustomers(customer: DataFrame, orders: DataFrame, from: String): DataFrame =
+    customer.join(orders.filter(col("o_orderdate") >= ts(from)),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Left-outer join + aggregate preserving zero-order customers. */
+  def orderCountsIncludingIdle(customer: DataFrame, orders: DataFrame, from: String): DataFrame =
+    customer.join(orders.filter(col("o_orderdate") >= ts(from)),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(money(col("o_totalprice"))).cast("double"), lit(0.0)).as("spent"))
+      .orderBy("c_custkey")
+
+  /** DISTINCT projection. */
+  def distinctFlagStatus(lineitem: DataFrame): DataFrame =
+    lineitem.select("l_returnflag", "l_linestatus").distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** UNION ALL of two tagged slices. */
+  def urgentOrHighUnion(orders: DataFrame): DataFrame = {
+    def slice(prio: String, tag: String) =
+      orders.filter(col("o_orderpriority") === prio)
+        .select(col("o_orderkey"), col("o_custkey"), lit(tag).as("bucket"))
+    slice("1-URGENT", "urgent").unionByName(slice("2-HIGH", "high"))
+      .orderBy("o_orderkey", "bucket")
+  }
+
+  /** INTERSECT (set semantics): building-segment customers who also placed
+    * a big order. */
+  def buildingBigSpenders(customer: DataFrame, orders: DataFrame, minTotal: Double): DataFrame =
+    customer.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      .intersect(orders.filter(col("o_totalprice") > minTotal)
+        .select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+
+  /** EXCEPT (set semantics): customers who never placed an urgent order. */
+  def neverUrgent(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey"))
+      .except(orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+
+  /** Global top-k — plans as TakeOrderedAndProject, never a full sort. */
+  def topOrders(orders: DataFrame, k: Int): DataFrame =
+    orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(k)
+
+  /** Ranking window: top-n orders per customer. */
+  def topOrdersPerCustomer(orders: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Running-sum window: cumulative spend per customer over time. */
+  def runningSpend(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.withColumn("run_spend", sum(money(col("o_totalprice"))).over(w).cast("double"))
+      .select("o_custkey", "o_orderkey", "run_spend")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Lag window: days between consecutive orders of a customer. */
+  def daysBetweenOrders(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), col("prev_date")).cast("long").as("days_since_prev"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** ROLLUP: subtotals and grand total over (returnflag, linestatus). */
+  def rollupFlagStatus(lineitem: DataFrame): DataFrame =
+    lineitem.rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(money(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** DISTINCT aggregate: distinct customers per order priority. */
+  def customersPerPriority(orders: DataFrame): DataFrame =
+    orders.groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  /** Conditional aggregation (CASE inside agg). */
+  def discountedRevenueByFlag(lineitem: DataFrame): DataFrame = {
+    val discounted = col("l_discount") > 0.05
+    val discPrice = money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))
+    lineitem.groupBy("l_returnflag")
+      .agg(
+        sum(when(discounted, discPrice).otherwise(lit(0).cast(DecimalType(18, 4))))
+          .cast("double").as("discounted_revenue"),
+        sum(when(discounted, 1L).otherwise(0L)).as("n_discounted"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Scalar "subquery" as a broadcast 1-row side: orders above the global
+    * mean price, counted per priority. The mean is computed exactly
+    * (decimal sum / count) so the boundary predicate is reproducible. */
+  def aboveAveragePerPriority(orders: DataFrame): DataFrame = {
+    val mean = orders.agg(
+      (sum(money(col("o_totalprice"))).cast("double") / count(lit(1))).as("mean_price"))
+    orders.crossJoin(broadcast(mean))
+      .filter(col("o_totalprice") > col("mean_price"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_above"))
+      .orderBy("o_orderpriority")
+  }
+}
