@@ -6,6 +6,9 @@ import graft.index.InvertedIndex
 import graft.rank.BM25
 import graft.relational.Relational
 import graft.events.Events
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.textstats.TextAnalysis
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -108,6 +111,40 @@ object SparkEntry {
       Events.dailyTopType(table(s, dir, "events"))),
     "ev_props_json" -> ((s, dir) =>
       Events.propsKSumByType(table(s, dir, "events"))),
+
+    // ---- dedup surface (north star: training-data pipeline) ----
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactDuplicates(table(s, dir, "documents"))),
+    "dedup_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(table(s, dir, "documents"), 3, 0.05)),
+    // xxhash64-based => deterministic in-engine but not SQL-oracle-able;
+    // driver records rows-only, correctness is property-tested (DedupSpec).
+    "dedup_minhash_sigs" -> ((s, dir) =>
+      Dedup.minhashSignatures(table(s, dir, "documents")).orderBy("doc_id")),
+    "dedup_simhash_sigs" -> ((s, dir) =>
+      Dedup.simhashSignatures(table(s, dir, "documents")).orderBy("doc_id")),
+    "dedup_embedding_pairs" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(table(s, dir, "embeddings"), 0.4)),
+
+    // ---- similarity search (north star) ----
+    "sim_cosine_topk" -> ((s, dir) =>
+      Similarity.cosineTopK(table(s, dir, "embeddings"), 0L, 10)),
+    "sim_ann_lsh" -> ((s, dir) =>
+      Similarity.annCosineLsh(table(s, dir, "embeddings"), 0L, 10)),
+    "sim_norms_by_label" -> ((s, dir) =>
+      Similarity.normStatsByLabel(table(s, dir, "embeddings"))),
+
+    // ---- text analysis (north star) ----
+    "text_token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(table(s, dir, "documents"))),
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScores(table(s, dir, "documents"))),
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.languageGuess(table(s, dir, "documents"))),
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(table(s, dir, "documents"))),
+    "text_top_terms" -> ((s, dir) =>
+      TextAnalysis.topTerms(table(s, dir, "documents"), 20)),
   )
 
   /** DuckDB-runnable oracle SQL, one per queries key, same column names. */
@@ -270,6 +307,85 @@ object SparkEntry {
     "ev_props_json" ->
       """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS rep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+    "dedup_jaccard_pairs" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+        |g AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) ELSE [] END AS shl FROM t),
+        |sh AS (SELECT doc_id, unnest(shl) AS shingle FROM g),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter), 4) AS jaccard
+        |FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.05
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embedding_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_dot_product(a.v, b.v)/(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v)/(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "sim_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id, e.label,
+        |  round(list_dot_product(v, qv)/(sqrt(list_dot_product(v, v))*sqrt(list_dot_product(qv, qv))), 4) AS cosine
+        |FROM e, q WHERE e.vec_id != 0
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "sim_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |b AS (SELECT vec_id, label, v,
+        |  list_sum(list_transform(generate_series(0, 7), j ->
+        |    CASE WHEN list_sum(list_transform(generate_series(1, 64), d ->
+        |      v[d] * CAST(((j*31 + (d-1)*17) % 7) - 3 AS DOUBLE))) >= 0
+        |    THEN 1 << j ELSE 0 END)) AS bucket FROM e),
+        |q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+        |SELECT b.vec_id, b.label,
+        |  round(list_dot_product(v, qv)/(sqrt(list_dot_product(v, v))*sqrt(list_dot_product(qv, qv))), 4) AS cosine
+        |FROM b, q WHERE b.bucket = q.qbucket AND b.vec_id != 0
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "sim_norms_by_label" ->
+      """WITH e AS (SELECT label, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm FROM embeddings)
+        |SELECT label, count(*) AS n, round(min(norm), 4) AS min_norm, round(max(norm), 4) AS max_norm
+        |FROM e GROUP BY label ORDER BY label""".stripMargin,
+
+    "text_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS n_tokens,
+        |  CASE WHEN len(trim(text)) = 0 THEN 0
+        |       ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  round(CASE WHEN len(tk) = 0 THEN 0.0 ELSE list_sum(list_transform(tk, x -> CAST(length(x) AS DOUBLE)))/len(tk) END, 4) AS avg_token_len,
+        |  round(CASE WHEN len(tk) = 0 THEN 0.0 ELSE CAST(len(list_distinct(tk)) AS DOUBLE)/len(tk) END, 4) AS type_token_ratio,
+        |  round(CASE WHEN len(tk) = 0 THEN 0.0 ELSE CAST(len(list_intersect(list_distinct(tk), ['the','a','of','and','is'])) AS DOUBLE)/len(tk) END, 4) AS stopword_type_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS tk FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_intersect(tk, ['der','die','das','und','ist'])) AS s_de,
+        |  len(list_intersect(tk, ['the','a','of','and','is'])) AS s_en,
+        |  len(list_intersect(tk, ['el','la','los','que','es'])) AS s_es,
+        |  len(list_intersect(tk, ['le','la','les','et','est'])) AS s_fr FROM t),
+        |g AS (SELECT doc_id, greatest(s_de, s_en, s_es, s_fr) AS best, s_de, s_en, s_es, s_fr FROM s)
+        |SELECT doc_id, CASE WHEN best = 0 THEN 'und'
+        |  WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
+        |  WHEN s_es = best THEN 'es' ELSE 'fr' END AS lang_guess
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9_'']+'), ' ')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_top_terms" ->
+      """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents)
+        |SELECT term, count(*) AS n FROM tok GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
   )
 
   /** BM25 oracle pipeline (k1=1, b=0.75, raw ln(N/df) idf — app/query.py:131-135). */

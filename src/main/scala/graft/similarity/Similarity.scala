@@ -1,0 +1,84 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an ARRAY<FLOAT> embedding column
+  * (SURVEY.md §7.3 step 4 + north-star LLM-pipeline ops).
+  *
+  * All arithmetic is double, accumulated left-to-right by `aggregate` over
+  * `zip_with` — the same sequential fold the DuckDB oracle performs — so
+  * scores agree bit-for-bit before the round(4) safety net.
+  *
+  * Scale notes (100 TB): brute-force top-k against ONE query is a single
+  * scan + TakeOrderedAndProject — embarrassingly parallel, no shuffle. The
+  * scale path for all-pairs / many-queries is `lshBucket`: sign-bit
+  * random-hyperplane buckets turn O(n^2) into per-bucket joins; hyperplanes
+  * are small-integer-deterministic so bucketing reproduces everywhere.
+  */
+object Similarity {
+
+  def toDoubleVec(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Sequential-fold dot product: exact order parity with the oracle. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force cosine top-k against one stored vector (the ANN baseline). */
+  def cosineTopK(embeddings: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"),
+      toDoubleVec(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") === queryVecId).select(col("v").as("qv"))
+    e.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("v"), col("qv")), 4).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane coefficient in [-3, 3]:
+    * pure integer arithmetic so Spark and the SQL oracle agree exactly. */
+  private def planeCoef(plane: Int, dim: Int): Int = (plane * 31 + dim * 17) % 7 - 3
+
+  /** Sign-bit LSH bucket id from `nPlanes` integer hyperplanes. */
+  def lshBucket(vec: Column, dims: Int, nPlanes: Int = 8): Column = {
+    val bits = (0 until nPlanes).map { j =>
+      val plane = array((0 until dims).map(d => lit(planeCoef(j, d).toDouble)): _*)
+      when(dot(vec, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate NN: candidates share the query's bucket, then
+    * exact cosine top-k within. Recall < 1 by construction; at scale this is
+    * the path that avoids scanning all n vectors per query. */
+  def annCosineLsh(embeddings: DataFrame, queryVecId: Long, k: Int,
+                   dims: Int = 64, nPlanes: Int = 8): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"),
+      toDoubleVec(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), dims, nPlanes))
+    val q = e.filter(col("vec_id") === queryVecId)
+      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+    e.join(broadcast(q), col("bucket") === col("qbucket"))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("v"), col("qv")), 4).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Per-label embedding stats (norm is exact-order sequential). */
+  def normStatsByLabel(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), l2Norm(toDoubleVec(col("embedding"))).as("norm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(min("norm"), 4).as("min_norm"),
+        round(max("norm"), 4).as("max_norm"))
+      .orderBy("label")
+}

@@ -1,0 +1,83 @@
+package graft.textstats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.Tokenize
+
+/** Text-analysis ops a training-data pipeline runs at corpus scale:
+  * token counting, quality scoring, language-ID heuristics, canonical
+  * fingerprinting. All are single-pass scalar pipelines (no shuffle until
+  * the optional aggregate), built from codegen'd built-ins.
+  */
+object TextAnalysis {
+
+  /** Stopword marker lists for the n-gram/marker language heuristic. The
+    * synthetic corpus is English-ish; real corpora extend the map. */
+  val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "los", "que", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  private def toks: Column = Tokenize.tokens(col("text"))
+
+  /** Token counts: regex tokens + whitespace tokens per doc. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      when(length(trim(col("text"))) === 0, 0L)
+        .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+        .as("n_ws_tokens"))
+      .orderBy("doc_id")
+
+  /** Quality heuristics: length, mean token length, type-token ratio,
+    * stopword ratio — the length/punct/stopword family of filters. */
+  def qualityScores(docs: DataFrame): DataFrame = {
+    val n = size(toks).cast("double")
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      round(when(n === 0, 0.0)
+        .otherwise(aggregate(transform(toks, t => length(t).cast("double")),
+          lit(0.0), (acc, v) => acc + v) / n), 4).as("avg_token_len"),
+      round(when(n === 0, 0.0)
+        .otherwise(size(array_distinct(toks)) / n), 4).as("type_token_ratio"),
+      round(when(n === 0, 0.0)
+        .otherwise(size(array_intersect(toks,
+          array(LangMarkers("en").map(lit): _*))) / n), 4)
+        .as("stopword_type_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Marker-word language guess: argmax of distinct-marker hits per
+    * language, ties and zero-hits -> "und". Deterministic CASE cascade. */
+  def languageGuess(docs: DataFrame): DataFrame = {
+    val scores = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      lang -> size(array_intersect(array_distinct(toks),
+        array(markers.map(lit): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first language (alphabetical) reaching the max wins; max 0 -> "und"
+    val guess = scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(col("best") > 0 && s === col("best"), lit(lang)).otherwise(acc)
+    }
+    docs.withColumn("best", best)
+      .select(col("doc_id"), guess.as("lang_guess"))
+      .orderBy("doc_id")
+  }
+
+  /** Canonical-form document fingerprint: md5 of the normalized token
+    * stream. Whitespace/case/punctuation-insensitive exact dedup key. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(array_join(toks, " ")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** Corpus-level term stats: the top-k most frequent terms. */
+  def topTerms(docs: DataFrame, k: Int = 20): DataFrame =
+    Tokenize.termOccurrences(docs)
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("term"))
+      .limit(k)
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // docs 1/2: near-dups (one token changed); 3: exact dup of 1; 4: unrelated
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy cat again and again today"),
+    (3L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (4L, "completely different content with nothing shared whatsoever here now"),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts under one representative") {
+    val groups = Dedup.exactDuplicates(corpus)
+      .as[(String, Long, Long)].collect()
+    assert(groups.length == 3) // 1&3 merge
+    val dupGroup = groups.find(_._3 == 2L).get
+    assert(dupGroup._2 == 1L) // min doc_id representative
+  }
+
+  test("n-gram jaccard finds the planted near-dup pair") {
+    val pairs = Dedup.jaccardPairs(corpus, 3, 0.3)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val exact = pairs.find(p => (p._1, p._2) == (1L, 3L)).get
+    assert(exact._3 == 1.0) // identical docs -> jaccard exactly 1
+    val near = pairs.find(p => (p._1, p._2) == (1L, 2L)).get
+    assert(near._3 > 0.3 && near._3 < 1.0)
+  }
+
+  test("minhash+LSH recovers high-jaccard pairs and skips unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(corpus, 32, 8, 3, 0.3)
+      .as[(Long, Long, Double)].collect()
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 3L))) // identical -> identical signatures
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash signature similarity approximates jaccard") {
+    val sigs = Dedup.minhashSignatures(corpus, 64)
+      .as[(Long, Seq[Long])].collect().toMap
+    def simEst(a: Seq[Long], b: Seq[Long]): Double =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+    assert(simEst(sigs(1L), sigs(3L)) == 1.0)
+    assert(simEst(sigs(1L), sigs(2L)) > simEst(sigs(1L), sigs(4L)))
+  }
+
+  test("simhash: identical docs identical, near-dups close, unrelated far") {
+    val sigs = Dedup.simhashSignatures(corpus).as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(3L)) == 0)
+    assert(hamming(sigs(1L), sigs(2L)) < hamming(sigs(1L), sigs(4L)))
+  }
+
+  test("simhash pair search honors the hamming threshold") {
+    val pairs = Dedup.simhashPairs(corpus, 0).as[(Long, Long, Int)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 3L)))
+  }
+
+  test("embedding near-dup pairs by cosine threshold") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(emb, 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
+  }
+}
