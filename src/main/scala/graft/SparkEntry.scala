@@ -9,6 +9,7 @@ import graft.events.Events
 import graft.dedup.Dedup
 import graft.similarity.Similarity
 import graft.textstats.TextAnalysis
+import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -145,6 +146,17 @@ object SparkEntry {
       TextAnalysis.fingerprints(table(s, dir, "documents"))),
     "text_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(table(s, dir, "documents"), 20)),
+
+    // ---- multimodal binary-column plumbing (north star) ----
+    "mm_meta" -> ((s, dir) =>
+      Multimodal.metaExtract(Multimodal.fromDocuments(table(s, dir, "documents")))),
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.fromDocuments(table(s, dir, "documents")), 16, 4)),
+    // decode stub output: deterministic but float-typed fake features;
+    // rows-only check, exercised in MultimodalSpec.
+    "mm_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(s, Multimodal.fromDocuments(table(s, dir, "documents")))
+        .toDF().orderBy("media_id")),
   )
 
   /** DuckDB-runnable oracle SQL, one per queries key, same column names. */
@@ -386,6 +398,20 @@ object SparkEntry {
     "text_top_terms" ->
       """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents)
         |SELECT term, count(*) AS n FROM tok GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    // ASCII corpus (verified): char positions == byte positions, so
+    // DuckDB's VARCHAR substr mirrors Spark's BINARY substring.
+    "mm_meta" ->
+      """SELECT doc_id AS media_id, 'text' AS modality, CAST(length(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_hash, hex(encode(substr(text, 1, 8))) AS magic_prefix
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH f AS (SELECT doc_id AS media_id,
+        |  unnest(generate_series(0, CAST(floor((length(text)-1)/64.0) AS INT))) AS frame_idx, text FROM documents)
+        |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  encode(substr(text, frame_idx*64 + 1, 16)) AS frame,
+        |  CAST(length(substr(text, frame_idx*64 + 1, 16)) AS BIGINT) AS frame_bytes
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
   )
 
   /** BM25 oracle pipeline (k1=1, b=0.75, raw ln(N/df) idf — app/query.py:131-135). */

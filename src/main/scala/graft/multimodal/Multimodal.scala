@@ -1,0 +1,74 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (north star): image/audio/video as opaque
+  * BINARY payloads + typed metadata, with decode/feature-extraction as
+  * partition-local transforms.
+  *
+  * The decode step is a clearly-marked DETERMINISTIC STUB (no codec
+  * libraries exist in this environment); everything around it — the
+  * schema, the Dataset[MediaRecord] encoder, the mapPartitions batch
+  * shape, the explode of frame samples — is the real Spark plumbing a
+  * production decoder would drop into.
+  *
+  * Scale notes: payloads stay off the driver; decode is mapPartitions so
+  * per-partition setup (codec init in real life) is amortized across the
+  * partition's rows, the exact shape a Python `mapInPandas` batch UDF or a
+  * JNI decoder needs.
+  */
+object Multimodal {
+
+  case class MediaRecord(media_id: Long, modality: String, payload: Array[Byte])
+  case class MediaFeatures(media_id: Long, modality: String, n_bytes: Long,
+                           features: Array[Float])
+
+  /** Wrap the documents table as a binary media corpus (text modality). */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("media_id"), lit("text").as("modality"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** Metadata extraction over the opaque payload: pure column ops, no
+    * decode — the cheap pre-filter pass a 100 TB pipeline runs first. */
+  def metaExtract(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"), col("modality"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      md5(col("payload")).as("content_hash"),
+      hex(substring(col("payload"), 1, 8)).as("magic_prefix"))
+      .orderBy("media_id")
+
+  /** Partition-local "decode" + feature extraction.
+    *
+    * STUB: real systems decode image/audio bytes here (JNI codec, or a
+    * Python `mapInPandas` batch). This deterministic fake derives an
+    * 8-dim feature vector from the first payload bytes so the plumbing
+    * (encoder round-trip, batch iteration, schema) is fully testable. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select("media_id", "modality", "payload").as[MediaRecord]
+      .mapPartitions { records =>
+        // per-partition setup happens once (codec init in real life)
+        records.map { r =>
+          val f = Array.tabulate(8) { i =>
+            if (i < r.payload.length) (r.payload(i) & 0xFF) / 255.0f else 0.0f
+          }
+          MediaFeatures(r.media_id, r.modality, r.payload.length.toLong, f)
+        }
+      }
+  }
+
+  /** Fixed-size frame sampling from a binary payload (video-style): every
+    * `stride`-th chunk of `frameBytes` bytes, as exploded rows. Pure
+    * column slicing — no decode, no driver round-trip. */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 16, stride: Int = 4): DataFrame = {
+    val hop = frameBytes * stride
+    media.select(col("media_id"), posexplode(expr(
+      s"""transform(sequence(0, CAST(floor((octet_length(payload) - 1) / $hop.0) AS INT)),
+         |          i -> substring(payload, i * $hop + 1, $frameBytes))""".stripMargin))
+      .as(Seq("frame_idx", "frame")))
+      .withColumn("frame_bytes", octet_length(col("frame")).cast("long"))
+      .orderBy("media_id", "frame_idx")
+  }
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming forms of the graft.events operators (SURVEY.md
+  * §2.8 / §7.3 step 3): same logical aggregations, expressed over an
+  * unbounded source with watermarks. Batch equivalents carry the DuckDB
+  * oracle; these carry MemoryStream tests (StreamingSpec).
+  *
+  * Scale notes: state lives in the state store keyed by (window, type) or
+  * session key — partitioned by the same shuffle as the batch plan, so a
+  * 1000-executor cluster shards state horizontally. Watermarks bound state
+  * size; without them these aggregations would grow forever.
+  */
+object Streaming {
+
+  /** Tumbling 1-hour counts/sums per event type with late-data cutoff.
+    * Append-mode emits a window only once its watermark passes. */
+  def tumblingHourly(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Event-time sessionization via the native session_window: gap-merged
+    * per-user sessions, closed by the watermark. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** Custom keyed state (the mapGroupsWithState surface): running event
+    * count + last-seen epoch micros per user, updated per micro-batch. */
+  case class UserRunning(userId: Long, nEvents: Long, lastSeenUs: Long)
+
+  def runningUserCounts(events: Dataset[(Long, Long)]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, Long.MinValue))
+          val batch = rows.toSeq
+          val next = UserRunning(userId, prev.nEvents + batch.size,
+            math.max(prev.lastSeenUs, batch.map(_._2).max))
+          state.update(next)
+          next
+      }
+  }
+
+  /** Streaming dedup on a content key (exactly-once emission of first
+    * occurrence) — dropDuplicates with watermark bounds the key state. */
+  def streamingExactDedup(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicates("content_hash")
+}

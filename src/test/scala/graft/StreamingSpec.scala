@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streaming
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming tumbling window aggregates arriving micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = Streaming.tumblingHourly(
+      input.toDF().toDF("ts", "event_type", "value"))
+    val q = agg.writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:55:00"), "click", 2.0),
+        (ts("2024-01-01 11:05:00"), "view", 5.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:30:00"), "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows == Set(
+        (ts("2024-01-01 10:00:00"), "click", 3L, 7.0),
+        (ts("2024-01-01 11:00:00"), "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("streaming session windows merge events within the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val sessions = Streaming.sessionWindows(
+      input.toDF().toDF("ts", "user_id"), gap = "30 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L),
+        (ts("2024-01-01 10:10:00"), 1L), // same session
+        (ts("2024-01-01 12:00:00"), 1L), // gap > 30min => new session
+        (ts("2024-01-01 10:00:00"), 2L))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .as[(Timestamp, Timestamp, Long, Long)].collect()
+      assert(rows.count(_._3 == 1L) == 2)
+      assert(rows.count(_._3 == 2L) == 1)
+      val first = rows.filter(_._3 == 1L).minBy(_._1.getTime)
+      assert(first._4 == 2L) // two events merged into the first session
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-user counts across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val counts = Streaming.runningUserCounts(input.toDS())
+    val q = counts.writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((1L, 100L), (1L, 200L), (2L, 50L))
+      q.processAllAvailable()
+      input.addData((1L, 300L))
+      q.processAllAvailable()
+      val latest = spark.table("running").as[Streaming.UserRunning]
+        .collect().groupBy(_.userId).view.mapValues(_.maxBy(_.nEvents)).toMap
+      assert(latest(1L).nEvents == 3L && latest(1L).lastSeenUs == 300L)
+      assert(latest(2L).nEvents == 1L && latest(2L).lastSeenUs == 50L)
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup emits each content hash once") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val dedup = Streaming.streamingExactDedup(
+      input.toDF().toDF("ts", "content_hash"))
+    val q = dedup.writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), "aaa"),
+        (ts("2024-01-01 10:01:00"), "aaa"),
+        (ts("2024-01-01 10:02:00"), "bbb"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:30:00"), "aaa"))
+      q.processAllAvailable()
+      val hashes = spark.table("dedup").select("content_hash")
+        .as[String].collect().toSeq
+      assert(hashes.sorted == Seq("aaa", "bbb"))
+    } finally q.stop()
+  }
+}
