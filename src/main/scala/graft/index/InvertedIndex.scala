@@ -46,4 +46,18 @@ object InvertedIndex {
       count(lit(1)).as("doc_n"),
       sum("doc_length").as("total_doc_length"),
       avg("doc_length").as("avg_doc_length"))
+
+  // ---- derived forms: everything below re-aggregates the tf table instead
+  // of re-tokenizing the corpus. At scale the tokenize+explode scan over the
+  // text column IS the dominant cost, so downstream stats must derive from
+  // tf (SURVEY.md §5 invariants: df == |{docs: tf>0}|, dl == Σ tf).
+
+  /** doc_frequency derived from tf: one row per (doc,term) counted per term. */
+  def docFrequencyFromTf(tf: DataFrame): DataFrame =
+    tf.groupBy("term").agg(count(lit(1)).as("doc_frequency"))
+
+  /** doc_length derived from tf (docs with zero tokens drop out — callers
+    * needing them use docInfo, which is a no-shuffle size() scan). */
+  def docLengthFromTf(tf: DataFrame): DataFrame =
+    tf.groupBy("doc_id").agg(sum("term_frequency").as("doc_length"))
 }

@@ -29,12 +29,16 @@ object BM25 {
     val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
     val qTerms = terms.toSeq.toDF("term")
 
+    // ONE tokenize pass feeds tf; df and dl derive from tf by
+    // re-aggregation (the corpus text scan is the scale-dominant cost —
+    // 2 scans total here: tf and the corpus stats).
     val tf = InvertedIndex.termFrequency(docs)
-    val dfreq = InvertedIndex.docFrequency(docs)
-    val dl = InvertedIndex.docInfo(docs)
+    val dfreq = InvertedIndex.docFrequencyFromTf(tf)
+    val dl = InvertedIndex.docLengthFromTf(tf)
     val stats = InvertedIndex.corpusInfo(docs)
 
-    // Restrict postings + vocab to query terms first (J3 as joins, not loops).
+    // Restrict postings + vocab to query terms first (J3 as joins, not
+    // loops); the term predicate pushes below the df aggregation.
     val qtf = tf.join(broadcast(qTerms), Seq("term"))
     val qdf = dfreq.join(broadcast(qTerms), Seq("term"))
 

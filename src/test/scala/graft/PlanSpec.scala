@@ -1,0 +1,49 @@
+package graft
+
+/** Physical-plan invariants — the 100 TB design assertions (SURVEY.md §7.4
+  * "100 TB design notes"). These lock in what .explain review established:
+  * pushdown reaches the scan, small sides broadcast, top-k never global-sorts,
+  * nothing falls back to a cartesian product.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("filter+projection push into the parquet scan") {
+    val p = plan("rel_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    // pruned read schema: 5 columns, never the full 11-column lineitem
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double,l_shipdate"))
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not sort+limit") {
+    assert(plan("rel_topk").contains("TakeOrderedAndProject"))
+    assert(plan("sim_cosine_topk").contains("TakeOrderedAndProject"))
+    assert(plan("bm25_search").contains("TakeOrderedAndProject"))
+  }
+
+  test("dimension joins broadcast; no cartesian products anywhere") {
+    val p = plan("rel_local_supplier_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    SparkEntry.queries.keys.foreach { name =>
+      assert(!plan(name).contains("CartesianProduct"), s"$name has a cartesian")
+    }
+  }
+
+  test("aggregations are partial+final (map-side combine before shuffle)") {
+    val p = plan("rel_pricing_summary")
+    assert(p.contains("partial_sum"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("BM25 query-term restriction is a broadcast join, not a driver loop") {
+    val p = plan("bm25_search")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+  }
+}
