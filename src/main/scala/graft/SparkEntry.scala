@@ -52,6 +52,15 @@ object SparkEntry {
     // S9: all-OOV query must yield empty result with intact schema, not fail.
     "bm25_oov" -> ((s, dir) =>
       BM25.search(s, table(s, dir, "documents"), "zzzznotaword qqqqnotaword")),
+    // A8 incremental indexing: merge(tf(old), newDocs) must equal the full
+    // recompute — the oracle is simply the full-corpus tf.
+    "idx_incremental_merge" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      InvertedIndex.mergeTermFrequency(
+        InvertedIndex.termFrequency(docs.filter(col("doc_id") < 250)),
+        docs.filter(col("doc_id") >= 250))
+        .orderBy("doc_id", "term")
+    }),
 
     // ---- relational surface (SURVEY §7.3 step 2) ----
     "rel_pricing_summary" -> ((s, dir) =>
@@ -178,6 +187,10 @@ object SparkEntry {
         |       round(avg(doc_length), 4) AS avg_doc_length FROM dl""".stripMargin,
     "bm25_search" -> bm25OracleSql("('spark','join','window')"),
     "bm25_oov" -> bm25OracleSql("('zzzznotaword','qqqqnotaword')"),
+    "idx_incremental_merge" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents)
+        |SELECT doc_id, term, count(*) AS term_frequency
+        |FROM tok GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin,
 
     "rel_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -60,4 +60,20 @@ object InvertedIndex {
     * needing them use docInfo, which is a no-shuffle size() scan). */
   def docLengthFromTf(tf: DataFrame): DataFrame =
     tf.groupBy("doc_id").agg(sum("term_frequency").as("doc_length"))
+
+  /** Incremental indexing (S8/A8). The reference upserts per-key into
+    * Cassandra from inside reduce tasks (reducer1.py:11-30,
+    * reducer2.py:25-45) so re-runs increment stored stats; our equivalent
+    * is a pure re-aggregation: union the stored tf with the delta corpus's
+    * tf and merge counts. Idempotent recompute of the same docs is the
+    * caller's dedup responsibility (same as the reference, which would
+    * double-count a re-submitted doc).
+    *
+    * At scale this touches only (key, partial) pairs — the stored tf is
+    * already aggregated, the delta is small, and the merge is one shuffle
+    * on (doc_id, term). */
+  def mergeTermFrequency(storedTf: DataFrame, newDocs: DataFrame): DataFrame =
+    storedTf.unionByName(termFrequency(newDocs))
+      .groupBy("doc_id", "term")
+      .agg(sum("term_frequency").as("term_frequency"))
 }

@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-line corpus IO — the reference's TSV contract (S4/S6:
+  * prepare_data.py:29 writes `doc_id \t doc_title \t text` lines; the
+  * mappers parse them back at mapper1.py:11-15). The engine speaks the same
+  * wire format so a reference user can point us at their existing corpus
+  * dumps.
+  */
+object Sources {
+
+  val CorpusSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("doc_title", StringType),
+    StructField("text", StringType)))
+
+  /** Read a TSV corpus (3 fields, no header). Malformed/short lines are
+    * dropped — the reference's skip guard (mapper1.py:7-13, P6) — via
+    * DROPMALFORMED rather than per-line Python checks. */
+  def readCorpusTsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("sep", "\t")
+      .option("header", "false")
+      .option("mode", "DROPMALFORMED")
+      .schema(CorpusSchema)
+      .csv(path)
+
+  /** Write a DataFrame as the reference's tab-separated output (S6:
+    * query.py:144 writes ranked results as TSV). */
+  def writeTsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("sep", "\t").csv(path)
+
+  /** Parse raw text lines into the corpus shape (T4: split(\t, 3) with the
+    * <3-fields guard) — for sources that arrive as unsplit lines. */
+  def parseCorpusLines(lines: DataFrame, col_ : String = "value"): DataFrame = {
+    val parts = split(col(col_), "\t", 3)
+    lines
+      .filter(length(trim(col(col_))) > 0 && size(parts) >= 3)
+      .select(
+        // try_cast: ANSI mode (Spark 4 default) would throw on a malformed
+        // id; the reference's guard semantics are drop-not-fail.
+        try_element_at(parts, lit(1)).try_cast(LongType).as("doc_id"),
+        element_at(parts, 2).as("doc_title"),
+        element_at(parts, 3).as("text"))
+      .filter(col("doc_id").isNotNull)
+  }
+
+  /** JSONL corpus reader (modern pipelines): one JSON doc per line. */
+  def readCorpusJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(CorpusSchema).json(path)
+}

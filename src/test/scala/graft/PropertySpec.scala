@@ -1,0 +1,81 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.index.InvertedIndex
+import graft.rank.BM25
+
+/** SURVEY.md §5.3 — property-based invariants over generated corpora.
+  * Raw scalacheck Gen with fixed seeds (the scalatest+scalacheck bridge
+  * artifact isn't in the offline cache); 5 samples per property, each
+  * sample running real Spark jobs.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "it's", "x9")
+  private val docGen: Gen[List[String]] =
+    Gen.listOfN(8, Gen.listOf(wordGen).map(_.mkString(" ")))
+
+  private def samples(n: Int): Seq[List[String]] =
+    (1 to n).map(i => docGen.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+
+  test("df(term) == |{docs : tf(doc,term) > 0}| and dl == sum(tf)") {
+    samples(5).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val tf = InvertedIndex.termFrequency(docs).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val df = InvertedIndex.docFrequency(docs).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      val dl = InvertedIndex.docInfo(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+
+      val docsPerTerm = tf.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size)
+      docsPerTerm.foreach { case (term, n) => assert(df(term) == n.toLong) }
+      val tfSumPerDoc = tf.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+      tfSumPerDoc.foreach { case (d, s) => assert(dl(d) == s) }
+      // docs absent from tf have zero-length text
+      (dl.keySet -- tfSumPerDoc.keySet).foreach(d => assert(dl(d) == 0L))
+    }
+  }
+
+  test("corpus totals equal the sum of per-doc lengths") {
+    samples(5).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val row = InvertedIndex.corpusInfo(docs).collect().head
+      val dl = InvertedIndex.docInfo(docs).collect().map(_.getLong(1))
+      assert(row.getLong(0) == dl.length.toLong)
+      assert(row.getLong(1) == dl.sum)
+    }
+  }
+
+  test("top-k is a prefix of the full ranking (O1)") {
+    samples(3).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val full = BM25.search(spark, docs, "alpha beta", topK = 1000)
+        .as[(Long, Double)].collect().toSeq
+      Seq(1, 3).foreach { k =>
+        val topK = BM25.search(spark, docs, "alpha beta", topK = k)
+          .as[(Long, Double)].collect().toSeq
+        assert(topK == full.take(k))
+      }
+    }
+  }
+
+  test("incremental merge == full recompute (A8 as re-aggregation)") {
+    samples(5).foreach { texts =>
+      val all = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val (oldDocs, newDocs) = all.splitAt(all.size / 2)
+      val merged = InvertedIndex.mergeTermFrequency(
+        InvertedIndex.termFrequency(oldDocs.toDF("doc_id", "text")),
+        newDocs.toDF("doc_id", "text"))
+        .as[(Long, String, Long)].collect().toSet
+      val full = InvertedIndex.termFrequency(all.toDF("doc_id", "text"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(merged == full)
+    }
+  }
+}
