@@ -348,12 +348,15 @@ object SparkEntry {
         |FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.05
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // same op order as the Spark plan: normalize each vector once, then dot
     "dedup_embedding_pairs" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |e1 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),
+        |e AS (SELECT vec_id, list_transform(v, x -> x/nrm) AS u FROM e1)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round(list_dot_product(a.v, b.v)/(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+        |  round(list_dot_product(a.u, b.u), 4) AS cosine
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.v, b.v)/(sqrt(list_dot_product(a.v, a.v))*sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        |WHERE list_dot_product(a.u, b.u) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
 
     "sim_cosine_topk" ->

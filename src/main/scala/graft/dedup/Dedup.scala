@@ -155,12 +155,18 @@ object Dedup {
     * test SFs); the 100 TB path replaces the pair generator with
     * Similarity.lshBucket bucketing — same verify step. */
   def embeddingNearDupPairs(embeddings: DataFrame, minCosine: Double = 0.4): DataFrame = {
-    val e = embeddings.select(col("vec_id"),
-      Similarity.toDoubleVec(col("embedding")).as("v"))
-    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    // Normalize ONCE per vector (n folds), so each of the O(n^2) candidate
+    // pairs pays a single dot product instead of dot + two norm folds —
+    // higher-order-function evaluation is interpreted, not codegen'd, so
+    // per-pair work is the whole cost here.
+    val e = Similarity.withUnitVec(
+      embeddings.select(col("vec_id"),
+        Similarity.toDoubleVec(col("embedding")).as("v")), "v")
+      .select(col("vec_id"), col("u"))
+    val a = e.select(col("vec_id").as("vec_a"), col("u").as("ua"))
+    val b = e.select(col("vec_id").as("vec_b"), col("u").as("ub"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .withColumn("cos", Similarity.dot(col("ua"), col("ub")))
       .filter(col("cos") >= minCosine)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
       .orderBy("vec_a", "vec_b")

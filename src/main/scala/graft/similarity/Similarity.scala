@@ -2,6 +2,7 @@ package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
 
 /** Vector similarity search over an ARRAY<FLOAT> embedding column
   * (SURVEY.md §7.3 step 4 + north-star LLM-pipeline ops).
@@ -20,16 +21,33 @@ object Similarity {
 
   def toDoubleVec(c: Column): Column = transform(c, _.cast("double"))
 
-  /** Sequential-fold dot product: exact order parity with the oracle. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product via the native codegen expression (graft.functions).
+    * Callers that build plans through the DataFrame entry points below get
+    * registration for free; identical left-to-right fold order to dotHof
+    * and DuckDB's list_dot_product. */
+  def dot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
+
+  /** Built-in-only fallback form (interpreted HOF) — kept as the semantic
+    * reference; FunctionsSpec asserts bit-equality against the native dot. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Pre-normalized vectors via the native graft_unit expression: one norm
+    * pass + one divide pass per vector, codegen'd, immune to the
+    * CollapseProject trap that re-inlines a projected norm under a
+    * transform() lambda (re-evaluating it per element). */
+  def withUnitVec(df: DataFrame, vec: String, out: String = "u"): DataFrame = {
+    VectorFunctions.ensureRegistered(df.sparkSession)
+    df.withColumn(out, VectorFunctions.unit(col(vec)))
+  }
+
   /** Brute-force cosine top-k against one stored vector (the ANN baseline). */
   def cosineTopK(embeddings: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"), col("label"),
       toDoubleVec(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") === queryVecId).select(col("v").as("qv"))
@@ -59,6 +77,7 @@ object Similarity {
     * the path that avoids scanning all n vectors per query. */
   def annCosineLsh(embeddings: DataFrame, queryVecId: Long, k: Int,
                    dims: Int = 64, nPlanes: Int = 8): DataFrame = {
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
     val e = embeddings.select(col("vec_id"), col("label"),
       toDoubleVec(col("embedding")).as("v"))
       .withColumn("bucket", lshBucket(col("v"), dims, nPlanes))
@@ -73,7 +92,8 @@ object Similarity {
   }
 
   /** Per-label embedding stats (norm is exact-order sequential). */
-  def normStatsByLabel(embeddings: DataFrame): DataFrame =
+  def normStatsByLabel(embeddings: DataFrame): DataFrame = {
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
     embeddings
       .select(col("label"), l2Norm(toDoubleVec(col("embedding"))).as("norm"))
       .groupBy("label")
@@ -81,4 +101,5 @@ object Similarity {
         round(min("norm"), 4).as("min_norm"),
         round(max("norm"), 4).as("max_norm"))
       .orderBy("label")
+  }
 }

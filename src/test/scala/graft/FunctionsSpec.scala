@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.similarity.Similarity
+
+/** Native codegen expression vs built-in HOF reference semantics. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native graft_dot is bit-identical to the HOF fold on real vectors") {
+    VectorFunctions.ensureRegistered(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+    val both = e.select(
+      Similarity.dot(col("v"), col("v")).as("native"),
+      Similarity.dotHof(col("v"), col("v")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("graft_dot handles nulls and length mismatch") {
+    VectorFunctions.ensureRegistered(spark)
+    val df = Seq(
+      (Some(Array(1.0, 2.0, 3.0)), Some(Array(4.0, 5.0, 6.0))),
+      (None, Some(Array(1.0))),
+      (Some(Array(1.0, 2.0)), Some(Array(3.0))), // min-length semantics
+    ).toDF("a", "b")
+    val out = df.select(Similarity.dot(col("a"), col("b"))).as[Option[Double]].collect()
+    assert(out(0).contains(32.0))
+    assert(out(1).isEmpty)
+    assert(out(2).contains(3.0))
+  }
+
+  test("graft_unit equals the built-in normalize spelling elementwise") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(Similarity.toDoubleVec(col("embedding")).as("v"))
+    VectorFunctions.ensureRegistered(spark)
+    val both = e.select(
+      VectorFunctions.unit(col("v")).as("native"),
+      transform(col("v"), x => x / sqrt(Similarity.dotHof(col("v"), col("v"))))
+        .as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("pairwise dot runs inside a whole-stage-codegen region") {
+    // In the near-dup query normalization happens below the join and the
+    // per-pair dot above it; after AQE finalizes, the O(n^2) hot path's
+    // plan line must carry the *(n) codegen marker.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = graft.dedup.Dedup.embeddingNearDupPairs(emb, 0.4)
+    df.collect() // finalize the adaptive plan so codegen markers appear
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_dot"))
+    assert(plan.split("\n").exists(l =>
+      l.contains("graft_dot") && l.contains("*(")),
+      s"graft_dot not in a codegen region:\n$plan")
+  }
+}
