@@ -107,6 +107,10 @@ object SparkEntry {
       Relational.discountedRevenueByFlag(table(s, dir, "lineitem"))),
     "rel_scalar_subquery" -> ((s, dir) =>
       Relational.aboveAveragePerPriority(table(s, dir, "orders"))),
+    "rel_cube" -> ((s, dir) =>
+      Relational.cubeFlagStatus(table(s, dir, "lineitem"))),
+    "rel_median" -> ((s, dir) =>
+      Relational.medianPricePerPriority(table(s, dir, "orders"))),
 
     // ---- event-time surface (SURVEY §7.3 step 3, batch form) ----
     "ev_tumbling_hourly" -> ((s, dir) =>
@@ -295,6 +299,15 @@ object SparkEntry {
         |SELECT o_orderpriority, count(*) AS n_above FROM orders, m
         |WHERE o_totalprice > mean_price
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "rel_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "rel_median" ->
+      """SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS median_price, count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "ev_tumbling_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,

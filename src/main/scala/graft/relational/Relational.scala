@@ -207,6 +207,21 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** CUBE: all grouping-set combinations over (returnflag, linestatus). */
+  def cubeFlagStatus(lineitem: DataFrame): DataFrame =
+    lineitem.cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(money(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Exact median (linear interpolation) — deterministic on exact inputs,
+    * unlike approx_percentile. */
+  def medianPricePerPriority(orders: DataFrame): DataFrame =
+    orders.groupBy("o_orderpriority")
+      .agg(percentile(col("o_totalprice"), lit(0.5)).as("median_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
   /** Scalar "subquery" as a broadcast 1-row side: orders above the global
     * mean price, counted per priority. The mean is computed exactly
     * (decimal sum / count) so the boundary predicate is reproducible. */
