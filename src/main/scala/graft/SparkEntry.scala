@@ -52,6 +52,13 @@ object SparkEntry {
     // S9: all-OOV query must yield empty result with intact schema, not fail.
     "bm25_oov" -> ((s, dir) =>
       BM25.search(s, table(s, dir, "documents"), "zzzznotaword qqqqnotaword")),
+    // Batch multi-query form: many queries, one tf build, windowed top-k.
+    "bm25_multi" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1L, "spark join window"), (2L, "batch stream"))
+        .toDF("query_id", "query")
+      BM25.searchMany(s, table(s, dir, "documents"), qs)
+    }),
     // A8 incremental indexing: merge(tf(old), newDocs) must equal the full
     // recompute — the oracle is simply the full-corpus tf.
     "idx_incremental_merge" -> ((s, dir) => {
@@ -139,6 +146,8 @@ object SparkEntry {
       Dedup.simhashSignatures(table(s, dir, "documents")).orderBy("doc_id")),
     "dedup_embedding_pairs" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(table(s, dir, "embeddings"), 0.4)),
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairsLsh(table(s, dir, "embeddings"), 0.4)),
 
     // ---- similarity search (north star) ----
     "sim_cosine_topk" -> ((s, dir) =>
@@ -195,6 +204,22 @@ object SparkEntry {
       """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents)
         |SELECT doc_id, term, count(*) AS term_frequency
         |FROM tok GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin,
+    "bm25_multi" ->
+      """WITH q AS (SELECT * FROM (VALUES (1, 'spark'), (1, 'join'), (1, 'window'), (2, 'batch'), (2, 'stream')) AS t(query_id, term)),
+        |tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term IN ('spark','join','window','batch','stream') GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok WHERE term IN ('spark','join','window','batch','stream') GROUP BY term),
+        |dl AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS dl FROM documents),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |scored AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |         sum( ln(CAST(n AS DOUBLE)/df) * (2.0*tf) / (1.0*(0.25 + 0.75*dl.dl/avgdl) + tf) ) AS score
+        |  FROM tf JOIN q USING(term) JOIN dfq USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+        |  GROUP BY q.query_id, tf.doc_id),
+        |r AS (SELECT query_id, doc_id, round(score, 4) AS doc_rank,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id) AS rn FROM scored)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, doc_rank, CAST(rn AS INT) AS rn
+        |FROM r WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
 
     "rel_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -369,6 +394,21 @@ object SparkEntry {
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_dot_product(a.u, b.u), 4) AS cosine
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.u, b.u) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "dedup_embedding_lsh" ->
+      """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |bk AS (SELECT vec_id, v,
+        |  list_sum(list_transform(generate_series(0, 7), j ->
+        |    CASE WHEN list_sum(list_transform(generate_series(1, 64), d ->
+        |      v[d] * CAST(((j*31 + (d-1)*17) % 7) - 3 AS DOUBLE))) >= 0
+        |    THEN 1 << j ELSE 0 END)) AS bucket FROM e0),
+        |e1 AS (SELECT vec_id, bucket, v, sqrt(list_dot_product(v, v)) AS nrm FROM bk),
+        |e AS (SELECT vec_id, bucket, list_transform(v, x -> x/nrm) AS u FROM e1)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_dot_product(a.u, b.u), 4) AS cosine
+        |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |WHERE list_dot_product(a.u, b.u) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
 

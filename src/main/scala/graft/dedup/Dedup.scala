@@ -154,6 +154,27 @@ object Dedup {
   /** Embedding-cosine near-dup pairs. Brute all-pairs here (n is small at
     * test SFs); the 100 TB path replaces the pair generator with
     * Similarity.lshBucket bucketing — same verify step. */
+  /** LSH-bucketed embedding near-dup — the 100 TB path: candidates are
+    * pairs sharing a sign-bit bucket, so the quadratic term is bounded per
+    * bucket. Recall < 1 by construction (same tradeoff as minhashLshPairs),
+    * exact cosine verifies candidates. */
+  def embeddingNearDupPairsLsh(embeddings: DataFrame, minCosine: Double = 0.4,
+                               dims: Int = 64, nPlanes: Int = 8): DataFrame = {
+    val e = Similarity.withUnitVec(
+      embeddings.select(col("vec_id"),
+        Similarity.toDoubleVec(col("embedding")).as("v")), "v")
+      .withColumn("bucket", Similarity.lshBucket(col("v"), dims, nPlanes))
+      .select(col("vec_id"), col("u"), col("bucket"))
+    val a = e.select(col("vec_id").as("vec_a"), col("u").as("ua"), col("bucket"))
+    val b = e.select(col("vec_id").as("vec_b"), col("u").as("ub"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", Similarity.dot(col("ua"), col("ub")))
+      .filter(col("cos") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   def embeddingNearDupPairs(embeddings: DataFrame, minCosine: Double = 0.4): DataFrame = {
     // Normalize ONCE per vector (n folds), so each of the O(n^2) candidate
     // pairs pays a single dot product instead of dot + two norm folds —

@@ -2,6 +2,7 @@ package graft.rank
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.index.InvertedIndex
 
 /** Okapi BM25 ranking (app/query.py:130-143) as ONE declarative plan — no
@@ -60,5 +61,44 @@ object BM25 {
       .select(col("doc_id"), round(col("score"), 4).as("doc_rank"))
       .orderBy(desc("doc_rank"), asc("doc_id"))
       .limit(topK)
+  }
+
+  /** Batch form: score MANY queries in one plan — the query-workload scale
+    * path. One tf build amortizes over all queries; per-query top-k is a
+    * ranking window instead of a global limit. `queries` is
+    * (query_id LONG, query STRING). */
+  def searchMany(spark: SparkSession, docs: DataFrame, queries: DataFrame,
+                 k1: Double = 1.0, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    val qTerms = queries.select(col("query_id"),
+      explode(array_distinct(split(lower(col("query")), "\\s+"))).as("term"))
+      .filter(length(col("term")) > 0)
+
+    val tf = InvertedIndex.termFrequency(docs)
+    val dfreq = InvertedIndex.docFrequencyFromTf(tf)
+    val dl = InvertedIndex.docLengthFromTf(tf)
+    val stats = InvertedIndex.corpusInfo(docs)
+
+    val scored = tf
+      .join(broadcast(qTerms), Seq("term"))
+      .join(broadcast(dfreq.join(broadcast(qTerms.select("term").distinct()),
+        Seq("term"))), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("bm25",
+        log(col("doc_n").cast("double") / col("doc_frequency")) *
+          (lit(k1 + 1) * col("term_frequency")) /
+          (lit(k1) * (lit(1 - b) +
+            lit(b) * col("doc_length") / col("avg_doc_length")) +
+            col("term_frequency")))
+
+    val perQuery = scored.groupBy("query_id", "doc_id")
+      .agg(sum("bm25").as("score"))
+      .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("doc_rank"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("doc_rank"), asc("doc_id"))
+    perQuery.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select("query_id", "doc_id", "doc_rank", "rn")
+      .orderBy("query_id", "rn")
   }
 }

@@ -71,4 +71,14 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
   }
+
+  test("LSH near-dup pairs are a same-cosine subset of brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Dedup.embeddingNearDupPairs(emb, 0.3)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    val lsh = Dedup.embeddingNearDupPairsLsh(emb, 0.3)
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { p => assert(brute((p._1, p._2)) == p._3) }
+  }
 }

@@ -67,6 +67,15 @@ class TextIndexRankSpec extends SparkSpec {
     assert(res.count() == 0)
   }
 
+  test("searchMany with a single query matches search") {
+    val single = BM25.search(spark, corpus, "banana cherry")
+      .as[(Long, Double)].collect().toSeq
+    val multi = BM25.searchMany(spark, corpus,
+      Seq((7L, "banana cherry")).toDF("query_id", "query"))
+      .select("doc_id", "doc_rank").as[(Long, Double)].collect().toSeq
+    assert(multi == single)
+  }
+
   test("query term dedup + case fold (T6): repeated terms score once") {
     val once = BM25.search(spark, corpus, "apple").as[(Long, Double)].collect()
     val twice = BM25.search(spark, corpus, "Apple APPLE apple")
