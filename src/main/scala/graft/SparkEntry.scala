@@ -132,6 +132,8 @@ object SparkEntry {
       Events.dailyTopType(table(s, dir, "events"))),
     "ev_props_json" -> ((s, dir) =>
       Events.propsKSumByType(table(s, dir, "events"))),
+    "ev_funnel" -> ((s, dir) =>
+      Events.funnelCounts(table(s, dir, "events"))),
 
     // ---- dedup surface (north star: training-data pipeline) ----
     "dedup_exact" -> ((s, dir) =>
@@ -168,6 +170,10 @@ object SparkEntry {
       TextAnalysis.fingerprints(table(s, dir, "documents"))),
     "text_top_terms" -> ((s, dir) =>
       TextAnalysis.topTerms(table(s, dir, "documents"), 20)),
+    "text_bigrams" -> ((s, dir) =>
+      TextAnalysis.topBigrams(table(s, dir, "documents"), 20)),
+    "text_langid_confusion" -> ((s, dir) =>
+      TextAnalysis.langGuessConfusion(table(s, dir, "documents"))),
 
     // ---- multimodal binary-column plumbing (north star) ----
     "mm_meta" -> ((s, dir) =>
@@ -370,6 +376,15 @@ object SparkEntry {
     "ev_props_json" ->
       """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ev_funnel" ->
+      """WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s0 ON e.user_id = s0.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM s0) AS n_stage0,
+        |       (SELECT count(*) FROM s1) AS n_stage1,
+        |       (SELECT count(*) FROM s2) AS n_stage2""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS rep_doc_id, count(*) AS n_copies
@@ -467,6 +482,26 @@ object SparkEntry {
     "text_top_terms" ->
       """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents)
         |SELECT term, count(*) AS n FROM tok GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    "text_bigrams" ->
+      """WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+        |b AS (SELECT unnest(list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        |      FROM t WHERE len(tk) >= 2)
+        |SELECT bigram, count(*) AS n FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "text_langid_confusion" ->
+      """WITH t AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS tk FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_intersect(tk, ['der','die','das','und','ist'])) AS s_de,
+        |  len(list_intersect(tk, ['the','a','of','and','is'])) AS s_en,
+        |  len(list_intersect(tk, ['el','la','los','que','es'])) AS s_es,
+        |  len(list_intersect(tk, ['le','la','les','et','est'])) AS s_fr FROM t),
+        |g0 AS (SELECT doc_id, greatest(s_de, s_en, s_es, s_fr) AS best, s_de, s_en, s_es, s_fr FROM s),
+        |g AS (SELECT doc_id, CASE WHEN best = 0 THEN 'und'
+        |  WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
+        |  WHEN s_es = best THEN 'es' ELSE 'fr' END AS lang_guess FROM g0)
+        |SELECT d.lang, g.lang_guess, count(*) AS n
+        |FROM g JOIN documents d USING (doc_id)
+        |GROUP BY d.lang, g.lang_guess ORDER BY d.lang, g.lang_guess""".stripMargin,
 
     // ASCII corpus (verified): char positions == byte positions, so
     // DuckDB's VARCHAR substr mirrors Spark's BINARY substring.

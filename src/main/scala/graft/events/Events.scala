@@ -88,4 +88,27 @@ object Events {
     events.groupBy("event_type")
       .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
       .orderBy("event_type")
+
+  /** Ordered funnel: users who progressed signup -> click -> purchase, each
+    * stage strictly after the previous one. Three min-aggregations and two
+    * joins — no per-user collect, no window over the full event stream.
+    * Returns one row of stage counts. */
+  def funnelCounts(events: DataFrame,
+                   stages: Seq[String] = Seq("signup", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty)
+    val first = events.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min("ts").as("t0"))
+    val reached = stages.tail.zipWithIndex.foldLeft(Seq(first)) {
+      case (acc, (stage, i)) =>
+        val prev = acc.last.select(col("user_id"), col(s"t$i").as("tprev"))
+        acc :+ events.filter(col("event_type") === stage)
+          .join(prev, Seq("user_id"))
+          .filter(col("ts") > col("tprev"))
+          .groupBy("user_id").agg(min("ts").as(s"t${i + 1}"))
+    }
+    val counts = reached.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as(s"n_stage$i"))
+    }
+    counts.reduce(_.crossJoin(_))
+  }
 }

@@ -80,4 +80,24 @@ object TextAnalysis {
       .groupBy("term").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("term"))
       .limit(k)
+
+  /** Top-k word bigrams (occurrence counts, duplicates kept). */
+  def topBigrams(docs: DataFrame, k: Int = 20): DataFrame = {
+    val bigrams = transform(
+      sequence(lit(1), size(col("t")) - 1),
+      i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1)))
+    docs.select(toks.as("t"))
+      .filter(size(col("t")) >= 2) // sequence(1, x<1) counts down — gate it
+      .select(explode(bigrams).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("bigram"))
+      .limit(k)
+  }
+
+  /** Confusion counts of the heuristic guess vs the labeled lang column —
+    * the eval a pipeline runs before trusting a language filter. */
+  def langGuessConfusion(docs: DataFrame): DataFrame =
+    languageGuess(docs).join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy("lang", "lang_guess").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_guess")
 }
