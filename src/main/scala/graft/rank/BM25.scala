@@ -3,7 +3,7 @@ package graft.rank
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.index.InvertedIndex
+import graft.index.{IndexStore, InvertedIndex}
 
 /** Okapi BM25 ranking (app/query.py:130-143) as ONE declarative plan — no
   * driver-side collect loops (the reference does O(terms + docs) sequential
@@ -42,8 +42,30 @@ object BM25 {
     // loops); the term predicate pushes below the df aggregation.
     val qtf = tf.join(broadcast(qTerms), Seq("term"))
     val qdf = dfreq.join(broadcast(qTerms), Seq("term"))
+    rank(qtf, qdf, dl, stats, k1, b, topK)
+  }
 
-    val scored = qtf
+  /** BM25 search served from a persisted IndexStore — no recompute; the
+    * term predicate partition-prunes the postings scan to the query terms'
+    * hash buckets (the Cassandra-token-routing equivalent). */
+  def searchStored(spark: SparkSession, indexDir: String, query: String,
+                   k1: Double = 1.0, b: Double = 0.75, topK: Int = 10,
+                   buckets: Int = IndexStore.DefaultBuckets): DataFrame = {
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    val qtf = IndexStore.postingsForTerms(spark, indexDir, terms, buckets)
+      .drop("term_bucket")
+    val qdf = IndexStore.vocabularyForTerms(spark, indexDir, terms, buckets)
+      .drop("term_bucket")
+    rank(qtf, qdf, IndexStore.docInfo(spark, indexDir),
+      IndexStore.corpusInfo(spark, indexDir), k1, b, topK)
+  }
+
+  /** Shared scoring tail: J1 (vocab) + J2 (doc stats) + A7 (scalar score)
+    * + A6 (per-doc sum) + O1 (top-k). Empty-on-OOV (S9) falls out
+    * naturally: zero surviving postings => zero rows, schema intact. */
+  private def rank(qtf: DataFrame, qdf: DataFrame, dl: DataFrame,
+                   stats: DataFrame, k1: Double, b: Double, topK: Int): DataFrame =
+    qtf
       .join(broadcast(qdf), Seq("term"))                  // J1
       .join(dl, Seq("doc_id"))                            // J2
       .crossJoin(broadcast(stats))                        // N, avgdl as 1-row side
@@ -53,15 +75,11 @@ object BM25 {
           (lit(k1) * (lit(1 - b) +
             lit(b) * col("doc_length") / col("avg_doc_length")) +
             col("term_frequency")))
-
-    // A6 sum per doc -> O1 top-k. Empty-on-OOV (S9) falls out naturally:
-    // zero surviving postings => zero rows, schema intact.
-    scored.groupBy("doc_id")
+      .groupBy("doc_id")
       .agg(sum("bm25").as("score"))
       .select(col("doc_id"), round(col("score"), 4).as("doc_rank"))
       .orderBy(desc("doc_rank"), asc("doc_id"))
       .limit(topK)
-  }
 
   /** Batch form: score MANY queries in one plan — the query-workload scale
     * path. One tf build amortizes over all queries; per-query top-k is a

@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+import graft.index.IndexStore
+import graft.rank.BM25
+
+class IndexStoreSpec extends SparkSpec {
+
+  private lazy val dir = {
+    val d = Files.createTempDirectory("graft-index").toString
+    val docs = table(spark, "/root/testdata/sf0.001", "documents")
+    IndexStore.write(docs, d, buckets = 16)
+    d
+  }
+
+  test("stored-index search equals recompute search") {
+    val docs = table(spark, "/root/testdata/sf0.001", "documents")
+    val fresh = BM25.search(spark, docs, "spark join window").collect().toSeq
+    val stored = BM25.searchStored(spark, dir, "spark join window", buckets = 16)
+      .collect().toSeq
+    assert(stored == fresh)
+  }
+
+  test("term lookup partition-prunes to the term's hash buckets") {
+    val df = IndexStore.postingsForTerms(spark, dir, Seq("spark"), buckets = 16)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("term_bucket"),
+      s"no partition pruning in:\n$plan")
+    // the scan must read strictly fewer than all 16 bucket directories
+    val scanned = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(df.select("term").distinct().collect().map(_.getString(0)).toSet
+      == Set("spark"))
+  }
+
+  test("stored tables round-trip the index contracts") {
+    val docs = table(spark, "/root/testdata/sf0.001", "documents")
+    assert(IndexStore.docInfo(spark, dir).count() == docs.count())
+    assert(IndexStore.corpusInfo(spark, dir).count() == 1)
+    val vocabSize = IndexStore.vocabulary(spark, dir).count()
+    assert(vocabSize == graft.index.InvertedIndex.docFrequency(docs).count())
+  }
+
+  test("OOV query against the stored index is empty with intact schema") {
+    val res = BM25.searchStored(spark, dir, "zzzznotaword", buckets = 16)
+    assert(res.columns.toSeq == Seq("doc_id", "doc_rank"))
+    assert(res.count() == 0)
+  }
+}
