@@ -10,6 +10,7 @@ import graft.dedup.Dedup
 import graft.similarity.Similarity
 import graft.textstats.TextAnalysis
 import graft.multimodal.Multimodal
+import graft.sketch.Sketches
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -174,6 +175,14 @@ object SparkEntry {
       TextAnalysis.topBigrams(table(s, dir, "documents"), 20)),
     "text_langid_confusion" -> ((s, dir) =>
       TextAnalysis.langGuessConfusion(table(s, dir, "documents"))),
+    "text_bpe_tokens" -> ((s, dir) =>
+      TextAnalysis.bpeTokenCounts(table(s, dir, "documents"))),
+    // sketch values are Spark-deterministic but engine-specific => rows-only;
+    // SketchSpec bounds approx-vs-exact error.
+    "sketch_distinct_parts" -> ((s, dir) =>
+      Sketches.distinctPartsPerFlag(table(s, dir, "lineitem"))),
+    "sketch_price_quantiles" -> ((s, dir) =>
+      Sketches.priceQuantilesPerPriority(table(s, dir, "orders"))),
 
     // ---- multimodal binary-column plumbing (north star) ----
     "mm_meta" -> ((s, dir) =>
@@ -483,6 +492,10 @@ object SparkEntry {
       """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents)
         |SELECT term, count(*) AS n FROM tok GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
 
+    "text_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '''[a-z]+|[a-z]+|[0-9]+|[^a-z0-9\s'']+')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_bigrams" ->
       """WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
         |b AS (SELECT unnest(list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])) AS bigram

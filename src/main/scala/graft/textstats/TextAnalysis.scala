@@ -94,6 +94,18 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BPE-style pre-tokenizer counts: contraction suffixes, letter runs,
+    * digit runs, and punctuation runs counted separately — the
+    * GPT-tokenizer-shaped accounting a data pipeline uses for token-budget
+    * estimates. Pattern is RE2-safe (no lookaround) for oracle parity. */
+  val BpePattern = "'[a-z]+|[a-z]+|[0-9]+|[^a-z0-9\\s']+"
+
+  def bpeTokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
+        .cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
   /** Confusion counts of the heuristic guess vs the labeled lang column —
     * the eval a pipeline runs before trusting a language filter. */
   def langGuessConfusion(docs: DataFrame): DataFrame =

@@ -1,0 +1,26 @@
+package graft
+
+import graft.sketch.Sketches
+
+class SketchSpec extends SparkSpec {
+
+  test("HLL++ distinct counts stay within the configured error bound") {
+    val li = table(spark, "/root/testdata/sf0.01", "lineitem")
+    Sketches.distinctPartsPerFlag(li).collect().foreach { r =>
+      val (exactP, approxP) = (r.getLong(1), r.getLong(2))
+      val (exactS, approxS) = (r.getLong(3), r.getLong(4))
+      assert(math.abs(approxP - exactP).toDouble / exactP < 0.05,
+        s"parts off: $approxP vs $exactP")
+      assert(math.abs(approxS - exactS).toDouble / exactS < 0.05,
+        s"supps off: $approxS vs $exactS")
+    }
+  }
+
+  test("approximate quantiles track exact ones") {
+    val orders = table(spark, "/root/testdata/sf0.01", "orders")
+    Sketches.priceQuantilesPerPriority(orders).collect().foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(1)) / r.getDouble(1) < 0.02)
+      assert(math.abs(r.getDouble(4) - r.getDouble(3)) / r.getDouble(3) < 0.02)
+    }
+  }
+}
