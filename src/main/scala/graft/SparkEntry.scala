@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.index.InvertedIndex
 import graft.rank.BM25
-import graft.relational.Relational
+import graft.relational.{Relational, TemporalJoins}
 import graft.events.Events
 import graft.dedup.Dedup
 import graft.similarity.Similarity
@@ -135,6 +135,29 @@ object SparkEntry {
       Events.propsKSumByType(table(s, dir, "events"))),
     "ev_funnel" -> ((s, dir) =>
       Events.funnelCounts(table(s, dir, "events"))),
+    // as-of join: each purchase gets the user's latest signup at-or-before it
+    "ev_asof_signup" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"))
+      Relational.fmtTsCols(
+        TemporalJoins.asOfJoin(purchases, signups, "user_id", "ts",
+          "signup_ts", "signup_ts", "last_signup"),
+        Seq("ts", "last_signup"))
+        .orderBy("event_id")
+    }),
+    // banded range join: same-user event pairs within 5 minutes
+    "ev_range_pairs" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val a = ev.select(col("user_id"), col("event_id").as("id_a"), col("ts").as("ts_a"))
+      val b = ev.select(col("user_id"), col("event_id").as("id_b"), col("ts").as("ts_b"))
+      TemporalJoins.bandedRangeJoin(a, b, "user_id", "ts_a", "ts_b", 300)
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
 
     // ---- dedup surface (north star: training-data pipeline) ----
     "dedup_exact" -> ((s, dir) =>
@@ -385,6 +408,19 @@ object SparkEntry {
     "ev_props_json" ->
       """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ev_asof_signup" ->
+      """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, ts AS sts FROM events WHERE event_type = 'signup')
+        |SELECT p.user_id, p.event_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |       strftime(s.sts, '%Y-%m-%d %H:%M:%S.%f') AS last_signup
+        |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.sts
+        |ORDER BY p.event_id""".stripMargin,
+    "ev_range_pairs" ->
+      """SELECT a.event_id AS id_a, b.event_id AS id_b
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+        |ORDER BY id_a, id_b""".stripMargin,
     "ev_funnel" ->
       """WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY user_id),
         |s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s0 ON e.user_id = s0.user_id

@@ -28,6 +28,12 @@ object Relational {
   /** Exact money arithmetic: DECIMAL(18,2) in, exact sums out. */
   def money(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Timestamp columns -> strings for oracle-comparable output (Spark
+    * parquet timestamps are UTC-adjusted; DuckDB's are naive). */
+  def fmtTsCols(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(c, date_format(col(c), "yyyy-MM-dd HH:mm:ss.SSSSSS")))
+
   private def ts(s: String): Column = lit(s).cast("timestamp")
 
   /** TPC-H Q1-shaped pricing summary: scan-heavy filter + 6-way aggregate.

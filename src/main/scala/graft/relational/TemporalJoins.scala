@@ -1,0 +1,64 @@
+package graft.relational
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks natively (builder brief: "as-of
+  * join, range join"), built by composition — preference order (a): no
+  * custom plan nodes needed.
+  *
+  * Scale notes:
+  *  - asOfJoin is the union+ordered-window formulation: ONE shuffle on the
+  *    key and a per-key sort, instead of the naive inequality join's
+  *    per-row scan of the right side. This is how kdb/Flink-style as-of
+  *    semantics map onto a shuffle engine.
+  *  - bandedRangeJoin turns an |tL - tR| <= tol predicate into an equi-join
+  *    on (key, time-band) with each right row replicated into 3 adjacent
+  *    bands — a hash join Catalyst can plan and AQE can skew-split, where
+  *    the raw inequality would fall back to BroadcastNestedLoopJoin.
+  */
+object TemporalJoins {
+
+  /** For each left row, attach `valueCol` from the most recent right row
+    * with rightTime <= leftTime, matching on `key`. Right rows at exactly
+    * leftTime match (<=). Left rows with no earlier right row get null. */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               valueCol: String, as: String = "asof_value"): DataFrame = {
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__isLeft", lit(1))
+      .withColumn("__v", lit(null).cast(right.schema(valueCol).dataType))
+    val r = right.select(col(key), col(rightTime).as("__t"),
+        col(valueCol).as("__v"))
+      .withColumn("__isLeft", lit(0))
+    // right-before-left on time ties so "<=" semantics hold
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__isLeft"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(as, last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__isLeft") === 1)
+      .drop("__t", "__isLeft", "__v")
+  }
+
+  /** All (left, right) pairs with the same key whose timestamps differ by
+    * at most `toleranceSeconds`. Equi-join on (key, band) with 3-band
+    * replication of the right side, exact filter after. */
+  def bandedRangeJoin(left: DataFrame, right: DataFrame, key: String,
+                      leftTime: String, rightTime: String,
+                      toleranceSeconds: Long): DataFrame = {
+    require(toleranceSeconds > 0)
+    val tolUs = toleranceSeconds * 1000000L
+    val l = left.withColumn("__lt", unix_micros(col(leftTime)))
+      .withColumn("__band", floor(col("__lt") / tolUs))
+    val r = right.withColumn("__rt", unix_micros(col(rightTime)))
+      .withColumn("__band", explode(array(
+        floor(col("__rt") / tolUs) - 1,
+        floor(col("__rt") / tolUs),
+        floor(col("__rt") / tolUs) + 1)))
+    l.join(r, Seq(key, "__band"))
+      .filter(abs(col("__lt") - col("__rt")) <= tolUs)
+      .drop("__band", "__lt", "__rt")
+  }
+}
