@@ -135,6 +135,10 @@ object SparkEntry {
       Events.propsKSumByType(table(s, dir, "events"))),
     "ev_funnel" -> ((s, dir) =>
       Events.funnelCounts(table(s, dir, "events"))),
+    "ev_pivot_type_day" -> ((s, dir) =>
+      Events.typeByDayPivot(table(s, dir, "events"))),
+    "ev_cohort_retention" -> ((s, dir) =>
+      Events.cohortRetention(table(s, dir, "events"))),
     // as-of join: each purchase gets the user's latest signup at-or-before it
     "ev_asof_signup" -> ((s, dir) => {
       val ev = table(s, dir, "events")
@@ -408,6 +412,24 @@ object SparkEntry {
     "ev_props_json" ->
       """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ev_pivot_type_day" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "ev_cohort_retention" ->
+      """WITH c AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events
+        |           WHERE event_type = 'signup' GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |       CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset,
+        |       count(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |WHERE date_diff('day', c.cohort_day, a.day) >= 0
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
     "ev_asof_signup" ->
       """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
         |s AS (SELECT user_id, ts AS sts FROM events WHERE event_type = 'signup')

@@ -89,6 +89,33 @@ object Events {
       .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
       .orderBy("event_type")
 
+  /** Pivot: days x event types contingency counts (explicit value list so
+    * the output schema is static — required both for determinism and for
+    * not scanning the data twice to infer pivot columns). */
+  def typeByDayPivot(events: DataFrame,
+                     types: Seq[String] = Seq("click", "error", "purchase", "signup", "view")): DataFrame =
+    events.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy("day")
+
+  /** Cohort retention: users grouped by first-signup day, counted on each
+    * day-offset they were active. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val cohorts = events.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort_day"))
+    val activity = events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    activity.join(cohorts, Seq("user_id"))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+      .filter(col("day_offset") >= 0)
+      .groupBy("cohort_day", "day_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** Ordered funnel: users who progressed signup -> click -> purchase, each
     * stage strictly after the previous one. Three min-aggregations and two
     * joins — no per-user collect, no window over the full event stream.

@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Timestamp
+import graft.events.Events
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("pivot zero-fills missing (day, type) cells like the FILTER oracle") {
+    val ev = Seq(
+      (ts("2024-01-01 10:00:00"), "click"),
+      (ts("2024-01-01 11:00:00"), "view"),
+      (ts("2024-01-02 10:00:00"), "error"), // day 2 has no click/view
+    ).toDF("ts", "event_type")
+    val rows = Events.typeByDayPivot(ev)
+      .select("day", "click", "error", "view")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(rows == Seq(
+      ("2024-01-01", 1L, 0L, 1L),
+      ("2024-01-02", 0L, 1L, 0L)))
+  }
+
+  test("cohort retention counts only at-or-after-signup activity") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "signup"),
+      (1L, ts("2024-01-03 10:00:00"), "click"),  // offset 2
+      (2L, ts("2024-01-01 09:00:00"), "click"),  // pre-signup activity
+      (2L, ts("2024-01-02 10:00:00"), "signup"),
+      (2L, ts("2024-01-02 11:00:00"), "view"),   // offset 0 (same day)
+      (3L, ts("2024-01-05 10:00:00"), "click"),  // never signed up
+    ).toDF("user_id", "ts", "event_type")
+    val rows = Events.cohortRetention(ev)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows == Seq(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 2L, 1L),
+      ("2024-01-02", 0L, 1L)))
+  }
+
+  test("funnel requires strict stage ordering") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "signup", 1L),
+      (1L, ts("2024-01-01 11:00:00"), "click", 2L),
+      (1L, ts("2024-01-01 12:00:00"), "purchase", 3L),
+      (2L, ts("2024-01-01 10:00:00"), "purchase", 4L), // purchase before signup
+      (2L, ts("2024-01-01 11:00:00"), "signup", 5L),
+      (2L, ts("2024-01-01 12:00:00"), "click", 6L),
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val r = Events.funnelCounts(ev).collect().head
+    assert(r.getLong(0) == 2L) // both signed up
+    assert(r.getLong(1) == 2L) // both clicked after signup
+    assert(r.getLong(2) == 1L) // only user 1 purchased after clicking
+  }
+}
