@@ -41,15 +41,33 @@ object Dedup {
 
   /** Near-dup pairs by exact n-gram Jaccard >= threshold. Candidates come
     * from the inverted shingle index self-join (docs sharing >=1 shingle),
-    * never a cross join. */
+    * never a cross join. No .cache(): the shared shingle subplan is
+    * deduplicated by Spark's exchange reuse within the single job, and an
+    * operator-internal cache would pin executor memory for the session
+    * lifetime with no way to unpersist after the caller's action. */
   def jaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.05): DataFrame = {
-    val sh = shingles(docs, n).cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val shared = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
+    val sh = shingles(docs, n)
+    scoreJaccard(sh, sharedShingleCounts(sh), minJaccard)
+  }
+
+  /** Self-join the shingle index on identical (un-projected) sides so both
+    * shuffle exchanges canonicalize equal and ReuseExchange computes the
+    * tokenize+explode lineage once — projecting doc_a/doc_b BEFORE the join
+    * made the sides differ and doubled the dominant scan. */
+  private def sharedShingleCounts(sh: DataFrame): DataFrame = {
+    val a = sh.alias("a")
+    val b = sh.alias("b")
+    a.join(b, col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    shared
+  }
+
+  /** Attach set sizes to intersection counts and threshold on Jaccard. */
+  private def scoreJaccard(sh: DataFrame, inter: DataFrame,
+                           minJaccard: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), Seq("doc_b"))
       .withColumn("jaccard",
@@ -62,8 +80,10 @@ object Dedup {
   /** MinHash signature per doc: sig[i] = min over shingles of
     * xxhash64(i, shingle). Deterministic but engine-specific (xxhash64), so
     * checked by property tests rather than the SQL oracle. */
-  def minhashSignatures(docs: DataFrame, numHashes: Int = 32, n: Int = 3): DataFrame = {
-    val sh = shingles(docs, n)
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 32, n: Int = 3): DataFrame =
+    minhashFromShingles(shingles(docs, n), numHashes)
+
+  private def minhashFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
     sh.groupBy("doc_id")
@@ -80,7 +100,9 @@ object Dedup {
                       n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = minhashSignatures(docs, numHashes, n)
+    // one shingle lineage feeds both the signatures and the exact verify
+    val sh = shingles(docs, n)
+    val sig = minhashFromShingles(sh, numHashes)
     val banded = sig.select(col("doc_id"), posexplode(
       array((0 until bands).map { b =>
         xxhash64((b * rows until (b + 1) * rows)
@@ -92,25 +114,11 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     // Exact-verify candidates only.
-    jaccardVerify(docs, candidates, n, minJaccard)
-  }
-
-  private def jaccardVerify(docs: DataFrame, candidates: DataFrame,
-                            n: Int, minJaccard: Double): DataFrame = {
-    val sh = shingles(docs, n).cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), Seq("doc_b"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    scoreJaccard(sh, inter, minJaccard)
   }
 
   /** 64-bit SimHash per doc: tf-weighted sign votes on each bit of

@@ -124,23 +124,24 @@ object VectorFunctions {
 
   /** Idempotent per-session registration; every DataFrame-level entry point
     * in graft.similarity / graft.dedup calls this before building plans. */
+  /** Shared builders — the single definition of argument coercion, used by
+    * both per-session registration and GraftExtensions injection. */
+  val dotBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2, s"$DotName expects 2 arguments")
+    DotProductExpr(
+      Cast(args(0), ArrayType(DoubleType)),
+      Cast(args(1), ArrayType(DoubleType)))
+  }
+  val unitBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1, s"$UnitName expects 1 argument")
+    UnitVectorExpr(Cast(args(0), ArrayType(DoubleType)))
+  }
+
   def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      DotName,
-      { args: Seq[Expression] =>
-        require(args.length == 2, s"$DotName expects 2 arguments")
-        DotProductExpr(
-          Cast(args(0), ArrayType(DoubleType)),
-          Cast(args(1), ArrayType(DoubleType)))
-      },
-      "built-in")
+      DotName, dotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      UnitName,
-      { args: Seq[Expression] =>
-        require(args.length == 1, s"$UnitName expects 1 argument")
-        UnitVectorExpr(Cast(args(0), ArrayType(DoubleType)))
-      },
-      "built-in")
+      UnitName, unitBuilder, "built-in")
   }
 
   /** Column-level dot product over the registered native expression. */

@@ -24,14 +24,18 @@ object IndexStore {
   /** Build and persist all four index tables. Idempotent full recompute
     * (the S8/A8 design decision: recompute beats read-modify-write). */
   def write(docs: DataFrame, dir: String, buckets: Int = DefaultBuckets): Unit = {
-    val tf = InvertedIndex.termFrequency(docs)
-    tf.withColumn("term_bucket", termBucket(col("term"), buckets))
-      .write.mode("overwrite").partitionBy("term_bucket")
-      .parquet(s"$dir/term_frequency_in_doc")
-    InvertedIndex.docFrequencyFromTf(tf)
-      .withColumn("term_bucket", termBucket(col("term"), buckets))
-      .write.mode("overwrite").partitionBy("term_bucket")
-      .parquet(s"$dir/doc_frequency_of_term")
+    // persist tf across the two writes: the tokenize+explode+aggregate
+    // lineage is the scale-dominant cost and would otherwise run twice
+    val tf = InvertedIndex.termFrequency(docs).persist()
+    try {
+      tf.withColumn("term_bucket", termBucket(col("term"), buckets))
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(s"$dir/term_frequency_in_doc")
+      InvertedIndex.docFrequencyFromTf(tf)
+        .withColumn("term_bucket", termBucket(col("term"), buckets))
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(s"$dir/doc_frequency_of_term")
+    } finally tf.unpersist()
     InvertedIndex.docInfo(docs)
       .write.mode("overwrite").parquet(s"$dir/doc_info")
     InvertedIndex.corpusInfo(docs)

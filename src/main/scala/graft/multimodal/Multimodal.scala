@@ -64,9 +64,12 @@ object Multimodal {
     * column slicing — no decode, no driver round-trip. */
   def sampleFrames(media: DataFrame, frameBytes: Int = 16, stride: Int = 4): DataFrame = {
     val hop = frameBytes * stride
+    // empty payload gate: Spark's sequence(0, -1) counts DOWN ([0,-1]),
+    // which would emit two phantom frames where the oracle emits none
     media.select(col("media_id"), posexplode(expr(
-      s"""transform(sequence(0, CAST(floor((octet_length(payload) - 1) / $hop.0) AS INT)),
-         |          i -> substring(payload, i * $hop + 1, $frameBytes))""".stripMargin))
+      s"""CASE WHEN octet_length(payload) = 0 THEN CAST(array() AS ARRAY<BINARY>)
+         |ELSE transform(sequence(0, CAST(floor((octet_length(payload) - 1) / $hop.0) AS INT)),
+         |               i -> substring(payload, i * $hop + 1, $frameBytes)) END""".stripMargin))
       .as(Seq("frame_idx", "frame")))
       .withColumn("frame_bytes", octet_length(col("frame")).cast("long"))
       .orderBy("media_id", "frame_idx")

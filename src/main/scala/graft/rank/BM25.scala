@@ -63,18 +63,23 @@ object BM25 {
   /** Shared scoring tail: J1 (vocab) + J2 (doc stats) + A7 (scalar score)
     * + A6 (per-doc sum) + O1 (top-k). Empty-on-OOV (S9) falls out
     * naturally: zero surviving postings => zero rows, schema intact. */
+  /** The scalar A7 score (app/query.py:131-135) over the joined columns
+    * (term_frequency, doc_frequency, doc_length, doc_n, avg_doc_length) —
+    * the single source of the formula for both search forms. */
+  private def bm25Score(k1: Double, b: Double) =
+    log(col("doc_n").cast("double") / col("doc_frequency")) *
+      (lit(k1 + 1) * col("term_frequency")) /
+      (lit(k1) * (lit(1 - b) +
+        lit(b) * col("doc_length") / col("avg_doc_length")) +
+        col("term_frequency"))
+
   private def rank(qtf: DataFrame, qdf: DataFrame, dl: DataFrame,
                    stats: DataFrame, k1: Double, b: Double, topK: Int): DataFrame =
     qtf
       .join(broadcast(qdf), Seq("term"))                  // J1
       .join(dl, Seq("doc_id"))                            // J2
       .crossJoin(broadcast(stats))                        // N, avgdl as 1-row side
-      .withColumn("bm25",
-        log(col("doc_n").cast("double") / col("doc_frequency")) *
-          (lit(k1 + 1) * col("term_frequency")) /
-          (lit(k1) * (lit(1 - b) +
-            lit(b) * col("doc_length") / col("avg_doc_length")) +
-            col("term_frequency")))
+      .withColumn("bm25", bm25Score(k1, b))
       .groupBy("doc_id")
       .agg(sum("bm25").as("score"))
       .select(col("doc_id"), round(col("score"), 4).as("doc_rank"))
@@ -102,12 +107,7 @@ object BM25 {
         Seq("term"))), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
-      .withColumn("bm25",
-        log(col("doc_n").cast("double") / col("doc_frequency")) *
-          (lit(k1 + 1) * col("term_frequency")) /
-          (lit(k1) * (lit(1 - b) +
-            lit(b) * col("doc_length") / col("avg_doc_length")) +
-            col("term_frequency")))
+      .withColumn("bm25", bm25Score(k1, b))
 
     val perQuery = scored.groupBy("query_id", "doc_id")
       .agg(sum("bm25").as("score"))

@@ -33,8 +33,10 @@ object TemporalJoins {
     val r = right.select(col(key), col(rightTime).as("__t"),
         col(valueCol).as("__v"))
       .withColumn("__isLeft", lit(0))
-    // right-before-left on time ties so "<=" semantics hold
-    val w = Window.partitionBy(key).orderBy(col("__t"), col("__isLeft"))
+    // right-before-left on time ties so "<=" semantics hold; __v as the
+    // final tie-break makes duplicate (key, rightTime) rows deterministic
+    // (the greatest value wins) instead of shuffle-order-dependent
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__isLeft"), col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
       .withColumn(as, last(col("__v"), ignoreNulls = true).over(w))

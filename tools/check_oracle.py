@@ -40,14 +40,17 @@ for name, sql in sorted(oracle.items()):
     srows = [tuple(norm(r[c]) for c in scols) for r in spark_tbl.to_pylist()]
     drows = [tuple(norm(r[c]) for c in dcols) for r in duck.to_pylist()]
     if srows != drows:
+        # ordering differences FAIL too: the driver's compare is an exact
+        # hash match, so "equal after sort" would still fail the round
         if sorted(map(repr, srows)) == sorted(map(repr, drows)):
-            print(f"WARN {name}: values match only after row sort (ordering differs)")
+            print(f"FAIL {name}: values match only after row sort (ordering differs)")
             for i, (a, b) in enumerate(zip(srows, drows)):
                 if a != b:
                     print(f"  first order diff at row {i}: spark={a} duck={b}"); break
         else:
             bad = [(i, a, b) for i, (a, b) in enumerate(zip(srows, drows)) if a != b][:3]
-            print(f"FAIL {name}: value mismatch, e.g. {bad}"); fail += 1; continue
+            print(f"FAIL {name}: value mismatch, e.g. {bad}")
+        fail += 1; continue
     print(f"OK   {name} ({spark_tbl.num_rows} rows)")
 print("ALL OK" if fail == 0 else f"{fail} FAILURES")
 sys.exit(1 if fail else 0)
