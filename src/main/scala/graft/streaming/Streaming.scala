@@ -28,6 +28,15 @@ object Streaming {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding 1-hour/30-minute windows — each event contributes to 2
+    * overlapping windows, state bounded by the watermark. */
+  def slidingHourly(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+
   /** Event-time sessionization via the native session_window: gap-merged
     * per-user sessions, closed by the watermark. */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes",

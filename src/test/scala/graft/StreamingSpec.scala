@@ -74,6 +74,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding windows double-count each event across overlaps") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val agg = Streaming.slidingHourly(input.toDF().toDF("ts", "value"))
+    val q = agg.writeStream.format("memory").queryName("sliding")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData((ts("2024-01-01 10:40:00"), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sliding")
+        .as[(Timestamp, Long)].collect().toSet
+      // one event at 10:40 lands in windows starting 10:00 and 10:30
+      assert(rows == Set(
+        (ts("2024-01-01 10:00:00"), 1L),
+        (ts("2024-01-01 10:30:00"), 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming query writes append-mode results to a parquet file sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val input = MemoryStream[(Timestamp, String)]
+    val dedup = Streaming.streamingExactDedup(
+      input.toDF().toDF("ts", "content_hash"))
+    val q = dedup.writeStream.format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), "aaa"),
+        (ts("2024-01-01 10:01:00"), "aaa"),
+        (ts("2024-01-01 10:02:00"), "bbb"))
+      q.processAllAvailable()
+      val back = spark.read.parquet(s"$out/data")
+        .select("content_hash").as[String].collect().sorted.toSeq
+      assert(back == Seq("aaa", "bbb"))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup emits each content hash once") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
