@@ -117,6 +117,10 @@ object SparkEntry {
       Relational.aboveAveragePerPriority(table(s, dir, "orders"))),
     "rel_cube" -> ((s, dir) =>
       Relational.cubeFlagStatus(table(s, dir, "lineitem"))),
+    "rel_date_parts" -> ((s, dir) =>
+      Relational.ordersByYearMonth(table(s, dir, "orders"))),
+    "rel_string_funcs" -> ((s, dir) =>
+      Relational.customerNameFacts(table(s, dir, "customer"))),
     "rel_median" -> ((s, dir) =>
       Relational.medianPricePerPriority(table(s, dir, "orders"))),
 
@@ -375,6 +379,18 @@ object SparkEntry {
     "rel_median" ->
       """SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS median_price, count(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "rel_date_parts" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin,
+    "rel_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS name_upper,
+        |  CAST(length(c_name) AS BIGINT) AS name_len,
+        |  substr(c_name, 1, 9) AS name_prefix,
+        |  c_name LIKE '%1%' AS has_one
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "ev_tumbling_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,

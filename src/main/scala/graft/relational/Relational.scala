@@ -213,6 +213,25 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Scalar date-function surface: per-(year, month) order stats. */
+  def ordersByYearMonth(orders: DataFrame): DataFrame =
+    orders.groupBy(
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(money(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy("y", "m")
+
+  /** Scalar string-function surface: case fold, length, slicing, LIKE. */
+  def customerNameFacts(customer: DataFrame): DataFrame =
+    customer.select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        length(col("c_name")).cast("long").as("name_len"),
+        substring(col("c_name"), 1, 9).as("name_prefix"),
+        col("c_name").like("%1%").as("has_one"))
+      .orderBy("c_custkey")
+
   /** CUBE: all grouping-set combinations over (returnflag, linestatus). */
   def cubeFlagStatus(lineitem: DataFrame): DataFrame =
     lineitem.cube("l_returnflag", "l_linestatus")
