@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.index.InvertedIndex
+import graft.index.{IndexStore, InvertedIndex}
+import graft.sources.Sampling
 import graft.rank.BM25
 import graft.relational.{Relational, TemporalJoins}
 import graft.events.Events
@@ -171,11 +172,25 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactDuplicates(table(s, dir, "documents"))),
     "dedup_jaccard_pairs" -> ((s, dir) =>
-      Dedup.jaccardPairs(table(s, dir, "documents"), 3, 0.05)),
+      Dedup.jaccardPairs(table(s, dir, "documents"), 3, 0.05, maxShingleDf = 100)),
+    // Flagship 100 TB dedup: LSH band buckets generate candidates, exact
+    // Jaccard verifies. The bands are xxhash64 (not oracle-able) but the
+    // verified OUTPUT is plain Jaccard >= 0.5, which the oracle computes
+    // exactly — band geometry (32 hashes / 16 bands) puts detection of the
+    // >=0.5 pairs at p ~ 1, so LSH output == exact output on this corpus.
+    "dedup_minhash_lsh_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(table(s, dir, "documents"), 32, 16, 3, 0.5,
+        maxShingleDf = 100)),
     // xxhash64-based => deterministic in-engine but not SQL-oracle-able;
     // driver records rows-only, correctness is property-tested (DedupSpec).
+    // Signature serialized to one sortable STRING cell — the driver's
+    // pandas hash-compare cannot sort ARRAY cells (round-1 checker crash).
     "dedup_minhash_sigs" -> ((s, dir) =>
-      Dedup.minhashSignatures(table(s, dir, "documents")).orderBy("doc_id")),
+      Dedup.minhashSignatures(table(s, dir, "documents"))
+        .select(col("doc_id"),
+          array_join(transform(col("signature"), _.cast("string")), "_")
+            .as("signature"))
+        .orderBy("doc_id")),
     "dedup_simhash_sigs" -> ((s, dir) =>
       Dedup.simhashSignatures(table(s, dir, "documents")).orderBy("doc_id")),
     "dedup_embedding_pairs" -> ((s, dir) =>
@@ -218,13 +233,42 @@ object SparkEntry {
     // ---- multimodal binary-column plumbing (north star) ----
     "mm_meta" -> ((s, dir) =>
       Multimodal.metaExtract(Multimodal.fromDocuments(table(s, dir, "documents")))),
+    // frame emitted as hex STRING (like mm_meta's magic_prefix): the
+    // driver's pandas compare cannot sort raw BINARY cells.
     "mm_frame_sample" -> ((s, dir) =>
-      Multimodal.sampleFrames(Multimodal.fromDocuments(table(s, dir, "documents")), 16, 4)),
-    // decode stub output: deterministic but float-typed fake features;
-    // rows-only check, exercised in MultimodalSpec.
-    "mm_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(s, Multimodal.fromDocuments(table(s, dir, "documents")))
-        .toDF().orderBy("media_id")),
+      Multimodal.sampleFrames(Multimodal.fromDocuments(table(s, dir, "documents")), 16, 4)
+        .select(col("media_id"), col("frame_idx"),
+          hex(col("frame")).as("frame"), col("frame_bytes"))
+        .orderBy("media_id", "frame_idx")),
+    // decode-stub features projected to scalar f0..f7 DOUBLE columns (an
+    // ARRAY<FLOAT> cell crashes the checker); the stub maps payload byte i
+    // to (b & 0xFF)/255f, which the oracle reproduces from the ASCII text.
+    "mm_features" -> ((s, dir) => {
+      val feat = Multimodal.extractFeatures(s,
+        Multimodal.fromDocuments(table(s, dir, "documents"))).toDF()
+      val fcols = (0 until 8).map(i =>
+        round(element_at(col("features"), i + 1).cast("double"), 4).as(s"f$i"))
+      feat.select(Seq(col("media_id"), col("modality"), col("n_bytes")) ++ fcols: _*)
+        .orderBy("media_id")
+    }),
+
+    // ---- corpus sampling + stored-index serving (round-2 additions) ----
+    // S3 replacement: seeded deterministic sample — stable under partition
+    // layout (unlike df.sample) and engine-portable (md5 order).
+    "samp_seeded" -> ((s, dir) =>
+      Sampling.deterministicSample(table(s, dir, "documents"), "doc_id", 100, 42)
+        .select("doc_id", "sample_key")),
+    // The serving path: build the bucketed parquet index, then search it
+    // with partition pruning to the query terms' buckets. The oracle
+    // recomputes the same statistics from raw text — stored-vs-recompute
+    // equality IS the correctness claim.
+    "bm25_stored" -> ((s, dir) => {
+      val idx = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_index_" + Integer.toHexString(dir.hashCode)).toString
+      IndexStore.write(table(s, dir, "documents"), idx)
+      BM25.searchStored(s, idx, FlagshipQuery)
+    }),
   )
 
   /** DuckDB-runnable oracle SQL, one per queries key, same column names. */
@@ -472,18 +516,11 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS rep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
-    "dedup_jaccard_pairs" ->
-      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
-        |g AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
-        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) ELSE [] END AS shl FROM t),
-        |sh AS (SELECT doc_id, unnest(shl) AS shingle FROM g),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter), 4) AS jaccard
-        |FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.05
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_jaccard_pairs" -> jaccardOracleSql(0.05),
+    // LSH candidates + exact verify: the oracle is the full exact-Jaccard
+    // computation at the same threshold/cap (see the query declaration for
+    // why LSH recall == 1 here).
+    "dedup_minhash_lsh_pairs" -> jaccardOracleSql(0.5),
     // same op order as the Spark plan: normalize each vector once, then dot
     "dedup_embedding_pairs" ->
       """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -600,10 +637,44 @@ object SparkEntry {
       """WITH f AS (SELECT doc_id AS media_id,
         |  unnest(generate_series(0, CAST(floor((length(text)-1)/64.0) AS INT))) AS frame_idx, text FROM documents)
         |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
-        |  encode(substr(text, frame_idx*64 + 1, 16)) AS frame,
+        |  hex(encode(substr(text, frame_idx*64 + 1, 16))) AS frame,
         |  CAST(length(substr(text, frame_idx*64 + 1, 16)) AS BIGINT) AS frame_bytes
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+    // stub feature f_i = byte[i]/255 (0.0 past end); ASCII corpus => byte i
+    // == code point of char i+1, so ascii(substr(...)) reproduces it. The
+    // 4-decimal round is safe against float-vs-double drift: k/255 is never
+    // within 1e-6 of a rounding boundary.
+    "mm_features" -> {
+      val fs = (0 until 8).map(i =>
+        s"round(CASE WHEN length(text) > $i THEN ascii(substr(text, ${i + 1}, 1))/255.0 ELSE 0.0 END, 4) AS f$i")
+        .mkString(",\n|  ")
+      s"""SELECT doc_id AS media_id, 'text' AS modality, CAST(length(text) AS BIGINT) AS n_bytes,
+         |  $fs
+         |FROM documents ORDER BY media_id""".stripMargin
+    },
+    "samp_seeded" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS sample_key
+        |FROM documents ORDER BY sample_key, doc_id LIMIT 100""".stripMargin,
+    "bm25_stored" -> bm25OracleSql("('spark','join','window')"),
   )
+
+  /** Exact n-gram-Jaccard pair oracle with the shingle df-cap (<= 100)
+    * applied to the shingle universe before intersections AND set sizes —
+    * mirroring Dedup.capShingleDf exactly. */
+  private def jaccardOracleSql(minJaccard: Double): String =
+    s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+       |g AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+       |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) ELSE [] END AS shl FROM t),
+       |sh0 AS (SELECT doc_id, unnest(shl) AS shingle FROM g),
+       |hot AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh0 GROUP BY shingle) WHERE df > 100),
+       |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter), 4) AS jaccard
+       |FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= $minJaccard
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** BM25 oracle pipeline (k1=1, b=0.75, raw ln(N/df) idf — app/query.py:131-135). */
   private def bm25OracleSql(termsInList: String): String =

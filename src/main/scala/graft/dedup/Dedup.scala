@@ -12,9 +12,11 @@ import graft.similarity.Similarity
   * Jaccard/MinHash/SimHash all avoid the O(n^2) pair scan — candidates come
   * from an inverted shingle index or LSH band buckets, so the join fan-out
   * is bounded by bucket size, and only candidates pay the exact-similarity
-  * verification. Skewed buckets (stopword shingles) are the known hazard;
+  * verification. Skewed buckets (stopword shingles) are the known hazard:
+  * capShingleDf removes shingles above a document-frequency cap before any
+  * self-join (they carry no near-dup signal and cost df^2 pairs each);
   * distinct-shingle explode keeps per-doc fan-out ≤ shingle count and AQE
-  * skew-join splitting handles the rest.
+  * skew-join splitting handles residual skew below the cap.
   */
 object Dedup {
 
@@ -39,14 +41,32 @@ object Dedup {
       .select(col("doc_id"), explode(array_distinct(guarded)).as("shingle"))
   }
 
+  /** Drop shingles whose document frequency exceeds `maxDf` — boilerplate
+    * n-grams shared by huge numbers of docs carry no near-dup signal, and
+    * each one costs df^2 candidate pairs in the self-join: at web scale a
+    * stopword 3-gram in 10^6 docs is 10^12 pairs. The hot-shingle set is
+    * tiny by construction (few distinct shingles can exceed the cap), so
+    * Catalyst plans the anti-join as a broadcast. `maxDf <= 0` disables. */
+  def capShingleDf(sh: DataFrame, maxDf: Int): DataFrame =
+    if (maxDf <= 0) sh
+    else {
+      val hot = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select("shingle")
+      sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }
+
   /** Near-dup pairs by exact n-gram Jaccard >= threshold. Candidates come
     * from the inverted shingle index self-join (docs sharing >=1 shingle),
-    * never a cross join. No .cache(): the shared shingle subplan is
-    * deduplicated by Spark's exchange reuse within the single job, and an
-    * operator-internal cache would pin executor memory for the session
-    * lifetime with no way to unpersist after the caller's action. */
-  def jaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.05): DataFrame = {
-    val sh = shingles(docs, n)
+    * never a cross join. Shingles with df > maxShingleDf are dropped from
+    * the universe FIRST (capShingleDf) — Jaccard is then over the capped
+    * shingle sets, consistently in intersection and sizes (and in the SQL
+    * oracle). No .cache(): the shared shingle subplan is deduplicated by
+    * Spark's exchange reuse within the single job, and an operator-internal
+    * cache would pin executor memory for the session lifetime with no way
+    * to unpersist after the caller's action. */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.05,
+                   maxShingleDf: Int = 10000): DataFrame = {
+    val sh = capShingleDf(shingles(docs, n), maxShingleDf)
     scoreJaccard(sh, sharedShingleCounts(sh), minJaccard)
   }
 
@@ -95,13 +115,21 @@ object Dedup {
   /** MinHash+LSH near-dup pairs: band the signature, bucket-join on
     * (band, bandHash), verify candidates with exact Jaccard. The LSH
     * candidate step is what survives 100 TB; the exact verify only touches
-    * candidate pairs. */
-  def minhashLshPairs(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
-                      n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    * candidate pairs. Hot shingles are df-capped out of the universe first
+    * (capShingleDf) — both the signatures and the verify see the same
+    * capped sets, so the output Jaccard is self-consistent.
+    *
+    * Band geometry vs threshold: detection prob for true Jaccard s is
+    * 1-(1-s^r)^bands with r = numHashes/bands. The default (32 hashes,
+    * 16 bands, r=2) catches s=0.9 pairs with p ≈ 1-2e-12 — band width is
+    * the recall/candidate-volume dial, verify removes false positives. */
+  def minhashLshPairs(docs: DataFrame, numHashes: Int = 32, bands: Int = 16,
+                      n: Int = 3, minJaccard: Double = 0.5,
+                      maxShingleDf: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // one shingle lineage feeds both the signatures and the exact verify
-    val sh = shingles(docs, n)
+    val sh = capShingleDf(shingles(docs, n), maxShingleDf)
     val sig = minhashFromShingles(sh, numHashes)
     val banded = sig.select(col("doc_id"), posexplode(
       array((0 until bands).map { b =>

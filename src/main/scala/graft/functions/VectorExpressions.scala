@@ -34,7 +34,12 @@ case class DotProductExpr(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // Dimension mismatch is always a caller bug (wrong hyperplane width,
+    // ragged embedding column); a silent min-length dot product returns a
+    // plausible-but-wrong score, and DuckDB's list_dot_product would not
+    // mask it — so surface it.
+    if (n != y.numElements()) throw DotProductExpr.mismatch(n, y.numElements())
     var sum = 0.0
     var i = 0
     while (i < n) { sum += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -47,7 +52,10 @@ case class DotProductExpr(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw graft.functions.DotProductExpr.mismatch($n, $b.numElements());
+         |}
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $sum += $a.getDouble($i) * $b.getDouble($i);
@@ -59,6 +67,14 @@ case class DotProductExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object DotProductExpr {
+  /** Shared by interpreted eval and generated code (called from codegen'd
+    * Java, hence public + Java-friendly signature). */
+  def mismatch(l: Int, r: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"graft_dot: vector dimension mismatch ($l vs $r)")
 }
 
 /** L2-normalize a double array in one native pass.

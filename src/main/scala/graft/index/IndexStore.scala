@@ -28,11 +28,17 @@ object IndexStore {
     // lineage is the scale-dominant cost and would otherwise run twice
     val tf = InvertedIndex.termFrequency(docs).persist()
     try {
+      // repartition on the bucket column before partitionBy: each task then
+      // holds whole buckets, so every bucket directory gets O(1) files
+      // instead of one per task — at 100 TB the difference between
+      // buckets×tasks small files and buckets compact ones.
       tf.withColumn("term_bucket", termBucket(col("term"), buckets))
+        .repartition(col("term_bucket"))
         .write.mode("overwrite").partitionBy("term_bucket")
         .parquet(s"$dir/term_frequency_in_doc")
       InvertedIndex.docFrequencyFromTf(tf)
         .withColumn("term_bucket", termBucket(col("term"), buckets))
+        .repartition(col("term_bucket"))
         .write.mode("overwrite").partitionBy("term_bucket")
         .parquet(s"$dir/doc_frequency_of_term")
     } finally tf.unpersist()

@@ -11,15 +11,14 @@ package object graft {
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      val key = "spark.sql.legacy.parquet.nanosAsLong"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "true")
-      try {
-        spark.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      } finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
+      // The conf must still be set when the scan's schema is resolved —
+      // which for a lazy DataFrame can be ANY later action — so it is set
+      // for the session and deliberately NOT restored: a set/unset dance
+      // around the read call races concurrent readers and can flip the
+      // conf back before resolution happens. nanosAsLong only affects
+      // TIMESTAMP(NANOS) parquet columns, which exist solely in `events`.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
 }

@@ -20,12 +20,24 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoins {
 
+  /** Both joins add internal helper columns with fixed names; a caller
+    * frame that already uses one of them would be silently overwritten by
+    * withColumn, corrupting that column in the output — fail loudly
+    * instead. */
+  private def requireFree(op: String, df: DataFrame, names: String*): Unit = {
+    val clash = df.columns.toSet.intersect(names.toSet)
+    require(clash.isEmpty,
+      s"$op: input already contains internal column(s) ${clash.mkString(", ")} — rename them first")
+  }
+
   /** For each left row, attach `valueCol` from the most recent right row
     * with rightTime <= leftTime, matching on `key`. Right rows at exactly
     * leftTime match (<=). Left rows with no earlier right row get null. */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
                valueCol: String, as: String = "asof_value"): DataFrame = {
+    requireFree("asOfJoin", left, "__t", "__isLeft", "__v")
+    requireFree("asOfJoin", right, "__isLeft")
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__isLeft", lit(1))
@@ -51,6 +63,8 @@ object TemporalJoins {
                       leftTime: String, rightTime: String,
                       toleranceSeconds: Long): DataFrame = {
     require(toleranceSeconds > 0)
+    requireFree("bandedRangeJoin", left, "__lt", "__band")
+    requireFree("bandedRangeJoin", right, "__rt", "__band")
     val tolUs = toleranceSeconds * 1000000L
     val l = left.withColumn("__lt", unix_micros(col(leftTime)))
       .withColumn("__band", floor(col("__lt") / tolUs))

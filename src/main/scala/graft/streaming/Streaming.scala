@@ -68,9 +68,15 @@ object Streaming {
   }
 
   /** Streaming dedup on a content key (exactly-once emission of first
-    * occurrence) — dropDuplicates with watermark bounds the key state. */
+    * occurrence). `dropDuplicatesWithinWatermark` is the state-bounded
+    * form: plain dropDuplicates only evicts when the EVENT-TIME column is
+    * part of the dedup keys, so keying on content_hash alone would grow
+    * state forever; the WithinWatermark variant expires each key once the
+    * watermark passes its event time, which is the semantics a dedup-by-
+    * content stream actually wants (same key may legitimately reappear
+    * after the late-data horizon). */
   def streamingExactDedup(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
     docs
       .withWatermark("ts", watermarkDelay)
-      .dropDuplicates("content_hash")
+      .dropDuplicatesWithinWatermark("content_hash")
 }

@@ -61,6 +61,47 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 3L)))
   }
 
+  test("shingle df-cap removes boilerplate-only pairs and bounds candidates") {
+    // 4 unrelated docs sharing ONLY one boilerplate trigram ("copyright
+    // all rights...") — the web-scale quadratic hazard in miniature.
+    val boiler = Seq(
+      (10L, "copyright all rights reserved alpha unique words one"),
+      (11L, "copyright all rights reserved beta distinct tokens two"),
+      (12L, "copyright all rights reserved gamma other stuff three"),
+      (13L, "copyright all rights reserved delta final filler four"),
+    ).toDF("doc_id", "text")
+    val docs = corpus.unionByName(boiler)
+    // Uncapped: the shared shingles generate cross-boilerplate candidates.
+    val uncapped = Dedup.jaccardPairs(docs, 3, 0.01, maxShingleDf = 0)
+      .as[(Long, Long, Double)].collect()
+    assert(uncapped.exists(p => p._1 >= 10L && p._2 >= 10L))
+    // Capped at df<=3: "copyright all rights" (df=4) is dropped, so the
+    // boilerplate docs share nothing and produce ZERO candidate pairs,
+    // while the genuinely-near-dup pairs (1,2,3) survive untouched.
+    val capped = Dedup.jaccardPairs(docs, 3, 0.01, maxShingleDf = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(!capped.exists(p => p._1 >= 10L || p._2 >= 10L))
+    assert(capped.map(p => (p._1, p._2)).toSet ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // Same cap threaded through the LSH path.
+    val lsh = Dedup.minhashLshPairs(docs, 32, 16, 3, 0.3, maxShingleDf = 3)
+      .as[(Long, Long, Double)].collect()
+    assert(!lsh.exists(p => p._1 >= 10L || p._2 >= 10L))
+    assert(lsh.map(p => (p._1, p._2)).toSet.contains((1L, 3L)))
+  }
+
+  test("minhash LSH pairs match exact jaccard pairs on the sf0.001 corpus") {
+    // The dedup_minhash_lsh_pairs oracle contract: with 16 bands of 2 rows,
+    // every >=0.5-jaccard pair collides in some band (p~1), and the exact
+    // verify removes sub-threshold candidates, so LSH output == exact.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Dedup.jaccardPairs(docs, 3, 0.5, maxShingleDf = 100)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, 32, 16, 3, 0.5, maxShingleDf = 100)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty && lsh == exact)
+  }
+
   test("embedding near-dup pairs by cosine threshold") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

@@ -18,17 +18,23 @@ class FunctionsSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
-  test("graft_dot handles nulls and length mismatch") {
+  test("graft_dot propagates nulls and rejects dimension mismatch") {
     VectorFunctions.ensureRegistered(spark)
-    val df = Seq(
+    val ok = Seq(
       (Some(Array(1.0, 2.0, 3.0)), Some(Array(4.0, 5.0, 6.0))),
       (None, Some(Array(1.0))),
-      (Some(Array(1.0, 2.0)), Some(Array(3.0))), // min-length semantics
     ).toDF("a", "b")
-    val out = df.select(Similarity.dot(col("a"), col("b"))).as[Option[Double]].collect()
+    val out = ok.select(Similarity.dot(col("a"), col("b"))).as[Option[Double]].collect()
     assert(out(0).contains(32.0))
     assert(out(1).isEmpty)
-    assert(out(2).contains(3.0))
+    // a ragged pair must error loudly, not return a min-length dot product
+    val bad = Seq((Array(1.0, 2.0), Array(3.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(Similarity.dot(col("a"), col("b"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("dimension mismatch")))
   }
 
   test("graft_unit equals the built-in normalize spelling elementwise") {

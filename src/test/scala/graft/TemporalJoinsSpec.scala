@@ -46,6 +46,58 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(banded.nonEmpty)
   }
 
+  test("bandedRangeJoin matches naive join at tolerance-straddling boundaries") {
+    // Property check (fixed-seed generator): random timestamps plus planted
+    // pairs exactly AT, one microsecond INSIDE, and one microsecond OUTSIDE
+    // the tolerance — the off-by-one-band / off-by-one-us failure modes a
+    // uniform generator almost never hits. UTC session TZ, so no DST folds.
+    val tol = 300L // seconds
+    val tolUs = tol * 1000000L
+    val rnd = new scala.util.Random(42)
+    val base = ts("2024-06-01 00:00:00").getTime * 1000L // epoch micros
+    val random = (1 to 400).map { i =>
+      (rnd.nextInt(5).toLong, i.toLong, base + rnd.nextLong(3 * tolUs))
+    }
+    val planted = Seq.tabulate(20) { j =>
+      // anchor + partner at exactly +/-(tolUs + {-1,0,+1})
+      val anchor = base + j * 7 * tolUs
+      val delta = (j % 3 - 1) + (if (j % 2 == 0) tolUs else -tolUs)
+      Seq((9L, 1000L + 2 * j, anchor), (9L, 1001L + 2 * j, anchor + delta))
+    }.flatten
+    // build timestamps from epoch MICROS so the +/-1us planted deltas
+    // survive (java.sql.Timestamp construction would truncate to millis)
+    val df = (random ++ planted).toDF("user_id", "event_id", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val a = df.select(col("user_id"), col("event_id").as("id_a"), col("ts").as("ts_a"))
+    val b = df.select(col("user_id"), col("event_id").as("id_b"), col("ts").as("ts_b"))
+    val banded = TemporalJoins.bandedRangeJoin(a, b, "user_id", "ts_a", "ts_b", tol)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val naive = a.join(b, Seq("user_id"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(unix_micros(col("ts_a")) - unix_micros(col("ts_b"))) <= tolUs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded == naive)
+    // the exactly-at-tolerance planted pairs are present (<= is inclusive)
+    assert(banded.exists { case (x, y) => x >= 1000L && y >= 1000L })
+  }
+
+  test("helper-column collisions fail loudly instead of corrupting data") {
+    val l = Seq((1L, ts("2024-01-01 10:00:00"), "keep"))
+      .toDF("k", "t", "__v")
+    val r = Seq((1L, ts("2024-01-01 09:00:00"), 1.0))
+      .toDF("k", "rt", "price")
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoins.asOfJoin(l, r, "k", "t", "rt", "price")
+    }
+    assert(e.getMessage.contains("__v"))
+    val l2 = Seq((1L, ts("2024-01-01 10:00:00"), 5L)).toDF("k", "t", "__band")
+    val e2 = intercept[IllegalArgumentException] {
+      TemporalJoins.bandedRangeJoin(l2, r, "k", "t", "rt", 60)
+    }
+    assert(e2.getMessage.contains("__band"))
+  }
+
   test("bandedRangeJoin produces no duplicate pairs") {
     val ev = table(spark, "/root/testdata/sf0.001", "events")
     val a = ev.select(col("user_id"), col("event_id").as("id_a"), col("ts").as("ts_a"))
