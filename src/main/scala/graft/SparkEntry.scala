@@ -124,6 +124,10 @@ object SparkEntry {
       Relational.customerNameFacts(table(s, dir, "customer"))),
     "rel_median" -> ((s, dir) =>
       Relational.medianPricePerPriority(table(s, dir, "orders"))),
+    "rel_grouping_sets" -> ((s, dir) =>
+      Relational.groupingSetsFlagStatus(table(s, dir, "lineitem"))),
+    "rel_window_ntile" -> ((s, dir) =>
+      Relational.priceQuartilesPerPriority(table(s, dir, "orders"))),
 
     // ---- event-time surface (SURVEY §7.3 step 3, batch form) ----
     "ev_tumbling_hourly" -> ((s, dir) =>
@@ -193,6 +197,11 @@ object SparkEntry {
         .orderBy("doc_id")),
     "dedup_simhash_sigs" -> ((s, dir) =>
       Dedup.simhashSignatures(table(s, dir, "documents")).orderBy("doc_id")),
+    // banded-Hamming SimHash pair search (rows-only like the sigs:
+    // xxhash64 bit votes aren't DuckDB-expressible; DedupSpec pins the
+    // planted-dup semantics).
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(table(s, dir, "documents"), 3)),
     "dedup_embedding_pairs" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(table(s, dir, "embeddings"), 0.4)),
     "dedup_embedding_lsh" -> ((s, dir) =>
@@ -203,6 +212,8 @@ object SparkEntry {
       Similarity.cosineTopK(table(s, dir, "embeddings"), 0L, 10)),
     "sim_ann_lsh" -> ((s, dir) =>
       Similarity.annCosineLsh(table(s, dir, "embeddings"), 0L, 10)),
+    "sim_ann_ivf" -> ((s, dir) =>
+      Similarity.annCosineIvf(table(s, dir, "embeddings"), 0L, 10)),
     "sim_norms_by_label" -> ((s, dir) =>
       Similarity.normStatsByLabel(table(s, dir, "embeddings"))),
 
@@ -223,6 +234,8 @@ object SparkEntry {
       TextAnalysis.langGuessConfusion(table(s, dir, "documents"))),
     "text_bpe_tokens" -> ((s, dir) =>
       TextAnalysis.bpeTokenCounts(table(s, dir, "documents"))),
+    "text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopTerms(table(s, dir, "documents"), 3)),
     // sketch values are Spark-deterministic but engine-specific => rows-only;
     // SketchSpec bounds approx-vs-exact error.
     "sketch_distinct_parts" -> ((s, dir) =>
@@ -423,6 +436,18 @@ object SparkEntry {
     "rel_median" ->
       """SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS median_price, count(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "rel_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "rel_window_ntile" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(percent_rank() OVER w, 4) AS pct_rank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin,
     "rel_date_parts" ->
       """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
         |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
@@ -603,6 +628,36 @@ object SparkEntry {
       """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents)
         |SELECT term, count(*) AS n FROM tok GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
 
+    "text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |        round(tf * ln(CAST(n.n AS DOUBLE)/df), 4) AS tfidf
+        |      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tfidf,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM s)
+        |SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rn
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "sim_ann_ivf" ->
+      """WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |e1 AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),
+        |e AS (SELECT vec_id, label, list_transform(v, x -> x/nrm) AS u FROM e1),
+        |c0 AS (SELECT vec_id, u, md5(CAST(vec_id AS VARCHAR) || ':7') AS ck FROM e ORDER BY ck, vec_id LIMIT 16),
+        |c AS (SELECT row_number() OVER (ORDER BY ck, vec_id) AS cell_id, u AS cu FROM c0),
+        |asg AS (SELECT vec_id, label, u, cell_id FROM (
+        |  SELECT e.vec_id, e.label, e.u, c.cell_id,
+        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.u, c.cu) DESC, c.cell_id) AS rn
+        |  FROM e CROSS JOIN c) WHERE rn = 1),
+        |q AS (SELECT u AS qu FROM asg WHERE vec_id = 0),
+        |probe AS (SELECT cell_id FROM (
+        |  SELECT c.cell_id, row_number() OVER (ORDER BY list_dot_product(q.qu, c.cu) DESC, c.cell_id) AS rn
+        |  FROM q CROSS JOIN c) WHERE rn <= 4)
+        |SELECT a.vec_id, a.label, round(list_dot_product(a.u, q.qu), 4) AS cosine
+        |FROM asg a JOIN probe USING (cell_id) CROSS JOIN q
+        |WHERE a.vec_id != 0
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     "text_bpe_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(lower(text), '''[a-z]+|[a-z]+|[0-9]+|[^a-z0-9\s'']+')) AS BIGINT) AS n_bpe_tokens

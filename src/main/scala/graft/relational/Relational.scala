@@ -247,6 +247,30 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
 
+  /** Explicit GROUPING SETS (beyond ROLLUP/CUBE): per-flag and per-status
+    * subtotals WITHOUT the combined or grand-total sets — the shape ETL
+    * uses when only specific marginals are wanted. One pass, one shuffle
+    * (Expand + single hash aggregate), not a self-union of two group-bys. */
+  def groupingSetsFlagStatus(lineitem: DataFrame): DataFrame =
+    lineitem.groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(money(col("l_quantity"))).cast("double").as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Distribution window functions: quartile bucket (ntile) and
+    * percent_rank of each order within its priority class. */
+  def priceQuartilesPerPriority(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders.select(
+        col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 4).as("pct_rank"))
+      .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+  }
+
   /** Scalar "subquery" as a broadcast 1-row side: orders above the global
     * mean price, counted per priority. The mean is computed exactly
     * (decimal sum / count) so the boundary predicate is reproducible. */

@@ -1,6 +1,7 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
 
@@ -87,6 +88,64 @@ object Similarity {
       .filter(col("vec_id") =!= queryVecId)
       .select(col("vec_id"), col("label"),
         round(cosine(col("v"), col("qv")), 4).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF (inverted-file) ANN — the second scale path next to sign-bit LSH:
+    * a coarse quantizer of `nCells` sampled centroids partitions the
+    * vectors into cells; a query probes only its `nProbe` nearest cells.
+    *
+    * Centroid choice is the zero-training-budget IVF variant (sampled
+    * vectors as centroids, deterministic by seeded md5 order — the same
+    * replayable-order trick as Sampling.deterministicSample), so the whole
+    * pipeline is a pure function of the data: no RNG, no k-means
+    * iterations, reproducible across engines and partition layouts.
+    *
+    * Scale notes (100 TB): assignment is n×nCells broadcast dot products
+    * (one scan, centroids broadcast); the per-query probe touches ~
+    * nProbe/nCells of the corpus instead of all of it. `nProbe == nCells`
+    * degenerates to exact brute force — SimilaritySpec pins that equality,
+    * which anchors the recall semantics to the oracle-checked cosineTopK.
+    */
+  def annCosineIvf(embeddings: DataFrame, queryVecId: Long, k: Int,
+                   nCells: Int = 16, nProbe: Int = 4,
+                   seed: Long = 7L): DataFrame = {
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
+    require(nProbe >= 1 && nProbe <= nCells)
+    val e = withUnitVec(embeddings.select(col("vec_id"), col("label"),
+      toDoubleVec(col("embedding")).as("v")), "v")
+      .select(col("vec_id"), col("label"), col("u"))
+    // deterministic sampled centroids: nCells vectors in seeded-hash order
+    val centroids = e
+      .withColumn("__ck", md5(concat(col("vec_id").cast("string"), lit(s":$seed"))))
+      .orderBy(col("__ck"), col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cvid"), col("u").as("cu"), col("__ck"))
+      .withColumn("cell_id", row_number().over(
+        Window.orderBy(col("__ck"), col("cvid")))) // nCells rows: tiny window
+      .select("cell_id", "cu")
+    // assign every vector to its max-cosine cell (unit vecs: cosine == dot)
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(desc("__d"), asc("cell_id"))
+    val assigned = e.crossJoin(broadcast(centroids))
+      .withColumn("__d", dot(col("u"), col("cu")))
+      .withColumn("__rn", row_number().over(wAssign))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("label"), col("u"), col("cell_id"))
+    // the query's nProbe nearest cells (few rows — reuses the same ranking)
+    val q = assigned.filter(col("vec_id") === queryVecId)
+      .select(col("u").as("qu"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("__d", dot(col("qu"), col("cu")))
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(desc("__d"), asc("cell_id"))))
+      .filter(col("__rn") <= nProbe)
+      .select(col("cell_id"), col("qu"))
+    // exact cosine over candidates in the probed cells only
+    assigned.join(broadcast(probed), Seq("cell_id"))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("label"),
+        round(dot(col("u"), col("qu")), 4).as("cosine"))
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(k)
   }

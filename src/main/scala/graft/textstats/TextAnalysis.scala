@@ -106,6 +106,31 @@ object TextAnalysis {
         .cast("long").as("n_bpe_tokens"))
       .orderBy("doc_id")
 
+  /** Top-k TF-IDF terms per document — the keyword/feature extraction a
+    * pipeline runs for doc routing and near-dup triage. tf is the raw
+    * in-doc count, idf the raw ln(N/df) (same family as the BM25 idf,
+    * app/query.py:131-135). One tokenize pass feeds tf; df and N derive
+    * from it by re-aggregation, so the corpus text is scanned once.
+    * Ranking uses the ROUNDED score so cross-engine ordering can't diverge
+    * on float ulps. */
+  def tfIdfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tokenize.termOccurrences(docs)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("tfidf"), asc("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n").cast("double") / col("df")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rn"))
+      .orderBy("doc_id", "rn")
+  }
+
   /** Confusion counts of the heuristic guess vs the labeled lang column —
     * the eval a pipeline runs before trusting a language filter. */
   def langGuessConfusion(docs: DataFrame): DataFrame =

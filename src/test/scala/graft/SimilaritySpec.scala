@@ -29,6 +29,39 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.map(_._1).contains(1L))
   }
 
+  test("IVF with nProbe == nCells degenerates to exact brute force") {
+    // This equality anchors IVF recall semantics to the oracle-checked
+    // cosineTopK: probing every cell must reproduce the exact top-k.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.cosineTopK(e, 0L, 10)
+      .as[(Long, Int, Double)].collect().toSeq
+    val full = Similarity.annCosineIvf(e, 0L, 10, nCells = 8, nProbe = 8)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(full == brute)
+  }
+
+  test("IVF probe results are exact-cosine subsets with useful recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.cosineTopK(e, 0L, 10)
+      .as[(Long, Int, Double)].collect().map(r => r._1 -> r._3).toMap
+    val ivf = Similarity.annCosineIvf(e, 0L, 10, nCells = 16, nProbe = 4)
+      .as[(Long, Int, Double)].collect()
+    assert(ivf.nonEmpty)
+    // every reported cosine is the true cosine (no approximation in scores)
+    ivf.filter(r => brute.contains(r._1)).foreach(r => assert(brute(r._1) == r._3))
+    // probing 4/16 cells still recovers a useful share of the true top-10
+    val recall = ivf.map(_._1).count(brute.contains).toDouble / 10
+    assert(recall >= 0.3, s"recall $recall")
+  }
+
+  test("IVF output is invariant to partition layout") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.annCosineIvf(e, 0L, 10).as[(Long, Int, Double)].collect().toSeq
+    val b = Similarity.annCosineIvf(e.repartition(11), 0L, 10)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(a == b)
+  }
+
   test("norm stats per label") {
     val res = Similarity.normStatsByLabel(emb).as[(Int, Long, Double, Double)].collect()
     assert(res.map(_._1).toSeq == Seq(0, 1))
