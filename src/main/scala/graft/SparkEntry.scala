@@ -185,6 +185,16 @@ object SparkEntry {
     "dedup_minhash_lsh_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(table(s, dir, "documents"), 32, 16, 3, 0.5,
         maxShingleDf = 100)),
+    // pairwise near-dups -> connected components -> keep/drop decision:
+    // the step that makes dedup actionable for a training corpus.
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+        Dedup.jaccardPairs(table(s, dir, "documents"), 3, 0.5, maxShingleDf = 100))),
+    "dedup_keep_list" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.keepList(docs, Dedup.duplicateClusters(
+        Dedup.jaccardPairs(docs, 3, 0.5, maxShingleDf = 100)))
+    }),
     // xxhash64-based => deterministic in-engine but not SQL-oracle-able;
     // driver records rows-only, correctness is property-tested (DedupSpec).
     // Signature serialized to one sortable STRING cell — the driver's
@@ -546,6 +556,14 @@ object SparkEntry {
     // computation at the same threshold/cap (see the query declaration for
     // why LSH recall == 1 here).
     "dedup_minhash_lsh_pairs" -> jaccardOracleSql(0.5),
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $clusterCtes
+         |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin,
+    "dedup_keep_list" ->
+      s"""WITH RECURSIVE $clusterCtes
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE cluster_id != doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // same op order as the Spark plan: normalize each vector once, then dot
     "dedup_embedding_pairs" ->
       """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -713,23 +731,41 @@ object SparkEntry {
     "bm25_stored" -> bm25OracleSql("('spark','join','window')"),
   )
 
-  /** Exact n-gram-Jaccard pair oracle with the shingle df-cap (<= 100)
-    * applied to the shingle universe before intersections AND set sizes —
-    * mirroring Dedup.capShingleDf exactly. */
+  /** Shared CTE chain: df-capped (<= 100) shingle universe, set sizes, and
+    * pair intersection counts — mirroring Dedup's capped lineage exactly
+    * (the cap applies before intersections AND sizes). */
+  private val shingleCtes: String =
+    """t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+      |g AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+      |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) ELSE [] END AS shl FROM t),
+      |sh0 AS (SELECT doc_id, unnest(shl) AS shingle FROM g),
+      |hot AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh0 GROUP BY shingle) WHERE df > 100),
+      |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  /** Exact n-gram-Jaccard pair oracle over the capped shingle universe. */
   private def jaccardOracleSql(minJaccard: Double): String =
-    s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
-       |g AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
-       |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) ELSE [] END AS shl FROM t),
-       |sh0 AS (SELECT doc_id, unnest(shl) AS shingle FROM g),
-       |hot AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh0 GROUP BY shingle) WHERE df > 100),
-       |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
-       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-       |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+    s"""WITH $shingleCtes
        |SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter), 4) AS jaccard
        |FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
        |WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= $minJaccard
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Jaccard >= 0.5 pairs -> undirected edges -> transitive closure; the
+    * recursive CTE is the oracle for the engine's min-label propagation. */
+  private val clusterCtes: String =
+    s"""$shingleCtes,
+       |pairs AS (SELECT doc_a, doc_b
+       |  FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.5),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (SELECT src, dst FROM edges
+       |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |clusters AS (SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
+       |  FROM reach GROUP BY src)""".stripMargin
 
   /** BM25 oracle pipeline (k1=1, b=0.75, raw ln(N/df) idf — app/query.py:131-135). */
   private def bm25OracleSql(termsInList: String): String =

@@ -55,19 +55,43 @@ object Dedup {
       sh.join(broadcast(hot), Seq("shingle"), "left_anti")
     }
 
-  /** Near-dup pairs by exact n-gram Jaccard >= threshold. Candidates come
-    * from the inverted shingle index self-join (docs sharing >=1 shingle),
-    * never a cross join. Shingles with df > maxShingleDf are dropped from
-    * the universe FIRST (capShingleDf) — Jaccard is then over the capped
-    * shingle sets, consistently in intersection and sizes (and in the SQL
-    * oracle). No .cache(): the shared shingle subplan is deduplicated by
-    * Spark's exchange reuse within the single job, and an operator-internal
-    * cache would pin executor memory for the session lifetime with no way
-    * to unpersist after the caller's action. */
+  /** Near-dup pairs by exact n-gram Jaccard >= threshold.
+    *
+    * Capped path (maxShingleDf > 0, the default): ONE aggregation by
+    * shingle builds posting buckets (`collect_list(doc_id)`), the df-cap
+    * drops oversized buckets (it is what makes collect_list safe — bucket
+    * memory is bounded by the cap), and candidate pairs explode locally
+    * per bucket — no self-join, no second shuffle of the shingle index.
+    * Set sizes for the Jaccard denominator re-derive from the SAME
+    * exchange (ReuseExchange), so the whole query scans + tokenizes the
+    * corpus once. Jaccard is over the capped shingle universe,
+    * consistently in intersection and sizes (and in the SQL oracle).
+    *
+    * Uncapped path (maxShingleDf <= 0): the round-1 inverted-index
+    * self-join — with no bound on bucket size, exploding a bucket's df^2
+    * pairs through collect_list would risk executor memory on a hot
+    * shingle, so the join form (which streams the fan-out) is kept.
+    *
+    * No .cache(): shared subplans are deduplicated by exchange reuse
+    * within the single job, and an operator-internal cache would pin
+    * executor memory for the session lifetime with no way to unpersist
+    * after the caller's action. */
   def jaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.05,
                    maxShingleDf: Int = 10000): DataFrame = {
-    val sh = capShingleDf(shingles(docs, n), maxShingleDf)
-    scoreJaccard(sh, sharedShingleCounts(sh), minJaccard)
+    if (maxShingleDf <= 0) {
+      val sh = shingles(docs, n)
+      return scoreJaccard(sh, sharedShingleCounts(sh), minJaccard)
+    }
+    val buckets = shingles(docs, n)
+      .groupBy("shingle").agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) <= maxShingleDf)
+    val inter = buckets
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val cappedSh = buckets.select(explode(col("ds")).as("doc_id"))
+    scoreJaccard(cappedSh, inter, minJaccard)
   }
 
   /** Self-join the shingle index on identical (un-projected) sides so both
@@ -128,8 +152,15 @@ object Dedup {
                       maxShingleDf: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // one shingle lineage feeds both the signatures and the exact verify
-    val sh = capShingleDf(shingles(docs, n), maxShingleDf)
+    // one shingle lineage feeds the signatures AND the exact verify; the
+    // capped form re-derives from a single exchange-by-shingle (same
+    // one-corpus-scan shape as jaccardPairs)
+    val sh =
+      if (maxShingleDf <= 0) shingles(docs, n)
+      else shingles(docs, n)
+        .groupBy("shingle").agg(collect_list(col("doc_id")).as("ds"))
+        .filter(size(col("ds")) <= maxShingleDf)
+        .select(col("shingle"), explode(col("ds")).as("doc_id"))
     val sig = minhashFromShingles(sh, numHashes)
     val banded = sig.select(col("doc_id"), posexplode(
       array((0 until bands).map { b =>
@@ -210,6 +241,75 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Connected components over near-dup pairs: every doc in a duplicate
+    * cluster gets the cluster's minimum doc_id as its cluster_id — the
+    * step that turns pairwise similarity into an actionable keep/drop
+    * decision for a training corpus.
+    *
+    * Iterative min-label propagation (the Pregel/GraphX formulation over
+    * plain DataFrames): each round every node takes the min of its own and
+    * its neighbors' labels; converges in O(cluster diameter) rounds. Near-
+    * dup clusters are shallow in practice (most are pairs/triples), so the
+    * driver loop runs a handful of distributed rounds — the per-round
+    * convergence check is a limit(1) count, not a data collect. Each round
+    * persists its labels and unpersists the previous round, so lineage
+    * and recompute don't grow with iterations; the final round's small
+    * (doc_id, cluster_id) frame stays cached for the caller.
+    * Deterministic: min over an undirected edge set, independent of
+    * partition layout. Throws if maxIter rounds don't converge. */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // materialize the (possibly expensive) pair pipeline ONCE before the
+    // two-direction union reads it twice — the eager count is a cache
+    // warm-up over the small pair set, not a data collect
+    val p = pairs.select(col("doc_a"), col("doc_b")).persist()
+    p.count()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().persist()
+    try {
+      // round 0 fused into initialization: label = min(self, direct
+      // neighbors) from one aggregation over the edge list
+      var labels = edges.groupBy("src")
+        .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
+        .withColumnRenamed("src", "doc_id").persist()
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val viaNeighbor = edges
+          .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+          .select(col("src").as("doc_id"), col("cluster_id"))
+        val next = labels.unionByName(viaNeighbor)
+          .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+          .persist()
+        // one full count per round does double duty: it detects convergence
+        // AND fully fills next's cache (a limit(1) probe would leave
+        // partitions unmaterialized, so anything reading them after the
+        // upstream caches are unpersisted would recompute the whole chain)
+        converged = next
+          .join(labels.withColumnRenamed("cluster_id", "prev"), Seq("doc_id"))
+          .filter(col("cluster_id") =!= col("prev"))
+          .count() == 0
+        labels.unpersist()
+        labels = next
+        i += 1
+      }
+      require(converged, s"duplicateClusters: not converged after $maxIter rounds")
+      labels.orderBy("doc_id")
+    } finally {
+      edges.unpersist()
+      p.unpersist()
+    }
+  }
+
+  /** The docs to KEEP after near-dup clustering: everything except
+    * non-representative cluster members (cluster_id != doc_id). Docs in no
+    * cluster are kept by the anti-join untouched. */
+  def keepList(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.select("doc_id")
+      .join(clusters.filter(col("cluster_id") =!= col("doc_id"))
+        .select("doc_id"), Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
 
   def embeddingNearDupPairs(embeddings: DataFrame, minCosine: Double = 0.4): DataFrame = {
     // Normalize ONCE per vector (n folds), so each of the O(n^2) candidate

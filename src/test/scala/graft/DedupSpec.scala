@@ -102,6 +102,20 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty && lsh == exact)
   }
 
+  test("duplicate clustering closes transitive chains to min-id components") {
+    // chain 1-2, 2-3, plus isolated pair 7-9: component {1,2,3} needs TWO
+    // propagation rounds (3 only reaches 1 via 2) — exercises the loop.
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    val docs = (1L to 10L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val keep = Dedup.keepList(docs,
+        Dedup.duplicateClusters(pairs)).as[Long].collect().toSeq
+    // drop non-representatives 2, 3, 9; keep everything else
+    assert(keep == Seq(1L, 4L, 5L, 6L, 7L, 8L, 10L))
+  }
+
   test("embedding near-dup pairs by cosine threshold") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
