@@ -67,6 +67,72 @@ object Streaming {
       }
   }
 
+  /** Stream-stream interval join: each left event pairs with right events
+    * of the same key whose time is within [-before, +after] of it. Both
+    * sides carry watermarks and the join condition carries the time bounds
+    * — the combination is what lets Spark age out buffered rows on BOTH
+    * sides (an unbounded-time stream-stream join would buffer forever).
+    * The batch sibling is TemporalJoins.bandedRangeJoin. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTime: String, rightTime: String,
+                   before: String = "10 minutes", after: String = "10 minutes",
+                   watermarkDelay: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTime, watermarkDelay)
+    val r = right.withWatermark(rightTime, watermarkDelay)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTime) >= l(leftTime) - expr(s"INTERVAL $before") &&
+        r(rightTime) <= l(leftTime) + expr(s"INTERVAL $after"))
+      .drop(r(key))
+  }
+
+  /** Streaming incremental index maintenance — the reference's S8/A8
+    * upsert path (app/mapreduce/reducer2.py:25-45) as a foreachBatch loop:
+    * each micro-batch of new docs is merged into the persisted term
+    * frequencies by idempotent recompute-union
+    * (InvertedIndex.mergeTermFrequency), and the result overwrites the
+    * store. Exactly the Cassandra read-modify-write semantics, minus the
+    * per-key round-trips: one distributed merge per batch.
+    *
+    * Returns the DataStreamWriter (caller starts/stops the query). The
+    * store path holds ONE parquet table `term_frequency_in_doc`; an empty
+    * or absent store bootstraps from the first batch. The write-then-swap
+    * below assumes a single writer on a posix-rename filesystem (the same
+    * assumption the reference's local-mode file writes make); on a real
+    * cluster the swap step is what a transactional table format replaces. */
+  def incrementalIndexWriter(docs: DataFrame, storeDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val path = s"$storeDir/term_frequency_in_doc"
+        val merged =
+          if (new java.io.File(path).exists())
+            graft.index.InvertedIndex.mergeTermFrequency(
+              spark.read.parquet(path), batch)
+          else graft.index.InvertedIndex.termFrequency(batch)
+        // write-then-swap: the merge READS the store it will replace, so
+        // materialize to a sibling dir first and swap atomically-enough
+        // for a single writer (overwrite-in-place would corrupt the input
+        // mid-scan)
+        val tmp = s"$storeDir/.term_frequency_in_doc.next"
+        merged.write.mode("overwrite").parquet(tmp)
+        val cur = new java.io.File(path)
+        if (cur.exists()) {
+          val old = new java.io.File(s"$storeDir/.term_frequency_in_doc.old")
+          if (old.exists()) delete(old)
+          cur.renameTo(old)
+        }
+        new java.io.File(tmp).renameTo(cur)
+        delete(new java.io.File(s"$storeDir/.term_frequency_in_doc.old"))
+        ()
+      }
+
+  private def delete(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(delete)
+    f.delete()
+  }
+
   /** Streaming dedup on a content key (exactly-once emission of first
     * occurrence). `dropDuplicatesWithinWatermark` is the state-bounded
     * form: plain dropDuplicates only evicts when the EVENT-TIME column is

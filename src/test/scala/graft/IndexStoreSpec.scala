@@ -33,6 +33,20 @@ class IndexStoreSpec extends SparkSpec {
       == Set("spark"))
   }
 
+  test("searchStored's whole plan partition-prunes the postings scan") {
+    // the declared bm25_stored query's serving plan: the scan itself must
+    // carry term_bucket PartitionFilters (Cassandra-token-routing parity),
+    // not filter after reading all buckets
+    val q = BM25.searchStored(spark, dir, "spark join window", buckets = 16)
+    val scans = q.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val postingScans = scans.filter(_.contains("term_frequency_in_doc"))
+    assert(postingScans.nonEmpty)
+    postingScans.foreach { s =>
+      assert(s.contains("PartitionFilters") && s.contains("term_bucket"),
+        s"postings scan not pruned:\n$s")
+    }
+  }
+
   test("stored tables round-trip the index contracts") {
     val docs = table(spark, "/root/testdata/sf0.001", "documents")
     assert(IndexStore.docInfo(spark, dir).count() == docs.count())

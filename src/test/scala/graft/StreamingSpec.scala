@@ -114,6 +114,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events within the time bounds") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val buys = MemoryStream[(Timestamp, Long, String)]
+    val joined = Streaming.intervalJoin(
+      clicks.toDF().toDF("cts", "user_id", "click_id"),
+      buys.toDF().toDF("bts", "user_id", "buy_id"),
+      "user_id", "cts", "bts")
+    val q = joined.select("click_id", "buy_id")
+      .writeStream.format("memory").queryName("interval")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "c1"),
+        (ts("2024-01-01 10:00:00"), 2L, "c2"))
+      buys.addData(
+        (ts("2024-01-01 10:05:00"), 1L, "b1"), // within 10 min -> pairs
+        (ts("2024-01-01 10:30:00"), 1L, "b2"), // outside window
+        (ts("2024-01-01 10:05:00"), 3L, "b3")) // other user
+      q.processAllAvailable()
+      val rows = spark.table("interval").as[(String, String)].collect().toSet
+      assert(rows == Set(("c1", "b1")))
+    } finally q.stop()
+  }
+
+  test("foreachBatch incremental index equals the batch full recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft-incidx").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.incrementalIndexWriter(
+      input.toDF().toDF("doc_id", "text"), store)
+      .option("checkpointLocation", s"$store/ckpt").start()
+    try {
+      input.addData((1L, "spark joins data"), (2L, "data flows fast"))
+      q.processAllAvailable()
+      input.addData((3L, "spark spark spark"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val stored = spark.read.parquet(s"$store/term_frequency_in_doc")
+      .as[(Long, String, Long)].collect().toSet
+    val full = graft.index.InvertedIndex.termFrequency(
+      Seq((1L, "spark joins data"), (2L, "data flows fast"),
+        (3L, "spark spark spark")).toDF("doc_id", "text"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(stored == full && stored.nonEmpty)
+  }
+
   test("streaming exact dedup emits each content hash once") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
