@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProductExpr, UnitVectorExpr, VectorFunctions}
+import graft.functions.{BigramsExpr, DotProductExpr, TextFunctions, UnitVectorExpr, VectorFunctions}
 
 /** Library packaging for the native functions: sessions built with
   * `spark.sql.extensions=graft.GraftExtensions` (or
@@ -21,5 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(VectorFunctions.UnitName),
       new ExpressionInfo(classOf[UnitVectorExpr].getName, VectorFunctions.UnitName),
       VectorFunctions.unitBuilder))
+    ext.injectFunction((
+      FunctionIdentifier(TextFunctions.BigramsName),
+      new ExpressionInfo(classOf[BigramsExpr].getName, TextFunctions.BigramsName),
+      TextFunctions.bigramsBuilder))
   }
 }

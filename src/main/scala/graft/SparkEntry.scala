@@ -146,6 +146,8 @@ object SparkEntry {
       Events.funnelCounts(table(s, dir, "events"))),
     "ev_pivot_type_day" -> ((s, dir) =>
       Events.typeByDayPivot(table(s, dir, "events"))),
+    "ev_transitions" -> ((s, dir) =>
+      Events.typeTransitions(table(s, dir, "events"))),
     "ev_cohort_retention" -> ((s, dir) =>
       Events.cohortRetention(table(s, dir, "events"))),
     // as-of join: each purchase gets the user's latest signup at-or-before it
@@ -256,6 +258,8 @@ object SparkEntry {
     // ---- multimodal binary-column plumbing (north star) ----
     "mm_meta" -> ((s, dir) =>
       Multimodal.metaExtract(Multimodal.fromDocuments(table(s, dir, "documents")))),
+    "mm_resize" -> ((s, dir) =>
+      Multimodal.resizeStub(Multimodal.fromDocuments(table(s, dir, "documents")), 32)),
     // frame emitted as hex STRING (like mm_meta's magic_prefix): the
     // driver's pandas compare cannot sort raw BINARY cells.
     "mm_frame_sample" -> ((s, dir) =>
@@ -538,6 +542,11 @@ object SparkEntry {
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
         | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
         |ORDER BY id_a, id_b""".stripMargin,
+    "ev_transitions" ->
+      """WITH e AS (SELECT event_type AS from_type,
+        |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type FROM events)
+        |SELECT from_type, to_type, count(*) AS n FROM e WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
     "ev_funnel" ->
       """WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY user_id),
         |s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s0 ON e.user_id = s0.user_id
@@ -705,6 +714,13 @@ object SparkEntry {
     "mm_meta" ->
       """SELECT doc_id AS media_id, 'text' AS modality, CAST(length(text) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_hash, hex(encode(substr(text, 1, 8))) AS magic_prefix
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // even-stride byte sampling: position i reads byte floor(i*len/32)+1;
+    // ASCII corpus => encode(substr) mirrors binary substring exactly
+    "mm_resize" ->
+      """SELECT doc_id AS media_id, 'text' AS modality, CAST(length(text) AS BIGINT) AS n_bytes,
+        |  array_to_string(list_transform(generate_series(0, 31),
+        |    i -> hex(encode(substr(text, CAST(floor(i*length(text)/32) AS INT) + 1, 1)))), '') AS resized_hex
         |FROM documents ORDER BY media_id""".stripMargin,
     "mm_frame_sample" ->
       """WITH f AS (SELECT doc_id AS media_id,

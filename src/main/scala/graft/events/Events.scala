@@ -83,6 +83,19 @@ object Events {
       .orderBy("day")
   }
 
+  /** Event-type transition counts (Markov-style first-order paths): for
+    * each user's time-ordered event stream, count (type -> next type)
+    * pairs. One window pass, no self-join; the shuffle key is user_id. */
+  def typeTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** JSON prop extraction: sum of props.k per event type. */
   def propsKSumByType(events: DataFrame): DataFrame =
     events.groupBy("event_type")

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native adjacent-bigram builder over a token array.
+  *
+  * The built-in spelling `transform(sequence(1, n-1), i ->
+  * concat_ws(' ', t[i], t[i+1]))` evaluates interpreted (higher-order
+  * functions skip whole-stage codegen) and re-evaluates two element_at
+  * probes per position — measured as the dominant cost of the
+  * `text_bigrams` query. This expression emits the same array in one
+  * codegen'd pass. Token elements must be non-null (regexp tokenizer
+  * output); a null array yields null; arrays shorter than 2 yield [].
+  */
+case class BigramsExpr(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bigrams"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val m = math.max(n - 1, 0)
+    val out = new Array[AnyRef](m)
+    var i = 0
+    while (i < m) {
+      out(i) = UTF8String.concat(
+        a.getUTF8String(i), BigramsExpr.Space, a.getUTF8String(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val space = ctx.addReferenceObj("space", BigramsExpr.Space,
+        classOf[UTF8String].getName)
+      s"""
+         |int $m = java.lang.Math.max($a.numElements() - 1, 0);
+         |UTF8String[] $out = new UTF8String[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  $out[$i] = UTF8String.concat(
+         |    $a.getUTF8String($i), $space, $a.getUTF8String($i + 1));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BigramsExpr {
+  val Space: UTF8String = UTF8String.fromString(" ")
+}
+
+object TextFunctions {
+  val BigramsName = "graft_bigrams"
+
+  val bigramsBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1, s"$BigramsName expects 1 argument")
+    BigramsExpr(Cast(args(0), ArrayType(StringType)))
+  }
+
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BigramsName, bigramsBuilder, "built-in")
+
+  def bigrams(tokens: Column): Column = call_function(BigramsName, tokens)
+}

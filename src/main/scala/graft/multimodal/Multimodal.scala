@@ -59,6 +59,22 @@ object Multimodal {
       }
   }
 
+  /** Deterministic "resize" stub (image-style): sample `outBytes` evenly-
+    * strided bytes across the payload, emitted as one hex string — the
+    * fixed-size thumbnail shape a real image resize produces, computable
+    * as pure column ops (a real resizer swaps in at the decode stub, not
+    * here). Payloads shorter than outBytes repeat positions; empty
+    * payloads yield an empty string. */
+  def resizeStub(media: DataFrame, outBytes: Int = 32): DataFrame =
+    media.select(col("media_id"), col("modality"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
+      array_join(transform(sequence(lit(0), lit(outBytes - 1)),
+        i => hex(substring(col("payload"),
+          floor((i * octet_length(col("payload"))) / outBytes).cast("int") + 1,
+          lit(1)))),
+        "").as("resized_hex"))
+      .orderBy("media_id")
+
   /** Fixed-size frame sampling from a binary payload (video-style): every
     * `stride`-th chunk of `frameBytes` bytes, as exploded rows. Pure
     * column slicing — no decode, no driver round-trip. */

@@ -81,14 +81,14 @@ object TextAnalysis {
       .orderBy(desc("n"), asc("term"))
       .limit(k)
 
-  /** Top-k word bigrams (occurrence counts, duplicates kept). */
+  /** Top-k word bigrams (occurrence counts, duplicates kept). The bigram
+    * array is built by the native codegen graft_bigrams expression — the
+    * interpreted HOF spelling (transform+element_at, kept as the semantic
+    * reference in FunctionsSpec) was this query's dominant cost. */
   def topBigrams(docs: DataFrame, k: Int = 20): DataFrame = {
-    val bigrams = transform(
-      sequence(lit(1), size(col("t")) - 1),
-      i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1)))
+    graft.functions.TextFunctions.ensureRegistered(docs.sparkSession)
     docs.select(toks.as("t"))
-      .filter(size(col("t")) >= 2) // sequence(1, x<1) counts down — gate it
-      .select(explode(bigrams).as("bigram"))
+      .select(explode(graft.functions.TextFunctions.bigrams(col("t"))).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("bigram"))
       .limit(k)

@@ -48,6 +48,24 @@ class FunctionsSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("native graft_bigrams equals the HOF spelling on the real corpus") {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    val t = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(graft.text.Tokenize.tokens(col("text")).as("t"))
+    val hof = transform(
+      sequence(lit(1), size(col("t")) - 1),
+      i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1)))
+    val both = t.filter(size(col("t")) >= 2).select(
+      graft.functions.TextFunctions.bigrams(col("t")).as("native"),
+      hof.as("ref"))
+    assert(both.filter(col("native") =!= col("ref")).count() == 0)
+    // short/empty arrays -> [] not null, and null -> null
+    val edge = Seq(Some(Seq("only")), Some(Seq.empty[String]), None).toDF("t")
+    val out = edge.select(graft.functions.TextFunctions.bigrams(col("t")))
+      .as[Option[Seq[String]]].collect()
+    assert(out(0).contains(Seq.empty) && out(1).contains(Seq.empty) && out(2).isEmpty)
+  }
+
   test("pairwise dot runs inside a whole-stage-codegen region") {
     // In the near-dup query normalization happens below the join and the
     // per-pair dot above it; after AQE finalizes, the O(n^2) hot path's
