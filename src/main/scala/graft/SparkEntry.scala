@@ -128,6 +128,14 @@ object SparkEntry {
       Relational.groupingSetsFlagStatus(table(s, dir, "lineitem"))),
     "rel_window_ntile" -> ((s, dir) =>
       Relational.priceQuartilesPerPriority(table(s, dir, "orders"))),
+    "rel_shipping_priority" -> ((s, dir) =>
+      Relational.shippingPriority(table(s, dir, "customer"),
+        table(s, dir, "orders"), table(s, dir, "lineitem"),
+        "BUILDING", "2000-03-15")),
+    "rel_window_first_last" -> ((s, dir) =>
+      Relational.firstLastPerCustomer(table(s, dir, "orders"))),
+    "rel_price_histogram" -> ((s, dir) =>
+      Relational.priceHistogram(table(s, dir, "orders"))),
 
     // ---- event-time surface (SURVEY §7.3 step 3, batch form) ----
     "ev_tumbling_hourly" -> ((s, dir) =>
@@ -248,6 +256,8 @@ object SparkEntry {
       TextAnalysis.bpeTokenCounts(table(s, dir, "documents"))),
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdfTopTerms(table(s, dir, "documents"), 3)),
+    "text_len_quantiles" -> ((s, dir) =>
+      TextAnalysis.lengthQuantilesByLang(table(s, dir, "documents"))),
     // sketch values are Spark-deterministic but engine-specific => rows-only;
     // SketchSpec bounds approx-vs-exact error.
     "sketch_distinct_parts" -> ((s, dir) =>
@@ -462,6 +472,28 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin,
+    "rel_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '2000-03-15' AND l_shipdate > TIMESTAMP '2000-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "rel_window_first_last" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  first_value(o_orderkey) OVER w AS cheapest_order,
+        |  last_value(o_orderkey) OVER w AS priciest_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "rel_price_histogram" ->
+      """SELECT CAST(floor(o_totalprice/50000.0) AS BIGINT) AS bucket,
+        |  CAST(floor(o_totalprice/50000.0) AS BIGINT)*50000.0 AS lo,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     "rel_date_parts" ->
       """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
         |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
@@ -667,6 +699,13 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM s)
         |SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rn
         |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "text_len_quantiles" ->
+      """WITH t AS (SELECT lang, CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS n_tokens FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(quantile_cont(n_tokens, 0.25), 4) AS p25,
+        |  round(quantile_cont(n_tokens, 0.5), 4) AS p50,
+        |  round(quantile_cont(n_tokens, 0.75), 4) AS p75
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "sim_ann_ivf" ->
       """WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |e1 AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),

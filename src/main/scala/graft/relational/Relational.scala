@@ -247,6 +247,47 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
 
+  /** TPC-H Q3 shape (shipping priority): 3-way join, filtered both sides
+    * by date, revenue agg, top-k — the canonical "find the work to do
+    * next" analytic. Customer dim filtered+broadcast; fact joins shuffle
+    * on their keys; top-10 is TakeOrderedAndProject. */
+  def shippingPriority(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, segment: String,
+                       cutoff: String): DataFrame =
+    customer.filter(col("c_mktsegment") === segment)
+      .join(orders.filter(col("o_orderdate") < ts(cutoff)),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem.filter(col("l_shipdate") > ts(cutoff)),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+
+  /** first_value/last_value over an explicit full-partition frame: each
+    * order alongside its customer's cheapest and priciest order. */
+  def firstLastPerCustomer(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        first("o_orderkey").over(w).as("cheapest_order"),
+        last("o_orderkey").over(w).as("priciest_order"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Fixed-width value histogram: count per price bucket — the shape every
+    * profiling pass runs; one groupBy on a derived bucket key. */
+  def priceHistogram(orders: DataFrame, bucketWidth: Double = 50000.0): DataFrame =
+    orders.groupBy(floor(col("o_totalprice") / bucketWidth).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo", col("bucket") * bucketWidth)
+      .select("bucket", "lo", "n")
+      .orderBy("bucket")
+
   /** Explicit GROUPING SETS (beyond ROLLUP/CUBE): per-flag and per-status
     * subtotals WITHOUT the combined or grand-total sets — the shape ETL
     * uses when only specific marginals are wanted. One pass, one shuffle

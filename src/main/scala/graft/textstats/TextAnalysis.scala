@@ -131,6 +131,20 @@ object TextAnalysis {
       .orderBy("doc_id", "rn")
   }
 
+  /** Exact token-count quantiles per language label — the distribution
+    * profile a pipeline checks before setting length filters. percentile()
+    * is the exact interpolating form (deterministic), not approx. */
+  def lengthQuantilesByLang(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), size(toks).cast("long").as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        percentile(col("n_tokens"), lit(0.25)).as("p25"),
+        percentile(col("n_tokens"), lit(0.5)).as("p50"),
+        percentile(col("n_tokens"), lit(0.75)).as("p75"))
+      .select(col("lang"), col("n_docs"), round(col("p25"), 4).as("p25"),
+        round(col("p50"), 4).as("p50"), round(col("p75"), 4).as("p75"))
+      .orderBy("lang")
+
   /** Confusion counts of the heuristic guess vs the labeled lang column —
     * the eval a pipeline runs before trusting a language filter. */
   def langGuessConfusion(docs: DataFrame): DataFrame =
