@@ -190,8 +190,12 @@ object SparkEntry {
     // Flagship 100 TB dedup: LSH band buckets generate candidates, exact
     // Jaccard verifies. The bands are xxhash64 (not oracle-able) but the
     // verified OUTPUT is plain Jaccard >= 0.5, which the oracle computes
-    // exactly — band geometry (32 hashes / 16 bands) puts detection of the
-    // >=0.5 pairs at p ~ 1, so LSH output == exact output on this corpus.
+    // exactly. Band geometry (32 hashes / 16 bands): detection p = 0.99 at
+    // s = 0.5, ~1 from s >= 0.65 — the oracle equality holds on THIS
+    // corpus because its pair distribution is bimodal (planted dups at
+    // s >= 0.9, noise below 0.07; no pair sits in the p < 1 band), which
+    // DedupSpec pins. A corpus with borderline-s pairs would need wider
+    // banding or a rows-only declaration.
     "dedup_minhash_lsh_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(table(s, dir, "documents"), 32, 16, 3, 0.5,
         maxShingleDf = 100)),

@@ -252,12 +252,15 @@ object Dedup {
     * its neighbors' labels; converges in O(cluster diameter) rounds. Near-
     * dup clusters are shallow in practice (most are pairs/triples), so the
     * driver loop runs a handful of distributed rounds — the per-round
-    * convergence check is a limit(1) count, not a data collect. Each round
-    * persists its labels and unpersists the previous round, so lineage
-    * and recompute don't grow with iterations; the final round's small
-    * (doc_id, cluster_id) frame stays cached for the caller.
-    * Deterministic: min over an undirected edge set, independent of
-    * partition layout. Throws if maxIter rounds don't converge. */
+    * convergence check is a count of changed labels, not a data collect.
+    * Each round persists its labels and unpersists the previous round, so
+    * lineage and recompute don't grow with iterations. The RETURNED frame
+    * is the final round's persisted labels: the cache is what makes the
+    * result cheap to reuse, and since the caller holds the reference they
+    * control its lifetime — call `.unpersist()` when done (unlike an
+    * operator-internal cache, which nobody could release). Deterministic:
+    * min over an undirected edge set, independent of partition layout.
+    * Throws (releasing all caches) if maxIter rounds don't converge. */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     // materialize the (possibly expensive) pair pipeline ONCE before the
     // two-direction union reads it twice — the eager count is a cache
@@ -294,7 +297,11 @@ object Dedup {
         labels = next
         i += 1
       }
-      require(converged, s"duplicateClusters: not converged after $maxIter rounds")
+      if (!converged) {
+        labels.unpersist()
+        throw new IllegalArgumentException(
+          s"duplicateClusters: not converged after $maxIter rounds")
+      }
       labels.orderBy("doc_id")
     } finally {
       edges.unpersist()

@@ -15,13 +15,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * functions skip whole-stage codegen) and re-evaluates two element_at
   * probes per position — measured as the dominant cost of the
   * `text_bigrams` query. This expression emits the same array in one
-  * codegen'd pass. Token elements must be non-null (regexp tokenizer
-  * output); a null array yields null; arrays shorter than 2 yield [].
+  * codegen'd pass. A null array yields null; arrays shorter than 2 yield
+  * []; a null TOKEN yields null bigrams at its two positions
+  * (UTF8String.concat's null-in-null-out), so the element type declares
+  * containsNull — the function is registered session-wide and SQL users
+  * can pass arrays the regexp tokenizer never produces.
   */
 case class BigramsExpr(child: Expression) extends UnaryExpression {
 
   override def nullIntolerant: Boolean = true
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def prettyName: String = "graft_bigrams"
 
   override protected def nullSafeEval(input: Any): Any = {

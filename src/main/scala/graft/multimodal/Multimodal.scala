@@ -69,8 +69,11 @@ object Multimodal {
     media.select(col("media_id"), col("modality"),
       octet_length(col("payload")).cast("long").as("n_bytes"),
       array_join(transform(sequence(lit(0), lit(outBytes - 1)),
+        // i*len as LONG: an INT product overflows (ANSI throw) past ~69 MB
+        // payloads, and the oracle's arithmetic is 64-bit
         i => hex(substring(col("payload"),
-          floor((i * octet_length(col("payload"))) / outBytes).cast("int") + 1,
+          floor((i.cast("long") * octet_length(col("payload"))) / outBytes)
+            .cast("int") + 1,
           lit(1)))),
         "").as("resized_hex"))
       .orderBy("media_id")

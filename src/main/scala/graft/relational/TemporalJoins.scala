@@ -36,7 +36,7 @@ object TemporalJoins {
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
                valueCol: String, as: String = "asof_value"): DataFrame = {
-    requireFree("asOfJoin", left, "__t", "__isLeft", "__v")
+    requireFree("asOfJoin", left, "__t", "__isLeft", "__v", as)
     requireFree("asOfJoin", right, "__isLeft")
     val l = left
       .withColumn("__t", col(leftTime))
@@ -63,8 +63,10 @@ object TemporalJoins {
                       leftTime: String, rightTime: String,
                       toleranceSeconds: Long): DataFrame = {
     require(toleranceSeconds > 0)
-    requireFree("bandedRangeJoin", left, "__lt", "__band")
-    requireFree("bandedRangeJoin", right, "__rt", "__band")
+    // each side also rejects the OTHER side's helper name: a left __rt
+    // would make the post-join filter ambiguous instead of failing here
+    requireFree("bandedRangeJoin", left, "__lt", "__rt", "__band")
+    requireFree("bandedRangeJoin", right, "__rt", "__lt", "__band")
     val tolUs = toleranceSeconds * 1000000L
     val l = left.withColumn("__lt", unix_micros(col(leftTime)))
       .withColumn("__band", floor(col("__lt") / tolUs))

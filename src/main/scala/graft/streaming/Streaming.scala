@@ -105,26 +105,39 @@ object Streaming {
     docs.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val path = s"$storeDir/term_frequency_in_doc"
-        val merged =
-          if (new java.io.File(path).exists())
-            graft.index.InvertedIndex.mergeTermFrequency(
-              spark.read.parquet(path), batch)
-          else graft.index.InvertedIndex.termFrequency(batch)
-        // write-then-swap: the merge READS the store it will replace, so
-        // materialize to a sibling dir first and swap atomically-enough
-        // for a single writer (overwrite-in-place would corrupt the input
-        // mid-scan)
-        val tmp = s"$storeDir/.term_frequency_in_doc.next"
-        merged.write.mode("overwrite").parquet(tmp)
-        val cur = new java.io.File(path)
-        if (cur.exists()) {
-          val old = new java.io.File(s"$storeDir/.term_frequency_in_doc.old")
-          if (old.exists()) delete(old)
-          cur.renameTo(old)
+        val cur = new java.io.File(s"$storeDir/term_frequency_in_doc")
+        val old = new java.io.File(s"$storeDir/.term_frequency_in_doc.old")
+        val tmp = new java.io.File(s"$storeDir/.term_frequency_in_doc.next")
+        // Recovery read path: if a previous run died between the two
+        // renames below, cur is missing but old (the pre-merge state) is
+        // intact — read it. The batch that died mid-swap is replayed by
+        // the stream's checkpoint, so its merge is not lost, just redone.
+        val src = if (cur.exists()) Some(cur) else if (old.exists()) Some(old) else None
+        val merged = src match {
+          case Some(f) => graft.index.InvertedIndex.mergeTermFrequency(
+            spark.read.parquet(f.getPath), batch)
+          case None => graft.index.InvertedIndex.termFrequency(batch)
         }
-        new java.io.File(tmp).renameTo(cur)
-        delete(new java.io.File(s"$storeDir/.term_frequency_in_doc.old"))
+        // write-then-swap: the merge READS the store it will replace, so
+        // materialize to a sibling dir first (overwrite-in-place would
+        // corrupt the input mid-scan). Renames are checked — a false
+        // return (cross-filesystem path, pinned handle) must fail the
+        // batch loudly, not leave the store silently stale.
+        merged.write.mode("overwrite").parquet(tmp.getPath)
+        def rename(from: java.io.File, to: java.io.File): Unit =
+          require(from.renameTo(to),
+            s"incrementalIndexWriter: rename $from -> $to failed")
+        // ordering invariant: at every instant either cur or old holds a
+        // complete pre-merge (or newer) table — never delete the last copy
+        // before its replacement is in place
+        src match {
+          case Some(f) if f == cur =>
+            if (old.exists()) delete(old) // stale leftover, cur is live
+            rename(cur, old)
+          case _ => () // recovering: cur absent, old IS the live copy — keep it
+        }
+        rename(tmp, cur)
+        if (old.exists()) delete(old)
         ()
       }
 
