@@ -65,6 +65,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("deterministic sample: prefix-of-larger-n and seed stability (S3)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Seq(1L, 42L, 1234L).foreach { seed =>
+      val small = graft.sources.Sampling.deterministicSample(docs, "doc_id", 20, seed)
+        .select("doc_id").as[Long].collect().toSeq
+      val large = graft.sources.Sampling.deterministicSample(docs, "doc_id", 60, seed)
+        .select("doc_id").as[Long].collect().toSeq
+      // growing n only APPENDS to the sample — the property that lets a
+      // pipeline scale a corpus sample up without resampling everything
+      assert(large.take(20) == small)
+    }
+  }
+
+  test("cluster labels are component minima; representatives self-label") {
+    samples(5).zipWithIndex.foreach { case (texts, si) =>
+      // random small edge lists derived from the generated words' lengths
+      val ids = texts.indices.map(_.toLong)
+      val edges = ids.zip(ids.drop(1)).filter { case (a, _) => (a + si) % 2 == 0 }
+      if (edges.nonEmpty) {
+        val pairs = edges.toDF("doc_a", "doc_b")
+        val labels = graft.dedup.Dedup.duplicateClusters(pairs)
+          .as[(Long, Long)].collect().toMap
+        // every label is itself a node that self-labels (the representative)
+        labels.values.toSet.foreach { c: Long => assert(labels(c) == c) }
+        // labels never exceed the node id (min semantics)
+        labels.foreach { case (d, c) => assert(c <= d) }
+        // endpoints of every edge share a label (connectivity respected)
+        edges.foreach { case (a, b) => assert(labels(a) == labels(b)) }
+        pairs.sparkSession.catalog.clearCache()
+      }
+    }
+  }
+
   test("incremental merge == full recompute (A8 as re-aggregation)") {
     samples(5).foreach { texts =>
       val all = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
