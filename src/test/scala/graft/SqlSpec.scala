@@ -24,6 +24,17 @@ class SqlSpec extends SparkSpec {
     assert(math.abs(row.getDouble(1) - 1.0) < 1e-9) // unit . unit == 1
   }
 
+  test("graft_bigrams is callable from SQL, null tokens included") {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    val out = spark.sql(
+      "SELECT graft_bigrams(array('a', 'b', 'c')) AS bg").collect().head
+    assert(out.getSeq[String](0) == Seq("a b", "b c"))
+    val withNull = spark.sql(
+      "SELECT graft_bigrams(array('a', CAST(NULL AS STRING), 'c')) AS bg")
+      .collect().head
+    assert(withNull.getSeq[String](0) == Seq(null, null))
+  }
+
   test("events view exposes converted microsecond timestamps") {
     Tables.register(spark, "/root/testdata/sf0.001")
     val t = spark.sql("SELECT min(ts) FROM events").collect().head.get(0)
