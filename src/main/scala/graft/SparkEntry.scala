@@ -136,6 +136,19 @@ object SparkEntry {
       Relational.firstLastPerCustomer(table(s, dir, "orders"))),
     "rel_price_histogram" -> ((s, dir) =>
       Relational.priceHistogram(table(s, dir, "orders"))),
+    // bloom runtime filter: big side pre-filtered by a literal-embedded
+    // bloom of the dim keys BEFORE its shuffle; no false negatives, so the
+    // result — and the oracle — is exactly the plain join.
+    "rel_bloom_join" -> ((s, dir) => {
+      val cust = table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      graft.relational.RuntimeFilters
+        .bloomPrefilteredJoin(table(s, dir, "orders"), "o_custkey", cust, "c_custkey")
+        .groupBy("c_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spent"))
+        .orderBy("c_custkey")
+    }),
 
     // ---- event-time surface (SURVEY §7.3 step 3, batch form) ----
     "ev_tumbling_hourly" -> ((s, dir) =>
@@ -498,6 +511,12 @@ object SparkEntry {
         |  CAST(floor(o_totalprice/50000.0) AS BIGINT)*50000.0 AS lo,
         |  count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "rel_bloom_join" ->
+      """SELECT c_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spent
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "rel_date_parts" ->
       """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
         |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
