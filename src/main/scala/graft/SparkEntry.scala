@@ -275,6 +275,12 @@ object SparkEntry {
       TextAnalysis.tfIdfTopTerms(table(s, dir, "documents"), 3)),
     "text_len_quantiles" -> ((s, dir) =>
       TextAnalysis.lengthQuantilesByLang(table(s, dir, "documents"))),
+    "text_redact_pii" -> ((s, dir) =>
+      TextAnalysis.redactPii(table(s, dir, "documents"))),
+    "text_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(table(s, dir, "documents"), 64, 16)),
+    "text_pack_bins" -> ((s, dir) =>
+      TextAnalysis.packIntoBins(table(s, dir, "documents"), 2048)),
     // sketch values are Spark-deterministic but engine-specific => rows-only;
     // SketchSpec bounds approx-vs-exact error.
     "sketch_distinct_parts" -> ((s, dir) =>
@@ -729,6 +735,32 @@ object SparkEntry {
         |  round(quantile_cont(n_tokens, 0.5), 4) AS p50,
         |  round(quantile_cont(n_tokens, 0.75), 4) AS p75
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_redact_pii" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\+[0-9][0-9()\- ]+[0-9]')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+', '<EMAIL>', 'g'),
+        |      '\+[0-9][0-9()\- ]+[0-9]', '<PHONE>', 'g')) AS redacted_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_chunks" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+        |c AS (SELECT doc_id, unnest(list_transform(generate_series(0, CAST(floor((len(tk)-1)/48.0) AS INT)),
+        |        i -> array_to_string(list_slice(tk, i*48 + 1, i*48 + 64), ' '))) AS chunk,
+        |      unnest(generate_series(0, CAST(floor((len(tk)-1)/48.0) AS INT))) AS chunk_id
+        |      FROM t WHERE len(tk) > 0)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_chunk_tokens,
+        |  md5(chunk) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "text_pack_bins" ->
+      """WITH t AS (SELECT lang AS shard, doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS n_tokens FROM documents),
+        |o AS (SELECT shard, doc_id, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_offset FROM t)
+        |SELECT shard, doc_id, n_tokens, start_offset,
+        |  CAST(floor(start_offset/2048.0) AS BIGINT) AS bin_id
+        |FROM o ORDER BY shard, doc_id""".stripMargin,
     "sim_ann_ivf" ->
       """WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |e1 AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),

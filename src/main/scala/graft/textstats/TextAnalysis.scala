@@ -145,6 +145,66 @@ object TextAnalysis {
         round(col("p50"), 4).as("p50"), round(col("p75"), 4).as("p75"))
       .orderBy("lang")
 
+  /** PII scrubbing: redact email/phone-shaped spans and count what was
+    * hit — the compliance pass before a corpus ships. Patterns are
+    * RE2-safe (no lookaround) so the SQL oracle matches byte-for-byte;
+    * the redacted text is emitted as md5 to keep the compare row small. */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+  val PhonePattern = "\\+[0-9][0-9()\\- ]+[0-9]"
+
+  def redactPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(lower(col("text")), lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PhonePattern), lit(0)))
+        .cast("long").as("n_phones"),
+      md5(regexp_replace(
+        regexp_replace(lower(col("text")), EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>")).as("redacted_hash"))
+      .orderBy("doc_id")
+
+  /** Token-window chunking with overlap — the pretraining/RAG splitter:
+    * chunk i covers tokens [i*step, i*step + chunkTokens) with
+    * step = chunkTokens - overlap. One tokenize pass, chunks built by
+    * array slicing and exploded to rows; no shuffle until a downstream
+    * aggregate. Empty docs produce no chunks. */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 64,
+                     overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens)
+    val step = chunkTokens - overlap
+    val chunks = when(size(col("t")) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), floor((size(col("t")) - 1) / step).cast("int")),
+        i => array_join(slice(col("t"), i * step + 1, lit(chunkTokens)), " ")))
+    docs.select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id"),
+        size(split(col("chunk"), " ")).cast("long").as("n_chunk_tokens"),
+        md5(col("chunk")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Greedy offset bin packing into fixed context windows, SHARDED: within
+    * each shard (e.g. language, or any hash bucket), a doc's bin is its
+    * cumulative token START offset div the window size — the
+    * deterministic, fully-declarative approximation of sequence packing
+    * (docs can straddle a boundary; exact first-fit is inherently
+    * sequential). Sharding is the scale story: a GLOBAL ordered window
+    * would funnel the corpus through one partition, while per-shard
+    * windows parallelize exactly like real per-worker packing does. */
+  def packIntoBins(docs: DataFrame, binTokens: Int = 2048,
+                   shardCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(shardCol).as("shard"), col("doc_id"),
+        size(toks).cast("long").as("n_tokens"))
+      .withColumn("start_offset", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("bin_id", floor(col("start_offset") / binTokens).cast("long"))
+      .select("shard", "doc_id", "n_tokens", "start_offset", "bin_id")
+      .orderBy("shard", "doc_id")
+  }
+
   /** Confusion counts of the heuristic guess vs the labeled lang column —
     * the eval a pipeline runs before trusting a language filter. */
   def langGuessConfusion(docs: DataFrame): DataFrame =
