@@ -136,6 +136,36 @@ object SparkEntry {
       Relational.firstLastPerCustomer(table(s, dir, "orders"))),
     "rel_price_histogram" -> ((s, dir) =>
       Relational.priceHistogram(table(s, dir, "orders"))),
+    // skew-safe two-phase aggregation: content-derived salts bound the
+    // per-reducer key cardinality; decimal values make the two-phase sum
+    // exact, so the oracle is the plain GROUP BY.
+    "rel_salted_agg" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .withColumn("q", col("l_quantity").cast("decimal(18,2)"))
+      graft.relational.Skew.saltedCountSum(li, "l_returnflag", "q", 8)
+        .select(col("l_returnflag"), col("n"),
+          col("total").cast("double").as("total"))
+        .orderBy("l_returnflag")
+    }),
+    // bucketed co-location: one-time bucket write, then a shuffle-free
+    // join (BucketingSpec pins zero Exchange); results equal the plain
+    // join, which is the oracle.
+    "rel_bucketed_join" -> ((s, dir) => {
+      val base = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_buckets_" + Integer.toHexString(dir.hashCode))
+      graft.relational.Bucketing.writeBucketed(table(s, dir, "orders"),
+        "graft_b_orders", "o_custkey", 16, Some(s"$base/orders"))
+      graft.relational.Bucketing.writeBucketed(
+        table(s, dir, "customer").select("c_custkey", "c_mktsegment"),
+        "graft_b_customer", "c_custkey", 16, Some(s"$base/customer"))
+      graft.relational.Bucketing.coLocatedJoin(s,
+          "graft_b_orders", "graft_b_customer", "o_custkey", "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
     // bloom runtime filter: big side pre-filtered by a literal-embedded
     // bloom of the dim keys BEFORE its shuffle; no false negatives, so the
     // result — and the oracle — is exactly the plain join.
@@ -517,6 +547,15 @@ object SparkEntry {
         |  CAST(floor(o_totalprice/50000.0) AS BIGINT)*50000.0 AS lo,
         |  count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "rel_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "rel_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "rel_bloom_join" ->
       """SELECT c_custkey, count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spent

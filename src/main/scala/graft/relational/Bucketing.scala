@@ -14,11 +14,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Persist `df` as a bucketed+sorted table on `key`. */
+  /** Persist `df` as a bucketed+sorted table on `key`. Pass `path` to
+    * place the data files explicitly (external table) instead of under
+    * the session warehouse dir — bucketing metadata must go through the
+    * catalog either way (path-only parquet writes can't record it). */
   def writeBucketed(df: DataFrame, tableName: String, key: String,
-                    buckets: Int = 32): Unit =
-    df.write.bucketBy(buckets, key).sortBy(key)
-      .mode("overwrite").format("parquet").saveAsTable(tableName)
+                    buckets: Int = 32, path: Option[String] = None): Unit = {
+    val w = df.write.bucketBy(buckets, key).sortBy(key)
+      .mode("overwrite").format("parquet")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(tableName)
+  }
 
   /** Join two same-bucketed tables on their bucket keys — plans with zero
     * shuffle exchanges when bucket counts match. */

@@ -36,6 +36,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("no UDFs anywhere: every declared query stays native/codegen") {
+    // the "functions, not UDFs" rule as a hard invariant — custom logic is
+    // either a built-in or a registered codegen Expression; the ONLY
+    // object-space operator is the documented multimodal decode stub
+    // (mapPartitions), which is not a UDF and is allowed to appear
+    SparkEntry.queries.keys.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+        s"$name plans a UDF")
+    }
+  }
+
   test("aggregations are partial+final (map-side combine before shuffle)") {
     val p = plan("rel_pricing_summary")
     assert(p.contains("partial_sum"))
