@@ -151,9 +151,12 @@ object SparkEntry {
     // join (BucketingSpec pins zero Exchange); results equal the plain
     // join, which is the oracle.
     "rel_bucketed_join" -> ((s, dir) => {
+      // applicationId in the path: two concurrent harness processes on the
+      // same sfDir must not overwrite each other's bucket files mid-read
       val base = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
-        "graft_buckets_" + Integer.toHexString(dir.hashCode))
+        "graft_buckets_" + s.sparkContext.applicationId +
+          "_" + Integer.toHexString(dir.hashCode))
       graft.relational.Bucketing.writeBucketed(table(s, dir, "orders"),
         "graft_b_orders", "o_custkey", 16, Some(s"$base/orders"))
       graft.relational.Bucketing.writeBucketed(
@@ -355,7 +358,8 @@ object SparkEntry {
     "bm25_stored" -> ((s, dir) => {
       val idx = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
-        "graft_index_" + Integer.toHexString(dir.hashCode)).toString
+        "graft_index_" + s.sparkContext.applicationId +
+          "_" + Integer.toHexString(dir.hashCode)).toString
       IndexStore.write(table(s, dir, "documents"), idx)
       BM25.searchStored(s, idx, FlagshipQuery)
     }),
@@ -775,21 +779,24 @@ object SparkEntry {
         |  round(quantile_cont(n_tokens, 0.75), 4) AS p75
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "text_redact_pii" ->
-      """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(text, '\+[0-9][0-9()\- ]+[0-9]')) AS BIGINT) AS n_phones,
-        |  md5(regexp_replace(regexp_replace(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+', '<EMAIL>', 'g'),
-        |      '\+[0-9][0-9()\- ]+[0-9]', '<PHONE>', 'g')) AS redacted_hash
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH r AS (SELECT doc_id, lower(text) AS lt,
+        |  regexp_replace(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+', '<EMAIL>', 'g') AS er FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lt, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(er, '\+[0-9][0-9()\- ]+[0-9]')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(er, '\+[0-9][0-9()\- ]+[0-9]', '<PHONE>', 'g')) AS redacted_hash
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // last chunk index floor((n-17)/48) for n>16 (a trailing chunk must add
+    // >=1 new token); n_chunk_tokens from the slice bounds
     "text_chunks" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
-        |c AS (SELECT doc_id, unnest(list_transform(generate_series(0, CAST(floor((len(tk)-1)/48.0) AS INT)),
-        |        i -> array_to_string(list_slice(tk, i*48 + 1, i*48 + 64), ' '))) AS chunk,
-        |      unnest(generate_series(0, CAST(floor((len(tk)-1)/48.0) AS INT))) AS chunk_id
-        |      FROM t WHERE len(tk) > 0)
+        |b AS (SELECT doc_id, tk,
+        |        CASE WHEN len(tk) <= 16 THEN 0 ELSE CAST(floor((len(tk)-17)/48.0) AS INT) END AS last_chunk
+        |      FROM t WHERE len(tk) > 0),
+        |c AS (SELECT doc_id, unnest(generate_series(0, last_chunk)) AS chunk_id, tk, len(tk) AS n FROM b)
         |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
-        |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_chunk_tokens,
-        |  md5(chunk) AS chunk_hash
+        |  CAST(least(64, n - chunk_id*48) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(list_slice(tk, chunk_id*48 + 1, chunk_id*48 + 64), ' ')) AS chunk_hash
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "text_pack_bins" ->
       """WITH t AS (SELECT lang AS shard, doc_id,

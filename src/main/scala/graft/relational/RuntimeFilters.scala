@@ -42,13 +42,18 @@ object RuntimeFilters {
 
   /** Pre-filter `big` to rows whose `bigKey` might appear in `small`'s
     * `smallKey` set, then exact inner join. Key columns must be integral
-    * (the bloom hashes longs). */
+    * (the bloom hashes longs). `expectedItems <= 0` (the default) sizes
+    * the filter from an actual count of the small side — one cheap job
+    * next to the join it optimizes; an undersized filter saturates and
+    * silently stops pruning anything. */
   def bloomPrefilteredJoin(big: DataFrame, bigKey: String,
                            small: DataFrame, smallKey: String,
-                           expectedItems: Long = 1L << 20,
+                           expectedItems: Long = -1L,
                            fpp: Double = 0.01): DataFrame = {
     ensureRegistered(big.sparkSession)
-    val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    val items = if (expectedItems > 0) expectedItems
+                else math.max(small.count(), 1L)
+    val bf = small.stat.bloomFilter(smallKey, items, fpp)
     val bos = new ByteArrayOutputStream()
     bf.writeTo(bos)
     big.filter(mightContain(bos.toByteArray, col(bigKey)))

@@ -152,35 +152,49 @@ object TextAnalysis {
   val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
   val PhonePattern = "\\+[0-9][0-9()\\- ]+[0-9]"
 
-  def redactPii(docs: DataFrame): DataFrame =
+  def redactPii(docs: DataFrame): DataFrame = {
+    // phones are counted on the email-redacted text so the counts equal
+    // the substitutions actually made (an email like +1555@x.com would
+    // otherwise be double-counted as a phone the replacement never sees)
+    val emailRedacted = regexp_replace(lower(col("text")), EmailPattern, "<EMAIL>")
     docs.select(col("doc_id"),
       size(regexp_extract_all(lower(col("text")), lit(EmailPattern), lit(0)))
         .cast("long").as("n_emails"),
-      size(regexp_extract_all(col("text"), lit(PhonePattern), lit(0)))
+      size(regexp_extract_all(emailRedacted, lit(PhonePattern), lit(0)))
         .cast("long").as("n_phones"),
-      md5(regexp_replace(
-        regexp_replace(lower(col("text")), EmailPattern, "<EMAIL>"),
-        PhonePattern, "<PHONE>")).as("redacted_hash"))
+      md5(regexp_replace(emailRedacted, PhonePattern, "<PHONE>"))
+        .as("redacted_hash"))
       .orderBy("doc_id")
+  }
 
   /** Token-window chunking with overlap — the pretraining/RAG splitter:
     * chunk i covers tokens [i*step, i*step + chunkTokens) with
-    * step = chunkTokens - overlap. One tokenize pass, chunks built by
-    * array slicing and exploded to rows; no shuffle until a downstream
-    * aggregate. Empty docs produce no chunks. */
+    * step = chunkTokens - overlap. A trailing chunk must contribute at
+    * least one NEW token (docs whose length mod step lands inside the
+    * overlap would otherwise emit a pure-duplicate final chunk), so the
+    * last chunk index is floor((n - overlap - 1)/step) once n exceeds the
+    * overlap, else 0. One tokenize pass, chunks built by array slicing and
+    * exploded to rows; token counts derive from the slice bounds, not a
+    * re-split of the joined text. Empty docs produce no chunks. */
   def chunkDocuments(docs: DataFrame, chunkTokens: Int = 64,
                      overlap: Int = 16): DataFrame = {
     require(overlap >= 0 && overlap < chunkTokens)
     val step = chunkTokens - overlap
-    val chunks = when(size(col("t")) === 0, array().cast("array<string>"))
+    val n = size(col("t"))
+    val lastChunk = when(n <= overlap, lit(0))
+      .otherwise(floor((n - overlap - 1) / step).cast("int"))
+    val chunks = when(n === 0,
+        array().cast("array<struct<n:bigint,text:string>>"))
       .otherwise(transform(
-        sequence(lit(0), floor((size(col("t")) - 1) / step).cast("int")),
-        i => array_join(slice(col("t"), i * step + 1, lit(chunkTokens)), " ")))
+        sequence(lit(0), lastChunk),
+        i => struct(
+          least(lit(chunkTokens), n - i * step).cast("long").as("n"),
+          array_join(slice(col("t"), i * step + 1, lit(chunkTokens)), " ").as("text"))))
     docs.select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_id", "chunk")))
       .select(col("doc_id"), col("chunk_id"),
-        size(split(col("chunk"), " ")).cast("long").as("n_chunk_tokens"),
-        md5(col("chunk")).as("chunk_hash"))
+        col("chunk.n").as("n_chunk_tokens"),
+        md5(col("chunk.text")).as("chunk_hash"))
       .orderBy("doc_id", "chunk_id")
   }
 

@@ -29,12 +29,17 @@ class RuntimeFiltersSpec extends SparkSpec {
     val q = RuntimeFilters.bloomPrefilteredJoin(orders, "o_custkey", dim, "c_custkey")
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"), plan)
-    // the filter must appear in the plan BELOW the join operator line
+    // the REAL invariant: the predicate sits directly over the big side's
+    // scan with no Exchange in between — i.e. rows are pruned before any
+    // shuffle, not after (a below-the-Join-line check would still pass if
+    // the optimizer hoisted the filter above the exchange)
     val lines = plan.split("\n")
-    val joinLine = lines.indexWhere(l => l.contains("Join"))
     val filterLine = lines.indexWhere(_.contains("might_contain"))
-    assert(joinLine >= 0 && filterLine > joinLine,
-      s"predicate not pushed below the join:\n$plan")
+    val scanLine = lines.indexWhere(_.contains("orders.parquet"), filterLine)
+    assert(filterLine >= 0 && scanLine > filterLine, s"no scan under filter:\n$plan")
+    val between = lines.slice(filterLine + 1, scanLine)
+    assert(!between.exists(_.contains("Exchange")),
+      s"exchange between might_contain filter and the orders scan:\n$plan")
   }
 
   private implicit class Sorted(xs: Array[Long]) {
