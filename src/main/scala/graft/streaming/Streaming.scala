@@ -146,6 +146,45 @@ object Streaming {
     f.delete()
   }
 
+  /** Session-close events via flatMapGroupsWithState: per-user event
+    * counts are held in keyed state and EMITTED ONLY when the event-time
+    * timeout fires after `gapMinutes` of silence — the "user went away,
+    * flush their session" pattern mapGroupsWithState can't express (it
+    * must return a row on every invocation; flatMap can return zero).
+    * State is bounded by the watermark-driven timeout. Input rows are
+    * (user_id, epoch micros). */
+  case class SessionState(nEvents: Long, lastSeenUs: Long)
+  case class ClosedSession(userId: Long, nEvents: Long, lastSeenUs: Long)
+
+  def sessionCloser(events: Dataset[(Long, Long)],
+                    gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.toDF("user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // gap elapsed: flush the session and clear its state
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(userId, s.nEvents, s.lastSeenUs))
+          } else {
+            val batch = rows.toSeq
+            val prev = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+            val next = SessionState(prev.nEvents + batch.size,
+              math.max(prev.lastSeenUs, batch.map(_._2).max))
+            state.update(next)
+            state.setTimeoutTimestamp(
+              next.lastSeenUs / 1000L + gapMinutes * 60L * 1000L)
+            Iterator.empty // nothing emitted until the session closes
+          }
+      }
+  }
+
   /** Streaming dedup on a content key (exactly-once emission of first
     * occurrence). `dropDuplicatesWithinWatermark` is the state-bounded
     * form: plain dropDuplicates only evicts when the EVENT-TIME column is

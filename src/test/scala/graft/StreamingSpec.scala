@@ -114,6 +114,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState flushes sessions only after the gap timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    def us(s: String): Long = ts(s).getTime * 1000L
+    val input = MemoryStream[(Long, Long)]
+    val closed = Streaming.sessionCloser(input.toDS(), gapMinutes = 30)
+    val q = closed.writeStream.format("memory").queryName("closer")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, us("2024-01-01 10:00:00")),
+        (1L, us("2024-01-01 10:05:00")),
+        (2L, us("2024-01-01 10:06:00")))
+      q.processAllAvailable()
+      // nothing closed yet: watermark hasn't passed anyone's gap
+      assert(spark.table("closer").count() == 0)
+      // user 2 keeps going far in the future -> watermark advances past
+      // user 1's 30-minute gap -> user 1's session flushes
+      input.addData((2L, us("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      input.addData((2L, us("2024-01-01 12:01:00"))) // one more batch to emit
+      q.processAllAvailable()
+      val rows = spark.table("closer").as[Streaming.ClosedSession].collect()
+      assert(rows.exists(r => r.userId == 1L && r.nEvents == 2L &&
+        r.lastSeenUs == us("2024-01-01 10:05:00")))
+      assert(!rows.exists(_.userId == 2L)) // still active
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs events within the time bounds") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Timestamp, Long, String)]
