@@ -25,5 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(TextFunctions.BigramsName),
       new ExpressionInfo(classOf[BigramsExpr].getName, TextFunctions.BigramsName),
       TextFunctions.bigramsBuilder))
+    // optimizer rewrite: |a-b| <= tol inequality joins -> banded equi-joins
+    ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)
   }
 }
