@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BigramsExpr, DotProductExpr, TextFunctions, UnitVectorExpr, VectorFunctions}
+import graft.functions.{BigramsExpr, DotProductExpr, ShinglesExpr, TextFunctions, UnitVectorExpr, VectorFunctions}
 
 /** Library packaging for the native functions: sessions built with
   * `spark.sql.extensions=graft.GraftExtensions` (or
@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(TextFunctions.BigramsName),
       new ExpressionInfo(classOf[BigramsExpr].getName, TextFunctions.BigramsName),
       TextFunctions.bigramsBuilder))
+    ext.injectFunction((
+      FunctionIdentifier(TextFunctions.ShinglesName),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, TextFunctions.ShinglesName),
+      TextFunctions.shinglesBuilder))
     // optimizer rewrite: |a-b| <= tol inequality joins -> banded equi-joins
     ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)
   }

@@ -27,18 +27,17 @@ object Dedup {
       .agg(min("doc_id").as("rep_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy("content_hash")
 
-  /** Distinct word n-gram shingles per doc: (doc_id, shingle). */
+  /** Distinct word n-gram shingles per doc: (doc_id, shingle). The shingle
+    * build is the native codegen graft_shingles expression — the
+    * interpreted HOF spelling (transform + n element_at probes per
+    * position) dominated every shingle-based dedup query; the expression
+    * also yields [] for short docs natively (no sequence(1, x<1)
+    * counts-down guard needed). FunctionsSpec pins parity with the HOF. */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
-    val toks = Tokenize.tokens(col("text"))
-    val sh = transform(
-      sequence(lit(1), size(col("t")) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(o => element_at(col("t"), i + o)): _*))
-    // guard: Spark sequence(1, x) for x<1 counts DOWN ([1,0,...]), so gate
-    // short docs to an empty shingle set instead.
-    val guarded = when(size(col("t")) >= n, sh)
-      .otherwise(array().cast("array<string>"))
-    docs.select(col("doc_id"), toks.as("t"))
-      .select(col("doc_id"), explode(array_distinct(guarded)).as("shingle"))
+    graft.functions.TextFunctions.ensureRegistered(docs.sparkSession)
+    docs.select(col("doc_id"), Tokenize.tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.TextFunctions.shingles(col("t"), n))).as("shingle"))
   }
 
   /** Drop shingles whose document frequency exceeds `maxDf` — boilerplate

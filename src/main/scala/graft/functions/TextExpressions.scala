@@ -67,17 +67,96 @@ object BigramsExpr {
   val Space: UTF8String = UTF8String.fromString(" ")
 }
 
+/** Native word n-gram shingle builder — the generalized sibling of
+  * BigramsExpr and the dominant cost of every shingle-based dedup query
+  * (the HOF spelling re-probes element_at n times per position,
+  * interpreted). Emits space-joined n-grams of consecutive tokens; arrays
+  * shorter than n yield []; null tokens are skipped inside a shingle
+  * (concat_ws semantics, same as the HOF form it replaces). */
+case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val m = math.max(a.numElements() - n + 1, 0)
+    val out = new Array[AnyRef](m)
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < m) {
+      var k = 0
+      while (k < n) { parts(k) = a.getUTF8String(i + k); k += 1 }
+      out(i) = UTF8String.concatWs(BigramsExpr.Space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val parts = ctx.freshName("parts")
+      val space = ctx.addReferenceObj("space", BigramsExpr.Space,
+        classOf[UTF8String].getName)
+      s"""
+         |int $m = java.lang.Math.max($a.numElements() - $n + 1, 0);
+         |UTF8String[] $out = new UTF8String[$m];
+         |UTF8String[] $parts = new UTF8String[$n];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  for (int $k = 0; $k < $n; $k++) {
+         |    $parts[$k] = $a.getUTF8String($i + $k);
+         |  }
+         |  $out[$i] = UTF8String.concatWs($space, $parts);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   val BigramsName = "graft_bigrams"
+  val ShinglesName = "graft_shingles"
 
   val bigramsBuilder: Seq[Expression] => Expression = { args =>
     require(args.length == 1, s"$BigramsName expects 1 argument")
     BigramsExpr(Cast(args(0), ArrayType(StringType)))
   }
 
-  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** second argument must be a literal int (the shingle width is plan
+    * structure, not data). */
+  val shinglesBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2, s"$ShinglesName expects 2 arguments")
+    val n = args(1) match {
+      case e if e.foldable => e.eval(null) match {
+        case i: Int  => i
+        case l: Long => l.toInt
+        case other   => throw new IllegalArgumentException(
+          s"$ShinglesName: width must be an integer literal, got $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        s"$ShinglesName: width must be a literal")
+    }
+    ShinglesExpr(Cast(args(0), ArrayType(StringType)), n)
+  }
+
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       BigramsName, bigramsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      ShinglesName, shinglesBuilder, "built-in")
+  }
 
   def bigrams(tokens: Column): Column = call_function(BigramsName, tokens)
+
+  def shingles(tokens: Column, n: Int): Column =
+    call_function(ShinglesName, tokens, org.apache.spark.sql.functions.lit(n))
 }

@@ -66,6 +66,27 @@ class FunctionsSpec extends SparkSpec {
     assert(out(0).contains(Seq.empty) && out(1).contains(Seq.empty) && out(2).isEmpty)
   }
 
+  test("native graft_shingles equals the HOF spelling for n=2..4") {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    val t = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(graft.text.Tokenize.tokens(col("text")).as("t"))
+    (2 to 4).foreach { n =>
+      val hof = when(size(col("t")) >= n, transform(
+        sequence(lit(1), size(col("t")) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(col("t"), i + o)): _*)))
+        .otherwise(array().cast("array<string>"))
+      val both = t.select(
+        graft.functions.TextFunctions.shingles(col("t"), n).as("native"),
+        hof.as("ref"))
+      assert(both.filter(col("native") =!= col("ref")).count() == 0, s"n=$n")
+    }
+    // short arrays -> [], never a counts-down phantom
+    val edge = Seq(Seq("a", "b")).toDF("t")
+    val out = edge.select(
+      graft.functions.TextFunctions.shingles(col("t"), 3)).as[Seq[String]].collect()
+    assert(out(0).isEmpty)
+  }
+
   test("pairwise dot runs inside a whole-stage-codegen region") {
     // In the near-dup query normalization happens below the join and the
     // per-pair dot above it; after AQE finalizes, the O(n^2) hot path's
