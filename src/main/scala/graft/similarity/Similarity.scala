@@ -20,7 +20,10 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
-  def toDoubleVec(c: Column): Column = transform(c, _.cast("double"))
+  /** Native array cast (codegen'd), not `transform(c, _.cast)` — the HOF
+    * spelling evaluates interpreted on every embedding row. Values are
+    * identical either way (float→double widening is exact). */
+  def toDoubleVec(c: Column): Column = c.cast("array<double>")
 
   /** Dot product via the native codegen expression (graft.functions).
     * Callers that build plans through the DataFrame entry points below get
