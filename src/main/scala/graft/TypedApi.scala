@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.Dataset
 
 /** Typed Dataset[T] facade over the core engine (builder brief: "use
   * Dataset[T] with case-class Encoders where type safety helps").
@@ -35,9 +35,10 @@ object TypedApi {
     index.InvertedIndex.docInfo(docs.toDF()).as[DocStat]
   }
 
-  def search(spark: SparkSession, docs: Dataset[Doc], query: String,
+  def search(docs: Dataset[Doc], query: String,
              topK: Int = 10): Dataset[ScoredDoc] = {
-    import spark.implicits._
-    rank.BM25.search(spark, docs.toDF(), query, topK = topK).as[ScoredDoc]
+    import docs.sparkSession.implicits._
+    rank.BM25.search(docs.sparkSession, docs.toDF(), query, topK = topK)
+      .as[ScoredDoc]
   }
 }

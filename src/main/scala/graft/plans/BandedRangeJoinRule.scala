@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.LongType
 
 /** Optimizer rule: rewrite a pure inequality band join
   * `A JOIN B ON abs(a - b) <= tol` (a from A, b from B, both LONG) into the
@@ -58,16 +58,25 @@ object BandedRangeJoinRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  private def isEqui(c: Expression, left: LogicalPlan, right: LogicalPlan): Boolean =
+  private def isEqui(c: Expression, left: LogicalPlan, right: LogicalPlan): Boolean = {
+    def crossSides(l: Expression, r: Expression): Boolean =
+      (l.references.subsetOf(left.outputSet) && r.references.subsetOf(right.outputSet)) ||
+        (r.references.subsetOf(left.outputSet) && l.references.subsetOf(right.outputSet))
     c match {
-      case EqualTo(l, r) =>
-        (l.references.subsetOf(left.outputSet) && r.references.subsetOf(right.outputSet)) ||
-          (r.references.subsetOf(left.outputSet) && l.references.subsetOf(right.outputSet))
-      case _ => false
+      // <=> is hash-plannable too (ExtractEquiJoinKeys) — skip those joins
+      case EqualTo(l, r)       => crossSides(l, r)
+      case EqualNullSafe(l, r) => crossSides(l, r)
+      case _                   => false
     }
+  }
 
-  private def floorBand(e: Expression, tol: Long): Expression =
-    Floor(new Divide(Cast(e, DoubleType), Cast(Literal(tol), DoubleType)))
+  /** floor(e / tol) in EXACT long arithmetic: (e - pmod(e, tol)) / tol.
+    * A double-division floor would mis-band longs past 2^53 (nanosecond
+    * epochs are ~1.7e18) and silently DROP matching pairs. */
+  private def floorBand(e: Expression, tol: Long): Expression = {
+    val t = Literal(tol)
+    new IntegralDivide(Subtract(e, Pmod(e, t)), t)
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint)

@@ -147,18 +147,23 @@ object Streaming {
   }
 
   /** Session-close events via flatMapGroupsWithState: per-user event
-    * counts are held in keyed state and EMITTED ONLY when the event-time
-    * timeout fires after `gapMinutes` of silence — the "user went away,
-    * flush their session" pattern mapGroupsWithState can't express (it
-    * must return a row on every invocation; flatMap can return zero).
-    * State is bounded by the watermark-driven timeout. Input rows are
-    * (user_id, epoch micros). */
+    * counts are held in keyed state and EMITTED ONLY when a session
+    * closes — either the event-time timeout fires after `gapMinutes` of
+    * silence, or a new event arrives more than the gap after the open
+    * session's last event (sessions must split on EVENT-time gaps even
+    * when the events arrive together, e.g. during a backlog replay — a
+    * watermark-only check would merge a whole replayed day into one
+    * session). This emit-zero-or-many shape is what mapGroupsWithState
+    * (exactly one row per invocation) can't express. State is bounded by
+    * the watermark-driven timeout. Input rows are (user_id, epoch
+    * micros). */
   case class SessionState(nEvents: Long, lastSeenUs: Long)
   case class ClosedSession(userId: Long, nEvents: Long, lastSeenUs: Long)
 
   def sessionCloser(events: Dataset[(Long, Long)],
                     gapMinutes: Int = 30): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
     events.toDF("user_id", "us")
       .withColumn("ts", timestamp_micros(col("us")))
       .withWatermark("ts", "10 minutes")
@@ -168,19 +173,30 @@ object Streaming {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (userId, rows, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            // gap elapsed: flush the session and clear its state
+            // gap elapsed with no new events: flush and clear
             val s = state.get
             state.remove()
             Iterator(ClosedSession(userId, s.nEvents, s.lastSeenUs))
           } else {
-            val batch = rows.toSeq
-            val prev = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
-            val next = SessionState(prev.nEvents + batch.size,
-              math.max(prev.lastSeenUs, batch.map(_._2).max))
-            state.update(next)
+            // fold events in event-time order, closing a session whenever
+            // the NEXT event is more than the gap after the last one
+            val closed = Seq.newBuilder[ClosedSession]
+            var cur = state.getOption.orNull
+            rows.map(_._2).toSeq.sorted.foreach { t =>
+              cur match {
+                case null =>
+                  cur = SessionState(1L, t)
+                case s if t - s.lastSeenUs > gapUs =>
+                  closed += ClosedSession(userId, s.nEvents, s.lastSeenUs)
+                  cur = SessionState(1L, t)
+                case s =>
+                  cur = SessionState(s.nEvents + 1, math.max(s.lastSeenUs, t))
+              }
+            }
+            state.update(cur)
             state.setTimeoutTimestamp(
-              next.lastSeenUs / 1000L + gapMinutes * 60L * 1000L)
-            Iterator.empty // nothing emitted until the session closes
+              cur.lastSeenUs / 1000L + gapMinutes * 60L * 1000L)
+            closed.result().iterator
           }
       }
   }

@@ -51,6 +51,25 @@ class BandedRangeJoinRuleSpec extends SparkSpec {
     assert(bare.contains("BroadcastNestedLoopJoin") || bare.contains("CartesianProduct"))
   }
 
+  test("banding is exact for longs beyond 2^53 (nanosecond epochs)") {
+    // double-division banding would lose ~128ns of precision here and
+    // silently drop matching pairs; integer floor-division must not
+    val base = 1700000000000000000L // ~2023 in epoch nanos, >> 2^53
+    val tol = 1000L
+    val a = Seq(("a1", base), ("a2", base + 999L), ("a3", base + 5000L))
+      .toDF("id_a", "us_a")
+    val b = Seq(("b1", base + 1000L), ("b2", base + 1001L), ("b3", base + 4500L))
+      .toDF("id_b", "us_b")
+    val cond = abs(col("us_a") - col("us_b")) <= lit(tol)
+    val naive = a.join(b, cond)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    val rewritten = withRule {
+      a.join(b, cond).select("id_a", "id_b").as[(String, String)].collect().toSet
+    }
+    assert(rewritten == naive)
+    assert(naive == Set(("a1", "b1"), ("a2", "b1"), ("a2", "b2"), ("a3", "b3")))
+  }
+
   test("joins that already have an equi key are left untouched") {
     val (a, b) = sides
     val cond = col("id_a") === col("id_b") &&

@@ -58,7 +58,7 @@ class FunctionsSpec extends SparkSpec {
     val both = t.filter(size(col("t")) >= 2).select(
       graft.functions.TextFunctions.bigrams(col("t")).as("native"),
       hof.as("ref"))
-    assert(both.filter(col("native") =!= col("ref")).count() == 0)
+    assert(both.filter(!(col("native") <=> col("ref"))).count() == 0)
     // short/empty arrays -> [] not null, and null -> null
     val edge = Seq(Some(Seq("only")), Some(Seq.empty[String]), None).toDF("t")
     val out = edge.select(graft.functions.TextFunctions.bigrams(col("t")))
@@ -78,7 +78,8 @@ class FunctionsSpec extends SparkSpec {
       val both = t.select(
         graft.functions.TextFunctions.shingles(col("t"), n).as("native"),
         hof.as("ref"))
-      assert(both.filter(col("native") =!= col("ref")).count() == 0, s"n=$n")
+      // null-safe: a null-vs-[] divergence must FAIL, not filter away
+      assert(both.filter(!(col("native") <=> col("ref"))).count() == 0, s"n=$n")
     }
     // short arrays -> [], never a counts-down phantom
     val edge = Seq(Seq("a", "b")).toDF("t")

@@ -129,16 +129,21 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       // nothing closed yet: watermark hasn't passed anyone's gap
       assert(spark.table("closer").count() == 0)
-      // user 2 keeps going far in the future -> watermark advances past
-      // user 1's 30-minute gap -> user 1's session flushes
+      // user 2 reappears 114 min later: the EVENT-time gap closes their
+      // first session immediately (replay semantics), and the advancing
+      // watermark fires user 1's 30-minute timeout
       input.addData((2L, us("2024-01-01 12:00:00")))
       q.processAllAvailable()
-      input.addData((2L, us("2024-01-01 12:01:00"))) // one more batch to emit
+      input.addData((2L, us("2024-01-01 12:01:00"))) // merges: 1 min gap
       q.processAllAvailable()
       val rows = spark.table("closer").as[Streaming.ClosedSession].collect()
       assert(rows.exists(r => r.userId == 1L && r.nEvents == 2L &&
         r.lastSeenUs == us("2024-01-01 10:05:00")))
-      assert(!rows.exists(_.userId == 2L)) // still active
+      assert(rows.exists(r => r.userId == 2L && r.nEvents == 1L &&
+        r.lastSeenUs == us("2024-01-01 10:06:00")))
+      // user 2's 12:00-12:01 session is still open
+      assert(!rows.exists(r => r.userId == 2L &&
+        r.lastSeenUs >= us("2024-01-01 12:00:00")))
     } finally q.stop()
   }
 

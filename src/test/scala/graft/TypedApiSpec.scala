@@ -22,7 +22,7 @@ class TypedApiSpec extends SparkSpec {
   }
 
   test("typed search returns ScoredDoc rows matching the untyped search") {
-    val typed = search(spark, docs, "spark join window").collect().toSeq
+    val typed = search(docs, "spark join window").collect().toSeq
     val untyped = rank.BM25.search(spark, docs.toDF(), "spark join window")
       .as[ScoredDoc].collect().toSeq
     assert(typed == untyped && typed.size == 10)
