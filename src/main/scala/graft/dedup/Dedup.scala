@@ -20,6 +20,17 @@ import graft.similarity.Similarity
   */
 object Dedup {
 
+  /** Default shingle document-frequency cap. Sizing: the capped jaccardPairs
+    * path explodes up to df^2 candidate pairs from ONE collect_list bucket
+    * inside ONE task, so the cap bounds per-task memory: at 1000 that is at
+    * most 10^6 (doc_a, doc_b) rows (~16 MB of longs) per hot shingle —
+    * safely inside any executor. The previous default (10000) allowed 10^8
+    * pairs (~1.6 GB) from a single bucket, an OOM hazard the declared
+    * queries only dodged by passing an explicit cap of 100. Shingles above
+    * any sane cap are boilerplate with no near-dup signal anyway (see
+    * capShingleDf), so tightening the default costs no recall in practice. */
+  val DefaultMaxShingleDf = 1000
+
   /** Exact duplicate groups by content hash (md5 — reproducible in the
     * oracle, unlike xxhash64). One shuffle. */
   def exactDuplicates(docs: DataFrame): DataFrame =
@@ -76,7 +87,7 @@ object Dedup {
     * executor memory for the session lifetime with no way to unpersist
     * after the caller's action. */
   def jaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.05,
-                   maxShingleDf: Int = 10000): DataFrame = {
+                   maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     if (maxShingleDf <= 0) {
       val sh = shingles(docs, n)
       return scoreJaccard(sh, sharedShingleCounts(sh), minJaccard)
@@ -148,7 +159,7 @@ object Dedup {
     * the recall/candidate-volume dial, verify removes false positives. */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 32, bands: Int = 16,
                       n: Int = 3, minJaccard: Double = 0.5,
-                      maxShingleDf: Int = 10000): DataFrame = {
+                      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // one shingle lineage feeds the signatures AND the exact verify; the
@@ -254,12 +265,17 @@ object Dedup {
     * convergence check is a count of changed labels, not a data collect.
     * Each round persists its labels and unpersists the previous round, so
     * lineage and recompute don't grow with iterations. The RETURNED frame
-    * is the final round's persisted labels: the cache is what makes the
-    * result cheap to reuse, and since the caller holds the reference they
-    * control its lifetime — call `.unpersist()` when done (unlike an
-    * operator-internal cache, which nobody could release). Deterministic:
-    * min over an undirected edge set, independent of partition layout.
-    * Throws (releasing all caches) if maxIter rounds don't converge. */
+    * is an EAGER localCheckpoint of the final labels: materialized and
+    * lineage-free, with every loop cache released before return — nothing
+    * stays pinned in the session cache manager, and the checkpoint blocks
+    * themselves are freed by the ContextCleaner when the frame is GC'd (no
+    * unpersist contract for the caller; round-2 review found no caller ever
+    * honored one). Cluster caveat: localCheckpoint truncates lineage, so on
+    * a real cluster a lost executor cannot recompute its blocks — swap in a
+    * reliable `checkpoint()` (HDFS-backed) there; the algorithm is
+    * unchanged. Deterministic: min over an undirected edge set, independent
+    * of partition layout. Throws (releasing all caches) if maxIter rounds
+    * don't converge. */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     // materialize the (possibly expensive) pair pipeline ONCE before the
     // two-direction union reads it twice — the eager count is a cache
@@ -301,7 +317,9 @@ object Dedup {
         throw new IllegalArgumentException(
           s"duplicateClusters: not converged after $maxIter rounds")
       }
-      labels.orderBy("doc_id")
+      val out = labels.orderBy("doc_id").localCheckpoint(true)
+      labels.unpersist()
+      out
     } finally {
       edges.unpersist()
       p.unpersist()

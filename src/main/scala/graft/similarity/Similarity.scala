@@ -1,7 +1,6 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
 
@@ -105,11 +104,15 @@ object Similarity {
     * pipeline is a pure function of the data: no RNG, no k-means
     * iterations, reproducible across engines and partition layouts.
     *
-    * Scale notes (100 TB): assignment is n×nCells broadcast dot products
-    * (one scan, centroids broadcast); the per-query probe touches ~
-    * nProbe/nCells of the corpus instead of all of it. `nProbe == nCells`
-    * degenerates to exact brute force — SimilaritySpec pins that equality,
-    * which anchors the recall semantics to the oracle-checked cosineTopK.
+    * Scale notes (100 TB): cell assignment is a per-row argmax FOLD over the
+    * broadcast centroid array — one corpus scan, zero shuffle, no window
+    * (round-2 review: the previous crossJoin + row_number spelling shuffled
+    * n×nCells rows to compute an argmax that is local to each row; at
+    * nCells=4096 that exchange dominates everything). The per-query probe
+    * then touches ~nProbe/nCells of the corpus instead of all of it.
+    * `nProbe == nCells` degenerates to exact brute force — SimilaritySpec
+    * pins that equality, which anchors the recall semantics to the
+    * oracle-checked cosineTopK. PlanSpec pins the no-Window shape.
     */
   def annCosineIvf(embeddings: DataFrame, queryVecId: Long, k: Int,
                    nCells: Int = 16, nProbe: Int = 4,
@@ -120,30 +123,41 @@ object Similarity {
       toDoubleVec(col("embedding")).as("v")), "v")
       .select(col("vec_id"), col("label"), col("u"))
     // deterministic sampled centroids: nCells vectors in seeded-hash order
-    val centroids = e
+    // (TakeOrdered over n, never a global sort), numbered 1..nCells by that
+    // order INSIDE one collected array — array_sort on (key, id, vec)
+    // structs + transform-with-index replaces the row_number window.
+    val cells = e
       .withColumn("__ck", md5(concat(col("vec_id").cast("string"), lit(s":$seed"))))
       .orderBy(col("__ck"), col("vec_id")).limit(nCells)
-      .select(col("vec_id").as("cvid"), col("u").as("cu"), col("__ck"))
-      .withColumn("cell_id", row_number().over(
-        Window.orderBy(col("__ck"), col("cvid")))) // nCells rows: tiny window
-      .select("cell_id", "cu")
-    // assign every vector to its max-cosine cell (unit vecs: cosine == dot)
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(desc("__d"), asc("cell_id"))
-    val assigned = e.crossJoin(broadcast(centroids))
-      .withColumn("__d", dot(col("u"), col("cu")))
-      .withColumn("__rn", row_number().over(wAssign))
-      .filter(col("__rn") === 1)
+      .agg(array_sort(collect_list(
+        struct(col("__ck").as("ck"), col("vec_id").as("cvid"),
+          col("u").as("cu")))).as("arr"))
+      .select(transform(col("arr"), (c, i) =>
+        struct((i + lit(1)).cast("int").as("cell_id"),
+          c.getField("cu").as("cu"))).as("cells"))
+    // assign every vector to its max-cosine cell (unit vecs: cosine == dot):
+    // a left-to-right fold keeps the FIRST maximum, i.e. the lowest cell_id
+    // on ties — the same (dot DESC, cell_id ASC) rank-1 the oracle computes.
+    val best = aggregate(col("cells"),
+      struct(lit(Double.NegativeInfinity).as("d"), lit(0).cast("int").as("cell_id")),
+      (acc, c) => {
+        val d = dot(col("u"), c.getField("cu"))
+        when(d > acc.getField("d"),
+          struct(d.as("d"), c.getField("cell_id").as("cell_id")))
+          .otherwise(acc)
+      })
+    val assigned = e.crossJoin(broadcast(cells))
+      .withColumn("cell_id", best.getField("cell_id"))
       .select(col("vec_id"), col("label"), col("u"), col("cell_id"))
-    // the query's nProbe nearest cells (few rows — reuses the same ranking)
-    val q = assigned.filter(col("vec_id") === queryVecId)
-      .select(col("u").as("qu"))
-    val probed = q.crossJoin(broadcast(centroids))
-      .withColumn("__d", dot(col("qu"), col("cu")))
-      .withColumn("__rn", row_number().over(
-        Window.orderBy(desc("__d"), asc("cell_id"))))
-      .filter(col("__rn") <= nProbe)
-      .select(col("cell_id"), col("qu"))
+    // the query's nProbe nearest cells: explode the (tiny) cell array once
+    // and TakeOrdered nProbe of it — again no window, no extra shuffle
+    val q = e.filter(col("vec_id") === queryVecId).select(col("u").as("qu"))
+    val probed = q.crossJoin(broadcast(cells))
+      .select(col("qu"), explode(col("cells")).as("c"))
+      .select(col("qu"), col("c.cell_id").as("cell_id"),
+        dot(col("qu"), col("c.cu")).as("__d"))
+      .orderBy(desc("__d"), asc("cell_id")).limit(nProbe)
+      .select("cell_id", "qu")
     // exact cosine over candidates in the probed cells only
     assigned.join(broadcast(probed), Seq("cell_id"))
       .filter(col("vec_id") =!= queryVecId)

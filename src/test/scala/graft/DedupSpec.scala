@@ -116,6 +116,38 @@ class DedupSpec extends SparkSpec {
     assert(keep == Seq(1L, 4L, 5L, 6L, 7L, 8L, 10L))
   }
 
+  test("clustering releases every cache it takes (no session-lifetime pins)") {
+    // round-2 review: the returned labels frame stayed persisted forever
+    // because no caller honored the unpersist contract. Now the result is an
+    // eager localCheckpoint and the loop caches are all released — after the
+    // downstream action completes, the session cache manager must be empty.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val keep = Dedup.keepList(docs, Dedup.duplicateClusters(
+      Dedup.jaccardPairs(docs, 3, 0.5, maxShingleDf = 100)))
+    assert(keep.count() > 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "duplicateClusters pinned a frame in the session cache manager")
+  }
+
+  test("capped path bounds per-bucket candidate fan-out at df <= cap") {
+    // A shingle at exactly the cap must survive and emit at most
+    // C(cap, 2) ordered pairs — the per-task memory bound the default cap
+    // derivation in Dedup.DefaultMaxShingleDf relies on.
+    val boiler = Seq(
+      (10L, "copyright all rights reserved alpha unique words one"),
+      (11L, "copyright all rights reserved beta distinct tokens two"),
+      (12L, "copyright all rights reserved gamma other stuff three"),
+      (13L, "copyright all rights reserved delta final filler four"),
+    ).toDF("doc_id", "text")
+    // cap = 4 keeps the df=4 boilerplate shingles: every cross-boilerplate
+    // pair appears exactly once (C(4,2) = 6), nothing beyond the bound
+    val pairs = Dedup.jaccardPairs(boiler, 3, 0.0, maxShingleDf = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.length == 6)
+    assert(pairs.map(p => (p._1, p._2)).distinct.length == 6)
+    assert(Dedup.DefaultMaxShingleDf == 1000) // derivation in the scaladoc
+  }
+
   test("embedding near-dup pairs by cosine threshold") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

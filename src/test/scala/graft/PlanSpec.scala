@@ -54,6 +54,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
   }
 
+  test("IVF cell assignment is a shuffle-free fold: no Window in the plan") {
+    // round-2 review: assignment via crossJoin + row_number shuffled
+    // n×nCells rows for a per-row argmax. The fold form must plan with no
+    // Window node at all (the probe is a TakeOrderedAndProject).
+    val p = plan("sim_ann_ivf")
+    assert(!p.contains("Window"), "sim_ann_ivf plans a Window exchange")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("BM25 query-term restriction is a broadcast join, not a driver loop") {
     val p = plan("bm25_search")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
