@@ -100,6 +100,10 @@ object SparkEntry {
       Relational.buildingBigSpenders(table(s, dir, "customer"), table(s, dir, "orders"), 300000.0)),
     "rel_except" -> ((s, dir) =>
       Relational.neverUrgent(table(s, dir, "customer"), table(s, dir, "orders"))),
+    "rel_intersect_all" -> ((s, dir) =>
+      Relational.urgentVsHighIntersectAll(table(s, dir, "orders"))),
+    "rel_except_all" -> ((s, dir) =>
+      Relational.urgentVsHighExceptAll(table(s, dir, "orders"))),
     "rel_topk" -> ((s, dir) =>
       Relational.topOrders(table(s, dir, "orders"), 10)),
     "rel_window_rank" -> ((s, dir) =>
@@ -146,6 +150,19 @@ object SparkEntry {
         .select(col("l_returnflag"), col("n"),
           col("total").cast("double").as("total"))
         .orderBy("l_returnflag")
+    }),
+    // pre-planned salted join (the AQE-independent skew weapon): hot keys
+    // spread over `salts` reducers, small side replicated salts times. No
+    // false/lost matches by construction, so the oracle is the plain join.
+    "rel_salted_join" -> ((s, dir) => {
+      val small = table(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.relational.Skew.saltedJoin(table(s, dir, "orders"), small,
+          "o_custkey", 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy("c_mktsegment")
     }),
     // bucketed co-location: one-time bucket write, then a shuffle-free
     // join (BucketingSpec pins zero Exchange); results equal the plain
@@ -272,8 +289,13 @@ object SparkEntry {
     // planted-dup semantics).
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(table(s, dir, "documents"), 3)),
+    // Primary embedding near-dup: banded sign-bit LSH (4 bands x 8 planes)
+    // + exact-cosine verify. The brute all-pairs generator is spec-only
+    // (round-2 review: a BroadcastNestedLoopJoin over n^2/2 pairs was the
+    // one declared query that dies at 100x scale). The oracle mirrors the
+    // banding exactly, so recall < 1 cannot cause a mismatch.
     "dedup_embedding_pairs" -> ((s, dir) =>
-      Dedup.embeddingNearDupPairs(table(s, dir, "embeddings"), 0.4)),
+      Dedup.embeddingNearDupPairsBanded(table(s, dir, "embeddings"), 0.4)),
     "dedup_embedding_lsh" -> ((s, dir) =>
       Dedup.embeddingNearDupPairsLsh(table(s, dir, "embeddings"), 0.4)),
 
@@ -470,6 +492,21 @@ object SparkEntry {
         |EXCEPT
         |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY c_custkey""".stripMargin,
+    "rel_intersect_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+        |ORDER BY o_custkey""".stripMargin,
+    "rel_except_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+        |ORDER BY o_custkey""".stripMargin,
+    "rel_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "rel_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
@@ -677,15 +714,25 @@ object SparkEntry {
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE cluster_id != doc_id)
          |ORDER BY doc_id""".stripMargin,
-    // same op order as the Spark plan: normalize each vector once, then dot
+    // mirrors the banded generator exactly: per-band integer hyperplane
+    // sign buckets (plane index = band*8 + jj), distinct candidates across
+    // bands, then the same normalize-once + dot verify as the Spark plan
     "dedup_embedding_pairs" ->
       """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |bands AS (SELECT unnest(generate_series(0, 3)) AS band),
+        |bk AS (SELECT vec_id, band,
+        |  list_sum(list_transform(generate_series(0, 7), jj ->
+        |    CASE WHEN list_sum(list_transform(generate_series(1, 64), d ->
+        |      v[d] * CAST((((band*8 + jj)*31 + (d-1)*17) % 7) - 3 AS DOUBLE))) >= 0
+        |    THEN 1 << jj ELSE 0 END)) AS bucket
+        |  FROM e0 CROSS JOIN bands),
+        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
         |e1 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),
         |e AS (SELECT vec_id, list_transform(v, x -> x/nrm) AS u FROM e1)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round(list_dot_product(a.u, b.u), 4) AS cosine
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.u, b.u) >= 0.4
+        |SELECT c.vec_a, c.vec_b, round(list_dot_product(ea.u, eb.u), 4) AS cosine
+        |FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b
+        |WHERE list_dot_product(ea.u, eb.u) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
 
     "dedup_embedding_lsh" ->

@@ -228,13 +228,12 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Embedding-cosine near-dup pairs. Brute all-pairs here (n is small at
-    * test SFs); the 100 TB path replaces the pair generator with
-    * Similarity.lshBucket bucketing — same verify step. */
-  /** LSH-bucketed embedding near-dup — the 100 TB path: candidates are
-    * pairs sharing a sign-bit bucket, so the quadratic term is bounded per
-    * bucket. Recall < 1 by construction (same tradeoff as minhashLshPairs),
-    * exact cosine verifies candidates. */
+  /** LSH-bucketed embedding near-dup: candidates are pairs sharing a
+    * single sign-bit bucket, so the quadratic term is bounded per bucket.
+    * Recall < 1 by construction (same tradeoff as minhashLshPairs), exact
+    * cosine verifies candidates. One band only — the banded form below is
+    * the declared/primary query; this stays as the minimal one-bucket
+    * building block. */
   def embeddingNearDupPairsLsh(embeddings: DataFrame, minCosine: Double = 0.4,
                                dims: Int = 64, nPlanes: Int = 8): DataFrame = {
     val e = Similarity.withUnitVec(
@@ -246,6 +245,45 @@ object Dedup {
     val b = e.select(col("vec_id").as("vec_b"), col("u").as("ub"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", Similarity.dot(col("ua"), col("ub")))
+      .filter(col("cos") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Banded sign-bit LSH embedding near-dup — THE primary pair query (the
+    * 100 TB path). One band of r hyperplanes catches a pair at angle theta
+    * with p = (1 - theta/pi)^r; `bands` independent plane sets (disjoint
+    * coefficient ranges of Similarity.lshBucket's deterministic integer
+    * hyperplanes) lift recall to 1-(1-p)^bands while every candidate join
+    * stays bounded per (band, bucket) — never all-pairs. Candidates are
+    * distinct'd across bands, then exact cosine verifies each once.
+    *
+    * The brute all-pairs form (embeddingNearDupPairs, below) is the
+    * spec-only recall baseline: it is a BroadcastNestedLoopJoin over n^2/2
+    * pairs and must never be the declared query at scale (round-2 review).
+    */
+  def embeddingNearDupPairsBanded(embeddings: DataFrame,
+                                  minCosine: Double = 0.4, dims: Int = 64,
+                                  nPlanes: Int = 8, bands: Int = 4): DataFrame = {
+    val e = Similarity.withUnitVec(
+      embeddings.select(col("vec_id"),
+        Similarity.toDoubleVec(col("embedding")).as("v")), "v")
+      .select(col("vec_id"), col("v"), col("u"))
+    // one row per (vector, band) with that band's bucket id — sign bits are
+    // computed from the raw vector (scale-invariant, same as the 1-band form)
+    val banded = e.select(col("vec_id"), posexplode(
+      array((0 until bands).map(b =>
+        Similarity.lshBucket(col("v"), dims, nPlanes, b * nPlanes)): _*))
+      .as(Seq("band", "bucket")))
+    val cand = banded.select(col("vec_id").as("vec_a"), col("band"), col("bucket"))
+      .join(banded.select(col("vec_id").as("vec_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("u").as("ua")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("u").as("ub")), Seq("vec_b"))
       .withColumn("cos", Similarity.dot(col("ua"), col("ub")))
       .filter(col("cos") >= minCosine)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
@@ -335,6 +373,11 @@ object Dedup {
         .select("doc_id"), Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
 
+  /** Brute all-pairs embedding near-dup — SPEC-ONLY recall baseline, not a
+    * declared query: the pair generator is an O(n^2) nested-loop join that
+    * cannot survive scale. DedupSpec uses it to pin the banded/1-band LSH
+    * forms' output (identical cosines, subset/equality relations); anything
+    * production-shaped goes through embeddingNearDupPairsBanded. */
   def embeddingNearDupPairs(embeddings: DataFrame, minCosine: Double = 0.4): DataFrame = {
     // Normalize ONCE per vector (n folds), so each of the O(n^2) candidate
     // pairs pays a single dot product instead of dot + two norm folds —

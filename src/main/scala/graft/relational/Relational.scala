@@ -152,6 +152,25 @@ object Relational {
         .select(col("o_custkey").as("c_custkey")))
       .orderBy("c_custkey")
 
+  /** INTERSECT ALL (bag semantics): per customer, min(#urgent, #high)
+    * occurrences survive — the multiplicity-preserving form the
+    * set-semantics intersect cannot express. Plans as one aggregate per
+    * side + a join on counts (Catalyst's ReplaceIntersectAll), not a
+    * pairwise matching — a single pair of shuffles at scale. */
+  def urgentVsHighIntersectAll(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      .intersectAll(
+        orders.filter(col("o_orderpriority") === "2-HIGH").select("o_custkey"))
+      .orderBy("o_custkey")
+
+  /** EXCEPT ALL (bag semantics): per customer, max(0, #urgent - #high)
+    * occurrences survive. */
+  def urgentVsHighExceptAll(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      .exceptAll(
+        orders.filter(col("o_orderpriority") === "2-HIGH").select("o_custkey"))
+      .orderBy("o_custkey")
+
   /** Global top-k — plans as TakeOrderedAndProject, never a full sort. */
   def topOrders(orders: DataFrame, k: Int): DataFrame =
     orders.select("o_orderkey", "o_custkey", "o_totalprice")

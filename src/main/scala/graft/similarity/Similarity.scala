@@ -66,10 +66,16 @@ object Similarity {
     * pure integer arithmetic so Spark and the SQL oracle agree exactly. */
   private def planeCoef(plane: Int, dim: Int): Int = (plane * 31 + dim * 17) % 7 - 3
 
-  /** Sign-bit LSH bucket id from `nPlanes` integer hyperplanes. */
-  def lshBucket(vec: Column, dims: Int, nPlanes: Int = 8): Column = {
+  /** Sign-bit LSH bucket id from `nPlanes` integer hyperplanes.
+    * `planeOffset` selects an independent plane set (planes
+    * planeOffset..planeOffset+nPlanes-1) — the banding dial: band b of a
+    * multi-band scheme passes offset b*nPlanes, giving `bands` independent
+    * bucketings whose union lifts recall to 1-(1-p)^bands. */
+  def lshBucket(vec: Column, dims: Int, nPlanes: Int = 8,
+                planeOffset: Int = 0): Column = {
     val bits = (0 until nPlanes).map { j =>
-      val plane = array((0 until dims).map(d => lit(planeCoef(j, d).toDouble)): _*)
+      val plane = array((0 until dims).map(d =>
+        lit(planeCoef(planeOffset + j, d).toDouble)): _*)
       when(dot(vec, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)

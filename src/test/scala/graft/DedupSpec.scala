@@ -159,6 +159,33 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
   }
 
+  test("banded LSH equals brute force on planted dups, never invents pairs") {
+    // planted: 5 base vectors + exact copies — identical sign bits in every
+    // band, so the banded generator MUST catch each planted pair; nothing
+    // else comes close to cosine 0.99, so banded == brute exactly.
+    val base = (0 until 5).map { i =>
+      (i.toLong, Array.tabulate(64)(d => math.sin(i * 64 + d).toFloat))
+    }
+    val dups = base.map { case (id, v) => (id + 100L, v.clone()) }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val brute = Dedup.embeddingNearDupPairs(emb, 0.99)
+      .as[(Long, Long, Double)].collect().toSet
+    val banded = Dedup.embeddingNearDupPairsBanded(emb, 0.99)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(brute.map(p => (p._1, p._2)) ==
+      (0 until 5).map(i => (i.toLong, i + 100L)).toSet)
+    assert(banded == brute)
+    // on the realistic corpus: every banded pair is a brute pair with the
+    // identical verified cosine (LSH can miss, it can never invent)
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bruteMap = Dedup.embeddingNearDupPairs(corpus, 0.3)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    val bandedC = Dedup.embeddingNearDupPairsBanded(corpus, 0.3)
+      .as[(Long, Long, Double)].collect()
+    assert(bandedC.nonEmpty)
+    bandedC.foreach(p => assert(bruteMap((p._1, p._2)) == p._3))
+  }
+
   test("LSH near-dup pairs are a same-cosine subset of brute force") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Dedup.embeddingNearDupPairs(emb, 0.3)
