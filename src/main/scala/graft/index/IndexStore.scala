@@ -23,10 +23,18 @@ object IndexStore {
 
   /** Build and persist all four index tables. Idempotent full recompute
     * (the S8/A8 design decision: recompute beats read-modify-write). */
-  def write(docs: DataFrame, dir: String, buckets: Int = DefaultBuckets): Unit = {
-    // persist tf across the two writes: the tokenize+explode+aggregate
-    // lineage is the scale-dominant cost and would otherwise run twice
-    val tf = InvertedIndex.termFrequency(docs).persist()
+  def write(docs: DataFrame, dir: String, buckets: Int = DefaultBuckets): Unit =
+    writeTables(InvertedIndex.termFrequency(docs),
+      InvertedIndex.docInfo(docs), dir, buckets)
+
+  /** The four tables from a (tf, doc_info) stat pair — shared by the
+    * full build (stats from a corpus scan) and the incremental merge
+    * (stats from stored tables + a delta). */
+  private def writeTables(tfIn: DataFrame, info: DataFrame, dir: String,
+                          buckets: Int): Unit = {
+    // persist tf across the two writes: the tokenize+explode+aggregate (or
+    // merge) lineage is the scale-dominant cost and would otherwise run twice
+    val tf = tfIn.persist()
     try {
       // repartition on the bucket column before partitionBy: each task then
       // holds whole buckets, so every bucket directory gets O(1) files
@@ -42,10 +50,50 @@ object IndexStore {
         .write.mode("overwrite").partitionBy("term_bucket")
         .parquet(s"$dir/doc_frequency_of_term")
     } finally tf.unpersist()
-    InvertedIndex.docInfo(docs)
-      .write.mode("overwrite").parquet(s"$dir/doc_info")
-    InvertedIndex.corpusInfo(docs)
+    info.write.mode("overwrite").parquet(s"$dir/doc_info")
+    info.agg(
+        count(lit(1)).as("doc_n"),
+        sum("doc_length").as("total_doc_length"),
+        avg("doc_length").as("avg_doc_length"))
       .write.mode("overwrite").parquet(s"$dir/corpus_info")
+  }
+
+  /** Merge a small delta corpus into a stored index WITHOUT re-tokenizing
+    * the stored corpus (A8/S8; the batch twin of the streaming
+    * incrementalIndexWriter, and the landing point for
+    * Sources.ingestLocalFile's one-file flow — app/index.sh:21-41). The
+    * stored tf is already aggregated, so the merge shuffles only
+    * (key, partial) pairs; df/dl/corpus stats re-derive from the merged
+    * tables, never from old text.
+    *
+    * Write-then-swap at the index root: the merge READS the tables it
+    * replaces, so everything materializes into a sibling `.next` dir first,
+    * then two checked renames swap it live (single-writer posix-rename
+    * assumption, same as incrementalIndexWriter; a transactional table
+    * format replaces the swap on a real cluster). Crash between the
+    * renames leaves `<dir>.old` complete — rename it back to recover. */
+  def ingest(newDocs: DataFrame, dir: String,
+             buckets: Int = DefaultBuckets): Unit = {
+    val spark = newDocs.sparkSession
+    val mergedTf = InvertedIndex.mergeTermFrequency(
+      postings(spark, dir).drop("term_bucket"), newDocs)
+    val mergedInfo = docInfo(spark, dir)
+      .unionByName(InvertedIndex.docInfo(newDocs))
+    val cur = new java.io.File(dir)
+    val old = new java.io.File(s"$dir.old")
+    val tmp = new java.io.File(s"$dir.next")
+    writeTables(mergedTf, mergedInfo, tmp.getPath, buckets) // reads cur
+    def rename(from: java.io.File, to: java.io.File): Unit =
+      require(from.renameTo(to), s"IndexStore.ingest: rename $from -> $to failed")
+    if (old.exists()) delete(old)
+    rename(cur, old)
+    rename(tmp, cur)
+    delete(old)
+  }
+
+  private def delete(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(delete)
+    f.delete()
   }
 
   def postings(spark: SparkSession, dir: String): DataFrame =

@@ -48,6 +48,23 @@ object Sources {
       .filter(col("doc_id").isNotNull)
   }
 
+  /** Single-file ingest matching the reference's add-one-local-file
+    * conventions (app/index.sh:21-30): the document title is the filename
+    * without its `.txt` extension, newlines flatten to spaces (`tr '\n' ' '`
+    * — trailing newline included), and the caller supplies the id (the
+    * reference draws a random 6-digit one; determinism is ours to keep).
+    * Reads through the distributed text source, so the path may live on any
+    * Spark-visible filesystem. Feed the result to `IndexStore.ingest` (or
+    * the streaming `incrementalIndexWriter`) to fold it into a stored
+    * index. */
+  def ingestLocalFile(spark: SparkSession, path: String, docId: Long): DataFrame = {
+    val name = new java.io.File(path).getName
+    val title = if (name.endsWith(".txt")) name.dropRight(4) else name
+    spark.read.option("wholetext", "true").text(path)
+      .select(lit(docId).as("doc_id"), lit(title).as("doc_title"),
+        regexp_replace(col("value"), "\n", " ").as("text"))
+  }
+
   /** JSONL corpus reader (modern pipelines): one JSON doc per line. */
   def readCorpusJsonl(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(CorpusSchema).json(path)
