@@ -24,16 +24,23 @@ object Pipeline {
   /** prepare -> index -> search; returns the ranked result frame. */
   def run(spark: SparkSession, docs: DataFrame, workDir: String,
           query: String, sampleN: Int = 1000, seed: Long = 0L): DataFrame = {
+    // persist the sample across the eager stages: the seeded TakeOrdered is
+    // a full corpus scan, and file sink + index build would otherwise
+    // re-run it four times (file sink, tf build, doc_info, corpus_info).
+    // Released before returning — the search frame reads the STORED index,
+    // not this lineage.
     val sampled = Sampling.deterministicSample(docs, "doc_id", sampleN, seed)
-      .drop("sample_key")
-    // the reference corpus carries a title per doc; ours doesn't — derive a
-    // stable one for the per-doc file names
-    val titled =
-      if (sampled.columns.contains("doc_title")) sampled
-      else sampled.withColumn("doc_title",
-        concat(lit("doc"), col("doc_id").cast("string")))
-    DocFileSink.writeDocFiles(titled, s"$workDir/data")
-    IndexStore.write(sampled, s"$workDir/index")
+      .drop("sample_key").persist()
+    try {
+      // the reference corpus carries a title per doc; ours doesn't — derive
+      // a stable one for the per-doc file names
+      val titled =
+        if (sampled.columns.contains("doc_title")) sampled
+        else sampled.withColumn("doc_title",
+          concat(lit("doc"), col("doc_id").cast("string")))
+      DocFileSink.writeDocFiles(titled, s"$workDir/data")
+      IndexStore.write(sampled, s"$workDir/index")
+    } finally sampled.unpersist()
     BM25.searchStored(spark, s"$workDir/index", query)
   }
 

@@ -51,10 +51,10 @@ object IndexStore {
         .parquet(s"$dir/doc_frequency_of_term")
     } finally tf.unpersist()
     info.write.mode("overwrite").parquet(s"$dir/doc_info")
-    info.agg(
-        count(lit(1)).as("doc_n"),
-        sum("doc_length").as("total_doc_length"),
-        avg("doc_length").as("avg_doc_length"))
+    // the ONE corpus-stats formula, shared with the recompute path — if the
+    // stored and recomputed aggregations ever drifted, searchStored and
+    // search would silently disagree
+    InvertedIndex.corpusInfoFromDocInfo(info)
       .write.mode("overwrite").parquet(s"$dir/corpus_info")
   }
 
@@ -75,6 +75,16 @@ object IndexStore {
   def ingest(newDocs: DataFrame, dir: String,
              buckets: Int = DefaultBuckets): Unit = {
     val spark = newDocs.sparkSession
+    // A re-ingested doc_id would SUM its stored tf with the new tf and
+    // duplicate its doc_info row — stats silently corrupt (a full recompute
+    // would be right). Fail loudly instead: one broadcast-semi-join count
+    // against the (small) delta before any write.
+    val dup = docInfo(spark, dir)
+      .join(broadcast(newDocs.select("doc_id")), Seq("doc_id"), "left_semi")
+      .count()
+    require(dup == 0,
+      s"IndexStore.ingest: $dup doc_id(s) already indexed at $dir — " +
+        "re-indexing a changed doc needs a full recompute (write), not ingest")
     val mergedTf = InvertedIndex.mergeTermFrequency(
       postings(spark, dir).drop("term_bucket"), newDocs)
     val mergedInfo = docInfo(spark, dir)
@@ -92,8 +102,12 @@ object IndexStore {
   }
 
   private def delete(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(delete)
-    f.delete()
+    // listFiles is null on I/O error or a concurrently-removed dir; a
+    // silently-failed delete would surface later as an inexplicable rename
+    // failure mid-swap — fail at the actual cause instead
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(delete)
+    if (f.exists() && !f.delete())
+      throw new java.io.IOException(s"IndexStore: failed to delete $f")
   }
 
   def postings(spark: SparkSession, dir: String): DataFrame =

@@ -42,7 +42,13 @@ object InvertedIndex {
   /** corpus_info (schema.cql:28-32; reducer2.py:80-92): single-row global
     * stats. */
   def corpusInfo(docs: DataFrame): DataFrame =
-    docInfo(docs).agg(
+    corpusInfoFromDocInfo(docInfo(docs))
+
+  /** The corpus-stats aggregation over an existing doc_info table — the
+    * single source of the formula for both the recompute path (above) and
+    * IndexStore's persisted table (which searchStored reads back). */
+  def corpusInfoFromDocInfo(info: DataFrame): DataFrame =
+    info.agg(
       count(lit(1)).as("doc_n"),
       sum("doc_length").as("total_doc_length"),
       avg("doc_length").as("avg_doc_length"))

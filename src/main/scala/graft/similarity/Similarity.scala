@@ -142,16 +142,18 @@ object Similarity {
         struct((i + lit(1)).cast("int").as("cell_id"),
           c.getField("cu").as("cu"))).as("cells"))
     // assign every vector to its max-cosine cell (unit vecs: cosine == dot):
-    // a left-to-right fold keeps the FIRST maximum, i.e. the lowest cell_id
-    // on ties — the same (dot DESC, cell_id ASC) rank-1 the oracle computes.
-    val best = aggregate(col("cells"),
+    // score each cell ONCE via transform (ArrayAggregate evaluates its merge
+    // lambda interpreted with no CSE — folding over raw cells would pay each
+    // dot twice, in the comparison and in the kept struct), then fold a
+    // left-to-right argmax that keeps the FIRST maximum, i.e. the lowest
+    // cell_id on ties — the same (dot DESC, cell_id ASC) rank-1 the oracle
+    // computes.
+    val scored = transform(col("cells"), c =>
+      struct(dot(col("u"), c.getField("cu")).as("d"),
+        c.getField("cell_id").as("cell_id")))
+    val best = aggregate(scored,
       struct(lit(Double.NegativeInfinity).as("d"), lit(0).cast("int").as("cell_id")),
-      (acc, c) => {
-        val d = dot(col("u"), c.getField("cu"))
-        when(d > acc.getField("d"),
-          struct(d.as("d"), c.getField("cell_id").as("cell_id")))
-          .otherwise(acc)
-      })
+      (acc, c) => when(c.getField("d") > acc.getField("d"), c).otherwise(acc))
     val assigned = e.crossJoin(broadcast(cells))
       .withColumn("cell_id", best.getField("cell_id"))
       .select(col("vec_id"), col("label"), col("u"), col("cell_id"))

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** AQE skew handling demonstrated under a planted 100:1 hot key: the
@@ -14,34 +15,40 @@ import org.apache.spark.sql.functions._
   * max(threshold, factor × median) — is the same one production hits.
   */
 class AqeSkewSpec extends SparkSpec {
-  import spark.implicits._
 
-  private val keys = Seq(
-    "spark.sql.adaptive.enabled",
-    "spark.sql.adaptive.skewJoin.enabled",
-    "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-    "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-    "spark.sql.adaptive.coalescePartitions.enabled",
-    "spark.sql.autoBroadcastJoinThreshold")
+  /** hot key 0 carries 100k rows (~100:1 vs the 1k-row cold keys) */
+  private def bigSkewed: DataFrame =
+    spark.range(0, 200000).select(
+      when(col("id") < 100000, 0L).otherwise(col("id") % 100 + 1).as("k"),
+      col("id").as("payload"))
+
+  private def smallDim: DataFrame =
+    spark.range(0, 101).select(col("id").as("k"), (col("id") * 2).as("v"))
+
+  /** Run `body` under conf overrides, restoring prior values after. */
+  private def withConf[A](overrides: (String, String)*)(body: => A): A = {
+    val conf = spark.conf
+    val saved = overrides.map { case (k, _) => k -> conf.getOption(k) }
+    try {
+      overrides.foreach { case (k, v) => conf.set(k, v) }
+      body
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 
   test("AQE splits the skewed partition of a planted 100:1 hot-key join") {
-    val conf = spark.conf
-    val saved = keys.map(k => k -> conf.getOption(k))
-    try {
-      conf.set("spark.sql.adaptive.enabled", "true")
-      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
-      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
-      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
-      // hot key 0 carries 100k rows (~100:1 vs the 1k-row cold keys)
-      val big = spark.range(0, 200000).select(
-        when(col("id") < 100000, 0L).otherwise(col("id") % 100 + 1).as("k"),
-        col("id").as("payload"))
-      val small = spark.range(0, 101).select(col("id").as("k"), (col("id") * 2).as("v"))
-      val qe = big.join(small, "k").queryExecution
+    withConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ
+    ) {
+      val qe = bigSkewed.join(smallDim, "k").queryExecution
       // execute THIS query execution so ITS adaptive plan finalizes (a
       // .count() would run a different QueryExecution)
       assert(qe.toRdd.count() == 200000L)
@@ -49,32 +56,17 @@ class AqeSkewSpec extends SparkSpec {
       assert(plan.contains("isFinalPlan=true"))
       assert(plan.toLowerCase.contains("skew"),
         s"AQE did not mark/split the skewed join:\n$plan")
-    } finally {
-      saved.foreach {
-        case (k, Some(v)) => conf.set(k, v)
-        case (k, None) => conf.unset(k)
-      }
     }
   }
 
   test("same join without skew handling shows no skew markers (control)") {
-    val conf = spark.conf
-    val saved = keys.map(k => k -> conf.getOption(k))
-    try {
-      conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
-      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val big = spark.range(0, 200000).select(
-        when(col("id") < 100000, 0L).otherwise(col("id") % 100 + 1).as("k"),
-        col("id").as("payload"))
-      val small = spark.range(0, 101).select(col("id").as("k"), (col("id") * 2).as("v"))
-      val qe = big.join(small, "k").queryExecution
+    withConf(
+      "spark.sql.adaptive.skewJoin.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    ) {
+      val qe = bigSkewed.join(smallDim, "k").queryExecution
       assert(qe.toRdd.count() == 200000L)
       assert(!qe.executedPlan.toString.toLowerCase.contains("skew=true"))
-    } finally {
-      saved.foreach {
-        case (k, Some(v)) => conf.set(k, v)
-        case (k, None) => conf.unset(k)
-      }
     }
   }
 }

@@ -121,6 +121,11 @@ class DedupSpec extends SparkSpec {
     // because no caller honored the unpersist contract. Now the result is an
     // eager localCheckpoint and the loop caches are all released — after the
     // downstream action completes, the session cache manager must be empty.
+    // the cache manager is shared JVM-wide: only a clean-before state makes
+    // the clean-after assertion attributable to duplicateClusters (another
+    // suite's legitimate cache would otherwise fail this test spuriously)
+    assume(spark.sharedState.cacheManager.isEmpty,
+      "another suite left a persisted frame; cannot attribute cache state")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val keep = Dedup.keepList(docs, Dedup.duplicateClusters(
       Dedup.jaccardPairs(docs, 3, 0.5, maxShingleDf = 100)))

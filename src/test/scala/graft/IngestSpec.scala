@@ -51,5 +51,12 @@ class IngestSpec extends SparkSpec {
     assert(stored.nonEmpty && stored == recompute)
     // the new doc is term-heavy on the query -> it must surface in top-10
     assert(stored.map(_._1).contains(999999L))
+
+    // re-ingesting an already-indexed doc_id must fail loudly, not silently
+    // double-count stored stats (merge SUMS tf; recompute would be right)
+    val ex = intercept[IllegalArgumentException] {
+      IndexStore.ingest(newDoc, dir)
+    }
+    assert(ex.getMessage.contains("already indexed"))
   }
 }
