@@ -50,12 +50,18 @@ object IndexStore {
         .write.mode("overwrite").partitionBy("term_bucket")
         .parquet(s"$dir/doc_frequency_of_term")
     } finally tf.unpersist()
-    info.write.mode("overwrite").parquet(s"$dir/doc_info")
-    // the ONE corpus-stats formula, shared with the recompute path — if the
-    // stored and recomputed aggregations ever drifted, searchStored and
-    // search would silently disagree
-    InvertedIndex.corpusInfoFromDocInfo(info)
-      .write.mode("overwrite").parquet(s"$dir/corpus_info")
+    // persist doc_info across its two consumers: in the full-build path its
+    // lineage is a complete corpus tokenize scan, and the corpus-stats agg
+    // would otherwise re-run it
+    val inf = info.persist()
+    try {
+      inf.write.mode("overwrite").parquet(s"$dir/doc_info")
+      // the ONE corpus-stats formula, shared with the recompute path — if
+      // the stored and recomputed aggregations ever drifted, searchStored
+      // and search would silently disagree
+      InvertedIndex.corpusInfoFromDocInfo(inf)
+        .write.mode("overwrite").parquet(s"$dir/corpus_info")
+    } finally inf.unpersist()
   }
 
   /** Merge a small delta corpus into a stored index WITHOUT re-tokenizing
