@@ -378,14 +378,28 @@ object SparkEntry {
     // recomputes the same statistics from raw text — stored-vs-recompute
     // equality IS the correctness claim.
     "bm25_stored" -> ((s, dir) => {
-      val idx = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        "graft_index_" + s.sparkContext.applicationId +
-          "_" + Integer.toHexString(dir.hashCode)).toString
+      val idx = indexPath(s, dir)
       IndexStore.write(table(s, dir, "documents"), idx)
       BM25.searchStored(s, idx, FlagshipQuery)
     }),
+    // The batch serving path: one pruned postings scan amortized over the
+    // whole query workload. Same oracle as bm25_multi — stored ≡ recompute
+    // is again the correctness claim.
+    "bm25_multi_stored" -> ((s, dir) => {
+      val idx = indexPath(s, dir)
+      IndexStore.write(table(s, dir, "documents"), idx)
+      BM25.searchManyStored(s, idx,
+        Seq((1L, "spark join window"), (2L, "batch stream")))
+    }),
   )
+
+  /** Per-(app, sfDir) temp index path — applicationId keeps concurrent
+    * harness runs on the same sfDir from clobbering each other's files. */
+  private def indexPath(s: SparkSession, dir: String): String =
+    java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft_index_" + s.sparkContext.applicationId +
+        "_" + Integer.toHexString(dir.hashCode)).toString
 
   /** DuckDB-runnable oracle SQL, one per queries key, same column names. */
   def oracleSql: Map[String, String] = Map(
@@ -410,22 +424,7 @@ object SparkEntry {
       """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents)
         |SELECT doc_id, term, count(*) AS term_frequency
         |FROM tok GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin,
-    "bm25_multi" ->
-      """WITH q AS (SELECT * FROM (VALUES (1, 'spark'), (1, 'join'), (1, 'window'), (2, 'batch'), (2, 'stream')) AS t(query_id, term)),
-        |tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term IN ('spark','join','window','batch','stream') GROUP BY doc_id, term),
-        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok WHERE term IN ('spark','join','window','batch','stream') GROUP BY term),
-        |dl AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS dl FROM documents),
-        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
-        |scored AS (
-        |  SELECT q.query_id, tf.doc_id,
-        |         sum( ln(CAST(n AS DOUBLE)/df) * (2.0*tf) / (1.0*(0.25 + 0.75*dl.dl/avgdl) + tf) ) AS score
-        |  FROM tf JOIN q USING(term) JOIN dfq USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
-        |  GROUP BY q.query_id, tf.doc_id),
-        |r AS (SELECT query_id, doc_id, round(score, 4) AS doc_rank,
-        |        row_number() OVER (PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id) AS rn FROM scored)
-        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, doc_rank, CAST(rn AS INT) AS rn
-        |FROM r WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
+    "bm25_multi" -> bm25MultiOracleSql,
 
     "rel_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -932,6 +931,7 @@ object SparkEntry {
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS sample_key
         |FROM documents ORDER BY sample_key, doc_id LIMIT 100""".stripMargin,
     "bm25_stored" -> bm25OracleSql("('spark','join','window')"),
+    "bm25_multi_stored" -> bm25MultiOracleSql,
   )
 
   /** Shared CTE chain: df-capped (<= 100) shingle universe, set sizes, and
@@ -969,6 +969,25 @@ object SparkEntry {
        |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
        |clusters AS (SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
        |  FROM reach GROUP BY src)""".stripMargin
+
+  /** Multi-query BM25 oracle — shared by the recompute (bm25_multi) and
+    * stored (bm25_multi_stored) declarations: stored ≡ recompute. */
+  private val bm25MultiOracleSql: String =
+    """WITH q AS (SELECT * FROM (VALUES (1, 'spark'), (1, 'join'), (1, 'window'), (2, 'batch'), (2, 'stream')) AS t(query_id, term)),
+      |tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term IN ('spark','join','window','batch','stream') GROUP BY doc_id, term),
+      |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok WHERE term IN ('spark','join','window','batch','stream') GROUP BY term),
+      |dl AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS dl FROM documents),
+      |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+      |scored AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |         sum( ln(CAST(n AS DOUBLE)/df) * (2.0*tf) / (1.0*(0.25 + 0.75*dl.dl/avgdl) + tf) ) AS score
+      |  FROM tf JOIN q USING(term) JOIN dfq USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+      |  GROUP BY q.query_id, tf.doc_id),
+      |r AS (SELECT query_id, doc_id, round(score, 4) AS doc_rank,
+      |        row_number() OVER (PARTITION BY query_id ORDER BY round(score, 4) DESC, doc_id) AS rn FROM scored)
+      |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, doc_rank, CAST(rn AS INT) AS rn
+      |FROM r WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
 
   /** BM25 oracle pipeline (k1=1, b=0.75, raw ln(N/df) idf — app/query.py:131-135). */
   private def bm25OracleSql(termsInList: String): String =

@@ -108,7 +108,41 @@ object BM25 {
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("bm25", bm25Score(k1, b))
+    rankMany(scored, topK)
+  }
 
+  /** Batch search served from a persisted IndexStore — the query-workload
+    * serving path: the whole workload's term set partition-prunes the
+    * postings and vocabulary scans to its hash buckets (one pruned scan
+    * amortized over ALL queries), and scoring is the same one-plan
+    * windowed top-k as searchMany. Queries are driver-known pairs
+    * (query_id, query) — they must be, for the bucket list to land in the
+    * plan as pruning literals. */
+  def searchManyStored(spark: SparkSession, indexDir: String,
+                       queries: Seq[(Long, String)], k1: Double = 1.0,
+                       b: Double = 0.75, topK: Int = 10,
+                       buckets: Int = IndexStore.DefaultBuckets): DataFrame = {
+    import spark.implicits._
+    val qTerms = queries.flatMap { case (qid, q) =>
+      q.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.map((qid, _))
+    }
+    val terms = qTerms.map(_._2).distinct
+    val qtf = IndexStore.postingsForTerms(spark, indexDir, terms, buckets)
+      .drop("term_bucket")
+    val qdf = IndexStore.vocabularyForTerms(spark, indexDir, terms, buckets)
+      .drop("term_bucket")
+    val scored = qtf
+      .join(broadcast(qTerms.toDF("query_id", "term")), Seq("term"))
+      .join(broadcast(qdf), Seq("term"))
+      .join(IndexStore.docInfo(spark, indexDir), Seq("doc_id"))
+      .crossJoin(broadcast(IndexStore.corpusInfo(spark, indexDir)))
+      .withColumn("bm25", bm25Score(k1, b))
+    rankMany(scored, topK)
+  }
+
+  /** Shared multi-query scoring tail: per-(query, doc) score sum, then a
+    * per-query ranking window. */
+  private def rankMany(scored: DataFrame, topK: Int): DataFrame = {
     val perQuery = scored.groupBy("query_id", "doc_id")
       .agg(sum("bm25").as("score"))
       .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("doc_rank"))

@@ -21,6 +21,26 @@ class IndexStoreSpec extends SparkSpec {
     assert(stored == fresh)
   }
 
+  test("stored batch search equals the recompute batch search") {
+    import spark.implicits._
+    val docs = table(spark, "/root/testdata/sf0.001", "documents")
+    val qs = Seq((1L, "spark join window"), (2L, "batch stream"))
+    val fresh = BM25.searchMany(spark, docs, qs.toDF("query_id", "query"))
+      .collect().toSeq
+    val stored = BM25.searchManyStored(spark, dir, qs, buckets = 16)
+      .collect().toSeq
+    assert(stored.nonEmpty && stored == fresh)
+    // serving plan invariant: the batch path prunes postings scans too
+    val scans = BM25.searchManyStored(spark, dir, qs, buckets = 16)
+      .queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val postingScans = scans.filter(_.contains("term_frequency_in_doc"))
+    assert(postingScans.nonEmpty)
+    postingScans.foreach { s =>
+      assert(s.contains("PartitionFilters") && s.contains("term_bucket"),
+        s"batch postings scan not pruned:\n$s")
+    }
+  }
+
   test("term lookup partition-prunes to the term's hash buckets") {
     val df = IndexStore.postingsForTerms(spark, dir, Seq("spark"), buckets = 16)
     val plan = df.queryExecution.executedPlan.toString
