@@ -58,5 +58,19 @@ class IngestSpec extends SparkSpec {
       IndexStore.ingest(newDoc, dir)
     }
     assert(ex.getMessage.contains("already indexed"))
+
+    // the CLI-parity entry points are thin over the same tested functions:
+    // Search.run serves the merged index; Ingest.run is the one-file flow
+    val f2 = Files.createTempDirectory("graft-ingest-doc2").resolve("second.txt")
+    Files.writeString(f2, "window window window join\n")
+    Ingest.run(spark, dir, f2.toString, 999998L)
+    val served = Search.run(spark, dir, "spark join window")
+      .as[(Long, Double)].collect().toSeq
+    val full2 = full.unionByName(
+      Sources.ingestLocalFile(spark, f2.toString, 999998L)
+        .select("doc_id", "text"))
+    val recompute2 = BM25.search(spark, full2, "spark join window")
+      .as[(Long, Double)].collect().toSeq
+    assert(served == recompute2)
   }
 }
