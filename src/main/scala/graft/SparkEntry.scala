@@ -298,6 +298,14 @@ object SparkEntry {
       Dedup.embeddingNearDupPairsBanded(table(s, dir, "embeddings"), 0.4)),
     "dedup_embedding_lsh" -> ((s, dir) =>
       Dedup.embeddingNearDupPairsLsh(table(s, dir, "embeddings"), 0.4)),
+    // benchmark decontamination: src0 plays the eval set, the rest of the
+    // corpus is scanned for shared trigrams
+    "dedup_contamination" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.contaminationReport(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"))
+    }),
 
     // ---- similarity search (north star) ----
     "sim_cosine_topk" -> ((s, dir) =>
@@ -734,6 +742,15 @@ object SparkEntry {
         |WHERE list_dot_product(ea.u, eb.u) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
 
+    "dedup_contamination" ->
+      """WITH t AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+        |g AS (SELECT doc_id, source, CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) ELSE [] END AS shl FROM t),
+        |sh AS (SELECT doc_id, source, unnest(shl) AS shingle FROM g),
+        |ev AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0')
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM sh JOIN ev USING (shingle) WHERE source != 'src0'
+        |GROUP BY doc_id HAVING count(*) >= 2 ORDER BY doc_id""".stripMargin,
     "dedup_embedding_lsh" ->
       """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |bk AS (SELECT vec_id, v,

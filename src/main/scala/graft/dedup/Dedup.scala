@@ -290,6 +290,24 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Benchmark decontamination — the training-pipeline op that near-dup
+    * machinery exists to serve: flag corpus docs sharing at least
+    * `minShared` distinct word n-gram shingles with ANY doc of an eval/
+    * benchmark set. Scale shape: the eval set is small by nature, so its
+    * distinct shingle universe broadcasts; the corpus pays one shingle
+    * scan + a map-side-combined per-doc count — no corpus self-join, no
+    * shuffle beyond the final aggregation. */
+  def contaminationReport(docs: DataFrame, evalDocs: DataFrame, n: Int = 3,
+                          minShared: Int = 2): DataFrame = {
+    val evalShingles = shingles(evalDocs, n).select("shingle").distinct()
+    shingles(docs, n)
+      .join(broadcast(evalShingles), Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared")) // shingles() is distinct-per-doc
+      .filter(col("n_shared") >= minShared)
+      .orderBy("doc_id")
+  }
+
   /** Connected components over near-dup pairs: every doc in a duplicate
     * cluster gets the cluster's minimum doc_id as its cluster_id — the
     * step that turns pairwise similarity into an actionable keep/drop

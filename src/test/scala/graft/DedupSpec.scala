@@ -153,6 +153,24 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.DefaultMaxShingleDf == 1000) // derivation in the scaladoc
   }
 
+  test("contamination report flags shared-shingle docs and only those") {
+    val evalSet = Seq(
+      (100L, "the capital of france is paris everyone knows"),
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares "the capital of", "capital of france", "of france is" ... -> flagged
+      (1L, "we all know the capital of france is a lovely city"),
+      // shares exactly ONE trigram ("capital of france") -> below minShared=2
+      (2L, "name a capital of france quiz question"),
+      // no overlap at all
+      (3L, "completely unrelated text about spark joins and windows"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationReport(corpus, evalSet, 3, 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L))
+    assert(got(1L) >= 2)
+  }
+
   test("embedding near-dup pairs by cosine threshold") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
