@@ -381,6 +381,11 @@ object SparkEntry {
     "samp_seeded" -> ((s, dir) =>
       Sampling.deterministicSample(table(s, dir, "documents"), "doc_id", 100, 42)
         .select("doc_id", "sample_key")),
+    // corpus balancing: 10 docs per language in seeded-hash order
+    "samp_stratified" -> ((s, dir) =>
+      Sampling.stratifiedSample(table(s, dir, "documents"), "lang", "doc_id", 10, 42)
+        .select(col("lang"), col("doc_id"), col("sample_rank"))
+        .orderBy("lang", "sample_rank")),
     // The serving path: build the bucketed parquet index, then search it
     // with partition pruning to the query terms' buckets. The oracle
     // recomputes the same statistics from raw text — stored-vs-recompute
@@ -947,6 +952,13 @@ object SparkEntry {
     "samp_seeded" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS sample_key
         |FROM documents ORDER BY sample_key, doc_id LIMIT 100""".stripMargin,
+    "samp_stratified" ->
+      """WITH k AS (SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS sk FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |        CAST(row_number() OVER (PARTITION BY lang ORDER BY sk, doc_id) AS INT) AS sample_rank
+        |      FROM k)
+        |SELECT lang, doc_id, sample_rank FROM r WHERE sample_rank <= 10
+        |ORDER BY lang, sample_rank""".stripMargin,
     "bm25_stored" -> bm25OracleSql("('spark','join','window')"),
     "bm25_multi_stored" -> bm25MultiOracleSql,
   )

@@ -40,4 +40,19 @@ object Sampling {
     df.withColumn("sample_key", sampleKey(col(idCol), seed))
       .orderBy(col("sample_key"), col(idCol))
       .limit(n)
+
+  /** Deterministic stratified sample: the first `nPerGroup` rows of EACH
+    * group in seeded-hash order — the corpus-balancing op (equal docs per
+    * language/source/domain) training pipelines run before mixing.
+    * Same determinism contract as deterministicSample; one shuffle
+    * (the per-group ranking window), no global sort. */
+  def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
+                       nPerGroup: Int, seed: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("sample_key"), col(idCol))
+    df.withColumn("sample_key", sampleKey(col(idCol), seed))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= nPerGroup)
+  }
 }

@@ -50,6 +50,22 @@ class SamplingSpec extends SparkSpec {
     assert(a.nonEmpty && a.length < 500)
   }
 
+  test("stratified sample takes exactly nPerGroup per group, layout-stable") {
+    val s = Sampling.stratifiedSample(docs, "lang", "doc_id", 10, 42)
+    val perGroup = s.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val present = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    present.foreach { case (lang, n) =>
+      assert(perGroup(lang) == math.min(10L, n), s"lang=$lang")
+    }
+    // layout invariance: the same rows in the same per-group ranks
+    val base = s.select("lang", "doc_id", "sample_rank")
+      .as[(String, Long, Int)].collect().toSet
+    val re = Sampling.stratifiedSample(docs.repartition(13), "lang", "doc_id", 10, 42)
+      .select("lang", "doc_id", "sample_rank")
+      .as[(String, Long, Int)].collect().toSet
+    assert(re == base)
+  }
+
   test("top-n-by-hash plans as TakeOrderedAndProject, not a global sort") {
     val plan = Sampling.deterministicSample(docs, "doc_id", 50, 42)
       .queryExecution.executedPlan.toString
