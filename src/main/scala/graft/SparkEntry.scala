@@ -322,6 +322,8 @@ object SparkEntry {
       TextAnalysis.tokenCounts(table(s, dir, "documents"))),
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScores(table(s, dir, "documents"))),
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(table(s, dir, "documents"))),
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageGuess(table(s, dir, "documents"))),
     "text_fingerprint" -> ((s, dir) =>
@@ -808,6 +810,20 @@ object SparkEntry {
         |  round(CASE WHEN len(tk) = 0 THEN 0.0 ELSE CAST(len(list_distinct(tk)) AS DOUBLE)/len(tk) END, 4) AS type_token_ratio,
         |  round(CASE WHEN len(tk) = 0 THEN 0.0 ELSE CAST(len(list_intersect(list_distinct(tk), ['the','a','of','and','is'])) AS DOUBLE)/len(tk) END, 4) AS stopword_type_ratio
         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+        |tri AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3 THEN list_transform(generate_series(1, len(tk)-2),
+        |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) ELSE [] END) AS g FROM t),
+        |ta AS (SELECT doc_id, count(*) AS n_tri, count(DISTINCT g) AS n_tri_d FROM tri GROUP BY doc_id),
+        |big AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2 THEN list_transform(generate_series(1, len(tk)-1),
+        |          i -> tk[i] || ' ' || tk[i+1]) ELSE [] END) AS g FROM t),
+        |bc AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY doc_id, g),
+        |ba AS (SELECT doc_id, max(c) AS max_big, sum(c) AS n_big FROM bc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  round(coalesce(1.0 - CAST(n_tri_d AS DOUBLE)/n_tri, 0.0), 4) AS dup_trigram_frac,
+        |  round(coalesce(CAST(max_big AS DOUBLE)/n_big, 0.0), 4) AS top_bigram_frac
+        |FROM documents d LEFT JOIN ta USING (doc_id) LEFT JOIN ba USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       """WITH t AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS tk FROM documents),
         |s AS (SELECT doc_id,

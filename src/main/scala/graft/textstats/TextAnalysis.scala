@@ -30,6 +30,34 @@ object TextAnalysis {
         .as("n_ws_tokens"))
       .orderBy("doc_id")
 
+  /** Within-document repetition (the Gopher/C4 repetition filter family):
+    * duplicate-trigram fraction (1 - distinct/total) and the hottest
+    * bigram's share of all bigrams. Docs too short for an n-gram size
+    * score 0. Two explode+aggregate passes over the codegen'd shingle
+    * expression, joined back per doc — map-side combine keeps the shuffles
+    * at (doc, partial) size. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(docs.sparkSession)
+    val toksOf = docs.select(col("doc_id"), Tokenize.tokens(col("text")).as("t"))
+    val tri = toksOf.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shingles(col("t"), 3)).as("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"), countDistinct("g").as("n_tri_d"))
+    val big = toksOf.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shingles(col("t"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("max_big"), sum("c").as("n_big"))
+    docs.select("doc_id")
+      .join(tri, Seq("doc_id"), "left")
+      .join(big, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(lit(1.0) - col("n_tri_d").cast("double") / col("n_tri"),
+          lit(0.0)), 4).as("dup_trigram_frac"),
+        round(coalesce(col("max_big").cast("double") / col("n_big"),
+          lit(0.0)), 4).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Quality heuristics: length, mean token length, type-token ratio,
     * stopword ratio — the length/punct/stopword family of filters. */
   def qualityScores(docs: DataFrame): DataFrame = {

@@ -1,0 +1,30 @@
+package graft
+
+import graft.textstats.TextAnalysis
+
+/** Planted-value checks for the text-quality family (the declared queries
+  * carry the full DuckDB oracle; these pin hand-computable cases). */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition stats: planted loops score high, clean text scores low") {
+    val docs = Seq(
+      // "spam spam spam spam": trigrams = [s s s, s s s] -> dup frac 0.5;
+      // bigrams = 3x "spam spam" -> top share 1.0
+      (1L, "spam spam spam spam"),
+      // all-distinct n-grams -> zero dup fraction; the hottest of 4
+      // equally-rare bigrams still holds a 1/4 share
+      (2L, "one two three four five"),
+      // too short for any trigram/bigram -> defined as 0, not null/NaN
+      (3L, "word"),
+      (4L, ""),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((0.5, 1.0)))
+    assert(got(2L) == ((0.0, 0.25)))
+    assert(got(3L) == ((0.0, 0.0)))
+    assert(got(4L) == ((0.0, 0.0)))
+  }
+}
