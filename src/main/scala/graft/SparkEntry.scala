@@ -298,6 +298,10 @@ object SparkEntry {
       Dedup.embeddingNearDupPairsBanded(table(s, dir, "embeddings"), 0.4)),
     "dedup_embedding_lsh" -> ((s, dir) =>
       Dedup.embeddingNearDupPairsLsh(table(s, dir, "embeddings"), 0.4)),
+    // the curation capstone: langid -> quality/repetition -> exact dedup ->
+    // near-dup keep, reported as docs dropped per stage
+    "curate_funnel" -> ((s, dir) =>
+      graft.curate.Curation.curationFunnel(table(s, dir, "documents"))),
     // benchmark decontamination: src0 plays the eval set, the rest of the
     // corpus is scanned for shared trigrams
     "dedup_contamination" -> ((s, dir) => {
@@ -749,6 +753,52 @@ object SparkEntry {
         |WHERE list_dot_product(ea.u, eb.u) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
 
+    // staged exactly like Curation.curationTags: langid pass = any marker
+    // hit; quality = tokens >= 5 AND rounded dup-trigram-frac <= 0.2;
+    // exact reps among quality survivors; near-dup clusters (df-cap 100,
+    // jaccard >= 0.5, recursive closure) among exact survivors
+    "curate_funnel" ->
+      """WITH RECURSIVE t0 AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+        |ls AS (SELECT doc_id,
+        |  len(list_intersect(list_distinct(tk), ['der','die','das','und','ist'])) AS s_de,
+        |  len(list_intersect(list_distinct(tk), ['the','a','of','and','is'])) AS s_en,
+        |  len(list_intersect(list_distinct(tk), ['el','la','los','que','es'])) AS s_es,
+        |  len(list_intersect(list_distinct(tk), ['le','la','les','et','est'])) AS s_fr FROM t0),
+        |tri AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3 THEN list_transform(generate_series(1, len(tk)-2),
+        |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) ELSE [] END) AS g FROM t0),
+        |ta AS (SELECT doc_id, count(*) AS n_tri, count(DISTINCT g) AS n_tri_d FROM tri GROUP BY doc_id),
+        |b AS (SELECT t0.doc_id, t0.text,
+        |        greatest(s_de, s_en, s_es, s_fr) > 0 AS pl,
+        |        (greatest(s_de, s_en, s_es, s_fr) > 0 AND len(t0.tk) >= 5 AND
+        |         round(coalesce(1.0 - CAST(n_tri_d AS DOUBLE)/n_tri, 0.0), 4) <= 0.2) AS pq
+        |      FROM t0 JOIN ls USING (doc_id) LEFT JOIN ta USING (doc_id)),
+        |q AS (SELECT doc_id, text FROM b WHERE pq),
+        |reps AS (SELECT md5(text) AS h, min(doc_id) AS rep FROM q GROUP BY md5(text)),
+        |ex AS (SELECT q.doc_id, q.doc_id = reps.rep AS pe FROM q JOIN reps ON md5(q.text) = reps.h),
+        |t3 AS (SELECT t0.doc_id, t0.tk FROM t0 JOIN ex USING (doc_id) WHERE ex.pe),
+        |g3 AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) ELSE [] END AS shl FROM t3),
+        |sh0 AS (SELECT doc_id, unnest(shl) AS shingle FROM g3),
+        |hot AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh0 GROUP BY shingle) WHERE df > 100),
+        |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(src, dst) AS (SELECT src, dst FROM edges
+        |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |clusters AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src),
+        |tag AS (SELECT b.doc_id,
+        |  CASE WHEN NOT pl THEN '1_dropped_langid'
+        |       WHEN NOT pq THEN '2_dropped_quality'
+        |       WHEN NOT coalesce(pe, false) THEN '3_dropped_exact_dup'
+        |       WHEN b.doc_id IN (SELECT doc_id FROM clusters WHERE cluster_id != doc_id) THEN '4_dropped_near_dup'
+        |       ELSE '5_kept' END AS stage
+        |  FROM b LEFT JOIN ex USING (doc_id))
+        |SELECT stage, count(*) AS n FROM tag GROUP BY stage ORDER BY stage""".stripMargin,
     "dedup_contamination" ->
       """WITH t AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
         |g AS (SELECT doc_id, source, CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform(generate_series(1, len(tk)-2),

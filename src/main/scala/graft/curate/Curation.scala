@@ -1,0 +1,84 @@
+package graft.curate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.textstats.TextAnalysis
+
+/** End-to-end corpus curation — the composition every training-data
+  * pipeline runs, staged exactly the way the component operators are
+  * documented and oracled:
+  *
+  *   1. language-ID (drop docs no marker list recognizes),
+  *   2. quality (min token count + Gopher-style repetition cap),
+  *   3. exact dedup (keep the min-doc_id representative per content hash,
+  *      computed among quality survivors),
+  *   4. near-dup dedup (n-gram Jaccard clusters among exact survivors;
+  *      non-representative members drop).
+  *
+  * Each doc gets its FIRST failing stage as a tag, so the funnel report is
+  * one groupBy over a single tagged frame — no per-stage recounting of the
+  * corpus, and "kept" is by construction the complement of the drops.
+  *
+  * Scale notes (100 TB): stages 1-2 are scan-shaped (the three stat frames
+  * join on doc_id); stage 3 is one hash aggregate; stage 4 runs the
+  * df-capped single-exchange Jaccard pipeline ONLY over docs that survived
+  * 1-3 (typically a large reduction before the most expensive stage). */
+object Curation {
+
+  val Stages: Seq[String] = Seq("1_dropped_langid", "2_dropped_quality",
+    "3_dropped_exact_dup", "4_dropped_near_dup", "5_kept")
+
+  /** Per-doc verdict: (doc_id, stage) where stage is the first filter the
+    * doc failed, or "5_kept". */
+  def curationTags(docs: DataFrame, minTokens: Long = 5,
+                   maxDupTrigramFrac: Double = 0.2, n: Int = 3,
+                   minJaccard: Double = 0.5,
+                   maxShingleDf: Int = 100): DataFrame = {
+    val lang = TextAnalysis.languageGuess(docs)
+      .select(col("doc_id"), (col("lang_guess") =!= "und").as("__pl"))
+    val tok = TextAnalysis.tokenCounts(docs)
+      .select(col("doc_id"), col("n_tokens").as("__nt"))
+    val rep = TextAnalysis.repetitionStats(docs)
+      .select(col("doc_id"), col("dup_trigram_frac").as("__dtf"))
+    val base = docs.select(col("doc_id"), col("text"))
+      .join(lang, Seq("doc_id")).join(tok, Seq("doc_id")).join(rep, Seq("doc_id"))
+      .withColumn("__pq", col("__pl") && col("__nt") >= minTokens &&
+        col("__dtf") <= maxDupTrigramFrac)
+    val q = base.filter(col("__pq")).select(col("doc_id"), col("text"))
+    // exact-dup representatives among quality survivors
+    val reps = q.groupBy(md5(col("text")).as("__h")).agg(min("doc_id").as("__rep"))
+    val exact = q.select(col("doc_id"), md5(col("text")).as("__h"))
+      .join(reps, Seq("__h"))
+      .select(col("doc_id"), (col("doc_id") === col("__rep")).as("__pe"))
+    val s3docs = q.join(exact.filter(col("__pe")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val dropNear = Dedup.duplicateClusters(
+        Dedup.jaccardPairs(s3docs, n, minJaccard, maxShingleDf))
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id"), lit(true).as("__dn"))
+    base.select(col("doc_id"), col("__pl"), col("__pq"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(dropNear, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(!col("__pl"), Stages(0))
+          .when(!col("__pq"), Stages(1))
+          .when(!coalesce(col("__pe"), lit(false)), Stages(2))
+          .when(coalesce(col("__dn"), lit(false)), Stages(3))
+          .otherwise(Stages(4)).as("stage"))
+  }
+
+  /** The funnel report: docs dropped per stage + kept. */
+  def curationFunnel(docs: DataFrame, minTokens: Long = 5,
+                     maxDupTrigramFrac: Double = 0.2): DataFrame =
+    curationTags(docs, minTokens, maxDupTrigramFrac)
+      .groupBy("stage").agg(count(lit(1)).as("n"))
+      .orderBy("stage")
+
+  /** The curated corpus: every surviving doc, whole rows. */
+  def curatedDocs(docs: DataFrame, minTokens: Long = 5,
+                  maxDupTrigramFrac: Double = 0.2): DataFrame =
+    docs.join(curationTags(docs, minTokens, maxDupTrigramFrac)
+        .filter(col("stage") === Stages(4)).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.curate.Curation
+
+/** Planted docs exercising every curation stage; the declared
+  * curate_funnel query carries the full DuckDB oracle. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("each curation stage drops exactly its planted doc") {
+    val docs = Seq(
+      // no marker tokens at all -> langid drop
+      (1L, "zz yy xx ww vv uu"),
+      // markers but only 3 tokens -> quality drop (min 5)
+      (2L, "the cat sat"),
+      // heavy repetition -> quality drop (dup trigram frac > 0.2)
+      (3L, "the spam spam spam spam spam spam spam spam spam spam spam"),
+      // exact duplicates: 4 is kept (min id), 5 dropped at exact stage
+      (4L, "the quick brown fox jumps over the lazy dog again today"),
+      (5L, "the quick brown fox jumps over the lazy dog again today"),
+      // near-dup of 4 (one token changed) -> near-dup drop
+      (6L, "the quick brown fox jumps over the lazy cat again today"),
+      // clean unrelated doc -> kept
+      (7L, "a completely different clean document about sparkling windows"),
+    ).toDF("doc_id", "text")
+    val tags = Curation.curationTags(docs, minTokens = 5,
+        maxDupTrigramFrac = 0.2, minJaccard = 0.3)
+      .as[(Long, String)].collect().toMap
+    assert(tags(1L) == "1_dropped_langid")
+    assert(tags(2L) == "2_dropped_quality")
+    assert(tags(3L) == "2_dropped_quality")
+    assert(tags(4L) == "5_kept")
+    assert(tags(5L) == "3_dropped_exact_dup")
+    assert(tags(6L) == "4_dropped_near_dup")
+    assert(tags(7L) == "5_kept")
+    val curated = Curation.curatedDocs(docs, 5, 0.2)
+    // curatedDocs uses the default jaccard threshold (0.5): doc 6 may keep
+    // or drop depending on similarity; the stable claim is kept ⊇ {4, 7}
+    // and dropped ⊇ {1, 2, 3, 5}
+    val keptIds = curated.select("doc_id").as[Long].collect().toSet
+    assert(Set(4L, 7L).subsetOf(keptIds))
+    assert(keptIds.intersect(Set(1L, 2L, 3L, 5L)).isEmpty)
+  }
+
+  test("funnel counts partition the corpus exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val funnel = Curation.curationFunnel(docs)
+      .as[(String, Long)].collect().toMap
+    assert(funnel.values.sum == docs.count())
+    assert(funnel.keySet.subsetOf(Curation.Stages.toSet))
+    assert(funnel("5_kept") > 0)
+  }
+}
