@@ -100,6 +100,8 @@ object SparkEntry {
       Relational.buildingBigSpenders(table(s, dir, "customer"), table(s, dir, "orders"), 300000.0)),
     "rel_except" -> ((s, dir) =>
       Relational.neverUrgent(table(s, dir, "customer"), table(s, dir, "orders"))),
+    "rel_full_outer_join" -> ((s, dir) =>
+      Relational.urgentVsHighSpendFullOuter(table(s, dir, "orders"))),
     "rel_intersect_all" -> ((s, dir) =>
       Relational.urgentVsHighIntersectAll(table(s, dir, "orders"))),
     "rel_except_all" -> ((s, dir) =>
@@ -510,6 +512,15 @@ object SparkEntry {
         |EXCEPT
         |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |ORDER BY c_custkey""".stripMargin,
+    "rel_full_outer_join" ->
+      """WITH u AS (SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS urgent_spend
+        |           FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey),
+        |h AS (SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS high_spend
+        |      FROM orders WHERE o_orderpriority = '2-HIGH' GROUP BY o_custkey)
+        |SELECT o_custkey, coalesce(urgent_spend, 0.0) AS urgent_spend,
+        |       coalesce(high_spend, 0.0) AS high_spend
+        |FROM u FULL JOIN h USING (o_custkey)
+        |ORDER BY o_custkey""".stripMargin,
     "rel_intersect_all" ->
       """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |INTERSECT ALL

@@ -123,6 +123,22 @@ object Relational {
         coalesce(sum(money(col("o_totalprice"))).cast("double"), lit(0.0)).as("spent"))
       .orderBy("c_custkey")
 
+  /** FULL OUTER join: per-customer urgent vs high spend, keeping customers
+    * present on either side only (nulls surfaced as 0). Completes the
+    * outer-join family next to the left-outer aggregate. */
+  def urgentVsHighSpendFullOuter(orders: DataFrame): DataFrame = {
+    def side(prio: String, out: String) =
+      orders.filter(col("o_orderpriority") === prio)
+        .groupBy("o_custkey")
+        .agg(sum(money(col("o_totalprice"))).cast("double").as(out))
+    side("1-URGENT", "urgent_spend")
+      .join(side("2-HIGH", "high_spend"), Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        coalesce(col("urgent_spend"), lit(0.0)).as("urgent_spend"),
+        coalesce(col("high_spend"), lit(0.0)).as("high_spend"))
+      .orderBy("o_custkey")
+  }
+
   /** DISTINCT projection. */
   def distinctFlagStatus(lineitem: DataFrame): DataFrame =
     lineitem.select("l_returnflag", "l_linestatus").distinct()
