@@ -30,7 +30,16 @@ object Curation {
     "3_dropped_exact_dup", "4_dropped_near_dup", "5_kept")
 
   /** Per-doc verdict: (doc_id, stage) where stage is the first filter the
-    * doc failed, or "5_kept". */
+    * doc failed, or "5_kept".
+    *
+    * The three stat pipelines behind stages 1-2 each cost a corpus
+    * tokenize scan, and EVERY later stage consumes their verdicts — left
+    * as lazy lineage they would recompute behind the exact-dedup build,
+    * the Jaccard feed, and the final tag projection (observed 3x cost at
+    * bench scale). The verdict frame is 3 narrow columns per doc, so it
+    * gets one eager localCheckpoint: stats compute once, nothing stays in
+    * the session cache manager, and text is re-read from the (cheap,
+    * column-pruned) source scan only where a stage genuinely needs it. */
   def curationTags(docs: DataFrame, minTokens: Long = 5,
                    maxDupTrigramFrac: Double = 0.2, n: Int = 3,
                    minJaccard: Double = 0.5,
@@ -41,11 +50,13 @@ object Curation {
       .select(col("doc_id"), col("n_tokens").as("__nt"))
     val rep = TextAnalysis.repetitionStats(docs)
       .select(col("doc_id"), col("dup_trigram_frac").as("__dtf"))
-    val base = docs.select(col("doc_id"), col("text"))
-      .join(lang, Seq("doc_id")).join(tok, Seq("doc_id")).join(rep, Seq("doc_id"))
+    val stats = lang.join(tok, Seq("doc_id")).join(rep, Seq("doc_id"))
       .withColumn("__pq", col("__pl") && col("__nt") >= minTokens &&
         col("__dtf") <= maxDupTrigramFrac)
-    val q = base.filter(col("__pq")).select(col("doc_id"), col("text"))
+      .select(col("doc_id"), col("__pl"), col("__pq"))
+      .localCheckpoint(true)
+    val q = docs.select(col("doc_id"), col("text"))
+      .join(stats.filter(col("__pq")).select("doc_id"), Seq("doc_id"), "left_semi")
     // exact-dup representatives among quality survivors
     val reps = q.groupBy(md5(col("text")).as("__h")).agg(min("doc_id").as("__rep"))
     val exact = q.select(col("doc_id"), md5(col("text")).as("__h"))
@@ -57,7 +68,7 @@ object Curation {
         Dedup.jaccardPairs(s3docs, n, minJaccard, maxShingleDf))
       .filter(col("cluster_id") =!= col("doc_id"))
       .select(col("doc_id"), lit(true).as("__dn"))
-    base.select(col("doc_id"), col("__pl"), col("__pq"))
+    stats
       .join(exact, Seq("doc_id"), "left")
       .join(dropNear, Seq("doc_id"), "left")
       .select(col("doc_id"),
