@@ -54,6 +54,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
   }
 
+  test("embedding near-dup pair generation is bucketed, never nested-loop") {
+    // the round-2 defect was a BroadcastNestedLoopJoin over n^2/2 pairs as
+    // the declared query; the banded generator must plan pure equi-joins
+    val p = plan("dedup_embedding_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "banded LSH pair generation planned a nested-loop join")
+  }
+
   test("IVF cell assignment is a shuffle-free fold: no Window in the plan") {
     // round-2 review: assignment via crossJoin + row_number shuffled
     // n×nCells rows for a per-row argmax. The fold form must plan with no
