@@ -22,11 +22,7 @@ object Ingest {
     require(args.length >= 2, "usage: Ingest <indexDir> <file.txt> [docId]")
     val indexDir = args(0)
     val path = args(1)
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Cli.session()
     val docId =
       if (args.length >= 3) args(2).toLong
       else 100000L + math.floorMod(

@@ -54,11 +54,7 @@ object Pipeline {
     val query =
       if (args.length > 2) args.drop(2).mkString(" ")
       else SparkEntry.FlagshipQuery
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Cli.session()
     val result = run(spark, table(spark, sfDir, "documents"), workDir, query)
     Sources.writeTsv(result, s"$workDir/result")
     result.show(truncate = false)

@@ -14,19 +14,21 @@ object Search {
           topK: Int = 10): DataFrame =
     BM25.searchStored(spark, indexDir, query, topK = topK)
 
-  /** CLI: <indexDir> <query words...> */
+  /** CLI: <indexDir> <query words...>. The TSV copy lands NEXT TO the
+    * index root, never inside it — IndexStore.ingest swaps the whole root
+    * directory and would silently delete anything else stored there. */
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: Search <indexDir> <query words...>")
     val indexDir = args(0)
     val query = args.drop(1).mkString(" ")
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val result = run(spark, indexDir, query)
-    Sources.writeTsv(result, s"$indexDir/last_search")
-    result.show(truncate = false)
+    val spark = Cli.session()
+    // one execution for both outputs: the serving plan is the latency the
+    // stored path exists to minimize, so don't pay it twice
+    val result = run(spark, indexDir, query).persist()
+    try {
+      Sources.writeTsv(result, s"$indexDir.search_out")
+      result.show(truncate = false)
+    } finally result.unpersist()
     spark.stop()
   }
 }

@@ -57,11 +57,14 @@ object Curation {
       .localCheckpoint(true)
     val q = docs.select(col("doc_id"), col("text"))
       .join(stats.filter(col("__pq")).select("doc_id"), Seq("doc_id"), "left_semi")
-    // exact-dup representatives among quality survivors
+    // exact-dup representatives among quality survivors; like `stats`, the
+    // verdict is narrow and has two consumers (the Jaccard feed and the
+    // final tag join) — checkpoint so the md5 aggregate runs once
     val reps = q.groupBy(md5(col("text")).as("__h")).agg(min("doc_id").as("__rep"))
     val exact = q.select(col("doc_id"), md5(col("text")).as("__h"))
       .join(reps, Seq("__h"))
       .select(col("doc_id"), (col("doc_id") === col("__rep")).as("__pe"))
+      .localCheckpoint(true)
     val s3docs = q.join(exact.filter(col("__pe")).select("doc_id"),
       Seq("doc_id"), "left_semi")
     val dropNear = Dedup.duplicateClusters(
@@ -81,15 +84,20 @@ object Curation {
 
   /** The funnel report: docs dropped per stage + kept. */
   def curationFunnel(docs: DataFrame, minTokens: Long = 5,
-                     maxDupTrigramFrac: Double = 0.2): DataFrame =
-    curationTags(docs, minTokens, maxDupTrigramFrac)
+                     maxDupTrigramFrac: Double = 0.2, n: Int = 3,
+                     minJaccard: Double = 0.5,
+                     maxShingleDf: Int = 100): DataFrame =
+    curationTags(docs, minTokens, maxDupTrigramFrac, n, minJaccard, maxShingleDf)
       .groupBy("stage").agg(count(lit(1)).as("n"))
       .orderBy("stage")
 
   /** The curated corpus: every surviving doc, whole rows. */
   def curatedDocs(docs: DataFrame, minTokens: Long = 5,
-                  maxDupTrigramFrac: Double = 0.2): DataFrame =
-    docs.join(curationTags(docs, minTokens, maxDupTrigramFrac)
+                  maxDupTrigramFrac: Double = 0.2, n: Int = 3,
+                  minJaccard: Double = 0.5,
+                  maxShingleDf: Int = 100): DataFrame =
+    docs.join(
+      curationTags(docs, minTokens, maxDupTrigramFrac, n, minJaccard, maxShingleDf)
         .filter(col("stage") === Stages(4)).select("doc_id"),
       Seq("doc_id"), "left_semi")
 }

@@ -32,6 +32,14 @@ object IndexStore {
     * (stats from stored tables + a delta). */
   private def writeTables(tfIn: DataFrame, info: DataFrame, dir: String,
                           buckets: Int): Unit = {
+    // the bucket count is INDEX metadata, not caller knowledge: a reader
+    // pruning with the wrong modulus silently treats ~ (1 - 1/buckets) of
+    // terms as OOV (confidently wrong results, no error). Written inside
+    // writeTables so the ingest swap carries it too.
+    val spark = tfIn.sparkSession
+    import spark.implicits._
+    Seq(buckets).toDF("buckets").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/index_meta")
     // persist tf across the two writes: the tokenize+explode+aggregate (or
     // merge) lineage is the scale-dominant cost and would otherwise run twice
     val tf = tfIn.persist()
@@ -78,8 +86,7 @@ object IndexStore {
     * assumption, same as incrementalIndexWriter; a transactional table
     * format replaces the swap on a real cluster). Crash between the
     * renames leaves `<dir>.old` complete — rename it back to recover. */
-  def ingest(newDocs: DataFrame, dir: String,
-             buckets: Int = DefaultBuckets): Unit = {
+  def ingest(newDocs: DataFrame, dir: String): Unit = {
     val spark = newDocs.sparkSession
     // A re-ingested doc_id would SUM its stored tf with the new tf and
     // duplicate its doc_info row — stats silently corrupt (a full recompute
@@ -98,7 +105,9 @@ object IndexStore {
     val cur = new java.io.File(dir)
     val old = new java.io.File(s"$dir.old")
     val tmp = new java.io.File(s"$dir.next")
-    writeTables(mergedTf, mergedInfo, tmp.getPath, buckets) // reads cur
+    // keep the STORE's bucketing, not the caller's default — re-bucketing
+    // on ingest would strand the existing postings files
+    writeTables(mergedTf, mergedInfo, tmp.getPath, storedBuckets(spark, dir))
     def rename(from: java.io.File, to: java.io.File): Unit =
       require(from.renameTo(to), s"IndexStore.ingest: rename $from -> $to failed")
     if (old.exists()) delete(old)
@@ -128,16 +137,20 @@ object IndexStore {
   def corpusInfo(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/corpus_info")
 
+  /** The bucket count a store was written with (index_meta). Eagerly read:
+    * it becomes pruning literals in the serving plan. */
+  def storedBuckets(spark: SparkSession, dir: String): Int =
+    spark.read.parquet(s"$dir/index_meta").head().getInt(0)
+
   /** Postings for a set of terms, with the bucket predicate attached so the
     * scan partition-prunes (the per-term point-read of app/query.py:64-73,
-    * minus the driver loop). */
-  def postingsForTerms(spark: SparkSession, dir: String, terms: Seq[String],
-                       buckets: Int = DefaultBuckets): DataFrame =
-    prunedByTerm(postings(spark, dir), terms, buckets)
+    * minus the driver loop). The modulus comes from the store's own
+    * metadata — a caller-supplied count could silently mis-prune. */
+  def postingsForTerms(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame =
+    prunedByTerm(postings(spark, dir), terms, storedBuckets(spark, dir))
 
-  def vocabularyForTerms(spark: SparkSession, dir: String, terms: Seq[String],
-                         buckets: Int = DefaultBuckets): DataFrame =
-    prunedByTerm(vocabulary(spark, dir), terms, buckets)
+  def vocabularyForTerms(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame =
+    prunedByTerm(vocabulary(spark, dir), terms, storedBuckets(spark, dir))
 
   private def prunedByTerm(df: DataFrame, terms: Seq[String], buckets: Int): DataFrame = {
     val bucketIds = terms.map(t => bucketOf(t, buckets)).distinct

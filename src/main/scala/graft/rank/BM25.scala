@@ -47,14 +47,15 @@ object BM25 {
 
   /** BM25 search served from a persisted IndexStore — no recompute; the
     * term predicate partition-prunes the postings scan to the query terms'
-    * hash buckets (the Cassandra-token-routing equivalent). */
+    * hash buckets (the Cassandra-token-routing equivalent). The bucket
+    * modulus comes from the store's own metadata. */
   def searchStored(spark: SparkSession, indexDir: String, query: String,
-                   k1: Double = 1.0, b: Double = 0.75, topK: Int = 10,
-                   buckets: Int = IndexStore.DefaultBuckets): DataFrame = {
+                   k1: Double = 1.0, b: Double = 0.75,
+                   topK: Int = 10): DataFrame = {
     val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
-    val qtf = IndexStore.postingsForTerms(spark, indexDir, terms, buckets)
+    val qtf = IndexStore.postingsForTerms(spark, indexDir, terms)
       .drop("term_bucket")
-    val qdf = IndexStore.vocabularyForTerms(spark, indexDir, terms, buckets)
+    val qdf = IndexStore.vocabularyForTerms(spark, indexDir, terms)
       .drop("term_bucket")
     rank(qtf, qdf, IndexStore.docInfo(spark, indexDir),
       IndexStore.corpusInfo(spark, indexDir), k1, b, topK)
@@ -120,16 +121,15 @@ object BM25 {
     * plan as pruning literals. */
   def searchManyStored(spark: SparkSession, indexDir: String,
                        queries: Seq[(Long, String)], k1: Double = 1.0,
-                       b: Double = 0.75, topK: Int = 10,
-                       buckets: Int = IndexStore.DefaultBuckets): DataFrame = {
+                       b: Double = 0.75, topK: Int = 10): DataFrame = {
     import spark.implicits._
     val qTerms = queries.flatMap { case (qid, q) =>
       q.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.map((qid, _))
     }
     val terms = qTerms.map(_._2).distinct
-    val qtf = IndexStore.postingsForTerms(spark, indexDir, terms, buckets)
+    val qtf = IndexStore.postingsForTerms(spark, indexDir, terms)
       .drop("term_bucket")
-    val qdf = IndexStore.vocabularyForTerms(spark, indexDir, terms, buckets)
+    val qdf = IndexStore.vocabularyForTerms(spark, indexDir, terms)
       .drop("term_bucket")
     val scored = qtf
       .join(broadcast(qTerms.toDF("query_id", "term")), Seq("term"))

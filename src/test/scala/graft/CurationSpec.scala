@@ -33,13 +33,10 @@ class CurationSpec extends SparkSpec {
     assert(tags(5L) == "3_dropped_exact_dup")
     assert(tags(6L) == "4_dropped_near_dup")
     assert(tags(7L) == "5_kept")
-    val curated = Curation.curatedDocs(docs, 5, 0.2)
-    // curatedDocs uses the default jaccard threshold (0.5): doc 6 may keep
-    // or drop depending on similarity; the stable claim is kept ⊇ {4, 7}
-    // and dropped ⊇ {1, 2, 3, 5}
-    val keptIds = curated.select("doc_id").as[Long].collect().toSet
-    assert(Set(4L, 7L).subsetOf(keptIds))
-    assert(keptIds.intersect(Set(1L, 2L, 3L, 5L)).isEmpty)
+    // same thresholds through the public entry point -> exact keep set
+    val keptIds = Curation.curatedDocs(docs, 5, 0.2, minJaccard = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIds == Set(4L, 7L))
   }
 
   test("funnel counts partition the corpus exactly") {

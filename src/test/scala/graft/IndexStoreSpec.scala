@@ -16,7 +16,7 @@ class IndexStoreSpec extends SparkSpec {
   test("stored-index search equals recompute search") {
     val docs = table(spark, "/root/testdata/sf0.001", "documents")
     val fresh = BM25.search(spark, docs, "spark join window").collect().toSeq
-    val stored = BM25.searchStored(spark, dir, "spark join window", buckets = 16)
+    val stored = BM25.searchStored(spark, dir, "spark join window")
       .collect().toSeq
     assert(stored == fresh)
   }
@@ -27,11 +27,11 @@ class IndexStoreSpec extends SparkSpec {
     val qs = Seq((1L, "spark join window"), (2L, "batch stream"))
     val fresh = BM25.searchMany(spark, docs, qs.toDF("query_id", "query"))
       .collect().toSeq
-    val stored = BM25.searchManyStored(spark, dir, qs, buckets = 16)
+    val stored = BM25.searchManyStored(spark, dir, qs)
       .collect().toSeq
     assert(stored.nonEmpty && stored == fresh)
     // serving plan invariant: the batch path prunes postings scans too
-    val scans = BM25.searchManyStored(spark, dir, qs, buckets = 16)
+    val scans = BM25.searchManyStored(spark, dir, qs)
       .queryExecution.executedPlan.collectLeaves().map(_.toString)
     val postingScans = scans.filter(_.contains("term_frequency_in_doc"))
     assert(postingScans.nonEmpty)
@@ -42,7 +42,7 @@ class IndexStoreSpec extends SparkSpec {
   }
 
   test("term lookup partition-prunes to the term's hash buckets") {
-    val df = IndexStore.postingsForTerms(spark, dir, Seq("spark"), buckets = 16)
+    val df = IndexStore.postingsForTerms(spark, dir, Seq("spark"))
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("term_bucket"),
       s"no partition pruning in:\n$plan")
@@ -57,7 +57,7 @@ class IndexStoreSpec extends SparkSpec {
     // the declared bm25_stored query's serving plan: the scan itself must
     // carry term_bucket PartitionFilters (Cassandra-token-routing parity),
     // not filter after reading all buckets
-    val q = BM25.searchStored(spark, dir, "spark join window", buckets = 16)
+    val q = BM25.searchStored(spark, dir, "spark join window")
     val scans = q.queryExecution.executedPlan.collectLeaves().map(_.toString)
     val postingScans = scans.filter(_.contains("term_frequency_in_doc"))
     assert(postingScans.nonEmpty)
@@ -76,7 +76,7 @@ class IndexStoreSpec extends SparkSpec {
   }
 
   test("OOV query against the stored index is empty with intact schema") {
-    val res = BM25.searchStored(spark, dir, "zzzznotaword", buckets = 16)
+    val res = BM25.searchStored(spark, dir, "zzzznotaword")
     assert(res.columns.toSeq == Seq("doc_id", "doc_rank"))
     assert(res.count() == 0)
   }
