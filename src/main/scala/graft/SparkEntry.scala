@@ -122,6 +122,50 @@ object SparkEntry {
       Relational.discountedRevenueByFlag(table(s, dir, "lineitem"))),
     "rel_scalar_subquery" -> ((s, dir) =>
       Relational.aboveAveragePerPriority(table(s, dir, "orders"))),
+    // correlated EXISTS (TPC-H Q4 shape): decorrelates to one semi-join
+    "rel_exists_subquery" -> ((s, dir) =>
+      Relational.latePriorityCounts(table(s, dir, "orders"),
+        table(s, dir, "lineitem"))),
+    // grouped HAVING / IN-subquery (Q18 shape): aggregate-then-join-back
+    "rel_having" -> ((s, dir) =>
+      Relational.bigQuantityOrders(table(s, dir, "orders"),
+        table(s, dir, "lineitem"))),
+    // global total-order sort: RangePartitioning exchange (PlanSpec pins
+    // that the sort is distributed, not a single-partition collapse)
+    "rel_global_sort" -> ((s, dir) =>
+      Relational.ordersByPriceDesc(table(s, dir, "orders"))),
+    // typed Aggregator UDAF (Welford/Chan moments): monthly price profile.
+    // The oracle compares the UDAF's EXACT outputs (n, min, max); mean and
+    // stddev are derived from exact decimal sums instead of the UDAF's
+    // double accumulators, because double-accumulated moments are
+    // merge-order-dependent at the ulp level and a rounded comparison
+    // against DuckDB's own accumulation is a midpoint coin-flip (observed
+    // at sf0.001). The UDAF's mean/stddev are pinned ulp-tight against
+    // Spark's built-ins in StatsAggregatorSpec instead.
+    "rel_welford_stats" -> ((s, dir) => {
+      val p = Relational.money(col("o_totalprice"))
+      val n = col("mom.n")
+      table(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))
+        .agg(graft.functions.MomentsAggregator.moments(col("o_totalprice")).as("mom"),
+          sum(p).cast("double").as("sx"),
+          sum(p * p).cast("double").as("sxx"))
+        // mean is UNROUNDED: sx is exact (< 2^53 in cents) and /n is one
+        // identical double op -> bit-equal across engines, while round()
+        // at a fixed digit is a coin-flip on the frequent exact decimal
+        // ties cents/n produces (Spark rounds the shortest decimal repr,
+        // DuckDB the binary value). stddev IS rounded: a sqrt never lands
+        // on a decimal tie, and rounding absorbs the ulp-level noise of
+        // the wide-decimal sxx -> double cast.
+        .select(col("y"), col("m"), n.as("n_orders"),
+          (col("sx") / n).as("mean_price"),
+          when(n > 1, round(
+            sqrt((col("sxx") - col("sx") * col("sx") / n) / (n - 1)), 3))
+            .as("stddev_price"),
+          col("mom.lo").as("min_price"), col("mom.hi").as("max_price"))
+        .orderBy("y", "m")
+    }),
     "rel_cube" -> ((s, dir) =>
       Relational.cubeFlagStatus(table(s, dir, "lineitem"))),
     "rel_date_parts" -> ((s, dir) =>
@@ -223,6 +267,12 @@ object SparkEntry {
       Events.typeTransitions(table(s, dir, "events"))),
     "ev_cohort_retention" -> ((s, dir) =>
       Events.cohortRetention(table(s, dir, "events"))),
+    // time-RANGE window frame: trailing-hour per-user activity
+    "ev_rolling_value" -> ((s, dir) =>
+      Events.rollingUserValue(table(s, dir, "events"))),
+    // UNPIVOT: the pivot matrix melted back to long form, zeros included
+    "ev_unpivot" -> ((s, dir) =>
+      Events.unpivotTypeByDay(table(s, dir, "events"))),
     // as-of join: each purchase gets the user's latest signup at-or-before it
     "ev_asof_signup" -> ((s, dir) => {
       val ev = table(s, dir, "events")
@@ -300,6 +350,10 @@ object SparkEntry {
       Dedup.embeddingNearDupPairsBanded(table(s, dir, "embeddings"), 0.4)),
     "dedup_embedding_lsh" -> ((s, dir) =>
       Dedup.embeddingNearDupPairsLsh(table(s, dir, "embeddings"), 0.4)),
+    // blocked Levenshtein near-dup: record-linkage blocking bounds the
+    // self-join; distance on a fixed 64-char prefix bounds per-pair cost
+    "dedup_edit_pairs" -> ((s, dir) =>
+      Dedup.editDistancePairs(table(s, dir, "documents"))),
     // the curation capstone: langid -> quality/repetition -> exact dedup ->
     // near-dup keep, reported as docs dropped per stage
     "curate_funnel" -> ((s, dir) =>
@@ -322,6 +376,9 @@ object SparkEntry {
       Similarity.annCosineIvf(table(s, dir, "embeddings"), 0L, 10)),
     "sim_norms_by_label" -> ((s, dir) =>
       Similarity.normStatsByLabel(table(s, dir, "embeddings"))),
+    // int8 quantization fidelity: the 4x-storage-shrink safety report
+    "sim_quantize_error" -> ((s, dir) =>
+      Similarity.quantizeErrorByLabel(table(s, dir, "embeddings"))),
 
     // ---- text analysis (north star) ----
     "text_token_counts" -> ((s, dir) =>
@@ -575,6 +632,39 @@ object SparkEntry {
         |WHERE o_totalprice > mean_price
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    "rel_exists_subquery" ->
+      """SELECT o_orderpriority, count(*) AS n_late_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        |              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "rel_having" ->
+      """WITH big AS (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |             FROM lineitem GROUP BY l_orderkey
+        |             HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150.0)
+        |SELECT o_orderkey, o_custkey, total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "rel_global_sort" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+    // mean/stddev from EXACT decimal sums, spelled as the identical double
+    // expression tree as the Spark side (see the query declaration)
+    "rel_welford_stats" ->
+      """WITH g AS (
+        |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+        |    CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+        |    count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT y, m, n_orders,
+        |  sx / n_orders AS mean_price,
+        |  CASE WHEN n_orders > 1
+        |       THEN round(sqrt((sxx - sx * sx / n_orders) / (n_orders - 1)), 3) END AS stddev_price,
+        |  min_price, max_price
+        |FROM g ORDER BY y, m""".stripMargin,
     "rel_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
@@ -727,9 +817,43 @@ object SparkEntry {
         |       (SELECT count(*) FROM s1) AS n_stage1,
         |       (SELECT count(*) FROM s2) AS n_stage2""".stripMargin,
 
+    "ev_rolling_value" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_trailing,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    // independent long-form derivation (day x type grid, zero-filled) —
+    // deliberately NOT a pivot-then-unpivot mirror of the Spark plan
+    "ev_unpivot" ->
+      """WITH days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events),
+        |t AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+        |c AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n
+        |      FROM events GROUP BY 1, 2)
+        |SELECT d.day, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        |FROM days d CROSS JOIN t
+        |LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+        |ORDER BY d.day, t.event_type""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS rep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+    // same blocking + prefix + threshold as the Spark plan; the block key
+    // bounds the self-join on both sides identically
+    "dedup_edit_pairs" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+        |b AS (SELECT doc_id, substring(t, 1, 64) AS pref,
+        |             substring(t, 1, 8) || '|' || CAST(floor(length(t)/100) AS BIGINT) AS block
+        |      FROM d),
+        |cap AS (SELECT block FROM b GROUP BY block HAVING count(*) > 1000)
+        |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |       CAST(levenshtein(a.pref, c.pref) AS BIGINT) AS edit_dist
+        |FROM b a JOIN b c USING (block)
+        |WHERE a.doc_id < c.doc_id AND a.block NOT IN (SELECT block FROM cap)
+        |  AND levenshtein(a.pref, c.pref) <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
     "dedup_jaccard_pairs" -> jaccardOracleSql(0.05),
     // LSH candidates + exact verify: the oracle is the full exact-Jaccard
     // computation at the same threshold/cap (see the query declaration for
@@ -857,6 +981,23 @@ object SparkEntry {
       """WITH e AS (SELECT label, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm FROM embeddings)
         |SELECT label, count(*) AS n, round(min(norm), 4) AS min_norm, round(max(norm), 4) AS max_norm
         |FROM e GROUP BY label ORDER BY label""".stripMargin,
+    // same round-half-up quantize/dequantize spelling as the Spark plan;
+    // list_dot_product is the same left-to-right fold as graft_dot, so the
+    // per-vector mse is bit-identical before the rounded aggregate
+    "sim_quantize_error" ->
+      """WITH v AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+        |m AS (SELECT label, e, list_max(list_transform(e, x -> abs(x))) AS ma FROM v),
+        |q AS (SELECT label,
+        |        CASE WHEN ma = 0 THEN 0.0 ELSE
+        |          list_dot_product(
+        |            list_transform(e, x -> x - least(greatest(floor(x * (127.0 / ma) + 0.5), -127.0), 127.0) / (127.0 / ma)),
+        |            list_transform(e, x -> x - least(greatest(floor(x * (127.0 / ma) + 0.5), -127.0), 127.0) / (127.0 / ma)))
+        |          / len(e) END AS mse
+        |      FROM m)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(CAST(sum(CAST(mse AS DECIMAL(18,12))) AS DOUBLE) / count(*), 8) AS avg_mse,
+        |  round(max(mse), 8) AS max_mse
+        |FROM q GROUP BY label ORDER BY label""".stripMargin,
 
     "text_token_counts" ->
       """SELECT doc_id,

@@ -391,6 +391,49 @@ object Dedup {
         .select("doc_id"), Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
 
+  /** Blocked edit-distance near-dup pairs: Levenshtein over a normalized
+    * text prefix, with candidate pairs generated by a BLOCKING key (first
+    * `blockChars` chars + a length band) — the classic record-linkage
+    * shape for catching small in-place edits that shingle Jaccard also
+    * sees but SimHash/MinHash band geometry can miss at low edit counts.
+    *
+    * Scale notes (100 TB): all-pairs Levenshtein is O(n^2 · L^2) and dead
+    * on arrival; blocking bounds the self-join fan-out by block size the
+    * same way shingle buckets bound jaccardPairs (block key skew is the
+    * analogous hazard — a boilerplate prefix shared by millions of docs —
+    * and gets the same df-cap treatment via `maxBlockSize`). Distance is
+    * computed on a fixed `prefixLen` prefix so per-pair cost is O(64^2)
+    * regardless of document length. Recall is bounded by construction
+    * (edits inside the block key or length-band stragglers are missed) —
+    * mirrored exactly in the oracle, which computes the same blocking. */
+  def editDistancePairs(docs: DataFrame, prefixLen: Int = 64,
+                        maxDist: Int = 8, blockChars: Int = 8,
+                        lengthBand: Int = 100,
+                        maxBlockSize: Int = DefaultMaxShingleDf): DataFrame = {
+    val norm = lower(col("text"))
+    val keyed = docs.select(col("doc_id"),
+      substring(norm, 1, prefixLen).as("prefix"),
+      concat_ws("|", substring(norm, 1, blockChars),
+        floor(length(norm) / lit(lengthBand)).cast("long")).as("block"))
+    val bounded =
+      if (maxBlockSize <= 0) keyed
+      else {
+        val hot = keyed.groupBy("block").agg(count(lit(1)).as("n"))
+          .filter(col("n") > maxBlockSize).select("block")
+        keyed.join(broadcast(hot), Seq("block"), "left_anti")
+      }
+    val a = bounded.select(col("doc_id").as("id_a"), col("prefix").as("pref_a"),
+      col("block"))
+    val b = bounded.select(col("doc_id").as("id_b"), col("prefix").as("pref_b"),
+      col("block"))
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("pref_a"), col("pref_b")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Brute all-pairs embedding near-dup — SPEC-ONLY recall baseline, not a
     * declared query: the pair generator is an O(n^2) nested-loop join that
     * cannot survive scale. DedupSpec uses it to pin the banded/1-band LSH

@@ -113,6 +113,36 @@ object Events {
       .na.fill(0L, types)
       .orderBy("day")
 
+  /** Time-RANGE window frame: per event, count + exact value sum of the
+    * same user's events in the trailing `windowMinutes`. Unlike the
+    * tumbling/sliding bucket aggregations this is a per-ROW trailing
+    * window, and unlike ROWS frames it is gap-aware — the frame is bounded
+    * by event TIME, not row count. Ordering key is integer microseconds so
+    * the frame boundary is exact in both engines; RANGE includes same-µs
+    * peers identically on both sides. One shuffle on user_id. */
+  def rollingUserValue(events: DataFrame, windowMinutes: Int = 60): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-windowMinutes * 60L * 1000000L, Window.currentRow)
+    events
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        money(col("value")).as("v"))
+      .withColumn("n_trailing", count(lit(1)).over(w))
+      .withColumn("sum_trailing", sum(col("v")).over(w).cast("double"))
+      .select("event_id", "user_id", "n_trailing", "sum_trailing")
+      .orderBy("event_id")
+  }
+
+  /** UNPIVOT (melt): the day x type contingency matrix back to long form,
+    * zero rows included — the inverse of typeByDayPivot, used when a
+    * wide metrics table must feed a long-format consumer. Pure per-row
+    * Expand (one row in, |types| rows out): no shuffle beyond the pivot's
+    * own aggregation. */
+  def unpivotTypeByDay(events: DataFrame,
+                       types: Seq[String] = Seq("click", "error", "purchase", "signup", "view")): DataFrame =
+    typeByDayPivot(events, types)
+      .unpivot(Array(col("day")), types.map(col).toArray, "event_type", "n")
+      .orderBy("day", "event_type")
+
   /** Cohort retention: users grouped by first-signup day, counted on each
     * day-offset they were active. */
   def cohortRetention(events: DataFrame): DataFrame = {

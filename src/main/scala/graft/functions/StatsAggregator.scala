@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Streaming-moments buffer: Welford running (n, mean, M2) plus exact
+  * min/max. One pass, O(1) state — the UDAF shape for any "profile this
+  * column at 100 TB" statistic. */
+case class MomentState(n: Long, mean: Double, m2: Double,
+                       lo: Double, hi: Double)
+
+/** Finished moments: sample stddev derived from M2 — None (SQL NULL) when
+  * n < 2, matching `stddev_samp` so oracle comparisons don't diverge on
+  * single-row groups. */
+case class MomentResult(n: Long, mean: Double, stddev: Option[Double],
+                        lo: Double, hi: Double)
+
+/** Typed `Aggregator[IN, BUF, OUT]` (SURVEY §2.3: the UDAF ground the
+  * reference never enters) computing numerically stable moments.
+  *
+  * reduce = Welford's update; merge = Chan's parallel combination — the
+  * pair that makes the aggregate partial+final safe: executors fold their
+  * partitions independently and the shuffle merges O(partitions) buffers,
+  * with none of the catastrophic cancellation of the naive
+  * sum/sum-of-squares spelling (whose `sumSq - sum²/n` loses all
+  * significant digits when stddev << mean — exactly the o_totalprice
+  * regime). Registered as an untyped UDAF via functions.udaf so plain
+  * DataFrame plans can call it; StatsAggregatorSpec pins merge-order
+  * invariance (1 vs many partitions) and parity with Spark's built-ins.
+  */
+object MomentsAggregator extends Aggregator[Double, MomentState, MomentResult] {
+
+  override def zero: MomentState =
+    MomentState(0L, 0.0, 0.0, Double.PositiveInfinity, Double.NegativeInfinity)
+
+  override def reduce(s: MomentState, x: Double): MomentState = {
+    val n = s.n + 1
+    val delta = x - s.mean
+    val mean = s.mean + delta / n
+    MomentState(n, mean, s.m2 + delta * (x - mean),
+      math.min(s.lo, x), math.max(s.hi, x))
+  }
+
+  override def merge(a: MomentState, b: MomentState): MomentState =
+    if (a.n == 0) b
+    else if (b.n == 0) a
+    else {
+      val n = a.n + b.n
+      val delta = b.mean - a.mean
+      MomentState(n,
+        a.mean + delta * b.n / n,
+        a.m2 + b.m2 + delta * delta * a.n * b.n / n,
+        math.min(a.lo, b.lo), math.max(a.hi, b.hi))
+    }
+
+  override def finish(s: MomentState): MomentResult =
+    MomentResult(s.n, s.mean,
+      if (s.n > 1) Some(math.sqrt(s.m2 / (s.n - 1))) else None,
+      s.lo, s.hi)
+
+  override def bufferEncoder: Encoder[MomentState] = Encoders.product[MomentState]
+  override def outputEncoder: Encoder[MomentResult] = Encoders.product[MomentResult]
+
+  /** The aggregator as an untyped column function. */
+  def moments(c: Column): Column = udaf(MomentsAggregator).apply(c)
+}

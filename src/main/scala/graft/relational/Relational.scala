@@ -347,6 +347,47 @@ object Relational {
       .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
   }
 
+  /** Correlated-EXISTS shape (TPC-H Q4): orders with at least one line item
+    * shipped more than `graceDays` after the order date, counted per
+    * priority. The correlated subquery decorrelates to ONE left-semi join
+    * whose condition carries the date predicate — at scale that is a single
+    * hash-partitioned exchange pair on the order key, never a per-order
+    * probe. */
+  def latePriorityCounts(orders: DataFrame, lineitem: DataFrame,
+                         graceDays: Int = 60): DataFrame =
+    orders.join(lineitem,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $graceDays DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy("o_orderpriority")
+
+  /** HAVING / IN-subquery shape (TPC-H Q18): orders whose line items sum to
+    * more than `minQty` units. The grouped HAVING side is aggregated FIRST
+    * (partial+final, exact decimal sum), then joined back — semantically
+    * `o_orderkey IN (SELECT ... GROUP BY ... HAVING ...)` but keeping the
+    * aggregate value in the output. Both shuffles key on the order key, so
+    * AQE can plan the second as a co-partitioned join. */
+  def bigQuantityOrders(orders: DataFrame, lineitem: DataFrame,
+                        minQty: Double = 150.0): DataFrame = {
+    val big = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(money(col("l_quantity"))).cast("double").as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    orders.join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("total_qty"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Global total-order sort (no limit): plans as a RangePartitioning
+    * exchange — Spark samples the sort key to build range bounds, so the
+    * full order is produced by p independent partition sorts, never a
+    * single-node sort. The one distributed-sort shape not already covered
+    * by top-k (TakeOrderedAndProject short-circuits the exchange). */
+  def ordersByPriceDesc(orders: DataFrame): DataFrame =
+    orders.select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+
   /** Scalar "subquery" as a broadcast 1-row side: orders above the global
     * mean price, counted per priority. The mean is computed exactly
     * (decimal sum / count) so the boundary predicate is reproducible. */

@@ -175,6 +175,47 @@ object Similarity {
       .limit(k)
   }
 
+  /** Int8 scalar quantization fidelity report: each vector is symmetrically
+    * quantized to [-127, 127] (per-vector scale = 127 / max |x|, round-half-up
+    * via floor(x*s + 0.5) — spelled identically in the oracle so the
+    * midpoint rule can't diverge), dequantized, and scored by reconstruction
+    * MSE. Per label: vector count, exact-decimal-averaged MSE, max MSE.
+    *
+    * This is the storage-shrink dial for a 100 TB embedding corpus (4x
+    * smaller + SIMD-friendly); the report is how you decide whether int8 is
+    * safe for a given collection. Single scan, no shuffle before the tiny
+    * per-label aggregate; MSE per row is dot(err, err)/dim — the same
+    * bit-exact sequential fold as every other vector op here. The per-row
+    * work is packed through a 1-element struct array so `maxAbs` is
+    * evaluated once per ROW — a bare column reference would be re-inlined
+    * under the transform lambda by CollapseProject and recomputed per
+    * ELEMENT (the withUnitVec trap). */
+  def quantizeErrorByLabel(embeddings: DataFrame): DataFrame = {
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
+    val e = toDoubleVec(col("embedding"))
+    val maxAbs = array_max(transform(e, x => abs(x)))
+    val mseArr = transform(array(struct(maxAbs.as("ma"), e.as("e"))), s => {
+      val ma = s.getField("ma")
+      val ev = s.getField("e")
+      val scale = lit(127.0) / ma
+      val err = transform(ev, x =>
+        x - least(greatest(floor(x * scale + lit(0.5)), lit(-127.0)), lit(127.0)) / scale)
+      // second 1-element fold: `dot(err, err)` would inline (and so
+      // re-quantize) the err array once per argument — bind it once
+      val mse = element_at(transform(array(err), er => dot(er, er) / size(er)), 1)
+      when(ma === 0, lit(0.0)).otherwise(mse)
+    })
+    embeddings
+      .select(col("label"), element_at(mseArr, 1).as("mse"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("mse").cast(org.apache.spark.sql.types.DataTypes
+            .createDecimalType(18, 12))).cast("double") / count(lit(1)), 8)
+          .as("avg_mse"),
+        round(max(col("mse")), 8).as("max_mse"))
+      .orderBy("label")
+  }
+
   /** Per-label embedding stats (norm is exact-order sequential). */
   def normStatsByLabel(embeddings: DataFrame): DataFrame = {
     VectorFunctions.ensureRegistered(embeddings.sparkSession)

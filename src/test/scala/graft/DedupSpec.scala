@@ -218,4 +218,31 @@ class DedupSpec extends SparkSpec {
     assert(lsh.nonEmpty)
     lsh.foreach { p => assert(brute((p._1, p._2)) == p._3) }
   }
+
+  test("blocked edit-distance finds small in-place edits, block-bounded") {
+    // 1&2: one-word edit, same 8-char prefix + length band -> paired.
+    // 1&3: exact dup -> distance 0. 4: shares nothing. 5: same prefix but
+    // >100 chars longer -> different length band, correctly out of reach.
+    val docs = (corpus.as[(Long, String)].collect().toSeq :+
+      (5L, "the quick brown fox jumps over the lazy dog " + ("padding " * 20)))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairs(docs)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 3L), (1L, 3L, 0L), (2L, 3L, 3L)))
+  }
+
+  test("edit-distance blocking drops hot blocks at the cap like jaccard's df-cap") {
+    // 60 boilerplate docs share one block; cap 50 must anti-join the whole
+    // block out rather than emit 60*59/2 pairs from one bucket
+    val boiler = (1 to 60).map(i => (100L + i, s"boilerplate header all the same text v$i"))
+    val docs = (Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat")) ++ boiler)
+      .toDF("doc_id", "text")
+    val capped = Dedup.editDistancePairs(docs, maxBlockSize = 50)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(capped.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    val uncapped = Dedup.editDistancePairs(docs, maxBlockSize = 0)
+      .as[(Long, Long, Long)].collect()
+    assert(uncapped.length > 1000) // the fan-out the cap is there to stop
+  }
 }

@@ -52,4 +52,37 @@ class EventsSpec extends SparkSpec {
     assert(r.getLong(1) == 2L) // both clicked after signup
     assert(r.getLong(2) == 1L) // only user 1 purchased after clicking
   }
+
+  test("trailing time-RANGE window is gap-aware and boundary-inclusive") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, 1L, ts("2024-01-01 10:30:00"), 2.0), // frame: e1+e2
+      (3L, 1L, ts("2024-01-01 11:45:00"), 4.0), // >1h gap: frame = e3 alone
+      (4L, 2L, ts("2024-01-01 10:00:00"), 1.0),
+      (5L, 2L, ts("2024-01-01 11:00:00"), 2.0), // exactly -1h: RANGE includes e4
+      (6L, 3L, ts("2024-01-01 09:00:00"), 7.0), // other users never leak in
+    ).toDF("event_id", "user_id", "ts", "value")
+    val rows = Events.rollingUserValue(ev)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rows == Seq(
+      (1L, 1L, 1L, 1.0), (2L, 1L, 2L, 3.0), (3L, 1L, 1L, 4.0),
+      (4L, 2L, 1L, 1.0), (5L, 2L, 2L, 3.0),
+      (6L, 3L, 1L, 7.0)))
+  }
+
+  test("unpivot melts the pivot matrix back to zero-filled long form") {
+    val ev = Seq(
+      (ts("2024-01-01 10:00:00"), "click"),
+      (ts("2024-01-01 11:00:00"), "click"),
+      (ts("2024-01-02 10:00:00"), "error"),
+    ).toDF("ts", "event_type")
+    val rows = Events.unpivotTypeByDay(ev)
+      .as[(String, String, Long)].collect().toSeq
+    // 2 days x 5 types, zeros materialized
+    assert(rows.size == 10)
+    assert(rows.filter(_._3 > 0).toSet == Set(
+      ("2024-01-01", "click", 2L), ("2024-01-02", "error", 1L)))
+    // melt(pivot(long)) == original long counts plus explicit zeros
+    assert(rows.map(_._3).sum == 3L)
+  }
 }

@@ -75,4 +75,33 @@ class PlanSpec extends SparkSpec {
     val p = plan("bm25_search")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
   }
+
+  test("global sort is range-partitioned, never a single-node sort") {
+    val p = plan("rel_global_sort")
+    assert(p.contains("rangepartitioning"),
+      "total-order sort must sample range bounds and sort partitions independently")
+    assert(!p.contains("CollectLimit"))
+  }
+
+  test("correlated EXISTS decorrelates to one semi-join, not a per-row probe") {
+    val p = plan("rel_exists_subquery")
+    assert(p.contains("LeftSemi"))
+    assert(!p.contains("InSubquery") && !p.contains("exists#"),
+      "EXISTS survived as an undecorrelated subquery")
+  }
+
+  test("typed UDAF aggregates partial+final like a built-in") {
+    // the Chan-merge design only pays off if executors pre-fold locally:
+    // pin the partial_ stage so a plan change can't silently shuffle rows
+    val p = plan("rel_welford_stats")
+    assert(p.contains("partial_momentsaggregator"))
+    assert(p.contains("ObjectHashAggregate"))
+  }
+
+  test("edit-distance near-dup pairs join on the block key, never all-pairs") {
+    val p = plan("dedup_edit_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // both the hot-block anti-join and the pair self-join are equi-joins
+    assert(p.contains("LeftAnti"))
+  }
 }

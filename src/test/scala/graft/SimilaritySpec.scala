@@ -67,4 +67,39 @@ class SimilaritySpec extends SparkSpec {
     assert(res.map(_._1).toSeq == Seq(0, 1))
     assert(res.forall(r => r._3 <= r._4 && r._2 == 2L))
   }
+
+  test("int8 quantization error matches a scala-side replay; zero vec safe") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, -0.5f), 0),
+      (1L, Array(0.3f, 0.2f, 0.1f), 0),
+      (2L, Array(0.0f, 0.0f, 0.0f), 1), // max|x| = 0: scale undefined -> mse 0
+    ).toDF("vec_id", "embedding", "label")
+    def replayMse(v: Array[Float]): Double = {
+      val xs = v.map(_.toDouble)
+      val ma = xs.map(math.abs).max
+      if (ma == 0) 0.0
+      else {
+        val s = 127.0 / ma
+        xs.map { x =>
+          val q = math.min(math.max(math.floor(x * s + 0.5), -127.0), 127.0)
+          val e = x - q / s
+          e * e
+        }.sum / xs.length
+      }
+    }
+    val byLabel = Map(
+      0 -> Seq(Array(1.0f, 0.0f, -0.5f), Array(0.3f, 0.2f, 0.1f)),
+      1 -> Seq(Array(0.0f, 0.0f, 0.0f)))
+    val expected = byLabel.view.mapValues(_.map(replayMse)).toMap
+    val got = Similarity.quantizeErrorByLabel(vecs)
+      .as[(Int, Long, Double, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(0, 1))
+    got.foreach { case (label, n, avg, mx) =>
+      val exp = expected(label)
+      assert(n == exp.length)
+      assert(math.abs(avg - exp.sum / exp.length) < 1e-8, s"avg label=$label")
+      assert(math.abs(mx - exp.max) < 1e-8, s"max label=$label")
+      assert(mx < 1e-3) // int8 on unit-scale vectors: reconstruction is tight
+    }
+  }
 }
