@@ -134,38 +134,11 @@ object SparkEntry {
     // that the sort is distributed, not a single-partition collapse)
     "rel_global_sort" -> ((s, dir) =>
       Relational.ordersByPriceDesc(table(s, dir, "orders"))),
-    // typed Aggregator UDAF (Welford/Chan moments): monthly price profile.
-    // The oracle compares the UDAF's EXACT outputs (n, min, max); mean and
-    // stddev are derived from exact decimal sums instead of the UDAF's
-    // double accumulators, because double-accumulated moments are
-    // merge-order-dependent at the ulp level and a rounded comparison
-    // against DuckDB's own accumulation is a midpoint coin-flip (observed
-    // at sf0.001). The UDAF's mean/stddev are pinned ulp-tight against
-    // Spark's built-ins in StatsAggregatorSpec instead.
-    "rel_welford_stats" -> ((s, dir) => {
-      val p = Relational.money(col("o_totalprice"))
-      val n = col("mom.n")
-      table(s, dir, "orders")
-        .groupBy(year(col("o_orderdate")).as("y"),
-          month(col("o_orderdate")).as("m"))
-        .agg(graft.functions.MomentsAggregator.moments(col("o_totalprice")).as("mom"),
-          sum(p).cast("double").as("sx"),
-          sum(p * p).cast("double").as("sxx"))
-        // mean is UNROUNDED: sx is exact (< 2^53 in cents) and /n is one
-        // identical double op -> bit-equal across engines, while round()
-        // at a fixed digit is a coin-flip on the frequent exact decimal
-        // ties cents/n produces (Spark rounds the shortest decimal repr,
-        // DuckDB the binary value). stddev IS rounded: a sqrt never lands
-        // on a decimal tie, and rounding absorbs the ulp-level noise of
-        // the wide-decimal sxx -> double cast.
-        .select(col("y"), col("m"), n.as("n_orders"),
-          (col("sx") / n).as("mean_price"),
-          when(n > 1, round(
-            sqrt((col("sxx") - col("sx") * col("sx") / n) / (n - 1)), 3))
-            .as("stddev_price"),
-          col("mom.lo").as("min_price"), col("mom.hi").as("max_price"))
-        .orderBy("y", "m")
-    }),
+    // typed Aggregator UDAF (Welford/Chan moments): monthly price profile —
+    // see Relational.monthlyPriceProfile for the cross-engine comparison
+    // rationale (exact decimal mean/stddev, UDAF n/min/max)
+    "rel_welford_stats" -> ((s, dir) =>
+      Relational.monthlyPriceProfile(table(s, dir, "orders"))),
     "rel_cube" -> ((s, dir) =>
       Relational.cubeFlagStatus(table(s, dir, "lineitem"))),
     "rel_date_parts" -> ((s, dir) =>
@@ -840,20 +813,7 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS rep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
-    // same blocking + prefix + threshold as the Spark plan; the block key
-    // bounds the self-join on both sides identically
-    "dedup_edit_pairs" ->
-      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
-        |b AS (SELECT doc_id, substring(t, 1, 64) AS pref,
-        |             substring(t, 1, 8) || '|' || CAST(floor(length(t)/100) AS BIGINT) AS block
-        |      FROM d),
-        |cap AS (SELECT block FROM b GROUP BY block HAVING count(*) > 1000)
-        |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
-        |       CAST(levenshtein(a.pref, c.pref) AS BIGINT) AS edit_dist
-        |FROM b a JOIN b c USING (block)
-        |WHERE a.doc_id < c.doc_id AND a.block NOT IN (SELECT block FROM cap)
-        |  AND levenshtein(a.pref, c.pref) <= 8
-        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_edit_pairs" -> editDistOracleSql,
     "dedup_jaccard_pairs" -> jaccardOracleSql(0.05),
     // LSH candidates + exact verify: the oracle is the full exact-Jaccard
     // computation at the same threshold/cap (see the query declaration for
@@ -1196,6 +1156,26 @@ object SparkEntry {
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
 
   /** Exact n-gram-Jaccard pair oracle over the capped shingle universe. */
+  /** dedup_edit_pairs oracle, generated from the SAME constants as the
+    * Spark operator's defaults (Dedup.DefaultEdit*) so a retune can't
+    * desynchronize the two sides. ASCII normalization mirrors the operator:
+    * DuckDB's levenshtein counts BYTES where Spark counts codepoints, so
+    * on ASCII-only input the metrics coincide exactly. */
+  private def editDistOracleSql: String = {
+    import graft.dedup.Dedup._
+    s"""WITH d AS (SELECT doc_id, regexp_replace(lower(text), '[^\\x00-\\x7F]', '', 'g') AS t FROM documents),
+       |b AS (SELECT doc_id, substring(t, 1, $DefaultEditPrefixLen) AS pref,
+       |             substring(t, 1, $DefaultEditBlockChars) || '|' || CAST(floor(length(t)/$DefaultEditLengthBand) AS BIGINT) AS block
+       |      FROM d),
+       |cap AS (SELECT block FROM b GROUP BY block HAVING count(*) > $DefaultMaxShingleDf)
+       |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+       |       CAST(levenshtein(a.pref, c.pref) AS BIGINT) AS edit_dist
+       |FROM b a JOIN b c USING (block)
+       |WHERE a.doc_id < c.doc_id AND a.block NOT IN (SELECT block FROM cap)
+       |  AND levenshtein(a.pref, c.pref) <= $DefaultEditMaxDist
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   private def jaccardOracleSql(minJaccard: Double): String =
     s"""WITH $shingleCtes
        |SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter), 4) AS jaccard

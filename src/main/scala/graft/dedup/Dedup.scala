@@ -31,6 +31,14 @@ object Dedup {
     * capShingleDf), so tightening the default costs no recall in practice. */
   val DefaultMaxShingleDf = 1000
 
+  // editDistancePairs defaults, named so the declared oracle SQL can be
+  // generated from the SAME constants (SparkEntry.editDistOracleSql) and
+  // a retune here can never silently desynchronize the two sides
+  val DefaultEditPrefixLen = 64
+  val DefaultEditMaxDist = 8
+  val DefaultEditBlockChars = 8
+  val DefaultEditLengthBand = 100
+
   /** Exact duplicate groups by content hash (md5 — reproducible in the
     * oracle, unlike xxhash64). One shuffle. */
   def exactDuplicates(docs: DataFrame): DataFrame =
@@ -405,12 +413,20 @@ object Dedup {
     * computed on a fixed `prefixLen` prefix so per-pair cost is O(64^2)
     * regardless of document length. Recall is bounded by construction
     * (edits inside the block key or length-band stragglers are missed) —
-    * mirrored exactly in the oracle, which computes the same blocking. */
-  def editDistancePairs(docs: DataFrame, prefixLen: Int = 64,
-                        maxDist: Int = 8, blockChars: Int = 8,
-                        lengthBand: Int = 100,
+    * mirrored exactly in the oracle, which computes the same blocking.
+    *
+    * Text is ASCII-normalized (non-ASCII stripped) before anything else:
+    * Spark's `levenshtein` counts CODEPOINT edits while DuckDB's counts
+    * BYTE edits, so a single multi-byte character would make the two
+    * engines disagree on distance; restricting to ASCII makes the metric
+    * identical by construction (and near-dup blocking on ASCII-folded
+    * text is standard curation practice anyway). */
+  def editDistancePairs(docs: DataFrame, prefixLen: Int = DefaultEditPrefixLen,
+                        maxDist: Int = DefaultEditMaxDist,
+                        blockChars: Int = DefaultEditBlockChars,
+                        lengthBand: Int = DefaultEditLengthBand,
                         maxBlockSize: Int = DefaultMaxShingleDf): DataFrame = {
-    val norm = lower(col("text"))
+    val norm = regexp_replace(lower(col("text")), "[^\\x00-\\x7F]", "")
     val keyed = docs.select(col("doc_id"),
       substring(norm, 1, prefixLen).as("prefix"),
       concat_ws("|", substring(norm, 1, blockChars),

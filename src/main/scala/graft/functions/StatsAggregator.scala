@@ -12,9 +12,10 @@ case class MomentState(n: Long, mean: Double, m2: Double,
 
 /** Finished moments: sample stddev derived from M2 — None (SQL NULL) when
   * n < 2, matching `stddev_samp` so oracle comparisons don't diverge on
-  * single-row groups. */
-case class MomentResult(n: Long, mean: Double, stddev: Option[Double],
-                        lo: Double, hi: Double)
+  * single-row groups; mean/lo/hi None when every input was NULL, matching
+  * avg/min/max. */
+case class MomentResult(n: Long, mean: Option[Double], stddev: Option[Double],
+                        lo: Option[Double], hi: Option[Double])
 
 /** Typed `Aggregator[IN, BUF, OUT]` (SURVEY §2.3: the UDAF ground the
   * reference never enters) computing numerically stable moments.
@@ -29,17 +30,22 @@ case class MomentResult(n: Long, mean: Double, stddev: Option[Double],
   * DataFrame plans can call it; StatsAggregatorSpec pins merge-order
   * invariance (1 vs many partitions) and parity with Spark's built-ins.
   */
-object MomentsAggregator extends Aggregator[Double, MomentState, MomentResult] {
+object MomentsAggregator extends Aggregator[Option[Double], MomentState, MomentResult] {
 
   override def zero: MomentState =
     MomentState(0L, 0.0, 0.0, Double.PositiveInfinity, Double.NegativeInfinity)
 
-  override def reduce(s: MomentState, x: Double): MomentState = {
-    val n = s.n + 1
-    val delta = x - s.mean
-    val mean = s.mean + delta / n
-    MomentState(n, mean, s.m2 + delta * (x - mean),
-      math.min(s.lo, x), math.max(s.hi, x))
+  // input is Option so SQL NULLs are SKIPPED like every built-in aggregate
+  // (a bare Double input encoder silently decodes NULL as 0.0, inflating n
+  // and dragging mean/lo toward zero on nullable columns)
+  override def reduce(s: MomentState, in: Option[Double]): MomentState = in match {
+    case None => s
+    case Some(x) =>
+      val n = s.n + 1
+      val delta = x - s.mean
+      val mean = s.mean + delta / n
+      MomentState(n, mean, s.m2 + delta * (x - mean),
+        math.min(s.lo, x), math.max(s.hi, x))
   }
 
   override def merge(a: MomentState, b: MomentState): MomentState =
@@ -55,9 +61,11 @@ object MomentsAggregator extends Aggregator[Double, MomentState, MomentResult] {
     }
 
   override def finish(s: MomentState): MomentResult =
-    MomentResult(s.n, s.mean,
+    MomentResult(s.n,
+      if (s.n > 0) Some(s.mean) else None,
       if (s.n > 1) Some(math.sqrt(s.m2 / (s.n - 1))) else None,
-      s.lo, s.hi)
+      if (s.n > 0) Some(s.lo) else None,
+      if (s.n > 0) Some(s.hi) else None)
 
   override def bufferEncoder: Encoder[MomentState] = Encoders.product[MomentState]
   override def outputEncoder: Encoder[MomentResult] = Encoders.product[MomentResult]

@@ -388,6 +388,40 @@ object Relational {
     orders.select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy(desc("o_totalprice"), asc("o_orderkey"))
 
+  /** Monthly price profile via the typed Welford/Chan moments UDAF
+    * (graft.functions.MomentsAggregator) alongside exact decimal sums.
+    *
+    * The oracle-compared mean/stddev come from the EXACT decimal sums, not
+    * the UDAF's double accumulators: double-accumulated moments are
+    * merge-order-dependent at the ulp level, so a rounded comparison
+    * against DuckDB's own accumulation is a midpoint coin-flip (observed
+    * at sf0.001). The UDAF contributes its exactly-comparable outputs
+    * (n, min, max) here and has its mean/stddev pinned ulp-tight against
+    * Spark's built-ins in StatsAggregatorSpec. Mean is UNROUNDED: sx is
+    * exact (< 2^53 in cents) and /n is one identical double op -> bit-equal
+    * across engines, while round() at a fixed digit is a coin-flip on the
+    * frequent exact decimal ties cents/n produces (Spark rounds the
+    * shortest decimal repr, DuckDB the binary value). Stddev IS rounded: a
+    * sqrt never lands on a decimal tie, and rounding absorbs the ulp-level
+    * noise of the wide-decimal sxx -> double cast. */
+  def monthlyPriceProfile(orders: DataFrame): DataFrame = {
+    val p = money(col("o_totalprice"))
+    val n = col("mom.n")
+    orders
+      .groupBy(year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"))
+      .agg(graft.functions.MomentsAggregator.moments(col("o_totalprice")).as("mom"),
+        sum(p).cast("double").as("sx"),
+        sum(p * p).cast("double").as("sxx"))
+      .select(col("y"), col("m"), n.as("n_orders"),
+        (col("sx") / n).as("mean_price"),
+        when(n > 1, round(
+          sqrt((col("sxx") - col("sx") * col("sx") / n) / (n - 1)), 3))
+          .as("stddev_price"),
+        col("mom.lo").as("min_price"), col("mom.hi").as("max_price"))
+      .orderBy("y", "m")
+  }
+
   /** Scalar "subquery" as a broadcast 1-row side: orders above the global
     * mean price, counted per priority. The mean is computed exactly
     * (decimal sum / count) so the boundary predicate is reproducible. */

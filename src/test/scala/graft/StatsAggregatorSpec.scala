@@ -67,6 +67,18 @@ class StatsAggregatorSpec extends SparkSpec {
     assert(relErr(got._2, trueSd) < 1e-9, s"stddev ${got._2} vs $trueSd")
   }
 
+  test("NULL inputs are skipped like the built-ins, never counted as 0.0") {
+    val df = Seq((1, Some(10.0)), (1, None), (1, Some(30.0)),
+      (2, None), (2, None)).toDF("g", "x")
+    val rows = df.groupBy("g")
+      .agg(MomentsAggregator.moments(col("x")).as("m"))
+      .select(col("g"), col("m.n"), col("m.mean"), col("m.lo"), col("m.hi"))
+      .as[(Int, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(rows(1) == ((1, 2L, Some(20.0), Some(10.0), Some(30.0))))
+    assert(rows(2) == ((2, 0L, None, None, None))) // all-NULL: like avg/min/max
+  }
+
   test("single-value groups yield NULL stddev, matching stddev_samp") {
     val one = Seq(42.0).toDF("x")
       .agg(MomentsAggregator.moments(col("x")).as("m"))
