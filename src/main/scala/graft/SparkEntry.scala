@@ -370,6 +370,10 @@ object SparkEntry {
       TextAnalysis.topBigrams(table(s, dir, "documents"), 20)),
     "text_langid_confusion" -> ((s, dir) =>
       TextAnalysis.langGuessConfusion(table(s, dir, "documents"))),
+    // corpus mix report: the per-(source, lang) table that sets domain
+    // mixing weights before training
+    "text_source_stats" -> ((s, dir) =>
+      TextAnalysis.sourceStats(table(s, dir, "documents"))),
     "text_bpe_tokens" -> ((s, dir) =>
       TextAnalysis.bpeTokenCounts(table(s, dir, "documents"))),
     "text_tfidf" -> ((s, dir) =>
@@ -424,6 +428,11 @@ object SparkEntry {
       Sampling.stratifiedSample(table(s, dir, "documents"), "lang", "doc_id", 10, 42)
         .select(col("lang"), col("doc_id"), col("sample_rank"))
         .orderBy("lang", "sample_rank")),
+    // leakage-safe deterministic train/val/test split: membership is a
+    // pure function of (doc_id, seed) — appends never reshuffle old docs
+    "samp_hash_split" -> ((s, dir) =>
+      Sampling.hashSplit(table(s, dir, "documents"), "doc_id")
+        .select("doc_id", "split").orderBy("doc_id")),
     // The serving path: build the bucketed parquet index, then search it
     // with partition pruning to the query terms' buckets. The oracle
     // recomputes the same statistics from raw text — stored-vs-recompute
@@ -1004,6 +1013,14 @@ object SparkEntry {
     "text_top_terms" ->
       """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents)
         |SELECT term, count(*) AS n FROM tok GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+    // mean_chars unrounded: exact-long sum / count is one identical
+    // double division in both engines
+    "text_source_stats" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9_'']+'))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars
+        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
     "text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
@@ -1137,9 +1154,21 @@ object SparkEntry {
         |      FROM k)
         |SELECT lang, doc_id, sample_rank FROM r WHERE sample_rank <= 10
         |ORDER BY lang, sample_rank""".stripMargin,
+    "samp_hash_split" -> hashSplitOracleSql,
     "bm25_stored" -> bm25OracleSql("('spark','join','window')"),
     "bm25_multi_stored" -> bm25MultiOracleSql,
   )
+
+  /** samp_hash_split oracle: thresholds derived from the SAME constants as
+    * the operator defaults (Sampling.splitThresholds), seed 0. */
+  private def hashSplitOracleSql: String = {
+    val (trainEnd, valEnd) = graft.sources.Sampling.splitThresholds(
+      graft.sources.Sampling.DefaultVal256, graft.sources.Sampling.DefaultTest256)
+    s"""WITH k AS (SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 2) AS b FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN b < '$trainEnd' THEN 'train' WHEN b < '$valEnd' THEN 'val' ELSE 'test' END AS split
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
 
   /** Shared CTE chain: df-capped (<= 100) shingle universe, set sizes, and
     * pair intersection counts — mirroring Dedup's capped lineage exactly

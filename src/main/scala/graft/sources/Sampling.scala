@@ -41,6 +41,45 @@ object Sampling {
       .orderBy(col("sample_key"), col(idCol))
       .limit(n)
 
+  /** Deterministic train/val/test split: each row is assigned a split by
+    * the RANGE its seeded hash key's first two hex chars fall in, giving
+    * 1/256 granularity. Pure string comparison on the md5 hex — md5 is
+    * lowercase hex in Spark and DuckDB alike, so lexicographic = numeric
+    * order and the assignment is engine-exact with no hex parsing.
+    *
+    * This is the standard leakage-safe split for a training corpus:
+    * membership is a pure function of (id, seed) — stable under
+    * repartition, re-ingestion, and incremental appends (a new doc never
+    * moves an old doc between splits, unlike row_number() % k), and the
+    * same seed replays the same split forever. Embarrassingly parallel:
+    * one projection, no shuffle. Defaults: ~80/10/10 (204/26/26 of 256).
+    */
+  // ~80/10/10 defaults, named so the declared oracle SQL derives its
+  // thresholds from the same constants (SparkEntry.hashSplitOracleSql)
+  val DefaultVal256 = 26
+  val DefaultTest256 = 26
+
+  def hashSplit(df: DataFrame, idCol: String, seed: Long = 0L,
+                val256: Int = DefaultVal256, test256: Int = DefaultTest256): DataFrame = {
+    val (trainEnd, valEnd) = splitThresholds(val256, test256)
+    val b = substring(sampleKey(col(idCol), seed), 1, 2)
+    df.withColumn("split",
+      when(b < lit(trainEnd), "train")
+        .when(b < lit(valEnd), "val")
+        .otherwise("test"))
+  }
+
+  /** The two hex-pair range bounds for hashSplit, shared with the oracle
+    * SQL generator. Threshold 256 means "above every hex pair": "g" > any
+    * [0-9a-f]{2} string lexicographically, so comparisons stay plain
+    * string ops. */
+  def splitThresholds(val256: Int, test256: Int): (String, String) = {
+    require(val256 >= 0 && test256 >= 0 && val256 + test256 <= 255,
+      "val256 + test256 must leave at least 1/256 for train")
+    def hex2(i: Int) = if (i >= 256) "g" else f"$i%02x"
+    (hex2(256 - val256 - test256), hex2(256 - test256))
+  }
+
   /** Deterministic stratified sample: the first `nPerGroup` rows of EACH
     * group in seeded-hash order — the corpus-balancing op (equal docs per
     * language/source/domain) training pipelines run before mixing.

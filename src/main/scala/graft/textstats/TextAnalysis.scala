@@ -21,6 +21,20 @@ object TextAnalysis {
 
   private def toks: Column = Tokenize.tokens(col("text"))
 
+  /** Corpus mix report: per (source, lang) — doc count, char and token
+    * totals, mean doc length. THE table a curation run reads to set
+    * domain/language mixing weights before training. One tokenize pass,
+    * partial+final aggregation to a tiny result; mean is unrounded because
+    * exact-long sum / count is a single identical double division in any
+    * engine. */
+  def sourceStats(docs: DataFrame): DataFrame =
+    docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(size(toks).cast("long")).as("total_tokens"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("mean_chars"))
+      .orderBy("source", "lang")
+
   /** Token counts: regex tokens + whitespace tokens per doc. */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),

@@ -71,4 +71,32 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("hash split is exhaustive, layout-invariant, and append-stable") {
+    val s = Sampling.hashSplit(docs, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(s.size == docs.count()) // every doc assigned exactly one split
+    assert(s.values.toSet.subsetOf(Set("train", "val", "test")))
+    // ~80/10/10 within loose tolerance (500 docs, 1/256 buckets)
+    val frac = s.values.groupBy(identity).view.mapValues(_.size.toDouble / s.size)
+    assert(frac("train") > 0.7 && frac("train") < 0.9, frac)
+    // layout invariance
+    val re = Sampling.hashSplit(docs.repartition(13), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(re == s)
+    // append stability: splitting HALF the corpus assigns the shared docs
+    // identically — new arrivals never move old docs between splits
+    val half = Sampling.hashSplit(docs.filter(col("doc_id") % 2 === 0), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    half.foreach { case (id, sp) => assert(s(id) == sp) }
+  }
+
+  test("hash split edge fractions: zero val/test collapse correctly") {
+    val all = Sampling.hashSplit(docs, "doc_id", val256 = 0, test256 = 0)
+      .select("split").distinct().as[String].collect().toSeq
+    assert(all == Seq("train")) // threshold 256 = "g" sorts above every hex pair
+    val noTest = Sampling.hashSplit(docs, "doc_id", val256 = 128, test256 = 0)
+      .select("split").distinct().as[String].collect().toSet
+    assert(noTest == Set("train", "val"))
+  }
 }

@@ -27,4 +27,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L) == ((0.0, 0.0)))
     assert(got(4L) == ((0.0, 0.0)))
   }
+
+  test("source stats: per-(source, lang) counts, totals, and exact mean") {
+    val docs = Seq(
+      (1L, "one two three", "en", "web", 13L),
+      (2L, "four five", "en", "web", 9L),
+      (3L, "sechs sieben", "de", "web", 12L),
+      (4L, "eight", "en", "books", 5L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = TextAnalysis.sourceStats(docs)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(rows == Seq(
+      ("books", "en", 1L, 5L, 1L, 5.0),
+      ("web", "de", 1L, 12L, 2L, 12.0),
+      ("web", "en", 2L, 22L, 5L, 11.0)))
+  }
 }
