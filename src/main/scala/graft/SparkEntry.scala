@@ -1159,12 +1159,13 @@ object SparkEntry {
     "bm25_multi_stored" -> bm25MultiOracleSql,
   )
 
-  /** samp_hash_split oracle: thresholds derived from the SAME constants as
-    * the operator defaults (Sampling.splitThresholds), seed 0. */
+  /** samp_hash_split oracle: thresholds AND seed derived from the SAME
+    * constants as the operator defaults (Sampling.splitThresholds /
+    * DefaultSplitSeed). */
   private def hashSplitOracleSql: String = {
-    val (trainEnd, valEnd) = graft.sources.Sampling.splitThresholds(
-      graft.sources.Sampling.DefaultVal256, graft.sources.Sampling.DefaultTest256)
-    s"""WITH k AS (SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 2) AS b FROM documents)
+    import graft.sources.Sampling._
+    val (trainEnd, valEnd) = splitThresholds(DefaultVal256, DefaultTest256)
+    s"""WITH k AS (SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR) || ':$DefaultSplitSeed'), 1, 2) AS b FROM documents)
        |SELECT doc_id,
        |  CASE WHEN b < '$trainEnd' THEN 'train' WHEN b < '$valEnd' THEN 'val' ELSE 'test' END AS split
        |FROM k ORDER BY doc_id""".stripMargin

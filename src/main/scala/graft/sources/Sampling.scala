@@ -54,12 +54,14 @@ object Sampling {
     * same seed replays the same split forever. Embarrassingly parallel:
     * one projection, no shuffle. Defaults: ~80/10/10 (204/26/26 of 256).
     */
-  // ~80/10/10 defaults, named so the declared oracle SQL derives its
-  // thresholds from the same constants (SparkEntry.hashSplitOracleSql)
+  // ~80/10/10 defaults plus the split seed, named so the declared oracle
+  // SQL derives EVERY parameter from the same constants
+  // (SparkEntry.hashSplitOracleSql) and none can silently diverge
   val DefaultVal256 = 26
   val DefaultTest256 = 26
+  val DefaultSplitSeed = 0L
 
-  def hashSplit(df: DataFrame, idCol: String, seed: Long = 0L,
+  def hashSplit(df: DataFrame, idCol: String, seed: Long = DefaultSplitSeed,
                 val256: Int = DefaultVal256, test256: Int = DefaultTest256): DataFrame = {
     val (trainEnd, valEnd) = splitThresholds(val256, test256)
     val b = substring(sampleKey(col(idCol), seed), 1, 2)
