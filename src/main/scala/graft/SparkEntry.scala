@@ -433,6 +433,12 @@ object SparkEntry {
     "samp_hash_split" -> ((s, dir) =>
       Sampling.hashSplit(table(s, dir, "documents"), "doc_id")
         .select("doc_id", "split").orderBy("doc_id")),
+    // importance sampling (A-ES): selection odds proportional to doc
+    // length; output is the selected SET (ordered by id), so the compare
+    // is immune to ulp-level ln() differences in the ranking key
+    "samp_weighted" -> ((s, dir) =>
+      Sampling.weightedSample(table(s, dir, "documents"), "doc_id", "n_chars", 50, 42)
+        .select("doc_id", "n_chars").orderBy("doc_id")),
     // The serving path: build the bucketed parquet index, then search it
     // with partition pruning to the query terms' buckets. The oracle
     // recomputes the same statistics from raw text — stored-vs-recompute
@@ -1155,6 +1161,15 @@ object SparkEntry {
         |SELECT lang, doc_id, sample_rank FROM r WHERE sample_rank <= 10
         |ORDER BY lang, sample_rank""".stripMargin,
     "samp_hash_split" -> hashSplitOracleSql,
+    // same A-ES ranking: u = (hex8(md5)+1)/2^32 exactly, ln-monotone key;
+    // only the selected set is compared (see the query declaration)
+    "samp_weighted" ->
+      """WITH k AS (SELECT doc_id, n_chars,
+        |  ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))::BIGINT + 1.0) / 4294967296.0)
+        |    / CAST(n_chars AS DOUBLE) AS aes_key
+        |  FROM documents WHERE n_chars > 0),
+        |s AS (SELECT doc_id, n_chars FROM k ORDER BY aes_key DESC, doc_id LIMIT 50)
+        |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM s ORDER BY doc_id""".stripMargin,
     "bm25_stored" -> bm25OracleSql("('spark','join','window')"),
     "bm25_multi_stored" -> bm25MultiOracleSql,
   )

@@ -71,6 +71,33 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Weighted sample without replacement (Efraimidis–Spirakis A-ES):
+    * rank rows by u^(1/w) for a per-row uniform u and take the top n —
+    * selection probability proportional to weight, exactly the
+    * importance-sampling primitive for domain/language re-mixing.
+    *
+    * Determinism: u is derived from the seeded md5 key's first 8 hex
+    * chars — (int+1)/2^32, a bit-exact rational in (0,1] — so the sample
+    * is a pure function of (id, weight, seed), invariant to partition
+    * layout and engine (DuckDB parses the same hex via '0x'::BIGINT).
+    * Ranking uses the ln-monotone form ln(u)/w (identical order, no
+    * pow). Non-positive weights are excluded (A-ES is undefined there).
+    *
+    * Scale notes: key computed in the scan projection; orderBy+limit
+    * plans as TakeOrderedAndProject — per-partition top-n heap + driver
+    * merge of n rows, never a global sort. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     n: Int, seed: Long): DataFrame = {
+    val v = conv(substring(sampleKey(col(idCol), seed), 1, 8), 16, 10)
+      .cast("long")
+    val u = (v.cast("double") + 1.0) / 4294967296.0
+    df.filter(col(weightCol) > 0)
+      .withColumn("__aes_key", log(u) / col(weightCol).cast("double"))
+      .orderBy(desc("__aes_key"), col(idCol))
+      .limit(n)
+      .drop("__aes_key")
+  }
+
   /** The two hex-pair range bounds for hashSplit, shared with the oracle
     * SQL generator. Threshold 256 means "above every hex pair": "g" > any
     * [0-9a-f]{2} string lexicographically, so comparisons stay plain

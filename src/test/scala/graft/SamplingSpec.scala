@@ -91,6 +91,35 @@ class SamplingSpec extends SparkSpec {
     half.foreach { case (id, sp) => assert(s(id) == sp) }
   }
 
+  test("weighted sample favors heavy rows, excludes non-positive weights") {
+    val rows = ((1 to 99).map(i => (i.toLong, 1.0)) :+ (100L, 10000.0) :+
+      (101L, 0.0) :+ (102L, -5.0)).toDF("id", "w")
+    // P(heavy not in top-10) is astronomically small per seed
+    (1L to 10L).foreach { seed =>
+      val picked = Sampling.weightedSample(rows, "id", "w", 10, seed)
+        .select("id").as[Long].collect().toSet
+      assert(picked.contains(100L), s"heavy row missed at seed $seed")
+      assert(!picked.contains(101L) && !picked.contains(102L))
+    }
+    // light rows still get in: the sample is not a deterministic top-by-weight
+    val union = (1L to 10L).flatMap { seed =>
+      Sampling.weightedSample(rows, "id", "w", 10, seed)
+        .select("id").as[Long].collect()
+    }.toSet
+    assert((union - 100L).nonEmpty)
+  }
+
+  test("weighted sample is layout-invariant and n=all returns every positive-weight row") {
+    val d = docs
+    val a = Sampling.weightedSample(d, "doc_id", "n_chars", 50, 42)
+      .select("doc_id").as[Long].collect().toSeq
+    val b = Sampling.weightedSample(d.repartition(13), "doc_id", "n_chars", 50, 42)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(a == b && a.length == 50)
+    val all = Sampling.weightedSample(d, "doc_id", "n_chars", 100000, 42).count()
+    assert(all == d.filter(col("n_chars") > 0).count())
+  }
+
   test("hash split edge fractions: zero val/test collapse correctly") {
     val all = Sampling.hashSplit(docs, "doc_id", val256 = 0, test256 = 0)
       .select("split").distinct().as[String].collect().toSeq
