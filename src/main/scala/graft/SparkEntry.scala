@@ -392,6 +392,10 @@ object SparkEntry {
       Sketches.distinctPartsPerFlag(table(s, dir, "lineitem"))),
     "sketch_price_quantiles" -> ((s, dir) =>
       Sketches.priceQuantilesPerPriority(table(s, dir, "orders"))),
+    // count-min sketch with md5-derived hashes: the ONE sketch the oracle
+    // can verify bit-for-bit (pure integer arithmetic in both engines)
+    "sketch_cms_topk" -> ((s, dir) =>
+      Sketches.cmsTermCounts(table(s, dir, "documents"))),
 
     // ---- multimodal binary-column plumbing (north star) ----
     "mm_meta" -> ((s, dir) =>
@@ -1160,6 +1164,23 @@ object SparkEntry {
         |      FROM k)
         |SELECT lang, doc_id, sample_rank FROM r WHERE sample_rank <= 10
         |ORDER BY lang, sample_rank""".stripMargin,
+    // the full CMS replay: same md5 hash family, widths, and min-fold
+    "sketch_cms_topk" ->
+      """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+        |tf AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+        |js AS (SELECT unnest([0,1,2,3]) AS j),
+        |tb AS (SELECT term, n, j,
+        |         (('0x' || substring(md5(term || ':' || j), 1, 8))::BIGINT % 1024) AS bucket
+        |       FROM tf CROSS JOIN js),
+        |cms AS (SELECT j, bucket, sum(n) AS bn FROM tb GROUP BY j, bucket),
+        |topk AS (SELECT term, n FROM tf ORDER BY n DESC, term LIMIT 20),
+        |est AS (SELECT t.term, t.n, min(c.bn) AS cms_n
+        |        FROM topk t JOIN tb ON tb.term = t.term
+        |        JOIN cms c ON c.j = tb.j AND c.bucket = tb.bucket
+        |        GROUP BY t.term, t.n)
+        |SELECT term, CAST(n AS BIGINT) AS true_n, CAST(cms_n AS BIGINT) AS cms_n,
+        |       CAST(cms_n - n AS BIGINT) AS overcount
+        |FROM est ORDER BY true_n DESC, term""".stripMargin,
     "samp_hash_split" -> hashSplitOracleSql,
     // same A-ES ranking: u = (hex8(md5)+1)/2^32 exactly, ln-monotone key;
     // only the selected set is compared (see the query declaration)

@@ -22,6 +22,44 @@ object Sketches {
         approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
       .orderBy("l_returnflag")
 
+  /** Count-min sketch fidelity report for the corpus's top-k terms:
+    * estimated vs true frequency plus the (always >= 0) overcount.
+    *
+    * Unlike the HLL/KLL queries above, this sketch is fully
+    * ORACLE-CHECKABLE: the depth hash functions are md5-derived
+    * (first 8 hex chars as an integer, mod `width`) and the CMS table is
+    * just SUM(term count) per (row, bucket) — pure integer arithmetic
+    * DuckDB reproduces bit-for-bit, so the driver verifies the whole
+    * sketch, not merely its error bound. Estimate = min over rows of the
+    * term's bucket sum; CMS never undercounts, and overcount is bounded
+    * by collisions (E[over] <= 2N/width per row, min over `depth` rows).
+    *
+    * Scale notes: the corpus-sized work is ONE tokenize + term count
+    * (map-side combined); the sketch build explodes only the VOCABULARY
+    * by `depth` and folds it to a depth x width table (tiny), so sketch
+    * memory is O(depth * width) regardless of corpus size. The term-count
+    * frame is eagerly localCheckpoint'ed: three consumers (sketch, top-k,
+    * estimates) must not re-tokenize the corpus three times. */
+  def cmsTermCounts(docs: DataFrame, depth: Int = 4, width: Int = 1024,
+                    k: Int = 20): DataFrame = {
+    val tf = graft.text.Tokenize.termOccurrences(docs)
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val withBuckets = tf
+      .withColumn("j", explode(typedLit((0 until depth).toArray)))
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("term"), lit(":"), col("j").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % width)
+    val cms = withBuckets.groupBy("j", "bucket").agg(sum("n").as("bn"))
+    val topk = tf.orderBy(desc("n"), asc("term")).limit(k)
+    topk.join(withBuckets.select("term", "j", "bucket"), Seq("term"))
+      .join(cms, Seq("j", "bucket"))
+      .groupBy("term", "n").agg(min("bn").as("cms_n"))
+      .select(col("term"), col("n").as("true_n"), col("cms_n"),
+        (col("cms_n") - col("n")).as("overcount"))
+      .orderBy(desc("true_n"), col("term"))
+  }
+
   /** Exact vs approximate median+p95 order price per priority. */
   def priceQuantilesPerPriority(orders: DataFrame): DataFrame =
     orders.groupBy("o_orderpriority")

@@ -23,4 +23,19 @@ class SketchSpec extends SparkSpec {
       assert(math.abs(r.getDouble(4) - r.getDouble(3)) / r.getDouble(3) < 0.02)
     }
   }
+
+  test("count-min sketch never undercounts; more hash rows never hurt") {
+    val docs = table(spark, "/root/testdata/sf0.001", "documents")
+    val d4 = Sketches.cmsTermCounts(docs, depth = 4, width = 256, k = 30)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    d4.values.foreach { case (truth, est) => assert(est >= truth) }
+    // the min-fold is monotone in depth: adding hash rows only tightens
+    val d1 = Sketches.cmsTermCounts(docs, depth = 1, width = 256, k = 30)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    d4.foreach { case (term, (_, est4)) => assert(est4 <= d1(term)) }
+    // a generous width removes collisions entirely: estimate == truth
+    val wide = Sketches.cmsTermCounts(docs, depth = 4, width = 1 << 20, k = 30)
+      .collect()
+    wide.foreach { r => assert(r.getLong(2) == r.getLong(1) && r.getLong(3) == 0L) }
+  }
 }
