@@ -438,8 +438,10 @@ object SparkEntry {
       Sampling.hashSplit(table(s, dir, "documents"), "doc_id")
         .select("doc_id", "split").orderBy("doc_id")),
     // importance sampling (A-ES): selection odds proportional to doc
-    // length; output is the selected SET (ordered by id), so the compare
-    // is immune to ulp-level ln() differences in the ranking key
+    // length; output is the selected SET (ordered by id), so key VALUES
+    // never enter the compare — only rank-boundary order does, where
+    // adjacent-key gaps (~1/n) dwarf ln()'s 1-ulp cross-engine noise
+    // (see the weightedSample scaladoc for the full argument)
     "samp_weighted" -> ((s, dir) =>
       Sampling.weightedSample(table(s, dir, "documents"), "doc_id", "n_chars", 50, 42)
         .select("doc_id", "n_chars").orderBy("doc_id")),
@@ -1164,23 +1166,7 @@ object SparkEntry {
         |      FROM k)
         |SELECT lang, doc_id, sample_rank FROM r WHERE sample_rank <= 10
         |ORDER BY lang, sample_rank""".stripMargin,
-    // the full CMS replay: same md5 hash family, widths, and min-fold
-    "sketch_cms_topk" ->
-      """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
-        |tf AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
-        |js AS (SELECT unnest([0,1,2,3]) AS j),
-        |tb AS (SELECT term, n, j,
-        |         (('0x' || substring(md5(term || ':' || j), 1, 8))::BIGINT % 1024) AS bucket
-        |       FROM tf CROSS JOIN js),
-        |cms AS (SELECT j, bucket, sum(n) AS bn FROM tb GROUP BY j, bucket),
-        |topk AS (SELECT term, n FROM tf ORDER BY n DESC, term LIMIT 20),
-        |est AS (SELECT t.term, t.n, min(c.bn) AS cms_n
-        |        FROM topk t JOIN tb ON tb.term = t.term
-        |        JOIN cms c ON c.j = tb.j AND c.bucket = tb.bucket
-        |        GROUP BY t.term, t.n)
-        |SELECT term, CAST(n AS BIGINT) AS true_n, CAST(cms_n AS BIGINT) AS cms_n,
-        |       CAST(cms_n - n AS BIGINT) AS overcount
-        |FROM est ORDER BY true_n DESC, term""".stripMargin,
+    "sketch_cms_topk" -> cmsOracleSql,
     "samp_hash_split" -> hashSplitOracleSql,
     // same A-ES ranking: u = (hex8(md5)+1)/2^32 exactly, ln-monotone key;
     // only the selected set is compared (see the query declaration)
@@ -1194,6 +1180,29 @@ object SparkEntry {
     "bm25_stored" -> bm25OracleSql("('spark','join','window')"),
     "bm25_multi_stored" -> bm25MultiOracleSql,
   )
+
+  /** sketch_cms_topk oracle — the full CMS replay (same md5 hash family,
+    * width, depth, top-k and min-fold), every parameter derived from the
+    * operator's own constants (Sketches.DefaultCms*). */
+  private def cmsOracleSql: String = {
+    import graft.sketch.Sketches._
+    val js = (0 until DefaultCmsDepth).mkString("[", ",", "]")
+    s"""WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+       |tf AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+       |js AS (SELECT unnest($js) AS j),
+       |tb AS (SELECT term, n, j,
+       |         (('0x' || substring(md5(term || ':' || j), 1, 8))::BIGINT % $DefaultCmsWidth) AS bucket
+       |       FROM tf CROSS JOIN js),
+       |cms AS (SELECT j, bucket, sum(n) AS bn FROM tb GROUP BY j, bucket),
+       |topk AS (SELECT term, n FROM tf ORDER BY n DESC, term LIMIT $DefaultCmsTopK),
+       |est AS (SELECT t.term, t.n, min(c.bn) AS cms_n
+       |        FROM topk t JOIN tb ON tb.term = t.term
+       |        JOIN cms c ON c.j = tb.j AND c.bucket = tb.bucket
+       |        GROUP BY t.term, t.n)
+       |SELECT term, CAST(n AS BIGINT) AS true_n, CAST(cms_n AS BIGINT) AS cms_n,
+       |       CAST(cms_n - n AS BIGINT) AS overcount
+       |FROM est ORDER BY true_n DESC, term""".stripMargin
+  }
 
   /** samp_hash_split oracle: thresholds AND seed derived from the SAME
     * constants as the operator defaults (Sampling.splitThresholds /

@@ -40,16 +40,23 @@ object Sketches {
     * memory is O(depth * width) regardless of corpus size. The term-count
     * frame is eagerly localCheckpoint'ed: three consumers (sketch, top-k,
     * estimates) must not re-tokenize the corpus three times. */
-  def cmsTermCounts(docs: DataFrame, depth: Int = 4, width: Int = 1024,
-                    k: Int = 20): DataFrame = {
+  // declared-query defaults, named so the oracle SQL derives EVERY
+  // parameter from the same constants (SparkEntry.cmsOracleSql)
+  val DefaultCmsDepth = 4
+  val DefaultCmsWidth = 1024
+  val DefaultCmsTopK = 20
+
+  def cmsTermCounts(docs: DataFrame, depth: Int = DefaultCmsDepth,
+                    width: Int = DefaultCmsWidth,
+                    k: Int = DefaultCmsTopK): DataFrame = {
     val tf = graft.text.Tokenize.termOccurrences(docs)
       .groupBy("term").agg(count(lit(1)).as("n"))
       .localCheckpoint(true)
     val withBuckets = tf
       .withColumn("j", explode(typedLit((0 until depth).toArray)))
       .withColumn("bucket",
-        conv(substring(md5(concat(col("term"), lit(":"), col("j").cast("string"))), 1, 8), 16, 10)
-          .cast("long") % width)
+        graft.sources.Sampling.hex8Int(
+          md5(concat(col("term"), lit(":"), col("j").cast("string")))) % width)
     val cms = withBuckets.groupBy("j", "bucket").agg(sum("n").as("bn"))
     val topk = tf.orderBy(desc("n"), asc("term")).limit(k)
     topk.join(withBuckets.select("term", "j", "bucket"), Seq("term"))

@@ -30,6 +30,14 @@ object Sampling {
   def sampleKey(id: Column, seed: Long): Column =
     md5(concat(id.cast("string"), lit(s":$seed")))
 
+  /** First 8 hex chars of an md5 column as a long in [0, 2^32) — THE
+    * cross-engine parity contract with the oracle spelling
+    * `('0x' || substring(h, 1, 8))::BIGINT`. Every md5-derived integer
+    * (weighted sampling, count-min buckets) must go through here so the
+    * substring bounds can never drift between call sites. */
+  def hex8Int(hexCol: Column): Column =
+    conv(substring(hexCol, 1, 8), 16, 10).cast("long")
+
   /** Reference-parity Bernoulli sample (partition-layout-dependent). */
   def bernoulliSample(df: DataFrame, fraction: Double, seed: Long, n: Int): DataFrame =
     df.sample(withReplacement = false, fraction, seed).limit(n)
@@ -83,13 +91,21 @@ object Sampling {
     * Ranking uses the ln-monotone form ln(u)/w (identical order, no
     * pow). Non-positive weights are excluded (A-ES is undefined there).
     *
+    * Cross-engine caveat: ln is the ONE non-exact op in the key, and JVM
+    * Math.log vs libm log are each 1-ulp-accurate without being
+    * guaranteed to agree — so a pair of keys straddling the rank-n
+    * boundary by < 1 ulp could in principle select differently per
+    * engine. Adjacent-key gaps scale like 1/n (~1e-3 at n=500, ~1e-7 at
+    * n=10^7) against 1e-16 ulp noise, so the declared set-compare is
+    * safe by many orders of magnitude at any tested SF — but it is
+    * "overwhelmingly improbable", not "immune".
+    *
     * Scale notes: key computed in the scan projection; orderBy+limit
     * plans as TakeOrderedAndProject — per-partition top-n heap + driver
     * merge of n rows, never a global sort. */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      n: Int, seed: Long): DataFrame = {
-    val v = conv(substring(sampleKey(col(idCol), seed), 1, 8), 16, 10)
-      .cast("long")
+    val v = hex8Int(sampleKey(col(idCol), seed))
     val u = (v.cast("double") + 1.0) / 4294967296.0
     df.filter(col(weightCol) > 0)
       .withColumn("__aes_key", log(u) / col(weightCol).cast("double"))
