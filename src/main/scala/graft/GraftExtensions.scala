@@ -31,5 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TextFunctions.shinglesBuilder))
     // optimizer rewrite: |a-b| <= tol inequality joins -> banded equi-joins
     ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)
+    // planner strategy: AsOfJoinNode -> AsOfJoinExec (sort-merge as-of)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

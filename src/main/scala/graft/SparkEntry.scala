@@ -259,6 +259,22 @@ object SparkEntry {
         Seq("ts", "last_signup"))
         .orderBy("event_id")
     }),
+    // the SAME as-of semantics through the custom plan node
+    // (AsOfJoinNode -> AsOfJoinExec sort-merge): the DuckDB ASOF JOIN
+    // oracle proves the physical operator end-to-end, and equality with
+    // ev_asof_signup's composition form follows from the shared oracle
+    "ev_asof_exec" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("signup_ts"))
+      Relational.fmtTsCols(
+        TemporalJoins.asOfJoinExec(purchases, signups, "user_id", "ts",
+          "signup_ts", "signup_ts", "last_signup"),
+        Seq("ts", "last_signup"))
+        .orderBy("event_id")
+    }),
     // banded range join: same-user event pairs within 5 minutes
     "ev_range_pairs" -> ((s, dir) => {
       val ev = table(s, dir, "events")
@@ -784,6 +800,14 @@ object SparkEntry {
         |WHERE date_diff('day', c.cohort_day, a.day) >= 0
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
     "ev_asof_signup" ->
+      """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |s AS (SELECT user_id, ts AS sts FROM events WHERE event_type = 'signup')
+        |SELECT p.user_id, p.event_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |       strftime(s.sts, '%Y-%m-%d %H:%M:%S.%f') AS last_signup
+        |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.sts
+        |ORDER BY p.event_id""".stripMargin,
+    // identical oracle to ev_asof_signup: same semantics, different engine path
+    "ev_asof_exec" ->
       """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
         |s AS (SELECT user_id, ts AS sts FROM events WHERE event_type = 'signup')
         |SELECT p.user_id, p.event_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,

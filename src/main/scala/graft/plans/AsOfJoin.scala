@@ -1,0 +1,168 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** As-of join as a FIRST-CLASS plan node — the (c) tier of the custom-
+  * operator ladder (logical node + planner strategy + physical operator),
+  * for the one temporal-join shape Spark cannot plan natively.
+  *
+  * Semantics (identical to `TemporalJoins.asOfJoin`, the composition
+  * form): for each left row, attach `rightValue` from the right row with
+  * the greatest rightTime <= leftTime within the same key; ties on
+  * (key, rightTime) resolve to the greatest value; no match -> null.
+  *
+  * Why a physical operator when the composition form exists: the
+  * union+window spelling materializes left+right into ONE sorted window
+  * partition stream and carries every left column through the union.
+  * `AsOfJoinExec` instead asks Catalyst for co-partitioned, per-side
+  * sorted children (the SortMergeJoin contract) and then streams BOTH
+  * sides through a single forward-only merge pass per partition: O(1)
+  * state (one buffered right row), zero per-row allocation beyond the
+  * output projection, no union column padding. Same exchange count —
+  * one hash shuffle per side — but the sort is per side (narrower rows)
+  * and the merge is a tight loop rather than a window aggregate.
+  *
+  * 100 TB notes: distribution is ClusteredDistribution on the key (AQE
+  * can coalesce/skew-split the exchanges as for any SMJ); the merge never
+  * buffers more than one row, so memory is independent of key cardinality
+  * and time-series length. Null keys/times never match (SQL semantics);
+  * nulls sort first under the required ascending order, so the merge
+  * consumes them before any real key without extra passes.
+  */
+case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
+                        leftKey: Expression, rightKey: Expression,
+                        leftTime: Expression, rightTime: Expression,
+                        rightValue: Expression,
+                        outAttr: AttributeReference)
+  extends BinaryNode {
+  override def output: Seq[Attribute] = left.output :+ outAttr
+  override def producedAttributes: AttributeSet = AttributeSet(outAttr)
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans AsOfJoinNode into AsOfJoinExec. Register once per session via
+  * `AsOfJoinPlans.ensureRegistered` (idempotent) or ship it with
+  * `GraftExtensions`. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, rv, out) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, rv, out) :: Nil
+    case _ => Nil
+  }
+}
+
+object AsOfJoinPlans {
+  /** Idempotently add the strategy to the session's planner. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.exists(_ eq AsOfJoinStrategy))
+      spark.experimental.extraStrategies = cur :+ AsOfJoinStrategy
+  }
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                        leftKey: Expression, rightKey: Expression,
+                        leftTime: Expression, rightTime: Expression,
+                        rightValue: Expression,
+                        outAttr: AttributeReference)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output :+ outAttr
+  override def producedAttributes: AttributeSet = AttributeSet(outAttr)
+
+  // the SortMergeJoin contract: co-clustered on the key, each side
+  // sorted by (key, time) — plus value on the right so equal-time ties
+  // deterministically resolve to the greatest value (matching the
+  // composition form's tie-break)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKey :: Nil) :: ClusteredDistribution(rightKey :: Nil) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+      SortOrder(rightValue, Ascending)))
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  /** Self-contained comparator for the orderable atomic types the join
+    * keys/times may carry — avoids Spark's package-private interpreted
+    * orderings. */
+  private def comparator(dt: DataType): (Any, Any) => Int = dt match {
+    case LongType | TimestampType | TimestampNTZType =>
+      (a, b) => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case IntegerType | DateType =>
+      (a, b) => java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case DoubleType =>
+      (a, b) => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case StringType =>
+      (a, b) => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+    case other =>
+      throw new IllegalArgumentException(s"asOfJoinExec: unsupported key/time type $other")
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyCmp = comparator(leftKey.dataType)
+    val timeCmp = comparator(leftTime.dataType)
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyB = BindReferences.bindReference(leftKey, lOut)
+    val lTimeB = BindReferences.bindReference(leftTime, lOut)
+    val rKeyB = BindReferences.bindReference(rightKey, rOut)
+    val rTimeB = BindReferences.bindReference(rightTime, rOut)
+    val rValB = BindReferences.bindReference(rightValue, rOut)
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
+      (lIter, rIter) =>
+        val proj = UnsafeProjection.create(outAttrs, lOut :+ (outAttr: Attribute))
+        val joined = new JoinedRow
+        val valueRow = new GenericInternalRow(1)
+        val rBuf = rIter.buffered
+        // O(1) merge state: the latest right row (copied) whose
+        // (key, time) is <= the current left cursor
+        var matchRow: InternalRow = null
+        lIter.map { l =>
+          val lk = lKeyB.eval(l)
+          val lt = lTimeB.eval(l)
+          if (lk == null || lt == null) {
+            valueRow.update(0, null)
+          } else {
+            var advance = true
+            while (advance && rBuf.hasNext) {
+              val head = rBuf.head
+              val rk = rKeyB.eval(head)
+              if (rk == null) { rBuf.next() } // null keys never match
+              else {
+                val c = keyCmp(rk, lk)
+                if (c < 0) { rBuf.next() } // keys the left has moved past
+                else if (c == 0) {
+                  val rt = rTimeB.eval(head)
+                  if (rt == null) { rBuf.next() }
+                  else if (timeCmp(rt, lt) <= 0) { matchRow = rBuf.next().copy() }
+                  else advance = false
+                } else advance = false
+              }
+            }
+            // a retained row only counts for the SAME key (its time is
+            // <= an earlier lt of this key, hence <= lt: left is sorted)
+            val valid = matchRow != null && keyCmp(rKeyB.eval(matchRow), lk) == 0
+            valueRow.update(0, if (valid) rValB.eval(matchRow) else null)
+          }
+          proj(joined(l, valueRow))
+        }
+    }
+  }
+}

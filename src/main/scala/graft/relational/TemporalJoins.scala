@@ -56,6 +56,42 @@ object TemporalJoins {
       .drop("__t", "__isLeft", "__v")
   }
 
+  /** The as-of join as a first-class PLAN NODE (`plans.AsOfJoinNode` →
+    * `AsOfJoinExec`): identical semantics and output shape to `asOfJoin`,
+    * but executed as a co-partitioned forward-only merge with O(1) state
+    * instead of the union+window composition — see the scaladoc on
+    * `graft.plans.AsOfJoinExec` for the execution contract. The planner
+    * strategy is registered idempotently on first use (or ship it via
+    * `GraftExtensions`). */
+  def asOfJoinExec(left: DataFrame, right: DataFrame, key: String,
+                   leftTime: String, rightTime: String,
+                   valueCol: String, as: String = "asof_value"): DataFrame = {
+    requireFree("asOfJoinExec", left, as)
+    val spark = left.sparkSession
+    graft.plans.AsOfJoinPlans.ensureRegistered(spark)
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    val lPlan = left.queryExecution.analyzed
+    // Fresh-alias the right side: when both inputs derive from the same
+    // relation (the usual self-as-of), the analyzer's DeduplicateRelations
+    // re-aliases the duplicate subtree's attributes but cannot rewrite the
+    // expressions inside a node type it doesn't know — stale right-side
+    // references would then bind against pruned output at runtime. The
+    // alias layer gives this node ids that are already unique, so dedup
+    // never needs to touch them.
+    val rAliases = right.queryExecution.analyzed.output.map(a => Alias(a, a.name)())
+    val rPlan: LogicalPlan = Project(rAliases, right.queryExecution.analyzed)
+    val rByName = rAliases.map(al => al.name -> al.toAttribute).toMap
+    def lAttr(n: String) = lPlan.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"asOfJoinExec: no column '$n' on the left side"))
+    def rAttr(n: String) = rByName.getOrElse(n,
+      throw new IllegalArgumentException(s"asOfJoinExec: no column '$n' on the right side"))
+    val node = graft.plans.AsOfJoinNode(lPlan, rPlan,
+      lAttr(key), rAttr(key), lAttr(leftTime), rAttr(rightTime), rAttr(valueCol),
+      AttributeReference(as, right.schema(valueCol).dataType, nullable = true)())
+    org.apache.spark.sql.classic.GraftSqlBridge.ofRows(spark, node)
+  }
+
   /** All (left, right) pairs with the same key whose timestamps differ by
     * at most `toleranceSeconds`. Equi-join on (key, band) with 3-band
     * replication of the right side, exact filter after. */

@@ -106,4 +106,69 @@ class TemporalJoinsSpec extends SparkSpec {
       .select("id_a", "id_b")
     assert(joined.count() == joined.distinct().count())
   }
+
+  test("AsOfJoinExec: hand-checked matches incl. ties, no-match, null key/time") {
+    val trades = Seq(
+      (Some(1L), Some(ts("2024-01-01 10:00:05")), "t1"),
+      (Some(1L), Some(ts("2024-01-01 10:00:10")), "t2"), // tie with quote -> matches
+      (Some(1L), Some(ts("2024-01-01 09:59:00")), "t0"), // before any quote
+      (Some(2L), Some(ts("2024-01-01 10:00:07")), "t3"),
+      (Some(3L), Some(ts("2024-01-01 10:00:07")), "t4"), // key with no quotes
+      (None, Some(ts("2024-01-01 10:00:07")), "t5"),     // null key never matches
+      (Some(1L), None, "t6"),                            // null time never matches
+    ).toDF("k", "ttime", "trade")
+    val quotes = Seq(
+      (Some(1L), Some(ts("2024-01-01 10:00:00")), 100.0),
+      (Some(1L), Some(ts("2024-01-01 10:00:10")), 101.0),
+      (Some(1L), Some(ts("2024-01-01 10:00:10")), 99.0), // same-instant dup: greatest wins
+      (Some(2L), Some(ts("2024-01-01 10:00:06")), 55.0),
+      (None, Some(ts("2024-01-01 10:00:01")), 1.0),      // null-key quote matches nothing
+      (Some(2L), None, 2.0),                             // null-time quote matches nothing
+    ).toDF("k", "qtime", "price")
+    val res = TemporalJoins.asOfJoinExec(trades, quotes, "k", "ttime", "qtime",
+        "price", "asof_price")
+      .select("trade", "asof_price")
+      .as[(String, Option[Double])].collect().toMap
+    assert(res("t0").isEmpty && res("t4").isEmpty && res("t5").isEmpty && res("t6").isEmpty)
+    assert(res("t1").contains(100.0))
+    assert(res("t2").contains(101.0)) // <= tie matched; greatest of the dup pair
+    assert(res("t3").contains(55.0))
+  }
+
+  test("AsOfJoinExec equals the composition form on the real events corpus") {
+    val ev = table(spark, "/root/testdata/sf0.001", "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts").as("ptime"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("stime"), col("value"))
+    val composed = TemporalJoins.asOfJoin(purchases, signups, "user_id",
+        "ptime", "stime", "value", "signup_value")
+      .select("event_id", "signup_value")
+      .as[(Long, Option[Double])].collect().toMap
+    val exec = TemporalJoins.asOfJoinExec(purchases, signups, "user_id",
+        "ptime", "stime", "value", "signup_value")
+      .select("event_id", "signup_value")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(exec == composed)
+    assert(exec.values.exists(_.nonEmpty))
+    // layout invariance: same result from a different input partitioning
+    val exec13 = TemporalJoins.asOfJoinExec(purchases.repartition(13),
+        signups.repartition(7), "user_id", "ptime", "stime", "value", "signup_value")
+      .select("event_id", "signup_value")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(exec13 == composed)
+  }
+
+  test("AsOfJoinExec plans as the custom operator: merge, not window/union") {
+    val ev = table(spark, "/root/testdata/sf0.001", "events")
+    val l = ev.select(col("user_id"), col("ts").as("lt"))
+    val r = ev.select(col("user_id"), col("ts").as("rt"), col("value"))
+    val df = TemporalJoins.asOfJoinExec(l, r, "user_id", "lt", "rt", "value")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan.take(500)) // nodeName strips "Exec"
+    assert(!plan.contains("Window"), "exec form must not fall back to the window composition")
+    assert(!plan.contains("Union"))
+    // one hash exchange per side, per the SMJ-style distribution contract
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan)
+  }
 }
