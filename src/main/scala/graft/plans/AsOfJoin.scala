@@ -14,10 +14,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * operator ladder (logical node + planner strategy + physical operator),
   * for the one temporal-join shape Spark cannot plan natively.
   *
-  * Semantics (identical to `TemporalJoins.asOfJoin`, the composition
-  * form): for each left row, attach `rightValue` from the right row with
-  * the greatest rightTime <= leftTime within the same key; ties on
-  * (key, rightTime) resolve to the greatest value; no match -> null.
+  * Semantics: for each left row, attach `rightValue` from the right row
+  * with the greatest rightTime <= leftTime within the same key; ties on
+  * (key, rightTime) resolve to the greatest value; no match -> null;
+  * null keys/times never match on either side (SQL ASOF). This agrees
+  * with `TemporalJoins.asOfJoin` except on one documented point where
+  * THIS form is the exact one: a matched right row whose VALUE is null
+  * yields null here (the row matched; its value is null), while the
+  * composition's ignoreNulls window — which it needs to keep left marker
+  * rows transparent — carries the previous non-null value forward.
   *
   * Why a physical operator when the composition form exists: the
   * union+window spelling materializes left+right into ONE sorted window
@@ -30,12 +35,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * one hash shuffle per side — but the sort is per side (narrower rows)
   * and the merge is a tight loop rather than a window aggregate.
   *
-  * 100 TB notes: distribution is ClusteredDistribution on the key (AQE
-  * can coalesce/skew-split the exchanges as for any SMJ); the merge never
-  * buffers more than one row, so memory is independent of key cardinality
-  * and time-series length. Null keys/times never match (SQL semantics);
-  * nulls sort first under the required ascending order, so the merge
-  * consumes them before any real key without extra passes.
+  * 100 TB notes: distribution is ClusteredDistribution on the key — AQE
+  * applies uniform partition COALESCING to the exchanges (which also
+  * preserves zipPartitions' equal-count requirement), but NOT skew-join
+  * splitting: OptimizeSkewedJoin pattern-matches only SMJ/SHJ nodes, so
+  * a hot key runs as one task — pre-salt or pre-aggregate a pathological
+  * key upstream. The merge never buffers more than one row, so memory is
+  * independent of key cardinality and time-series length. Nulls sort
+  * first under the required ascending order, so the merge consumes them
+  * before any real key without extra passes. Keys and times are
+  * restricted to exactly-orderable types (integral/date/timestamp/
+  * string): floating-point keys would need -0.0/NaN normalization that
+  * only Spark's own join operators receive.
   */
 case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Expression, rightKey: Expression,
@@ -98,20 +109,24 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
-  /** Self-contained comparator for the orderable atomic types the join
+  /** Self-contained comparator for the exactly-orderable atomic types
     * keys/times may carry — avoids Spark's package-private interpreted
-    * orderings. */
+    * orderings. Floating point is deliberately rejected: -0.0 vs 0.0 (and
+    * NaN) keys would need the NormalizeFloatingNumbers treatment that
+    * only Spark's own join/aggregate operators receive — without it the
+    * two spellings of zero hash to different partitions and compare
+    * unequal, silently dropping matches. */
   private def comparator(dt: DataType): (Any, Any) => Int = dt match {
     case LongType | TimestampType | TimestampNTZType =>
       (a, b) => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
     case IntegerType | DateType =>
       (a, b) => java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
-    case DoubleType =>
-      (a, b) => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
     case StringType =>
       (a, b) => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
     case other =>
-      throw new IllegalArgumentException(s"asOfJoinExec: unsupported key/time type $other")
+      throw new IllegalArgumentException(
+        s"asOfJoinExec: unsupported key/time type $other " +
+          "(exactly-orderable types only: integral, date, timestamp, string)")
   }
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -132,8 +147,10 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         val valueRow = new GenericInternalRow(1)
         val rBuf = rIter.buffered
         // O(1) merge state: the latest right row (copied) whose
-        // (key, time) is <= the current left cursor
+        // (key, time) is <= the current left cursor, plus its cached key
+        // so the validity check below is a comparison, not an eval
         var matchRow: InternalRow = null
+        var matchKey: Any = null
         lIter.map { l =>
           val lk = lKeyB.eval(l)
           val lt = lTimeB.eval(l)
@@ -151,14 +168,17 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                 else if (c == 0) {
                   val rt = rTimeB.eval(head)
                   if (rt == null) { rBuf.next() }
-                  else if (timeCmp(rt, lt) <= 0) { matchRow = rBuf.next().copy() }
+                  else if (timeCmp(rt, lt) <= 0) {
+                    matchRow = rBuf.next().copy()
+                    matchKey = rKeyB.eval(matchRow)
+                  }
                   else advance = false
                 } else advance = false
               }
             }
             // a retained row only counts for the SAME key (its time is
             // <= an earlier lt of this key, hence <= lt: left is sorted)
-            val valid = matchRow != null && keyCmp(rKeyB.eval(matchRow), lk) == 0
+            val valid = matchRow != null && keyCmp(matchKey, lk) == 0
             valueRow.update(0, if (valid) rValB.eval(matchRow) else null)
           }
           proj(joined(l, valueRow))

@@ -32,7 +32,16 @@ object TemporalJoins {
 
   /** For each left row, attach `valueCol` from the most recent right row
     * with rightTime <= leftTime, matching on `key`. Right rows at exactly
-    * leftTime match (<=). Left rows with no earlier right row get null. */
+    * leftTime match (<=). Left rows with no earlier right row get null.
+    * SQL ASOF null semantics: right rows with null time never match, and
+    * left rows with null time match nothing.
+    *
+    * Known limitation of this union+window encoding (where `asOfJoinExec`
+    * is exact): `last(__v, ignoreNulls)` is how LEFT marker rows stay
+    * transparent in the stream, so a matched right row whose VALUE is
+    * null is indistinguishable from a marker — the previous non-null
+    * value leaks forward instead of the matched null. Use the exec form
+    * when the value column can hold nulls. */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
                valueCol: String, as: String = "asof_value"): DataFrame = {
@@ -42,8 +51,10 @@ object TemporalJoins {
       .withColumn("__t", col(leftTime))
       .withColumn("__isLeft", lit(1))
       .withColumn("__v", lit(null).cast(right.schema(valueCol).dataType))
-    val r = right.select(col(key), col(rightTime).as("__t"),
-        col(valueCol).as("__v"))
+    // null-time right rows would sort to the partition head (nulls first)
+    // and leak their value into every frame — SQL says they never match
+    val r = right.filter(col(rightTime).isNotNull)
+      .select(col(key), col(rightTime).as("__t"), col(valueCol).as("__v"))
       .withColumn("__isLeft", lit(0))
     // right-before-left on time ties so "<=" semantics hold; __v as the
     // final tie-break makes duplicate (key, rightTime) rows deterministic
@@ -51,25 +62,30 @@ object TemporalJoins {
     val w = Window.partitionBy(key).orderBy(col("__t"), col("__isLeft"), col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
-      .withColumn(as, last(col("__v"), ignoreNulls = true).over(w))
+      // null-time left rows sort to the head too (no frame) but guard
+      // explicitly: SQL gives them no match
+      .withColumn(as, when(col(leftTime).isNotNull,
+        last(col("__v"), ignoreNulls = true).over(w)))
       .filter(col("__isLeft") === 1)
       .drop("__t", "__isLeft", "__v")
   }
 
   /** The as-of join as a first-class PLAN NODE (`plans.AsOfJoinNode` →
-    * `AsOfJoinExec`): identical semantics and output shape to `asOfJoin`,
-    * but executed as a co-partitioned forward-only merge with O(1) state
-    * instead of the union+window composition — see the scaladoc on
-    * `graft.plans.AsOfJoinExec` for the execution contract. The planner
-    * strategy is registered idempotently on first use (or ship it via
-    * `GraftExtensions`). */
+    * `AsOfJoinExec`): same output shape as `asOfJoin` and identical
+    * results whenever the value column is non-null (see the asOfJoin
+    * scaladoc for the one divergence — a matched null value — where the
+    * exec form is the exact one). Executed as a co-partitioned
+    * forward-only merge with O(1) state instead of the union+window
+    * composition — see `graft.plans.AsOfJoinExec` for the execution
+    * contract. The planner strategy is registered idempotently on first
+    * use (or ship it via `GraftExtensions`). */
   def asOfJoinExec(left: DataFrame, right: DataFrame, key: String,
                    leftTime: String, rightTime: String,
                    valueCol: String, as: String = "asof_value"): DataFrame = {
     requireFree("asOfJoinExec", left, as)
     val spark = left.sparkSession
     graft.plans.AsOfJoinPlans.ensureRegistered(spark)
-    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
     val lPlan = left.queryExecution.analyzed
     // Fresh-alias the right side: when both inputs derive from the same
@@ -81,13 +97,30 @@ object TemporalJoins {
     // never needs to touch them.
     val rAliases = right.queryExecution.analyzed.output.map(a => Alias(a, a.name)())
     val rPlan: LogicalPlan = Project(rAliases, right.queryExecution.analyzed)
-    val rByName = rAliases.map(al => al.name -> al.toAttribute).toMap
-    def lAttr(n: String) = lPlan.output.find(_.name == n).getOrElse(
-      throw new IllegalArgumentException(s"asOfJoinExec: no column '$n' on the left side"))
-    def rAttr(n: String) = rByName.getOrElse(n,
-      throw new IllegalArgumentException(s"asOfJoinExec: no column '$n' on the right side"))
+    // resolution mirrors Spark's: honors spark.sql.caseSensitive and
+    // fails loudly on ambiguity instead of silently picking a duplicate
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def resolve(attrs: Seq[Attribute], n: String, side: String): Attribute = {
+      val hits = attrs.filter(a =>
+        if (caseSensitive) a.name == n else a.name.equalsIgnoreCase(n))
+      require(hits.nonEmpty, s"asOfJoinExec: no column '$n' on the $side side")
+      require(hits.size == 1,
+        s"asOfJoinExec: ambiguous column '$n' on the $side side (${hits.size} matches)")
+      hits.head
+    }
+    def lAttr(n: String) = resolve(lPlan.output, n, "left")
+    def rAttr(n: String) = resolve(rAliases.map(_.toAttribute), n, "right")
+    val (lk, rk) = (lAttr(key), rAttr(key))
+    val (lt, rt) = (lAttr(leftTime), rAttr(rightTime))
+    // no analyzer coercion runs on an unknown node: mismatched types would
+    // mis-partition (hash of Int 5 != hash of Long 5) or CCE in the merge
+    require(lk.dataType == rk.dataType,
+      s"asOfJoinExec: key types differ (${lk.dataType} vs ${rk.dataType}) — cast first")
+    require(lt.dataType == rt.dataType,
+      s"asOfJoinExec: time types differ (${lt.dataType} vs ${rt.dataType}) — cast first")
     val node = graft.plans.AsOfJoinNode(lPlan, rPlan,
-      lAttr(key), rAttr(key), lAttr(leftTime), rAttr(rightTime), rAttr(valueCol),
+      lk, rk, lt, rt, rAttr(valueCol),
       AttributeReference(as, right.schema(valueCol).dataType, nullable = true)())
     org.apache.spark.sql.classic.GraftSqlBridge.ofRows(spark, node)
   }

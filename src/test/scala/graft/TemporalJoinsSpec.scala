@@ -135,6 +135,53 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(res("t3").contains(55.0))
   }
 
+  test("null-time right rows match nothing in BOTH forms (SQL ASOF)") {
+    // pre-fix, the composition sorted null __t to the partition head and
+    // leaked its value into every frame — pinned here against regression
+    val l = Seq((1L, Some(ts("2024-01-01 09:00:00")), "a"),
+      (1L, Option.empty[Timestamp], "b")).toDF("k", "lt", "tag")
+    val r = Seq((1L, Option.empty[Timestamp], 7.0),
+      (1L, Some(ts("2024-01-01 10:00:00")), 55.0)).toDF("k", "rt", "price")
+    for (form <- Seq(
+        TemporalJoins.asOfJoin(l, r, "k", "lt", "rt", "price"),
+        TemporalJoins.asOfJoinExec(l, r, "k", "lt", "rt", "price"))) {
+      val res = form.select("tag", "asof_value")
+        .as[(String, Option[Double])].collect().toMap
+      assert(res("a").isEmpty, "null-time right row must never match")
+      assert(res("b").isEmpty, "null-time left row must match nothing")
+    }
+  }
+
+  test("matched-null-value divergence is exactly as documented") {
+    // the one point where the forms differ: exec reports the matched
+    // row's null; the composition's ignoreNulls window (needed for left
+    // marker transparency) carries the previous non-null value forward
+    val l = Seq((1L, ts("2024-01-01 10:00:00"), "x")).toDF("k", "lt", "tag")
+    val r = Seq((1L, ts("2024-01-01 09:00:00"), Some(100.0)),
+      (1L, ts("2024-01-01 09:30:00"), Option.empty[Double])).toDF("k", "rt", "price")
+    val exec = TemporalJoins.asOfJoinExec(l, r, "k", "lt", "rt", "price")
+      .select("asof_value").as[Option[Double]].head()
+    val composed = TemporalJoins.asOfJoin(l, r, "k", "lt", "rt", "price")
+      .select("asof_value").as[Option[Double]].head()
+    assert(exec.isEmpty)             // exact: the 09:30 row matched, value null
+    assert(composed.contains(100.0)) // documented composition limitation
+  }
+
+  test("asOfJoinExec validates types and resolves names like Spark") {
+    val l = Seq((1, ts("2024-01-01 10:00:00"))).toDF("k", "lt") // Int key
+    val r = Seq((1L, ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "rt", "v") // Long key
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoins.asOfJoinExec(l, r, "k", "lt", "rt", "v")
+    }
+    assert(e.getMessage.contains("key types differ"))
+    // case-insensitive resolution under the default conf
+    val ok = TemporalJoins.asOfJoinExec(
+      Seq((1L, ts("2024-01-01 10:00:00"))).toDF("K", "LT"),
+      Seq((1L, ts("2024-01-01 09:00:00"), 5.0)).toDF("k", "rt", "v"),
+      "k", "lt", "rt", "v")
+    assert(ok.select("asof_value").as[Option[Double]].head().contains(5.0))
+  }
+
   test("AsOfJoinExec equals the composition form on the real events corpus") {
     val ev = table(spark, "/root/testdata/sf0.001", "events")
     val purchases = ev.filter(col("event_type") === "purchase")
