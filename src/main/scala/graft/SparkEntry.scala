@@ -134,6 +134,10 @@ object SparkEntry {
     // that the sort is distributed, not a single-partition collapse)
     "rel_global_sort" -> ((s, dir) =>
       Relational.ordersByPriceDesc(table(s, dir, "orders"))),
+    // correlated scalar subquery (Q2 min-per-group), collapsed to a
+    // single-pass struct-min aggregation — no join-back
+    "rel_argmin_order" -> ((s, dir) =>
+      Relational.cheapestOrderPerCustomer(table(s, dir, "orders"))),
     // typed Aggregator UDAF (Welford/Chan moments): monthly price profile —
     // see Relational.monthlyPriceProfile for the cross-engine comparison
     // rationale (exact decimal mean/stddev, UDAF n/min/max)
@@ -658,6 +662,14 @@ object SparkEntry {
     "rel_global_sort" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+    // independent derivation: the textbook aggregate-then-join-back
+    // decorrelation, deliberately NOT the Spark side's struct-min
+    "rel_argmin_order" ->
+      """WITH m AS (SELECT o_custkey AS ck, min(o_totalprice) AS min_price
+        |           FROM orders GROUP BY 1)
+        |SELECT o_custkey, min(o_orderkey) AS o_orderkey, min_price
+        |FROM orders JOIN m ON o_custkey = ck AND o_totalprice = min_price
+        |GROUP BY o_custkey, min_price ORDER BY o_custkey""".stripMargin,
     // mean/stddev from EXACT decimal sums, spelled as the identical double
     // expression tree as the Spark side (see the query declaration)
     "rel_welford_stats" ->

@@ -379,6 +379,21 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Correlated scalar-subquery shape (TPC-H Q2's min-per-group): each
+    * customer's cheapest order. The textbook decorrelation is
+    * aggregate-then-join-back (two shuffles + a join); Spark-first it
+    * collapses to ONE aggregation — min over (price, orderkey) structs is
+    * lexicographic, so a single partial+final pass yields both the group
+    * minimum and its deterministic tie-break (lowest orderkey at the
+    * minimum price), no join at all. The oracle keeps the join-back
+    * spelling as an independent derivation. */
+  def cheapestOrderPerCustomer(orders: DataFrame): DataFrame =
+    orders.groupBy("o_custkey")
+      .agg(min(struct(col("o_totalprice"), col("o_orderkey"))).as("m"))
+      .select(col("o_custkey"), col("m.o_orderkey").as("o_orderkey"),
+        col("m.o_totalprice").as("min_price"))
+      .orderBy("o_custkey")
+
   /** Global total-order sort (no limit): plans as a RangePartitioning
     * exchange — Spark samples the sort key to build range bounds, so the
     * full order is produced by p independent partition sorts, never a

@@ -213,4 +213,35 @@ object Streaming {
     docs
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Stream-STATIC as-of enrichment: each streaming event is joined with
+    * the latest static dimension version whose `dimTime` <= the event's
+    * `evTime` on the same key — the slowly-changing-dimension lookup every
+    * enrichment pipeline needs (price lists, model versions, user tiers).
+    *
+    * Shuffle- and state-FREE by construction: the static side is packed
+    * to ONE row per key holding its time-sorted version array, broadcast,
+    * and the per-event "latest <= t" pick is a pure projection (filter +
+    * last element of the array) — no streaming aggregation, no state
+    * store, append mode, one output row per input event. Same semantics
+    * as `TemporalJoins.asOfJoin` on the batch side (StreamingSpec pins
+    * the equality); dimension versions with null time are dropped like
+    * the batch form, and events with no version at-or-before them get
+    * null. Sized for dimension tables (versions per key bounded); a
+    * 100 TB FACT side streams through untouched. */
+  def streamStaticAsOf(events: DataFrame, dim: DataFrame, key: String,
+                       evTime: String, dimTime: String, valueCol: String,
+                       as: String = "asof_value"): DataFrame = {
+    val packed = dim.filter(col(dimTime).isNotNull)
+      .groupBy(key)
+      .agg(sort_array(collect_list(struct(col(dimTime).as("t"),
+        col(valueCol).as("v")))).as("__versions"))
+    val eligible = filter(col("__versions"), v => v.getField("t") <= col(evTime))
+    events
+      .join(broadcast(packed), Seq(key), "left")
+      .withColumn(as,
+        when(col(evTime).isNotNull && size(eligible) > 0,
+          element_at(eligible, -1).getField("v")))
+      .drop("__versions")
+  }
 }

@@ -214,4 +214,39 @@ class StreamingSpec extends SparkSpec {
       assert(hashes.sorted == Seq("aaa", "bbb"))
     } finally q.stop()
   }
+
+  test("stream-static as-of picks the latest dimension version per event") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 100.0),
+      (1L, ts("2024-01-01 11:00:00"), 110.0),
+      (2L, ts("2024-01-01 10:00:00"), 50.0),
+    ).toDF("user_id", "effective_ts", "price")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val enriched = Streaming.streamStaticAsOf(
+      input.toDF().toDF("user_id", "ts", "tag"),
+      dim, "user_id", "ts", "effective_ts", "price")
+    val q = enriched.writeStream.format("memory").queryName("ssasof")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val events = Seq(
+        (1L, ts("2024-01-01 10:00:00"), "a"), // v1 only
+        (1L, ts("2024-01-01 11:00:00"), "b"), // v2 at exactly its ts (<=)
+        (1L, ts("2024-01-01 08:00:00"), "c"), // before any version
+        (2L, ts("2024-01-01 12:00:00"), "d"),
+        (3L, ts("2024-01-01 12:00:00"), "e")) // key with no dim row
+      input.addData(events: _*)
+      q.processAllAvailable()
+      val got = spark.table("ssasof").select("tag", "asof_value")
+        .as[(String, Option[Double])].collect().toMap
+      assert(got == Map("a" -> Some(100.0), "b" -> Some(110.0),
+        "c" -> None, "d" -> Some(50.0), "e" -> None))
+      // batch parity: same rows through the batch as-of join
+      val batch = graft.relational.TemporalJoins.asOfJoin(
+        events.toDF("user_id", "ts", "tag"), dim,
+        "user_id", "ts", "effective_ts", "price")
+        .select("tag", "asof_value").as[(String, Option[Double])].collect().toMap
+      assert(batch == got)
+    } finally q.stop()
+  }
 }
