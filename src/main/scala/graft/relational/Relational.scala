@@ -386,9 +386,13 @@ object Relational {
     * lexicographic, so a single partial+final pass yields both the group
     * minimum and its deterministic tie-break (lowest orderkey at the
     * minimum price), no join at all. The oracle keeps the join-back
-    * spelling as an independent derivation. */
+    * spelling as an independent derivation. Null prices are filtered
+    * first: SQL's min() skips them, but a struct-min would sort a null
+    * FIELD smallest and surface it — the one place the two spellings
+    * could diverge. */
   def cheapestOrderPerCustomer(orders: DataFrame): DataFrame =
-    orders.groupBy("o_custkey")
+    orders.filter(col("o_totalprice").isNotNull)
+      .groupBy("o_custkey")
       .agg(min(struct(col("o_totalprice"), col("o_orderkey"))).as("m"))
       .select(col("o_custkey"), col("m.o_orderkey").as("o_orderkey"),
         col("m.o_totalprice").as("min_price"))

@@ -24,7 +24,7 @@ object TemporalJoins {
     * frame that already uses one of them would be silently overwritten by
     * withColumn, corrupting that column in the output — fail loudly
     * instead. */
-  private def requireFree(op: String, df: DataFrame, names: String*): Unit = {
+  private[graft] def requireFree(op: String, df: DataFrame, names: String*): Unit = {
     val clash = df.columns.toSet.intersect(names.toSet)
     require(clash.isEmpty,
       s"$op: input already contains internal column(s) ${clash.mkString(", ")} — rename them first")

@@ -223,25 +223,33 @@ object Streaming {
     * to ONE row per key holding its time-sorted version array, broadcast,
     * and the per-event "latest <= t" pick is a pure projection (filter +
     * last element of the array) — no streaming aggregation, no state
-    * store, append mode, one output row per input event. Same semantics
-    * as `TemporalJoins.asOfJoin` on the batch side (StreamingSpec pins
-    * the equality); dimension versions with null time are dropped like
-    * the batch form, and events with no version at-or-before them get
-    * null. Sized for dimension tables (versions per key bounded); a
-    * 100 TB FACT side streams through untouched. */
+    * store, append mode, one output row per input event. EXACT as-of
+    * semantics — the same contract as `TemporalJoins.asOfJoinExec`: null
+    * keys/times never match on either side, and a matched version whose
+    * VALUE is null yields null (the composition `asOfJoin` differs there
+    * by its documented ignoreNulls carry-forward; StreamingSpec pins
+    * batch parity on non-null-value data). Sized for dimension tables
+    * (versions per key bounded); a 100 TB FACT side streams through
+    * untouched. */
   def streamStaticAsOf(events: DataFrame, dim: DataFrame, key: String,
                        evTime: String, dimTime: String, valueCol: String,
                        as: String = "asof_value"): DataFrame = {
+    graft.relational.TemporalJoins.requireFree(
+      "streamStaticAsOf", events, "__versions", as)
+    graft.relational.TemporalJoins.requireFree(
+      "streamStaticAsOf", dim, "__versions")
     val packed = dim.filter(col(dimTime).isNotNull)
       .groupBy(key)
       .agg(sort_array(collect_list(struct(col(dimTime).as("t"),
         col(valueCol).as("v")))).as("__versions"))
+    // a null evTime nulls the filter predicate, which keeps nothing, and
+    // try_element_at of an empty (or null, for unmatched keys) array is
+    // null — so all the null semantics fall out of ONE evaluation of the
+    // filtered array, with no size() guard re-running the filter
     val eligible = filter(col("__versions"), v => v.getField("t") <= col(evTime))
     events
       .join(broadcast(packed), Seq(key), "left")
-      .withColumn(as,
-        when(col(evTime).isNotNull && size(eligible) > 0,
-          element_at(eligible, -1).getField("v")))
+      .withColumn(as, try_element_at(eligible, lit(-1)).getField("v"))
       .drop("__versions")
   }
 }
