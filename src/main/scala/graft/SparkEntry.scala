@@ -359,6 +359,14 @@ object SparkEntry {
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"))
     }),
+    // substring-level dedup report: per doc, the fraction of its 8-token
+    // windows that occur in any other doc ("how much of this doc is copy")
+    "dedup_shared_ngrams" -> ((s, dir) =>
+      Dedup.sharedNgramStats(table(s, dir, "documents"), 8)),
+    // temperature-scaled domain mixing: per-source token share ->
+    // alpha-flattened sampling weight + resample factor
+    "curate_source_mix" -> ((s, dir) =>
+      graft.curate.Curation.sourceMixWeights(table(s, dir, "documents"), 0.5)),
 
     // ---- similarity search (north star) ----
     "sim_cosine_topk" -> ((s, dir) =>
@@ -372,6 +380,20 @@ object SparkEntry {
     // int8 quantization fidelity: the 4x-storage-shrink safety report
     "sim_quantize_error" -> ((s, dir) =>
       Similarity.quantizeErrorByLabel(table(s, dir, "embeddings"))),
+    // batch serving path: the whole query workload amortizes ONE
+    // bucket-equi-join (the vector analog of bm25_multi_stored)
+    "sim_ann_multi" -> ((s, dir) =>
+      Similarity.annCosineLshMany(table(s, dir, "embeddings"),
+        Seq(0L, 1L, 2L, 3L), 5)),
+    // index-quality evaluation: measured recall@10 of the LSH index vs
+    // exact brute force, per query — recall is measured, never assumed
+    "sim_recall_eval" -> ((s, dir) =>
+      Similarity.annRecallAtK(table(s, dir, "embeddings"),
+        Seq(0L, 1L, 2L, 3L), 10)),
+    // one Lloyd's iteration over the IVF assignment: per-cell population +
+    // refined centroid head coordinates (the trained-quantizer primitive)
+    "sim_kmeans_step" -> ((s, dir) =>
+      Similarity.kmeansStep(table(s, dir, "embeddings"))),
 
     // ---- text analysis (north star) ----
     "text_token_counts" -> ((s, dir) =>
@@ -398,6 +420,9 @@ object SparkEntry {
       TextAnalysis.bpeTokenCounts(table(s, dir, "documents"))),
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdfTopTerms(table(s, dir, "documents"), 3)),
+    // corpus-trained bigram-LM fluency proxy: mean ln p(w2|w1) per doc
+    "text_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramLmScores(table(s, dir, "documents"))),
     "text_len_quantiles" -> ((s, dir) =>
       TextAnalysis.lengthQuantilesByLang(table(s, dir, "documents"))),
     "text_redact_pii" -> ((s, dir) =>
@@ -960,6 +985,37 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_shared
         |FROM sh JOIN ev USING (shingle) WHERE source != 'src0'
         |GROUP BY doc_id HAVING count(*) >= 2 ORDER BY doc_id""".stripMargin,
+    // 8-token windows, distinct per doc; df >= 2 marks a window shared
+    // with at least one other doc
+    "dedup_shared_ngrams" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 8
+        |    THEN list_distinct(list_transform(generate_series(1, len(tk)-7),
+        |      i -> array_to_string(list_slice(tk, i, i+7), ' ')))
+        |    ELSE [] END) AS shingle FROM t),
+        |dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        |per AS (SELECT doc_id, count(*) AS nw,
+        |          sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS nsw
+        |        FROM sh JOIN dfq USING (shingle) GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(nw, 0) AS BIGINT) AS n_windows,
+        |  CAST(coalesce(nsw, 0) AS BIGINT) AS n_shared_windows,
+        |  round(CASE WHEN coalesce(nw, 0) = 0 THEN 0.0
+        |        ELSE CAST(nsw AS DOUBLE)/nw END, 4) AS shared_frac
+        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "curate_source_mix" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9_'']+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM per),
+        |sh AS (SELECT source, n_docs, n_tokens,
+        |         CAST(n_tokens AS DOUBLE)/tt AS share,
+        |         power(CAST(n_tokens AS DOUBLE)/tt, 0.5) AS w
+        |       FROM per CROSS JOIN tot),
+        |wt AS (SELECT sum(w) AS wtot FROM sh)
+        |SELECT source, n_docs, n_tokens, round(share, 6) AS token_share,
+        |  round(w/wtot, 6) AS mix_weight,
+        |  round(w/wtot/share, 6) AS resample_factor
+        |FROM sh CROSS JOIN wt ORDER BY source""".stripMargin,
     "dedup_embedding_lsh" ->
       """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |bk AS (SELECT vec_id, v,
@@ -1015,6 +1071,64 @@ object SparkEntry {
         |  round(CAST(sum(CAST(mse AS DECIMAL(18,12))) AS DOUBLE) / count(*), 8) AS avg_mse,
         |  round(max(mse), 8) AS max_mse
         |FROM q GROUP BY label ORDER BY label""".stripMargin,
+    // same bucket expression as sim_ann_lsh; per-query rank over the
+    // ROUNDED cosine so cross-engine tie order is pinned
+    "sim_ann_multi" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |b AS (SELECT vec_id, label, v,
+        |  list_sum(list_transform(generate_series(0, 7), j ->
+        |    CASE WHEN list_sum(list_transform(generate_series(1, 64), d ->
+        |      v[d] * CAST(((j*31 + (d-1)*17) % 7) - 3 AS DOUBLE))) >= 0
+        |    THEN 1 << j ELSE 0 END)) AS bucket FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id IN (0, 1, 2, 3)),
+        |s AS (SELECT q.query_id, b.vec_id, b.label,
+        |        round(list_dot_product(v, qv)/(sqrt(list_dot_product(v, v))*sqrt(list_dot_product(qv, qv))), 4) AS cosine
+        |      FROM b JOIN q USING (bucket) WHERE b.vec_id != q.query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn FROM s)
+        |SELECT query_id, vec_id, label, cosine, CAST(rn AS INT) AS rn
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    // brute top-10 and LSH top-10 per query, intersected: measured recall
+    "sim_recall_eval" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |b AS (SELECT vec_id, v,
+        |  list_sum(list_transform(generate_series(0, 7), j ->
+        |    CASE WHEN list_sum(list_transform(generate_series(1, 64), d ->
+        |      v[d] * CAST(((j*31 + (d-1)*17) % 7) - 3 AS DOUBLE))) >= 0
+        |    THEN 1 << j ELSE 0 END)) AS bucket FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM b WHERE vec_id IN (0, 1, 2, 3)),
+        |br AS (SELECT query_id, vec_id FROM (
+        |  SELECT q.query_id, b.vec_id,
+        |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |      round(list_dot_product(b.v, q.qv)/(sqrt(list_dot_product(b.v, b.v))*sqrt(list_dot_product(q.qv, q.qv))), 4) DESC,
+        |      b.vec_id) AS rn
+        |  FROM b CROSS JOIN q WHERE b.vec_id != q.query_id) WHERE rn <= 10),
+        |ap AS (SELECT query_id, vec_id FROM (
+        |  SELECT q.query_id, b.vec_id,
+        |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |      round(list_dot_product(b.v, q.qv)/(sqrt(list_dot_product(b.v, b.v))*sqrt(list_dot_product(q.qv, q.qv))), 4) DESC,
+        |      b.vec_id) AS rn
+        |  FROM b JOIN q ON b.bucket = q.qbucket WHERE b.vec_id != q.query_id) WHERE rn <= 10)
+        |SELECT br.query_id AS query_id, count(*) AS k_eff,
+        |  CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  round(CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*), 4) AS recall
+        |FROM br LEFT JOIN ap ON br.query_id = ap.query_id AND br.vec_id = ap.vec_id
+        |GROUP BY br.query_id ORDER BY br.query_id""".stripMargin,
+    // same centroid/assignment CTEs as sim_ann_ivf; new centroid head
+    // coordinates as per-cell means over unit vectors
+    "sim_kmeans_step" ->
+      """WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |e1 AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),
+        |e AS (SELECT vec_id, label, list_transform(v, x -> x/nrm) AS u FROM e1),
+        |c0 AS (SELECT vec_id, u, md5(CAST(vec_id AS VARCHAR) || ':7') AS ck FROM e ORDER BY ck, vec_id LIMIT 16),
+        |c AS (SELECT row_number() OVER (ORDER BY ck, vec_id) AS cell_id, u AS cu FROM c0),
+        |asg AS (SELECT vec_id, u, cell_id FROM (
+        |  SELECT e.vec_id, e.u, c.cell_id,
+        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.u, c.cu) DESC, c.cell_id) AS rn
+        |  FROM e CROSS JOIN c) WHERE rn = 1)
+        |SELECT CAST(cell_id AS INT) AS cell_id, count(*) AS n_vecs,
+        |  round(avg(u[1]), 6) AS c0, round(avg(u[2]), 6) AS c1,
+        |  round(avg(u[3]), 6) AS c2, round(avg(u[4]), 6) AS c3
+        |FROM asg GROUP BY cell_id ORDER BY cell_id""".stripMargin,
 
     "text_token_counts" ->
       """SELECT doc_id,
@@ -1082,6 +1196,22 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM s)
         |SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rn
         |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    // MLE bigram LM self-trained on the corpus: p(w2|w1) = c2/c1 where c1
+    // sums c2 over bigrams with the same LEFT token (exact normalization);
+    // docs with < 2 tokens carry NULL score
+    "text_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+        |occ AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+        |    THEN list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])
+        |    ELSE [] END) AS bigram FROM t),
+        |bc AS (SELECT bigram, count(*) AS c2 FROM occ GROUP BY bigram),
+        |bcw AS (SELECT bigram, c2, split_part(bigram, ' ', 1) AS w1 FROM bc),
+        |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bcw GROUP BY w1),
+        |sc AS (SELECT doc_id, ln(CAST(c2 AS DOUBLE)) - ln(CAST(c1 AS DOUBLE)) AS lp
+        |       FROM occ JOIN bcw USING (bigram) JOIN c1 USING (w1)),
+        |per AS (SELECT doc_id, count(*) AS nb, round(avg(lp), 4) AS avg_logp FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams, avg_logp
+        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
     "text_len_quantiles" ->
       """WITH t AS (SELECT lang, CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS n_tokens FROM documents)
         |SELECT lang, count(*) AS n_docs,

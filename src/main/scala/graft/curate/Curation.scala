@@ -91,6 +91,81 @@ object Curation {
       .groupBy("stage").agg(count(lit(1)).as("n"))
       .orderBy("stage")
 
+  /** Temperature-scaled domain mixing weights (the UnifiedQA / multilingual
+    *-LM "alpha sampling" recipe): per source, token share p_s and mixing
+    * weight w_s ∝ p_s^alpha normalized over sources. alpha < 1 flattens
+    * the mix toward uniform (upsampling small domains), alpha = 1 keeps
+    * natural proportions. `resample_factor` = w_s / p_s is the per-source
+    * duplication/subsampling rate a pipeline applies to hit the target mix.
+    *
+    * Scale notes (100 TB): one tokenize scan + a partial+final agg to one
+    * row per source; the two normalizing totals are single-row broadcasts.
+    * pow/round noise is 1 ulp on ~0.1-magnitude values — invisible at
+    * round(6). */
+  def sourceMixWeights(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val per = docs
+      .select(col("source"),
+        size(graft.text.Tokenize.tokens(col("text"))).cast("long").as("__nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").as("__tot"))
+    val shared = per.crossJoin(broadcast(tot))
+      .withColumn("token_share", col("n_tokens").cast("double") / col("__tot"))
+      .withColumn("__w", pow(col("token_share"), lit(alpha)))
+    val wtot = shared.agg(sum("__w").as("__wtot"))
+    shared.crossJoin(broadcast(wtot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("token_share"), 6).as("token_share"),
+        round(col("__w") / col("__wtot"), 6).as("mix_weight"),
+        round(col("__w") / col("__wtot") / col("token_share"), 6)
+          .as("resample_factor"))
+      .orderBy("source")
+  }
+
+  /** Deterministic token-budget resampling — the EXECUTOR for
+    * sourceMixWeights: allocate `totalBudget` tokens across sources by the
+    * alpha-flattened mix weights, then take each source's docs in
+    * seeded-hash order until its budget fills. A doc is kept while the
+    * cumulative token count BEFORE it is under the source budget, so every
+    * source with a positive budget contributes at least one doc and the
+    * overshoot is bounded by one doc per source.
+    *
+    * Scale notes (100 TB): ONE tokenize scan builds the narrow
+    * (source, doc_id, n_tokens, key) frame; it is eagerly checkpointed
+    * because both the weight aggregation and the selection pass read it
+    * (same rationale as curationTags' stats frame). Selection is one
+    * window per source over the hash order — hash-partitioned by source,
+    * never a global sort. The keep threshold compares an exact integer
+    * cumulative sum against weight×budget, where mix weights are the SAME
+    * round(6) values sourceMixWeights reports, so the declared report and
+    * the executor can never disagree on the mix. */
+  def budgetSample(docs: DataFrame, totalBudget: Long, alpha: Double = 0.5,
+                   seed: Long = 42): DataFrame = {
+    val toks = docs
+      .select(col("source"), col("doc_id"),
+        size(graft.text.Tokenize.tokens(col("text"))).cast("long").as("n_tokens"),
+        md5(concat(col("doc_id").cast("string"), lit(s":$seed"))).as("__k"))
+      .localCheckpoint(true)
+    val per = toks.groupBy("source").agg(sum("n_tokens").as("__src_tokens"))
+    val tot = per.agg(sum("__src_tokens").as("__tot"))
+    val shared = per.crossJoin(broadcast(tot))
+      .withColumn("__w",
+        pow(col("__src_tokens").cast("double") / col("__tot"), lit(alpha)))
+    val wtot = shared.agg(sum("__w").as("__wtot"))
+    val weights = shared.crossJoin(broadcast(wtot))
+      .select(col("source"),
+        round(col("__w") / col("__wtot"), 6).as("__mix"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("__k", "doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    toks.join(broadcast(weights), Seq("source"))
+      .withColumn("__cum_before", coalesce(sum("n_tokens").over(win), lit(0L)))
+      .filter(col("__cum_before").cast("double") <
+        col("__mix") * lit(totalBudget.toDouble))
+      .select(col("source"), col("doc_id"), col("n_tokens"))
+      .orderBy("source", "doc_id")
+  }
+
   /** The curated corpus: every surviving doc, whole rows. */
   def curatedDocs(docs: DataFrame, minTokens: Long = 5,
                   maxDupTrigramFrac: Double = 0.2, n: Int = 3,

@@ -316,6 +316,36 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Exact duplicated-substring report at n-token-window granularity (the
+    * "how much of each doc is copied text" metric behind substring-level
+    * training-data dedup): per doc, the share of its DISTINCT n-token
+    * windows that also occur in at least one other doc. Large windows
+    * (default 8) make cross-doc collisions of original text essentially
+    * impossible, so shared_frac ≈ the copied fraction.
+    *
+    * Scale notes (100 TB): per-window document frequency and the per-doc
+    * share both hash-partition by window — the groupBy and the join share
+    * one exchange of the shingle lineage (ReuseExchange), and a hot window
+    * (boilerplate header in millions of docs) costs df LINEAR join rows,
+    * not the df^2 a pair-generator pays, so no df-cap is needed here. */
+  def sharedNgramStats(docs: DataFrame, n: Int = 8): DataFrame = {
+    val sh = shingles(docs, n)
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val per = sh.join(dfreq, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared_windows"))
+    // short docs (< n tokens) have zero windows but must appear in the report
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_shared_windows"), lit(0L)).as("n_shared_windows"),
+        round(when(coalesce(col("n_windows"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_shared_windows").cast("double") / col("n_windows")),
+          4).as("shared_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Connected components over near-dup pairs: every doc in a duplicate
     * cluster gets the cluster's minimum doc_id as its cluster_id — the
     * step that turns pairwise similarity into an actionable keep/drop

@@ -120,20 +120,19 @@ object Similarity {
     * pins that equality, which anchors the recall semantics to the
     * oracle-checked cosineTopK. PlanSpec pins the no-Window shape.
     */
-  def annCosineIvf(embeddings: DataFrame, queryVecId: Long, k: Int,
-                   nCells: Int = 16, nProbe: Int = 4,
-                   seed: Long = 7L): DataFrame = {
-    VectorFunctions.ensureRegistered(embeddings.sparkSession)
-    require(nProbe >= 1 && nProbe <= nCells)
-    val e = withUnitVec(embeddings.select(col("vec_id"), col("label"),
+  /** (vec_id, label, u): unit vectors for the whole collection. */
+  private def unitVecs(embeddings: DataFrame): DataFrame =
+    withUnitVec(embeddings.select(col("vec_id"), col("label"),
       toDoubleVec(col("embedding")).as("v")), "v")
       .select(col("vec_id"), col("label"), col("u"))
-    // deterministic sampled centroids: nCells vectors in seeded-hash order
-    // (TakeOrdered over n, never a global sort), numbered 1..nCells by that
-    // order INSIDE one collected array — array_sort on (key, id, vec)
-    // structs + transform-with-index replaces the row_number window.
-    val cells = e
-      .withColumn("__ck", md5(concat(col("vec_id").cast("string"), lit(s":$seed"))))
+
+  /** Deterministic sampled centroids as ONE single-row frame holding an
+    * array<struct(cell_id, cu)>: nCells vectors in seeded-hash order
+    * (TakeOrdered over n, never a global sort), numbered 1..nCells by that
+    * order INSIDE one collected array — array_sort on (key, id, vec)
+    * structs + transform-with-index replaces the row_number window. */
+  private def ivfCells(e: DataFrame, nCells: Int, seed: Long): DataFrame =
+    e.withColumn("__ck", md5(concat(col("vec_id").cast("string"), lit(s":$seed"))))
       .orderBy(col("__ck"), col("vec_id")).limit(nCells)
       .agg(array_sort(collect_list(
         struct(col("__ck").as("ck"), col("vec_id").as("cvid"),
@@ -141,22 +140,34 @@ object Similarity {
       .select(transform(col("arr"), (c, i) =>
         struct((i + lit(1)).cast("int").as("cell_id"),
           c.getField("cu").as("cu"))).as("cells"))
-    // assign every vector to its max-cosine cell (unit vecs: cosine == dot):
-    // score each cell ONCE via transform (ArrayAggregate evaluates its merge
-    // lambda interpreted with no CSE — folding over raw cells would pay each
-    // dot twice, in the comparison and in the kept struct), then fold a
-    // left-to-right argmax that keeps the FIRST maximum, i.e. the lowest
-    // cell_id on ties — the same (dot DESC, cell_id ASC) rank-1 the oracle
-    // computes.
+
+  /** Assign every vector to its max-cosine cell (unit vecs: cosine == dot):
+    * score each cell ONCE via transform (ArrayAggregate evaluates its merge
+    * lambda interpreted with no CSE — folding over raw cells would pay each
+    * dot twice, in the comparison and in the kept struct), then fold a
+    * left-to-right argmax that keeps the FIRST maximum, i.e. the lowest
+    * cell_id on ties — the same (dot DESC, cell_id ASC) rank-1 the oracle
+    * computes. Shuffle-free: one corpus scan over the broadcast cell array. */
+  private def ivfAssign(e: DataFrame, cells: DataFrame): DataFrame = {
     val scored = transform(col("cells"), c =>
       struct(dot(col("u"), c.getField("cu")).as("d"),
         c.getField("cell_id").as("cell_id")))
     val best = aggregate(scored,
       struct(lit(Double.NegativeInfinity).as("d"), lit(0).cast("int").as("cell_id")),
       (acc, c) => when(c.getField("d") > acc.getField("d"), c).otherwise(acc))
-    val assigned = e.crossJoin(broadcast(cells))
+    e.crossJoin(broadcast(cells))
       .withColumn("cell_id", best.getField("cell_id"))
       .select(col("vec_id"), col("label"), col("u"), col("cell_id"))
+  }
+
+  def annCosineIvf(embeddings: DataFrame, queryVecId: Long, k: Int,
+                   nCells: Int = 16, nProbe: Int = 4,
+                   seed: Long = 7L): DataFrame = {
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
+    require(nProbe >= 1 && nProbe <= nCells)
+    val e = unitVecs(embeddings)
+    val cells = ivfCells(e, nCells, seed)
+    val assigned = ivfAssign(e, cells)
     // the query's nProbe nearest cells: explode the (tiny) cell array once
     // and TakeOrdered nProbe of it — again no window, no extra shuffle
     val q = e.filter(col("vec_id") === queryVecId).select(col("u").as("qu"))
@@ -173,6 +184,97 @@ object Similarity {
         round(dot(col("u"), col("qu")), 4).as("cosine"))
       .orderBy(desc("cosine"), asc("vec_id"))
       .limit(k)
+  }
+
+  /** Batch ANN — the many-queries serving path (the vector analog of
+    * BM25.searchManyStored): every query's bucket is computed once, the
+    * whole workload joins the bucketed collection in ONE bucket-equi-join,
+    * and per-query top-k falls out of a window over the (small) candidate
+    * set. At 100 TB this amortizes the corpus scan across the workload
+    * instead of paying one scan per query; the query side is small by
+    * nature and broadcasts. Ranking is on the ROUNDED cosine (+ vec_id) so
+    * cross-engine tie order is pinned, same as tfIdfTopTerms. */
+  def annCosineLshMany(embeddings: DataFrame, queryVecIds: Seq[Long], k: Int,
+                       dims: Int = 64, nPlanes: Int = 8): DataFrame = {
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), col("label"),
+      toDoubleVec(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), dims, nPlanes))
+    val q = e.filter(col("vec_id").isin(queryVecIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+    val scored = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        round(cosine(col("v"), col("qv")), 4).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= k)
+      .orderBy("query_id", "rn")
+  }
+
+  /** ANN quality evaluation: recall@k of the sign-bit LSH index against
+    * exact brute-force top-k, per query. This is the operator that decides
+    * whether an index's bucket geometry is good enough to ship — recall is
+    * measured, not assumed.
+    *
+    * Scale shape: the brute side is ONE corpus scan with the (small,
+    * broadcast) query set — a per-(query, vector) score + per-query top-k
+    * window over rounded scores — and the ANN side is the bucketed join
+    * above; both avoid any corpus self-join. Ties at the k-th rounded score
+    * resolve by vec_id on both sides identically, so recall is exact and
+    * engine-portable. */
+  def annRecallAtK(embeddings: DataFrame, queryVecIds: Seq[Long], k: Int,
+                   dims: Int = 64, nPlanes: Int = 8): DataFrame = {
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), col("label"),
+      toDoubleVec(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id").isin(queryVecIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    val brute = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("v"), col("qv")), 4).as("cosine"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("query_id", "vec_id")
+    val approx = annCosineLshMany(embeddings, queryVecIds, k, dims, nPlanes)
+      .select("query_id", "vec_id")
+    brute.join(approx.withColumn("__hit", lit(1)),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k_eff"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_hits"))
+      .select(col("query_id"), col("k_eff"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("k_eff"), 4).as("recall"))
+      .orderBy("query_id")
+  }
+
+  /** One Lloyd's k-means iteration over the IVF assignment — the
+    * distributed-ML primitive behind a trained coarse quantizer (the
+    * sampled-centroid IVF above is iteration 0; run this step to refine).
+    * Returns per-cell population and the new centroid summarized as its
+    * first `reportDims` coordinates (the full centroid array stays an
+    * internal detail — wide float arrays aren't a result-table shape).
+    *
+    * Scale shape: assignment is the shuffle-free broadcast-fold scan
+    * (ivfAssign); the reported centroid coordinates are ONE partial+final
+    * aggregation of `reportDims` scalar columns, so the exchange carries
+    * exactly nCells × reportDims partial sums — never the n×dims row blowup
+    * a posexplode-then-aggregate spelling would shuffle. */
+  def kmeansStep(embeddings: DataFrame, nCells: Int = 16, seed: Long = 7L,
+                 reportDims: Int = 4): DataFrame = {
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
+    val e = unitVecs(embeddings)
+    val cells = ivfCells(e, nCells, seed)
+    val assigned = ivfAssign(e, cells)
+    val dims = (0 until reportDims).map(d =>
+      round(avg(element_at(col("u"), d + 1)), 6).as(s"c$d"))
+    val aggs = count(lit(1)).as("n_vecs") +: dims
+    assigned.groupBy("cell_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("cell_id")
   }
 
   /** Int8 scalar quantization fidelity report: each vector is symmetrically

@@ -123,6 +123,43 @@ object TextAnalysis {
       .orderBy(desc("n"), asc("term"))
       .limit(k)
 
+  /** Per-doc fluency score under a corpus-trained bigram language model —
+    * the cheap LM-perplexity proxy a curation pipeline uses to rank docs
+    * by "naturalness" without a neural model. The LM is MLE, self-trained
+    * on the corpus: p(w2 | w1) = c(w1 w2) / c1(w1), where c1(w1) is w1's
+    * occurrence count as a bigram LEFT token — so the conditional
+    * normalizes exactly and every doc bigram has nonzero probability by
+    * construction. Score = mean ln p over the doc's bigram OCCURRENCES
+    * (repeats count); docs with < 2 tokens report n_bigrams = 0 and NULL
+    * score.
+    *
+    * Scale notes (100 TB): one tokenize+bigram scan feeds both the count
+    * tables and the scoring pass; bigram counts and left-token counts are
+    * partial+final aggregations, and the scoring join hash-partitions by
+    * bigram (the n×vocab-free shape — nothing ever crosses with the full
+    * vocabulary). ln noise is 1 ulp per term, averaged over the doc —
+    * invisible at round(4). */
+  def bigramLmScores(docs: DataFrame): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(docs.sparkSession)
+    val occ = docs.select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.bigrams(col("t"))).as("bigram"))
+    val bc = occ.groupBy("bigram").agg(count(lit(1)).as("c2"))
+      // left token of "w1 w2" — bigram tokens never contain spaces
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val c1 = bc.groupBy("w1").agg(sum("c2").as("c1"))
+    val scored = occ.join(bc, Seq("bigram")).join(c1, Seq("w1"))
+      .select(col("doc_id"),
+        (log(col("c2").cast("double")) - log(col("c1").cast("double"))).as("lp"))
+    val per = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg("lp"), 4).as("avg_logp"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   /** Top-k word bigrams (occurrence counts, duplicates kept). The bigram
     * array is built by the native codegen graft_bigrams expression — the
     * interpreted HOF spelling (transform+element_at, kept as the semantic

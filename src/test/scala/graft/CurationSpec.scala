@@ -47,4 +47,29 @@ class CurationSpec extends SparkSpec {
     assert(funnel.keySet.subsetOf(Curation.Stages.toSet))
     assert(funnel("5_kept") > 0)
   }
+
+  test("source mix: alpha=0.5 flattens 90/10 to exactly 75/25") {
+    // sqrt(0.9) = 3*sqrt(0.1), so the alpha-weights normalize to 3:1
+    val docs = Seq(
+      (1L, Seq.fill(90)("w").mkString(" "), "srcA"),
+      (2L, Seq.fill(10)("w").mkString(" "), "srcB"))
+      .toDF("doc_id", "text", "source")
+    val r = Curation.sourceMixWeights(docs, 0.5)
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(r == Seq(
+      ("srcA", 1L, 90L, 0.9, 0.75, 0.833333),
+      ("srcB", 1L, 10L, 0.1, 0.25, 2.5)))
+  }
+
+  test("source mix: alpha=1 keeps natural proportions (factor 1)") {
+    val docs = Seq(
+      (1L, Seq.fill(90)("w").mkString(" "), "srcA"),
+      (2L, Seq.fill(10)("w").mkString(" "), "srcB"))
+      .toDF("doc_id", "text", "source")
+    val r = Curation.sourceMixWeights(docs, 1.0)
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    r.foreach { case (_, _, _, share, mix, factor) =>
+      assert(share == mix && factor == 1.0)
+    }
+  }
 }

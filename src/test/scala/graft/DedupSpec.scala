@@ -245,4 +245,20 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(uncapped.length > 1000) // the fan-out the cap is there to stop
   }
+
+  test("shared n-gram windows flag copied docs and spare originals") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "totally different words appear here in this unique document body"),
+      (4L, "short doc")).toDF("doc_id", "text")
+    val r = Dedup.sharedNgramStats(docs, 8)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    // 10 tokens -> 3 distinct 8-token windows; docs 1/2 share all of them
+    assert(r(1L) == ((3L, 3L, 1.0)))
+    assert(r(2L) == ((3L, 3L, 1.0)))
+    assert(r(3L) == ((3L, 0L, 0.0))) // unique text: windows, none shared
+    assert(r(4L) == ((0L, 0L, 0.0))) // < n tokens: no windows at all
+  }
 }

@@ -102,4 +102,51 @@ class SimilaritySpec extends SparkSpec {
       assert(mx < 1e-3) // int8 on unit-scale vectors: reconstruction is tight
     }
   }
+
+  test("batch LSH ANN reproduces the single-query LSH result per query") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val single = Similarity.annCosineLsh(e, 0L, 5)
+      .as[(Long, Int, Double)].collect().toSeq
+    val multi = Similarity.annCosineLshMany(e, Seq(0L, 3L), 5)
+      .filter($"query_id" === 0L)
+      .select("vec_id", "label", "cosine")
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(multi == single)
+  }
+
+  test("recall eval agrees with directly computed brute/approx sets") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val r = Similarity.annRecallAtK(e, Seq(0L, 1L), 10)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(r.map(_._1).toSeq == Seq(0L, 1L))
+    r.foreach { case (_, kEff, hits, rec) =>
+      assert(kEff == 10L && hits >= 0L && hits <= 10L)
+      assert(math.abs(rec - hits.toDouble / kEff) < 1e-4)
+    }
+    val brute = Similarity.cosineTopK(e, 0L, 10)
+      .as[(Long, Int, Double)].collect().map(_._1).toSet
+    val approx = Similarity.annCosineLsh(e, 0L, 10)
+      .as[(Long, Int, Double)].collect().map(_._1).toSet
+    assert(r.find(_._1 == 0L).get._3 == (brute intersect approx).size.toLong)
+  }
+
+  test("kmeans step with one cell averages all unit vectors") {
+    val r = Similarity.kmeansStep(emb, nCells = 1, seed = 7, reportDims = 2)
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getInt(0) == 1 && row.getLong(1) == 4L)
+    val n = math.sqrt(0.9f.toDouble * 0.9f.toDouble + 0.1f.toDouble * 0.1f.toDouble)
+    val us = Seq((1.0, 0.0), (0.9f.toDouble / n, 0.1f.toDouble / n),
+      (0.0, 1.0), (-1.0, 0.0))
+    assert(math.abs(row.getDouble(2) - us.map(_._1).sum / 4) < 1e-4)
+    assert(math.abs(row.getDouble(3) - us.map(_._2).sum / 4) < 1e-4)
+  }
+
+  test("kmeans step cell populations partition the collection") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val r = Similarity.kmeansStep(e, nCells = 16).collect()
+    assert(r.map(_.getLong(1)).sum == e.count())
+    assert(r.map(_.getInt(0)).distinct.length == r.length)
+  }
 }

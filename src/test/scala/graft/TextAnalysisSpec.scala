@@ -42,4 +42,20 @@ class TextAnalysisSpec extends SparkSpec {
       ("web", "de", 1L, 12L, 2L, 12.0),
       ("web", "en", 2L, 22L, 5L, 11.0)))
   }
+
+  test("bigram LM scores: hand-computed MLE probabilities") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "x"))
+      .toDF("doc_id", "text")
+    // corpus counts: c("a b") = 2, c("a c") = 1, left-token count c1(a) = 3
+    def r4(v: Double): Double =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = TextAnalysis.bigramLmScores(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    assert(rows(1L) == ((1L, Some(r4(math.log(2.0) - math.log(3.0))))))
+    assert(rows(2L) == rows(1L))
+    assert(rows(3L) == ((1L, Some(r4(math.log(1.0) - math.log(3.0))))))
+    assert(rows(4L) == ((0L, None))) // single token: no bigrams, NULL score
+  }
 }
