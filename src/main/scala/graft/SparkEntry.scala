@@ -106,6 +106,11 @@ object SparkEntry {
       Relational.urgentVsHighIntersectAll(table(s, dir, "orders"))),
     "rel_except_all" -> ((s, dir) =>
       Relational.urgentVsHighExceptAll(table(s, dir, "orders"))),
+    // TPC-H Q17 shape: correlated per-part average decorrelated to
+    // aggregate + join-back; threshold compared in exact decimal space
+    "rel_small_qty_revenue" -> ((s, dir) =>
+      Relational.smallQuantityRevenue(table(s, dir, "lineitem"),
+        table(s, dir, "part"), "Brand#1")),
     "rel_topk" -> ((s, dir) =>
       Relational.topOrders(table(s, dir, "orders"), 10)),
     "rel_window_rank" -> ((s, dir) =>
@@ -367,6 +372,10 @@ object SparkEntry {
     // alpha-flattened sampling weight + resample factor
     "curate_source_mix" -> ((s, dir) =>
       graft.curate.Curation.sourceMixWeights(table(s, dir, "documents"), 0.5)),
+    // the mixing EXECUTOR: fill each source's alpha-weighted share of a
+    // 20k-token budget in seeded-hash order
+    "curate_budget_sample" -> ((s, dir) =>
+      graft.curate.Curation.budgetSample(table(s, dir, "documents"), 20000L)),
 
     // ---- similarity search (north star) ----
     "sim_cosine_topk" -> ((s, dir) =>
@@ -441,6 +450,10 @@ object SparkEntry {
     // can verify bit-for-bit (pure integer arithmetic in both engines)
     "sketch_cms_topk" -> ((s, dir) =>
       Sketches.cmsTermCounts(table(s, dir, "documents"))),
+    // sketch mergeability: union of per-shard HLL sketches answers the
+    // global distinct within bound — asserted as oracled booleans
+    "sketch_hll_merge" -> ((s, dir) =>
+      Sketches.hllMergeReport(table(s, dir, "lineitem"))),
 
     // ---- multimodal binary-column plumbing (north star) ----
     "mm_meta" -> ((s, dir) =>
@@ -632,6 +645,16 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // quantities are integral (verified) so the double products/compares
+    // below are exact; the Spark side spells the same compare in DECIMAL
+    "rel_small_qty_revenue" ->
+      """WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#1'),
+        |st AS (SELECT l_partkey AS pk, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+        |       count(*) AS cnt FROM li GROUP BY 1)
+        |SELECT count(*) AS n_small,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/7.0, 4) AS avg_yearly
+        |FROM li JOIN st ON l_partkey = pk WHERE l_quantity * 5 * cnt < sq""".stripMargin,
     "rel_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
@@ -1016,6 +1039,26 @@ object SparkEntry {
         |  round(w/wtot, 6) AS mix_weight,
         |  round(w/wtot/share, 6) AS resample_factor
         |FROM sh CROSS JOIN wt ORDER BY source""".stripMargin,
+    // same mix weights (round 6) as curate_source_mix; selection keeps a
+    // doc while the integer cumulative sum BEFORE it is under the source
+    // budget, in md5(doc_id:42) order
+    "curate_budget_sample" ->
+      """WITH toks AS (SELECT source, doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR) || ':42') AS k
+        |  FROM documents),
+        |per AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS st FROM toks GROUP BY source),
+        |tot AS (SELECT CAST(sum(st) AS BIGINT) AS tt FROM per),
+        |sh AS (SELECT source, power(CAST(st AS DOUBLE)/tt, 0.5) AS w FROM per CROSS JOIN tot),
+        |wt AS (SELECT sum(w) AS wtot FROM sh),
+        |wx AS (SELECT source, round(w/wtot, 6) AS mix FROM sh CROSS JOIN wt),
+        |o AS (SELECT t.source, doc_id, n_tokens, mix,
+        |        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY t.source ORDER BY k, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |      FROM toks t JOIN wx USING (source))
+        |SELECT source, doc_id, n_tokens FROM o
+        |WHERE CAST(cum_before AS DOUBLE) < mix * 20000.0
+        |ORDER BY source, doc_id""".stripMargin,
     "dedup_embedding_lsh" ->
       """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |bk AS (SELECT vec_id, v,
@@ -1333,6 +1376,12 @@ object SparkEntry {
         |SELECT lang, doc_id, sample_rank FROM r WHERE sample_rank <= 10
         |ORDER BY lang, sample_rank""".stripMargin,
     "sketch_cms_topk" -> cmsOracleSql,
+    // the booleans are computed properties on the Spark side; the oracle
+    // asserts them as literals plus the exact distinct count
+    "sketch_hll_merge" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact,
+        |  TRUE AS direct_within_5pct, TRUE AS merged_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "samp_hash_split" -> hashSplitOracleSql,
     // same A-ES ranking: u = (hex8(md5)+1)/2^32 exactly, ln-monotone key;
     // only the selected set is compared (see the query declaration)

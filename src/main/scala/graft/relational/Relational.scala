@@ -379,6 +379,29 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Correlated-average shape (TPC-H Q17): revenue impact of
+    * small-quantity lineitems — those below 20% of their part's average
+    * quantity — for one brand's parts. The per-part correlated avg
+    * decorrelates to one aggregate + join-back on l_partkey; the brand
+    * dimension prunes first and broadcasts, so only that brand's
+    * lineitems ever shuffle. The threshold compare is EXACT:
+    * `qty * 5 * cnt < sum_qty` over DECIMAL — never a float-divided avg
+    * whose 1-ulp cross-engine drift could flip a boundary row. */
+  def smallQuantityRevenue(lineitem: DataFrame, part: DataFrame,
+                           brand: String): DataFrame = {
+    val parts = part.filter(col("p_brand") === brand).select("p_partkey")
+    val li = lineitem
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val stats = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(money(col("l_quantity"))).as("__sq"), count(lit(1)).as("__cnt"))
+    li.join(stats, col("l_partkey") === col("pk"))
+      .filter(money(col("l_quantity")) * lit(5) * col("__cnt") < col("__sq"))
+      .agg(count(lit(1)).as("n_small"),
+        round(sum(money(col("l_extendedprice"))).cast("double") / 7.0, 4)
+          .as("avg_yearly"))
+  }
+
   /** Correlated scalar-subquery shape (TPC-H Q2's min-per-group): each
     * customer's cheapest order. The textbook decorrelation is
     * aggregate-then-join-back (two shuffles + a join); Spark-first it

@@ -22,6 +22,33 @@ object Sketches {
         approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
       .orderBy("l_returnflag")
 
+  /** Sketch MERGEABILITY report — the property that makes sketches the
+    * 100 TB cardinality path: shards/days sketch independently, and the
+    * union of sub-sketches answers the global question without re-scanning.
+    * Per return flag: exact distinct parts, plus two booleans — the direct
+    * datasketches-HLL estimate is within 5% of exact, and the estimate
+    * rebuilt by UNIONING per-(flag, linestatus) sub-sketches is within 5%
+    * too. Booleans rather than raw estimates keep the result layout-robust
+    * (a datasketches union estimate can drift with merge order) and
+    * oracle-checkable (the oracle asserts literal TRUE); default lgK=12
+    * gives ~0.8% rsd, so 5% is a hard bound, not a hope. */
+  def hllMergeReport(lineitem: DataFrame): DataFrame = {
+    val direct = lineitem.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_exact"),
+        hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("__d"))
+    val sub = lineitem.groupBy("l_returnflag", "l_linestatus")
+      .agg(hll_sketch_agg(col("l_partkey")).as("__sk"))
+    val merged = sub.groupBy("l_returnflag")
+      .agg(hll_sketch_estimate(hll_union_agg(col("__sk"))).as("__m"))
+    direct.join(merged, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_exact"),
+        (abs(col("__d") - col("n_exact")) <= col("n_exact") * lit(0.05))
+          .as("direct_within_5pct"),
+        (abs(col("__m") - col("n_exact")) <= col("n_exact") * lit(0.05))
+          .as("merged_within_5pct"))
+      .orderBy("l_returnflag")
+  }
+
   /** Count-min sketch fidelity report for the corpus's top-k terms:
     * estimated vs true frequency plus the (always >= 0) overcount.
     *

@@ -214,6 +214,109 @@ object Streaming {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming dedup against a PERSISTED fingerprint store — cross-batch,
+    * cross-restart dedup against everything ever ingested, which the
+    * state-store forms cannot express (dropDuplicatesWithinWatermark
+    * forgets each key once the watermark passes; this store never does).
+    * Per micro-batch: content-hash the docs, keep the min-doc_id
+    * representative per hash WITHIN the batch, anti-join the stored hash
+    * set, append the survivors to `outDir`, and merge their hashes into
+    * the store with the same checked write-then-swap as
+    * incrementalIndexWriter.
+    *
+    * Delivery contract: survivors are appended BEFORE the store swap, so a
+    * crash between the two replays the batch as at-least-once into outDir
+    * (duplicates cleaned by any downstream exact dedup) — the reverse
+    * order could instead LOSE the batch (hashes already stored => replay
+    * anti-joins its own docs away), which is unrecoverable. Scale: the
+    * anti-join shuffles by hash only for the batch's rows; the store read
+    * is a column-pruned parquet scan. */
+  def dedupAgainstStoreWriter(docs: DataFrame, storeDir: String,
+                              outDir: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val cur = new java.io.File(s"$storeDir/content_hashes")
+        val old = new java.io.File(s"$storeDir/.content_hashes.old")
+        val tmp = new java.io.File(s"$storeDir/.content_hashes.next")
+        val hashed = batch.withColumn("content_hash", md5(col("text")))
+        // deterministic within-batch representative: the min-doc_id row
+        // per hash (struct-min, same trick as cheapestOrderPerCustomer)
+        val repr = hashed
+          .groupBy("content_hash")
+          .agg(min(struct(col("doc_id"), col("text"))).as("m"))
+          .select(col("m.doc_id").as("doc_id"), col("m.text").as("text"),
+            col("content_hash"))
+        val src = if (cur.exists()) Some(cur) else if (old.exists()) Some(old) else None
+        val fresh = src match {
+          case Some(f) => repr.join(spark.read.parquet(f.getPath)
+            .select("content_hash"), Seq("content_hash"), "left_anti")
+          case None => repr
+        }
+        // survivors first (at-least-once), then the store swap
+        fresh.select("doc_id", "text", "content_hash")
+          .write.mode("append").parquet(outDir)
+        val freshHashes = fresh.select("content_hash")
+        val nextSeen = src match {
+          case Some(f) => spark.read.parquet(f.getPath)
+            .select("content_hash").unionByName(freshHashes).distinct()
+          case None => freshHashes
+        }
+        nextSeen.write.mode("overwrite").parquet(tmp.getPath)
+        def rename(from: java.io.File, to: java.io.File): Unit =
+          require(from.renameTo(to),
+            s"dedupAgainstStoreWriter: rename $from -> $to failed")
+        src match {
+          case Some(f) if f == cur =>
+            if (old.exists()) delete(old)
+            rename(cur, old)
+          case _ => ()
+        }
+        rename(tmp, cur)
+        if (old.exists()) delete(old)
+        ()
+      }
+
+  /** STATELESS streaming ANN enrichment: each incoming query vector gets
+    * its top-k sign-bit-LSH neighbors from a static embedding index — the
+    * stream-time form of Similarity.annCosineLshMany. The index packs to
+    * ONE row per bucket (sorted-candidate arrays would still need per-event
+    * ranking, so candidates stay unsorted and the per-event top-k happens
+    * INSIDE the array world: score each candidate, sort_array on
+    * (-cos, vec_id) structs, slice k, posexplode). No streaming
+    * aggregation, no state store, append mode — per event it is a pure
+    * projection over a broadcast map, which is what survives an unbounded
+    * query stream. Buckets are bounded the same way the batch LSH relies
+    * on; an over-hot bucket is a data-model problem both forms share. */
+  def streamAnnEnrich(queries: DataFrame, index: DataFrame, k: Int = 5,
+                      dims: Int = 64, nPlanes: Int = 8): DataFrame = {
+    import graft.similarity.Similarity
+    graft.functions.VectorFunctions.ensureRegistered(index.sparkSession)
+    val packed = Similarity.withUnitVec(
+        index.select(col("vec_id"),
+          Similarity.toDoubleVec(col("embedding")).as("v")), "v")
+      .withColumn("bucket", Similarity.lshBucket(col("v"), dims, nPlanes))
+      .groupBy("bucket")
+      .agg(collect_list(struct(col("vec_id"), col("u"))).as("__cands"))
+    val q = Similarity.withUnitVec(
+        queries.withColumn("__qv",
+          Similarity.toDoubleVec(col("embedding"))), "__qv", "__qu")
+      .withColumn("bucket", Similarity.lshBucket(col("__qv"), dims, nPlanes))
+    val scored = sort_array(transform(col("__cands"), c =>
+      struct((-Similarity.dot(col("__qu"), c.getField("u"))).as("negcos"),
+        c.getField("vec_id").as("nn_vec_id"))))
+    // an unmatched bucket leaves __cands (and so __top) null;
+    // posexplode_outer still emits the query row, with null neighbor cols
+    q.join(broadcast(packed), Seq("bucket"), "left")
+      .withColumn("__top", slice(scored, 1, k))
+      .select(col("query_id"), posexplode_outer(col("__top"))
+        .as(Seq("rank", "__s")))
+      .select(col("query_id"), (col("rank") + 1).cast("int").as("rank"),
+        col("__s.nn_vec_id").as("nn_vec_id"),
+        round(-col("__s.negcos"), 4).as("cosine"))
+  }
+
   /** Stream-STATIC as-of enrichment: each streaming event is joined with
     * the latest static dimension version whose `dimTime` <= the event's
     * `evTime` on the same key — the slowly-changing-dimension lookup every

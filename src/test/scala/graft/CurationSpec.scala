@@ -61,6 +61,23 @@ class CurationSpec extends SparkSpec {
       ("srcB", 1L, 10L, 0.1, 0.25, 2.5)))
   }
 
+  test("budget sample: fills each source budget in seeded md5 order") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // one source, 6 docs x 10 tokens; budget 35 -> keep docs while
+    // cum_before < 35, i.e. the first 4 docs in hash order
+    val docs = (1L to 6L).map(i => (i, Seq.fill(10)("w").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val kept = Curation.budgetSample(docs, 35L, 0.5, 42L)
+      .as[(String, Long, Long)].collect().map(_._2).toSet
+    val expected = (1L to 6L).sortBy(i => (md5hex(s"$i:42"), i)).take(4).toSet
+    assert(kept == expected)
+    // a budget >= the corpus keeps everything; zero keeps nothing
+    assert(Curation.budgetSample(docs, 60L, 0.5, 42L).count() == 6L)
+    assert(Curation.budgetSample(docs, 0L, 0.5, 42L).count() == 0L)
+  }
+
   test("source mix: alpha=1 keeps natural proportions (factor 1)") {
     val docs = Seq(
       (1L, Seq.fill(90)("w").mkString(" "), "srcA"),

@@ -38,4 +38,19 @@ class SketchSpec extends SparkSpec {
       .collect()
     wide.foreach { r => assert(r.getLong(2) == r.getLong(1) && r.getLong(3) == 0L) }
   }
+
+  test("HLL union of sub-sketches matches the direct sketch within bound") {
+    import spark.implicits._
+    // planted: flag A has parts 1..40 split across statuses X/Y with
+    // overlap; flag B has parts 100..109 — small enough that the
+    // datasketches sparse mode is EXACT, so both booleans must hold and
+    // n_exact is the planted value
+    val li = ((1 to 40).map(p => ("A", if (p % 2 == 0) "X" else "Y", p.toLong)) ++
+      (1 to 20).map(p => ("A", "X", p.toLong)) ++ // overlap across statuses
+      (100 to 109).map(p => ("B", "X", p.toLong)))
+      .toDF("l_returnflag", "l_linestatus", "l_partkey")
+    val r = Sketches.hllMergeReport(li)
+      .as[(String, Long, Boolean, Boolean)].collect().toSeq
+    assert(r == Seq(("A", 40L, true, true), ("B", 10L, true, true)))
+  }
 }

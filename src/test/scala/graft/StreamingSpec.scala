@@ -249,4 +249,63 @@ class StreamingSpec extends SparkSpec {
       assert(batch == got)
     } finally q.stop()
   }
+
+  test("store-backed dedup drops dupes across batches and fresh restarts") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-dstore").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.dedupAgainstStoreWriter(
+      input.toDF().toDF("doc_id", "text"), s"$dir/store", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      // within-batch dup (3 repeats 1's text): min-doc_id representative
+      input.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      q.processAllAvailable()
+      // cross-batch dup (4 repeats 2's text)
+      input.addData((4L, "beta"), (5L, "gamma"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def outIds = spark.read.parquet(s"$dir/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(outIds == Set(1L, 2L, 5L))
+    // an entirely new query (fresh checkpoint — a restart or a second
+    // pipeline) still dedups against the persisted store
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = Streaming.dedupAgainstStoreWriter(
+      input2.toDF().toDF("doc_id", "text"), s"$dir/store", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt2").start()
+    try {
+      input2.addData((6L, "alpha"), (7L, "delta"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(outIds == Set(1L, 2L, 5L, 7L))
+    assert(spark.read.parquet(s"$dir/store/content_hashes").count() == 4L)
+  }
+
+  test("streaming ANN enrichment matches its own batch evaluation") {
+    implicit val sqlCtx = spark.sqlContext
+    val index = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q0 = index.filter($"vec_id" === 0L)
+      .select($"embedding".as[Array[Float]]).head()
+    val queries = Seq((100L, q0))
+    val input = MemoryStream[(Long, Array[Float])]
+    val enriched = Streaming.streamAnnEnrich(
+      input.toDF().toDF("query_id", "embedding"), index, k = 5)
+    val q = enriched.writeStream.format("memory").queryName("annstream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(queries: _*)
+      q.processAllAvailable()
+      val got = spark.table("annstream")
+        .as[(Long, Int, Long, Double)].collect().toSeq.sortBy(_._2)
+      // micro-batch parity: the same function over a batch frame
+      val batch = Streaming.streamAnnEnrich(
+        queries.toDF("query_id", "embedding"), index, k = 5)
+        .as[(Long, Int, Long, Double)].collect().toSeq.sortBy(_._2)
+      assert(got == batch && got.nonEmpty)
+      // querying WITH an index vector: it is its own nearest neighbor
+      assert(got.head == ((100L, 1, 0L, 1.0)))
+      assert(got.map(_._4) == got.map(_._4).sorted.reverse) // cos descending
+    } finally q.stop()
+  }
 }
