@@ -111,4 +111,46 @@ class PropertySpec extends SparkSpec {
       assert(merged == full)
     }
   }
+
+  test("budget sample: monotone in budget, and the kept set is a prefix") {
+    samples(3).foreach { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, s"src${i % 2}") }
+        .toDF("doc_id", "text", "source")
+      val small = graft.curate.Curation.budgetSample(docs, 10L)
+        .as[(String, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+      val big = graft.curate.Curation.budgetSample(docs, 1000L)
+        .as[(String, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+      assert(small.subsetOf(big)) // raising the budget never evicts a doc
+    }
+  }
+
+  test("shared n-gram fraction: 1.0 iff a doc's windows all reappear") {
+    samples(3).foreach { texts =>
+      // duplicate every doc under a shifted id: every window that exists
+      // is shared, so every doc with any window must score exactly 1.0
+      val base = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val dup = base.map { case (i, t) => (i + 1000L, t) }
+      val stats = graft.dedup.Dedup.sharedNgramStats(
+        (base ++ dup).toDF("doc_id", "text"), 3)
+        .as[(Long, Long, Long, Double)].collect()
+      stats.foreach { case (_, nw, nsw, frac) =>
+        if (nw > 0) assert(nsw == nw && frac == 1.0) else assert(frac == 0.0)
+      }
+    }
+  }
+
+  test("ANN recall is bounded by 1 and exact when buckets degenerate") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // nPlanes=1 gives only 2 buckets: recall still in [0,1] and n_hits
+    // consistent; more planes can only shrink buckets (recall never rises
+    // above the brute bound of 1.0)
+    Seq(1, 4, 8).foreach { p =>
+      graft.similarity.Similarity.annRecallAtK(e, Seq(0L, 5L), 10, nPlanes = p)
+        .as[(Long, Long, Long, Double)].collect().foreach {
+          case (_, kEff, hits, rec) =>
+            assert(hits <= kEff && rec >= 0.0 && rec <= 1.0)
+        }
+    }
+  }
 }
