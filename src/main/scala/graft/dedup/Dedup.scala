@@ -388,20 +388,26 @@ object Dedup {
       var converged = false
       var i = 0
       while (!converged && i < maxIter) {
-        val viaNeighbor = edges
+        // neighbor minima + label update + changed flag in ONE pass: the
+        // previous spelling computed `next` and then re-joined it against
+        // `labels` just to count changes — a whole extra join+shuffle per
+        // round. Carrying the prev label through the update join yields the
+        // changed flag for free, and the convergence count below both
+        // detects it AND fully fills next's cache (a limit(1) probe would
+        // leave partitions unmaterialized, so anything reading them after
+        // the upstream caches are unpersisted would recompute the chain).
+        val neighborMin = edges
           .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
-          .select(col("src").as("doc_id"), col("cluster_id"))
-        val next = labels.unionByName(viaNeighbor)
-          .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+          .groupBy(col("src").as("doc_id")).agg(min("cluster_id").as("__nmin"))
+        val next = labels.withColumnRenamed("cluster_id", "__prev")
+          .join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("__prev"), coalesce(col("__nmin"), col("__prev")))
+              .as("cluster_id"),
+            (coalesce(col("__nmin"), col("__prev")) < col("__prev"))
+              .as("__changed"))
           .persist()
-        // one full count per round does double duty: it detects convergence
-        // AND fully fills next's cache (a limit(1) probe would leave
-        // partitions unmaterialized, so anything reading them after the
-        // upstream caches are unpersisted would recompute the whole chain)
-        converged = next
-          .join(labels.withColumnRenamed("cluster_id", "prev"), Seq("doc_id"))
-          .filter(col("cluster_id") =!= col("prev"))
-          .count() == 0
+        converged = next.filter(col("__changed")).count() == 0
         labels.unpersist()
         labels = next
         i += 1
@@ -411,7 +417,8 @@ object Dedup {
         throw new IllegalArgumentException(
           s"duplicateClusters: not converged after $maxIter rounds")
       }
-      val out = labels.orderBy("doc_id").localCheckpoint(true)
+      val out = labels.select("doc_id", "cluster_id").orderBy("doc_id")
+        .localCheckpoint(true)
       labels.unpersist()
       out
     } finally {

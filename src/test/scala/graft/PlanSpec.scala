@@ -104,4 +104,25 @@ class PlanSpec extends SparkSpec {
     // both the hot-block anti-join and the pair self-join are equi-joins
     assert(p.contains("LeftAnti"))
   }
+
+  test("batch ANN joins the corpus once on bucket with a broadcast query side") {
+    val p = plan("sim_ann_multi")
+    assert(p.contains("BroadcastHashJoin"))
+    // the corpus side must not shuffle for the join; the only hash
+    // exchange is the per-query top-k window over the small candidate set
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("kmeans step assigns cells without a Window or per-row shuffle") {
+    val p = plan("sim_kmeans_step")
+    assert(!p.contains("Window"))
+    // one exchange for the per-cell aggregate, one for the output sort
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("Q17 broadcasts the brand dim and never probes per row") {
+    val p = plan("rel_small_qty_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }
