@@ -1,0 +1,53 @@
+package graft
+
+import graft.sources.Layout
+
+/** Written-layout invariants: file count is exactly what was asked for,
+  * and per-file key ranges are disjoint — the property that makes parquet
+  * footer min/max stats skip files for selective scans. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def partFiles(dir: String): Seq[java.io.File] =
+    new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .toSeq
+
+  test("writeSorted: exact file count, disjoint per-file key ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    val events = table(spark, "/root/testdata/sf0.001", "events")
+    Layout.writeSorted(events, s"$dir/t", Seq("user_id"), 8)
+    val files = partFiles(s"$dir/t")
+    assert(files.size == 8)
+    // read each FILE's actual key range back; ranges must not overlap
+    // (equal keys co-locate under repartitionByRange)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getPath)
+        .agg(org.apache.spark.sql.functions.min("user_id"),
+          org.apache.spark.sql.functions.max("user_id"))
+        .as[(Long, Long)].head()
+      assert(r._1 <= r._2)
+      r
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, s"overlap: $ranges")
+      case _ => ()
+    }
+    // nothing lost or duplicated by the layout pass
+    assert(spark.read.parquet(s"$dir/t").count() == events.count())
+  }
+
+  test("compact: fragmented appends collapse to the asked-for layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val events = table(spark, "/root/testdata/sf0.001", "events")
+    // simulate streaming-sink fragmentation: many small appends
+    (0 until 4).foreach { i =>
+      events.filter($"event_id" % 4 === i).repartition(5)
+        .write.mode("append").parquet(s"$dir/t")
+    }
+    assert(partFiles(s"$dir/t").size >= 16)
+    Layout.compact(spark, s"$dir/t", Seq("user_id"), 4)
+    assert(partFiles(s"$dir/t").size == 4)
+    assert(spark.read.parquet(s"$dir/t").count() == events.count())
+  }
+}
