@@ -89,4 +89,14 @@ class CurationSpec extends SparkSpec {
       assert(share == mix && factor == 1.0)
     }
   }
+
+  test("source mix: a single source gets the whole mix at any alpha") {
+    val docs = Seq((1L, "a b c", "only"), (2L, "d e", "only"))
+      .toDF("doc_id", "text", "source")
+    Seq(0.3, 0.5, 1.0).foreach { a =>
+      val r = Curation.sourceMixWeights(docs, a)
+        .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+      assert(r == Seq(("only", 2L, 5L, 1.0, 1.0, 1.0)))
+    }
+  }
 }

@@ -261,4 +261,12 @@ class DedupSpec extends SparkSpec {
     assert(r(3L) == ((3L, 0L, 0.0))) // unique text: windows, none shared
     assert(r(4L) == ((0L, 0L, 0.0))) // < n tokens: no windows at all
   }
+
+  test("shared n-gram stats: all-short corpus reports all zeros, one row per doc") {
+    val docs = Seq((1L, "too short"), (2L, ""), (3L, "tiny"))
+      .toDF("doc_id", "text")
+    val r = Dedup.sharedNgramStats(docs, 8)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(r == Seq((1L, 0L, 0L, 0.0), (2L, 0L, 0L, 0.0), (3L, 0L, 0L, 0.0)))
+  }
 }

@@ -149,4 +149,20 @@ class SimilaritySpec extends SparkSpec {
     assert(r.map(_.getLong(1)).sum == e.count())
     assert(r.map(_.getInt(0)).distinct.length == r.length)
   }
+
+  test("kmeans step with more cells than vectors degenerates to singletons") {
+    val r = Similarity.kmeansStep(emb, nCells = 16, reportDims = 2).collect()
+    // only 4 vectors exist: 4 cells, each a singleton (every vector is
+    // its own sampled centroid and nothing scores higher than itself)
+    assert(r.length == 4)
+    assert(r.forall(_.getLong(1) == 1L))
+  }
+
+  test("batch ANN on an unknown query set is empty with intact schema") {
+    val r = Similarity.annCosineLshMany(emb, Seq(999L), 5,
+      dims = 2, nPlanes = 4)
+    assert(r.columns.toSeq ==
+      Seq("query_id", "vec_id", "label", "cosine", "rn"))
+    assert(r.count() == 0L)
+  }
 }
