@@ -105,46 +105,17 @@ object Streaming {
     docs.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val cur = new java.io.File(s"$storeDir/term_frequency_in_doc")
-        val old = new java.io.File(s"$storeDir/.term_frequency_in_doc.old")
-        val tmp = new java.io.File(s"$storeDir/.term_frequency_in_doc.next")
-        // Recovery read path: if a previous run died between the two
-        // renames below, cur is missing but old (the pre-merge state) is
-        // intact — read it. The batch that died mid-swap is replayed by
-        // the stream's checkpoint, so its merge is not lost, just redone.
-        val src = if (cur.exists()) Some(cur) else if (old.exists()) Some(old) else None
+        val p = graft.sources.AtomicStore.paths(storeDir, "term_frequency_in_doc")
+        val src = graft.sources.AtomicStore.live(p)
         val merged = src match {
           case Some(f) => graft.index.InvertedIndex.mergeTermFrequency(
             spark.read.parquet(f.getPath), batch)
           case None => graft.index.InvertedIndex.termFrequency(batch)
         }
-        // write-then-swap: the merge READS the store it will replace, so
-        // materialize to a sibling dir first (overwrite-in-place would
-        // corrupt the input mid-scan). Renames are checked — a false
-        // return (cross-filesystem path, pinned handle) must fail the
-        // batch loudly, not leave the store silently stale.
-        merged.write.mode("overwrite").parquet(tmp.getPath)
-        def rename(from: java.io.File, to: java.io.File): Unit =
-          require(from.renameTo(to),
-            s"incrementalIndexWriter: rename $from -> $to failed")
-        // ordering invariant: at every instant either cur or old holds a
-        // complete pre-merge (or newer) table — never delete the last copy
-        // before its replacement is in place
-        src match {
-          case Some(f) if f == cur =>
-            if (old.exists()) delete(old) // stale leftover, cur is live
-            rename(cur, old)
-          case _ => () // recovering: cur absent, old IS the live copy — keep it
-        }
-        rename(tmp, cur)
-        if (old.exists()) delete(old)
+        merged.write.mode("overwrite").parquet(p.tmp.getPath)
+        graft.sources.AtomicStore.promote(p, src, "incrementalIndexWriter")
         ()
       }
-
-  private def delete(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(delete)
-    f.delete()
-  }
 
   /** Session-close events via flatMapGroupsWithState: per-user event
     * counts are held in keyed state and EMITTED ONLY when a session
@@ -237,9 +208,7 @@ object Streaming {
     docs.writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val cur = new java.io.File(s"$storeDir/content_hashes")
-        val old = new java.io.File(s"$storeDir/.content_hashes.old")
-        val tmp = new java.io.File(s"$storeDir/.content_hashes.next")
+        val p = graft.sources.AtomicStore.paths(storeDir, "content_hashes")
         val hashed = batch.withColumn("content_hash", md5(col("text")))
         // deterministic within-batch representative: the min-doc_id row
         // per hash (struct-min, same trick as cheapestOrderPerCustomer)
@@ -248,7 +217,7 @@ object Streaming {
           .agg(min(struct(col("doc_id"), col("text"))).as("m"))
           .select(col("m.doc_id").as("doc_id"), col("m.text").as("text"),
             col("content_hash"))
-        val src = if (cur.exists()) Some(cur) else if (old.exists()) Some(old) else None
+        val src = graft.sources.AtomicStore.live(p)
         val fresh = src match {
           case Some(f) => repr.join(spark.read.parquet(f.getPath)
             .select("content_hash"), Seq("content_hash"), "left_anti")
@@ -263,18 +232,8 @@ object Streaming {
             .select("content_hash").unionByName(freshHashes).distinct()
           case None => freshHashes
         }
-        nextSeen.write.mode("overwrite").parquet(tmp.getPath)
-        def rename(from: java.io.File, to: java.io.File): Unit =
-          require(from.renameTo(to),
-            s"dedupAgainstStoreWriter: rename $from -> $to failed")
-        src match {
-          case Some(f) if f == cur =>
-            if (old.exists()) delete(old)
-            rename(cur, old)
-          case _ => ()
-        }
-        rename(tmp, cur)
-        if (old.exists()) delete(old)
+        nextSeen.write.mode("overwrite").parquet(p.tmp.getPath)
+        graft.sources.AtomicStore.promote(p, src, "dedupAgainstStoreWriter")
         ()
       }
 
