@@ -411,8 +411,11 @@ object Relational {
     * minimum price), no join at all. The oracle keeps the join-back
     * spelling as an independent derivation. Null prices are filtered
     * first: SQL's min() skips them, but a struct-min would sort a null
-    * FIELD smallest and surface it — the one place the two spellings
-    * could diverge. */
+    * FIELD smallest and surface it. (Null GROUP KEYS are a second
+    * spelling divergence — groupBy keeps a null-key group where the
+    * oracle's join-back drops it, since null = null never joins; TPC-H's
+    * NOT NULL o_custkey makes it moot here, but a generalized helper
+    * must pick one semantics and filter accordingly.) */
   def cheapestOrderPerCustomer(orders: DataFrame): DataFrame =
     orders.filter(col("o_totalprice").isNotNull)
       .groupBy("o_custkey")

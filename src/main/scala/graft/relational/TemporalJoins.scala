@@ -45,6 +45,10 @@ object TemporalJoins {
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
                valueCol: String, as: String = "asof_value"): DataFrame = {
+    // as colliding with a helper name would collapse the requireFree set
+    // and silently drop the output column (round-3 review)
+    require(!Set("__t", "__isLeft", "__v").contains(as),
+      s"asOfJoin: output column name '$as' is reserved")
     requireFree("asOfJoin", left, "__t", "__isLeft", "__v", as)
     requireFree("asOfJoin", right, "__isLeft")
     val l = left

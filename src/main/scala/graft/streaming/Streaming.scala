@@ -296,10 +296,15 @@ object Streaming {
   def streamStaticAsOf(events: DataFrame, dim: DataFrame, key: String,
                        evTime: String, dimTime: String, valueCol: String,
                        as: String = "asof_value"): DataFrame = {
+    // as == "__versions" would collapse the two names into one requireFree
+    // check and then silently drop the output column at the end — exactly
+    // the corruption the guard exists to stop (round-3 review)
+    require(as != "__versions",
+      s"streamStaticAsOf: output column name '$as' is reserved")
     graft.relational.TemporalJoins.requireFree(
       "streamStaticAsOf", events, "__versions", as)
-    graft.relational.TemporalJoins.requireFree(
-      "streamStaticAsOf", dim, "__versions")
+    // no dim-side guard: packed selects only (key, fresh __versions), so a
+    // pre-existing dim column of that name is never carried through
     val packed = dim.filter(col(dimTime).isNotNull)
       .groupBy(key)
       .agg(sort_array(collect_list(struct(col(dimTime).as("t"),
