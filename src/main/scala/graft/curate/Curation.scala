@@ -102,23 +102,32 @@ object Curation {
     * row per source; the two normalizing totals are single-row broadcasts.
     * pow/round noise is 1 ulp on ~0.1-magnitude values — invisible at
     * round(6). */
+  /** The one alpha-mix formula, shared by the report (sourceMixWeights)
+    * and the executor (budgetSample) so the two can never disagree on the
+    * mix (round-3 review: they carried hand-copied pipelines). Input:
+    * (source, n_docs, n_tokens) per source; adds UNROUNDED `__share` and
+    * normalized `__mix` — callers round(6) at their output edge. */
+  private def alphaMix(perSource: DataFrame, alpha: Double): DataFrame = {
+    val tot = perSource.agg(sum("n_tokens").as("__tot"))
+    val shared = perSource.crossJoin(broadcast(tot))
+      .withColumn("__share", col("n_tokens").cast("double") / col("__tot"))
+      .withColumn("__w", pow(col("__share"), lit(alpha)))
+    val wtot = shared.agg(sum("__w").as("__wtot"))
+    shared.crossJoin(broadcast(wtot))
+      .withColumn("__mix", col("__w") / col("__wtot"))
+  }
+
   def sourceMixWeights(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
     val per = docs
       .select(col("source"),
         size(graft.text.Tokenize.tokens(col("text"))).cast("long").as("__nt"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"))
-    val tot = per.agg(sum("n_tokens").as("__tot"))
-    val shared = per.crossJoin(broadcast(tot))
-      .withColumn("token_share", col("n_tokens").cast("double") / col("__tot"))
-      .withColumn("__w", pow(col("token_share"), lit(alpha)))
-    val wtot = shared.agg(sum("__w").as("__wtot"))
-    shared.crossJoin(broadcast(wtot))
+    alphaMix(per, alpha)
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        round(col("token_share"), 6).as("token_share"),
-        round(col("__w") / col("__wtot"), 6).as("mix_weight"),
-        round(col("__w") / col("__wtot") / col("token_share"), 6)
-          .as("resample_factor"))
+        round(col("__share"), 6).as("token_share"),
+        round(col("__mix"), 6).as("mix_weight"),
+        round(col("__mix") / col("__share"), 6).as("resample_factor"))
       .orderBy("source")
   }
 
@@ -146,15 +155,11 @@ object Curation {
         size(graft.text.Tokenize.tokens(col("text"))).cast("long").as("n_tokens"),
         md5(concat(col("doc_id").cast("string"), lit(s":$seed"))).as("__k"))
       .localCheckpoint(true)
-    val per = toks.groupBy("source").agg(sum("n_tokens").as("__src_tokens"))
-    val tot = per.agg(sum("__src_tokens").as("__tot"))
-    val shared = per.crossJoin(broadcast(tot))
-      .withColumn("__w",
-        pow(col("__src_tokens").cast("double") / col("__tot"), lit(alpha)))
-    val wtot = shared.agg(sum("__w").as("__wtot"))
-    val weights = shared.crossJoin(broadcast(wtot))
-      .select(col("source"),
-        round(col("__w") / col("__wtot"), 6).as("__mix"))
+    val per = toks.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    // the SAME round-6 weights sourceMixWeights reports (shared alphaMix)
+    val weights = alphaMix(per, alpha)
+      .select(col("source"), round(col("__mix"), 6).as("__mix"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy("__k", "doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

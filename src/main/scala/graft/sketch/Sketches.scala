@@ -40,7 +40,12 @@ object Sketches {
       .agg(hll_sketch_agg(col("l_partkey")).as("__sk"))
     val merged = sub.groupBy("l_returnflag")
       .agg(hll_sketch_estimate(hll_union_agg(col("__sk"))).as("__m"))
-    direct.join(merged, Seq("l_returnflag"))
+      .withColumnRenamed("l_returnflag", "__flag")
+    // null-SAFE join: groupBy keeps a null-flag group on both sides, and a
+    // plain equi-join would silently drop it while the oracle's GROUP BY
+    // emits it (the aggregate-vs-join-back null-group divergence — see
+    // cheapestOrderPerCustomer's note; round-3 review)
+    direct.join(merged, col("l_returnflag") <=> col("__flag"))
       .select(col("l_returnflag"), col("n_exact"),
         (abs(col("__d") - col("n_exact")) <= col("n_exact") * lit(0.05))
           .as("direct_within_5pct"),

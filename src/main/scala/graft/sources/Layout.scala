@@ -33,18 +33,18 @@ object Layout {
 
   /** Compact an existing parquet directory to `numFiles` range-sorted
     * files — the maintenance pass that undoes incremental-append
-    * fragmentation (e.g. a streaming sink's per-batch files). */
+    * fragmentation (e.g. a streaming sink's per-batch files). The swap
+    * goes through AtomicStore's two-rename protocol: at every instant a
+    * complete copy exists (a delete-then-rename spelling would leave NO
+    * table if the process died in between — round-3 review). */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
               sortCols: Seq[String], numFiles: Int): Unit = {
-    val tmp = dir.stripSuffix("/") + ".compact-tmp"
-    writeSorted(spark.read.parquet(dir), tmp, sortCols, numFiles)
-    val fs = new java.io.File(dir)
-    def delete(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(delete)
-      f.delete()
-    }
-    delete(fs)
-    require(new java.io.File(tmp).renameTo(fs),
-      s"Layout.compact: rename $tmp -> $dir failed")
+    val f = new java.io.File(dir)
+    val p = AtomicStore.paths(f.getParent, f.getName)
+    val src = AtomicStore.live(p).getOrElse(
+      throw new IllegalArgumentException(s"Layout.compact: no table at $dir"))
+    writeSorted(spark.read.parquet(src.getPath), p.tmp.getPath,
+      sortCols, numFiles)
+    AtomicStore.promote(p, Some(src), "Layout.compact")
   }
 }

@@ -218,39 +218,52 @@ object Streaming {
           .select(col("m.doc_id").as("doc_id"), col("m.text").as("text"),
             col("content_hash"))
         val src = graft.sources.AtomicStore.live(p)
-        val fresh = src match {
+        // persisted: the survivor frame drives TWO actions (outDir append,
+        // store rewrite) — unpersisted it would re-scan the store and
+        // re-run the hash aggregation per action (round-3 review)
+        val fresh = (src match {
           case Some(f) => repr.join(spark.read.parquet(f.getPath)
             .select("content_hash"), Seq("content_hash"), "left_anti")
           case None => repr
-        }
-        // survivors first (at-least-once), then the store swap
-        fresh.select("doc_id", "text", "content_hash")
-          .write.mode("append").parquet(outDir)
-        val freshHashes = fresh.select("content_hash")
-        val nextSeen = src match {
-          case Some(f) => spark.read.parquet(f.getPath)
-            .select("content_hash").unionByName(freshHashes).distinct()
-          case None => freshHashes
-        }
-        nextSeen.write.mode("overwrite").parquet(p.tmp.getPath)
-        graft.sources.AtomicStore.promote(p, src, "dedupAgainstStoreWriter")
+        }).persist()
+        try {
+          // survivors first (at-least-once), then the store swap
+          fresh.select("doc_id", "text", "content_hash")
+            .write.mode("append").parquet(outDir)
+          val freshHashes = fresh.select("content_hash")
+          val nextSeen = src match {
+            case Some(f) => spark.read.parquet(f.getPath)
+              .select("content_hash").unionByName(freshHashes).distinct()
+            case None => freshHashes
+          }
+          nextSeen.write.mode("overwrite").parquet(p.tmp.getPath)
+          graft.sources.AtomicStore.promote(p, src, "dedupAgainstStoreWriter")
+        } finally fresh.unpersist()
         ()
       }
 
   /** STATELESS streaming ANN enrichment: each incoming query vector gets
     * its top-k sign-bit-LSH neighbors from a static embedding index — the
-    * stream-time form of Similarity.annCosineLshMany. The index packs to
-    * ONE row per bucket (sorted-candidate arrays would still need per-event
-    * ranking, so candidates stay unsorted and the per-event top-k happens
-    * INSIDE the array world: score each candidate, sort_array on
-    * (-cos, vec_id) structs, slice k, posexplode). No streaming
-    * aggregation, no state store, append mode — per event it is a pure
-    * projection over a broadcast map, which is what survives an unbounded
-    * query stream. Buckets are bounded the same way the batch LSH relies
-    * on; an over-hot bucket is a data-model problem both forms share. */
+    * stream-time analog of Similarity.annCosineLshMany (analog, not twin:
+    * an enrichment stream has its own id space, so an index vector equal
+    * to the query shows up as its own nearest neighbor rather than being
+    * excluded). Ranking matches the batch form's contract — rounded
+    * cosine then vec_id — so tie order is deterministic, not
+    * float-noise-dependent (round-3 review). The index packs to ONE row
+    * per bucket; the per-event top-k happens INSIDE the array world
+    * (score each candidate, sort_array on (round(-cos,4), vec_id)
+    * structs, slice k, posexplode) — no streaming aggregation, no state
+    * store, append mode: a pure projection over a broadcast map, which is
+    * what survives an unbounded query stream. All query columns are
+    * preserved (enrichment, not replacement). Buckets are bounded the
+    * same way the batch LSH relies on; an over-hot bucket is a data-model
+    * problem both forms share. */
   def streamAnnEnrich(queries: DataFrame, index: DataFrame, k: Int = 5,
                       dims: Int = 64, nPlanes: Int = 8): DataFrame = {
     import graft.similarity.Similarity
+    graft.relational.TemporalJoins.requireFree("streamAnnEnrich", queries,
+      "bucket", "__qv", "__qu", "__cands", "__top", "rank", "nn_vec_id",
+      "cosine")
     graft.functions.VectorFunctions.ensureRegistered(index.sparkSession)
     val packed = Similarity.withUnitVec(
         index.select(col("vec_id"),
@@ -263,17 +276,19 @@ object Streaming {
           Similarity.toDoubleVec(col("embedding"))), "__qv", "__qu")
       .withColumn("bucket", Similarity.lshBucket(col("__qv"), dims, nPlanes))
     val scored = sort_array(transform(col("__cands"), c =>
-      struct((-Similarity.dot(col("__qu"), c.getField("u"))).as("negcos"),
+      struct(round(-Similarity.dot(col("__qu"), c.getField("u")), 4)
+          .as("negcos"),
         c.getField("vec_id").as("nn_vec_id"))))
     // an unmatched bucket leaves __cands (and so __top) null;
     // posexplode_outer still emits the query row, with null neighbor cols
+    val keep = queries.columns.map(col)
     q.join(broadcast(packed), Seq("bucket"), "left")
       .withColumn("__top", slice(scored, 1, k))
-      .select(col("query_id"), posexplode_outer(col("__top"))
-        .as(Seq("rank", "__s")))
-      .select(col("query_id"), (col("rank") + 1).cast("int").as("rank"),
+      .select(keep :+
+        posexplode_outer(col("__top")).as(Seq("rank", "__s")): _*)
+      .select(keep ++ Seq((col("rank") + 1).cast("int").as("rank"),
         col("__s.nn_vec_id").as("nn_vec_id"),
-        round(-col("__s.negcos"), 4).as("cosine"))
+        (-col("__s.negcos")).as("cosine")): _*)
   }
 
   /** Stream-STATIC as-of enrichment: each streaming event is joined with

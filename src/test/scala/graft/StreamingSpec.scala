@@ -296,11 +296,17 @@ class StreamingSpec extends SparkSpec {
     try {
       input.addData(queries: _*)
       q.processAllAvailable()
+      // query columns (incl. the embedding payload) are preserved; the
+      // neighbor columns append after them
+      assert(spark.table("annstream").columns.toSeq ==
+        Seq("query_id", "embedding", "rank", "nn_vec_id", "cosine"))
       val got = spark.table("annstream")
+        .select("query_id", "rank", "nn_vec_id", "cosine")
         .as[(Long, Int, Long, Double)].collect().toSeq.sortBy(_._2)
       // micro-batch parity: the same function over a batch frame
       val batch = Streaming.streamAnnEnrich(
         queries.toDF("query_id", "embedding"), index, k = 5)
+        .select("query_id", "rank", "nn_vec_id", "cosine")
         .as[(Long, Int, Long, Double)].collect().toSeq.sortBy(_._2)
       assert(got == batch && got.nonEmpty)
       // querying WITH an index vector: it is its own nearest neighbor
