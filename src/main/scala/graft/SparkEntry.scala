@@ -148,6 +148,24 @@ object SparkEntry {
     // rationale (exact decimal mean/stddev, UDAF n/min/max)
     "rel_welford_stats" -> ((s, dir) =>
       Relational.monthlyPriceProfile(table(s, dir, "orders"))),
+    // TPC-H Q10 shape: star join, fact aggregated before the dim join,
+    // top-k on exact decimal revenue
+    "rel_returned_items" -> ((s, dir) =>
+      Relational.returnedItemReport(table(s, dir, "customer"),
+        table(s, dir, "orders"), table(s, dir, "lineitem"),
+        table(s, dir, "nation"), "1995-03-01", "1995-06-01")),
+    // TPC-H Q15 shape: max over an aggregated view, exact-decimal compare
+    "rel_top_supplier" -> ((s, dir) =>
+      Relational.topSupplierRevenue(table(s, dir, "supplier"),
+        table(s, dir, "lineitem"), "1996-01-01", "1996-04-01")),
+    // TPC-H Q6 shape: pure scan-filter into one global aggregate
+    "rel_revenue_delta" -> ((s, dir) =>
+      Relational.discountRevenueDelta(table(s, dir, "lineitem"),
+        "1996-01-01", "1997-01-01")),
+    // deterministic MODE (argmax-of-count with pinned tie-break)
+    "rel_mode_priority" -> ((s, dir) =>
+      Relational.modalPriorityPerSegment(table(s, dir, "customer"),
+        table(s, dir, "orders"))),
     "rel_cube" -> ((s, dir) =>
       Relational.cubeFlagStatus(table(s, dir, "lineitem"))),
     "rel_date_parts" -> ((s, dir) =>
@@ -425,6 +443,9 @@ object SparkEntry {
     // mixing weights before training
     "text_source_stats" -> ((s, dir) =>
       TextAnalysis.sourceStats(table(s, dir, "documents"))),
+    // vocabulary richness: hapax share / type-token ratio per source
+    "text_vocab_stats" -> ((s, dir) =>
+      TextAnalysis.vocabularyStats(table(s, dir, "documents"))),
     "text_bpe_tokens" -> ((s, dir) =>
       TextAnalysis.bpeTokenCounts(table(s, dir, "documents"))),
     "text_tfidf" -> ((s, dir) =>
@@ -735,6 +756,47 @@ object SparkEntry {
         |       THEN round(sqrt((sxx - sx * sx / n_orders) / (n_orders - 1)), 3) END AS stddev_price,
         |  min_price, max_price
         |FROM g ORDER BY y, m""".stripMargin,
+    // top-k cut ordered on the EXACT decimal revenue (cast at output only)
+    "rel_returned_items" ->
+      """WITH rev AS (
+        |  SELECT o_custkey AS ck,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS r
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1995-03-01' AND o_orderdate < TIMESTAMP '1995-06-01'
+        |  GROUP BY 1)
+        |SELECT c_custkey, c_name, n_name AS nation, CAST(r AS DOUBLE) AS revenue
+        |FROM customer JOIN rev ON c_custkey = ck
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY r DESC, c_custkey LIMIT 20""".stripMargin,
+    // winner selected by EXACT decimal equality against the view max
+    "rel_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS r
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE r = (SELECT max(r) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    // raw-double filter compares are identical in both engines (same
+    // parquet values, same literals); the product accumulates in decimal
+    "rel_revenue_delta" ->
+      """SELECT count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue_delta
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0""".stripMargin,
+    "rel_mode_priority" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment, o_orderpriority, count(*) AS n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment ORDER BY n DESC, o_orderpriority) AS rn FROM c)
+        |SELECT c_mktsegment, o_orderpriority AS modal_priority, n
+        |FROM r WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
     "rel_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
@@ -1226,6 +1288,14 @@ object SparkEntry {
         |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9_'']+'))) AS BIGINT) AS total_tokens,
         |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars
         |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+    "text_vocab_stats" ->
+      """WITH tok AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+        |tc AS (SELECT source, term, count(*) AS n FROM tok GROUP BY 1, 2)
+        |SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens, count(*) AS n_types,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(sum(n) AS BIGINT), 6) AS type_token_ratio,
+        |  round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS hapax_share
+        |FROM tc GROUP BY source ORDER BY source""".stripMargin,
 
     "text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),

@@ -467,6 +467,98 @@ object Relational {
       .orderBy("y", "m")
   }
 
+  /** Star-join top-k report (TPC-H Q10 shape): revenue tied up in returned
+    * items per customer over one quarter, with nation context. The fact
+    * side aggregates to one row per customer BEFORE touching the customer
+    * dimension, so the wide join input is bounded by customer cardinality,
+    * not lineitem volume; nation broadcasts. Ordering is on the EXACT
+    * decimal revenue (cast to double only at the output edge) with a key
+    * tie-break, so the top-k cut is reproducible cross-engine. */
+  def returnedItemReport(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame, nation: DataFrame,
+                         from: String, until: String, k: Int = 20): DataFrame = {
+    val rev = lineitem.filter(col("l_returnflag") === "R")
+      .join(orders
+          .filter(col("o_orderdate") >= ts(from) && col("o_orderdate") < ts(until))
+          .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+        .as("__rev"))
+    customer.join(rev, col("c_custkey") === col("o_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .orderBy(desc("__rev"), asc("c_custkey"))
+      .limit(k)
+      .select(col("c_custkey"), col("c_name"), col("n_name").as("nation"),
+        col("__rev").cast("double").as("revenue"))
+  }
+
+  /** Max-over-aggregated-view shape (TPC-H Q15): the supplier(s) whose
+    * shipped revenue over a window is the corpus maximum. The revenue view
+    * aggregates once (partial+final on l_suppkey); the scalar max is a
+    * 1-row broadcast; the equality compare happens in EXACT decimal space
+    * so no float ulp can drop or duplicate the winner. Supplier is a
+    * broadcast dim. */
+  def topSupplierRevenue(supplier: DataFrame, lineitem: DataFrame,
+                         from: String, until: String): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= ts(from) && col("l_shipdate") < ts(until))
+      .groupBy("l_suppkey")
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+        .as("__rev"))
+    val mx = rev.agg(max(col("__rev")).as("__mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("__rev") === col("__mx"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("__rev").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Forecast-revenue-change shape (TPC-H Q6): a pure scan-side filter
+    * (date window, discount band, quantity cap) into a single global
+    * aggregate — the canonical "does the predicate reach the parquet
+    * scan" query. All compares are on raw parquet doubles (identical
+    * binary values in both engines); the revenue product accumulates in
+    * exact decimal. */
+  def discountRevenueDelta(lineitem: DataFrame, from: String, until: String,
+                           discLo: Double = 0.05, discHi: Double = 0.07,
+                           maxQty: Double = 24.0): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= ts(from) && col("l_shipdate") < ts(until) &&
+        col("l_discount") >= discLo && col("l_discount") <= discHi &&
+        col("l_quantity") < maxQty)
+      .agg(count(lit(1)).as("n_items"),
+        sum(money(col("l_extendedprice")) * money(col("l_discount")))
+          .cast("double").as("revenue_delta"))
+
+  /** Deterministic MODE aggregate (argmax-of-count per group): each market
+    * segment's most common order priority. Orders pre-aggregate to
+    * (custkey, priority) counts BEFORE the customer join — the join input
+    * shrinks from order volume to customer x priority cardinality — then
+    * re-aggregate per (segment, priority). The final argmax runs a window
+    * over segments x priorities rows (tens), ordered (count desc, priority
+    * asc) so ties break to the alphabetically-first priority — unlike the
+    * built-in `mode()`, which is nondeterministic under ties in both
+    * engines and therefore not oracle-comparable. */
+  def modalPriorityPerSegment(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val perCust = orders.groupBy("o_custkey", "o_orderpriority")
+      .agg(count(lit(1)).as("__n"))
+    val counts = perCust
+      .join(customer.select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority")
+      .agg(sum("__n").as("n"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(desc("n"), asc("o_orderpriority"))
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("c_mktsegment"), col("o_orderpriority").as("modal_priority"),
+        col("n"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Scalar "subquery" as a broadcast 1-row side: orders above the global
     * mean price, counted per priority. The mean is computed exactly
     * (decimal sum / count) so the boundary predicate is reproducible. */

@@ -35,6 +35,29 @@ object TextAnalysis {
         (sum(col("n_chars")).cast("double") / count(lit(1))).as("mean_chars"))
       .orderBy("source", "lang")
 
+  /** Vocabulary-richness profile per source: token/type totals, hapax
+    * legomena (terms occurring exactly once), type-token ratio and hapax
+    * share — the Zipf-tail diagnostics a curation run uses to spot
+    * template-generated or over-deduplicated slices (unnaturally low
+    * hapax share) before training. One tokenize scan into a (source,
+    * term) partial+final count, then a per-source re-aggregation of the
+    * (already small) term-count frame; nothing ever crosses with the
+    * corpus text again. Ratios are exact-long divisions rounded at the
+    * output edge. */
+  def vocabularyStats(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(toks).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("__n"))
+      .groupBy("source")
+      .agg(sum("__n").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6)
+          .as("type_token_ratio"),
+        round(col("n_hapax").cast("double") / col("n_types"), 6)
+          .as("hapax_share"))
+      .orderBy("source")
+
   /** Token counts: regex tokens + whitespace tokens per doc. */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
