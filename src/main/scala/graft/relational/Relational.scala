@@ -501,8 +501,14 @@ object Relational {
     * broadcast dim. */
   def topSupplierRevenue(supplier: DataFrame, lineitem: DataFrame,
                          from: String, until: String): DataFrame = {
+    // l_suppkey non-null is made EXPLICIT in the shared view (the join
+    // would imply it on one branch only, and that asymmetry would defeat
+    // ReuseExchange — the view and its max must be the SAME subtree so
+    // the filtered lineitem is scanned and shuffled once, not twice;
+    // pinned in ReportQueriesSpec)
     val rev = lineitem
-      .filter(col("l_shipdate") >= ts(from) && col("l_shipdate") < ts(until))
+      .filter(col("l_shipdate") >= ts(from) && col("l_shipdate") < ts(until) &&
+        col("l_suppkey").isNotNull)
       .groupBy("l_suppkey")
       .agg(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
         .as("__rev"))

@@ -86,6 +86,17 @@ class ReportQueriesSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("cartesianproduct"))
   }
 
+  test("top-supplier reuses the revenue-view exchange — one lineitem scan") {
+    // the view max re-derives from the same aggregate subtree; at scale the
+    // filtered lineitem must be scanned/shuffled ONCE, with the max side
+    // consuming a ReusedExchange of the revenue view's exchange
+    val df = SparkEntry.queries("rel_top_supplier")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"expected the revenue-view exchange to be reused:\n$plan")
+  }
+
   test("vocabulary stats: hapax and type counts on a constructed corpus") {
     val docs = Seq(
       (1L, "web", "aa bb aa"), // web: tokens=3, types={aa:2, bb:1}
