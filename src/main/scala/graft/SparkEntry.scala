@@ -316,6 +316,15 @@ object SparkEntry {
     // ---- dedup surface (north star: training-data pipeline) ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactDuplicates(table(s, dir, "documents"))),
+    // incremental ingestion: even-id docs play the stored corpus (hash
+    // store only — no text), odd-id docs the new batch
+    "dedup_incremental_exact" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.incrementalExactDedup(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(md5(col("text")).as("content_hash")))
+    }),
     "dedup_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(table(s, dir, "documents"), 3, 0.05, maxShingleDf = 100)),
     // Flagship 100 TB dedup: LSH band buckets generate candidates, exact
@@ -981,6 +990,16 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS rep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+    "dedup_incremental_exact" ->
+      """WITH store AS (SELECT DISTINCT md5(text) AS content_hash FROM documents WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id, md5(text) AS content_hash FROM documents WHERE doc_id % 2 = 1),
+        |f AS (SELECT content_hash, min(doc_id) AS first_id FROM b GROUP BY 1)
+        |SELECT b.doc_id, b.content_hash,
+        |  CASE WHEN s.content_hash IS NOT NULL THEN 'dup_store'
+        |       WHEN b.doc_id <> f.first_id THEN 'dup_batch'
+        |       ELSE 'novel' END AS status
+        |FROM b JOIN f USING (content_hash) LEFT JOIN store s USING (content_hash)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_edit_pairs" -> editDistOracleSql,
     "dedup_jaccard_pairs" -> jaccardOracleSql(0.05),
     // LSH candidates + exact verify: the oracle is the full exact-Jaccard

@@ -46,6 +46,32 @@ object Dedup {
       .agg(min("doc_id").as("rep_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy("content_hash")
 
+  /** Incremental exact dedup of a new batch against a STORED corpus — the
+    * daily-ingestion pattern: the store carries only content hashes (never
+    * text), the batch is tagged per doc with its first failing source of
+    * duplication. `dup_store` = hash already indexed; `dup_batch` = an
+    * earlier doc (lower doc_id) in the SAME batch has the hash; `novel`
+    * otherwise. Novel hashes are exactly what a caller appends to the
+    * store, so repeated ingestion is idempotent.
+    *
+    * Scale notes (100 TB store): both joins hash-partition by
+    * content_hash; the store side is a single narrow hash column, and the
+    * batch side is typically small — AQE will broadcast whichever side is
+    * under threshold. No text ever crosses the exchange. */
+  def incrementalExactDedup(newDocs: DataFrame, storedHashes: DataFrame): DataFrame = {
+    val hashed = newDocs.select(col("doc_id"), md5(col("text")).as("content_hash"))
+    val first = hashed.groupBy("content_hash").agg(min("doc_id").as("__first"))
+    val store = storedHashes.select(col("content_hash")).distinct()
+      .withColumn("__in_store", lit(true))
+    hashed.join(first, Seq("content_hash"))
+      .join(store, Seq("content_hash"), "left")
+      .select(col("doc_id"), col("content_hash"),
+        when(coalesce(col("__in_store"), lit(false)), "dup_store")
+          .when(col("doc_id") =!= col("__first"), "dup_batch")
+          .otherwise("novel").as("status"))
+      .orderBy("doc_id")
+  }
+
   /** Distinct word n-gram shingles per doc: (doc_id, shingle). The shingle
     * build is the native codegen graft_shingles expression — the
     * interpreted HOF spelling (transform + n element_at probes per
@@ -169,7 +195,6 @@ object Dedup {
                       n: Int = 3, minJaccard: Double = 0.5,
                       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     // one shingle lineage feeds the signatures AND the exact verify; the
     // capped form re-derives from a single exchange-by-shingle (same
     // one-corpus-scan shape as jaccardPairs)
@@ -180,11 +205,7 @@ object Dedup {
         .filter(size(col("ds")) <= maxShingleDf)
         .select(col("shingle"), explode(col("ds")).as("doc_id"))
     val sig = minhashFromShingles(sh, numHashes)
-    val banded = sig.select(col("doc_id"), posexplode(
-      array((0 until bands).map { b =>
-        xxhash64((b * rows until (b + 1) * rows)
-          .map(i => element_at(col("signature"), i + 1)): _*)
-      }: _*)).as(Seq("band", "band_hash")))
+    val banded = bandHashes(sig, numHashes, bands)
     val candidates = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
       .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("band_hash")),
         Seq("band", "band_hash"))
@@ -196,6 +217,61 @@ object Dedup {
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     scoreJaccard(sh, inter, minJaccard)
+  }
+
+  /** (doc_id, band, band_hash) rows from a signature table — the LSH
+    * bucketing shared by the self-join (minhashLshPairs) and the
+    * against-store form (lshCandidatesAgainstStore). */
+  private def bandHashes(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sig.select(col("doc_id"), posexplode(
+      array((0 until bands).map { b =>
+        xxhash64((b * rows until (b + 1) * rows)
+          .map(i => element_at(col("signature"), i + 1)): _*)
+      }: _*)).as(Seq("band", "band_hash")))
+  }
+
+  /** Incremental near-dup candidates: LSH-band join of a new batch against
+    * a STORED MinHash signature table (`minhashSignatures` output persisted
+    * at indexing time) — near-dup ingestion triage without re-touching, or
+    * even retaining, the indexed corpus text. The store MUST have been
+    * built with the same (numHashes, n) and df-cap policy; the batch's
+    * df-cap is batch-local (a batch is too small to see corpus-level
+    * boilerplate df, which the store's build already removed).
+    *
+    * Since stored text is unavailable, candidates carry the SIGNATURE
+    * Jaccard estimate (matching positions / numHashes; unbiased, stderr
+    * ~ 1/sqrt(numHashes)) rather than an exact verify — callers route
+    * est >= threshold to quarantine or to a text-fetching verify stage.
+    * The position-compare HOF is interpreted, but it runs only on
+    * candidate pairs (band-join survivors), never the corpus.
+    *
+    * Scale notes (100 TB store): ONE equi-join keyed (band, band_hash);
+    * the batch side is small, so AQE broadcasts it against the banded
+    * store; per-bucket fan-out is batch-docs-in-bucket x store-docs-in-
+    * bucket, bounded by band selectivity exactly as in the self-join. */
+  def lshCandidatesAgainstStore(newDocs: DataFrame, storedSigs: DataFrame,
+                                numHashes: Int = 32, bands: Int = 16,
+                                n: Int = 3, minEstJaccard: Double = 0.5,
+                                maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sh = capShingleDf(shingles(newDocs, n), maxShingleDf)
+    val bsig = minhashFromShingles(sh, numHashes)
+    val cand = bandHashes(bsig, numHashes, bands)
+      .join(bandHashes(storedSigs, numHashes, bands)
+        .withColumnRenamed("doc_id", "store_doc_id"),
+        Seq("band", "band_hash"))
+      .select("doc_id", "store_doc_id").distinct()
+    cand
+      .join(bsig.withColumnRenamed("signature", "__sa"), Seq("doc_id"))
+      .join(storedSigs.select(col("doc_id").as("store_doc_id"),
+        col("signature").as("__sb")), Seq("store_doc_id"))
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with(col("__sa"), col("__sb"),
+          (a, b) => a === b), x => x)).cast("double") / numHashes, 4))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("doc_id", "store_doc_id", "est_jaccard")
+      .orderBy("doc_id", "store_doc_id")
   }
 
   /** 64-bit SimHash per doc: tf-weighted sign votes on each bit of

@@ -21,6 +21,52 @@ class DedupSpec extends SparkSpec {
     assert(dupGroup._2 == 1L) // min doc_id representative
   }
 
+  test("incremental exact dedup tags dup_store, dup_batch, novel correctly") {
+    import org.apache.spark.sql.functions.{col, md5}
+    // store = hashes of docs 1 and 4; batch: 10 = copy of 1 (dup_store),
+    // 11 and 12 identical novel texts (first novel, second dup_batch),
+    // 13 novel singleton
+    val store = corpus.filter(col("doc_id").isin(1L, 4L))
+      .select(md5(col("text")).as("content_hash"))
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (11L, "fresh text never seen before in the stored corpus at all"),
+      (12L, "fresh text never seen before in the stored corpus at all"),
+      (13L, "another brand new document body entirely its own"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalExactDedup(batch, store)
+      .as[(Long, String, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(out == Map(10L -> "dup_store", 11L -> "novel",
+      12L -> "dup_batch", 13L -> "novel"))
+    // idempotence of ingestion: appending the novel hashes and re-running
+    // the same batch turns every doc into dup_store
+    val appended = store.unionByName(
+      Dedup.incrementalExactDedup(batch, store)
+        .filter(col("status") === "novel")
+        .select("content_hash"))
+    val again = Dedup.incrementalExactDedup(batch, appended)
+      .as[(Long, String, String)].collect()
+    assert(again.forall(_._3 == "dup_store"))
+  }
+
+  test("LSH-against-store finds the stored near-dup without stored text") {
+    // store signatures built once from the corpus; the batch re-uses doc 1's
+    // text verbatim and adds an unrelated doc
+    val storedSigs = Dedup.minhashSignatures(corpus, 32)
+    val batch = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (21L, "entirely unrelated wording sharing no shingles with anything stored"),
+    ).toDF("doc_id", "text")
+    val cand = Dedup.lshCandidatesAgainstStore(batch, storedSigs, 32, 8, 3, 0.3)
+      .as[(Long, Long, Double)].collect()
+    // doc 20 must hit its verbatim twins (1 and 3) with estimate 1.0
+    val hits = cand.filter(_._1 == 20L)
+    assert(hits.map(_._2).toSet.intersect(Set(1L, 3L)) == Set(1L, 3L))
+    assert(hits.filter(c => c._2 == 1L || c._2 == 3L).forall(_._3 == 1.0))
+    // the unrelated doc surfaces no candidates
+    assert(!cand.exists(_._1 == 21L))
+  }
+
   test("n-gram jaccard finds the planted near-dup pair") {
     val pairs = Dedup.jaccardPairs(corpus, 3, 0.3)
       .as[(Long, Long, Double)].collect()
