@@ -166,6 +166,11 @@ object SparkEntry {
     "rel_mode_priority" -> ((s, dir) =>
       Relational.modalPriorityPerSegment(table(s, dir, "customer"),
         table(s, dir, "orders"))),
+    // TPC-H Q21 shape: double-correlated EXISTS/NOT EXISTS decorrelated
+    // to one keyed aggregate + same-key window sums
+    "rel_sole_late_supplier" -> ((s, dir) =>
+      Relational.soleLateSupplier(table(s, dir, "supplier"),
+        table(s, dir, "orders"), table(s, dir, "lineitem"))),
     "rel_cube" -> ((s, dir) =>
       Relational.cubeFlagStatus(table(s, dir, "lineitem"))),
     "rel_date_parts" -> ((s, dir) =>
@@ -799,6 +804,23 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0""".stripMargin,
+    // independent derivation: the textbook correlated EXISTS/NOT EXISTS
+    // spelling, deliberately NOT the Spark side's window decorrelation
+    "rel_sole_late_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name, count(*) AS n_orders
+        |FROM ps p JOIN supplier ON p.l_suppkey = s_suppkey
+        |WHERE p.late = 1
+        |  AND EXISTS (SELECT 1 FROM ps q WHERE q.l_orderkey = p.l_orderkey
+        |              AND q.l_suppkey <> p.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM ps q WHERE q.l_orderkey = p.l_orderkey
+        |                  AND q.l_suppkey <> p.l_suppkey AND q.late = 1)
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, s_suppkey LIMIT 10""".stripMargin,
     "rel_mode_priority" ->
       """WITH c AS (
         |  SELECT c_mktsegment, o_orderpriority, count(*) AS n

@@ -565,6 +565,41 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Double-correlated EXISTS / NOT EXISTS (TPC-H Q21 shape): suppliers
+    * who were the SOLE late shipper on a multi-supplier order. The two
+    * correlated subqueries ("another supplier participated" / "no other
+    * supplier was late") decorrelate into one pass: per-(order, supplier)
+    * late flags from a single keyed aggregate, then order-level
+    * participant/late-count totals as window sums over the SAME order key
+    * — no join-back, no second scan. Shuffle chain: join on o_orderkey →
+    * agg on (orderkey, suppkey) → window re-key on orderkey → final agg
+    * on suppkey; each exchange carries only per-(order, supplier) rows,
+    * never raw lineitems. */
+  def soleLateSupplier(supplier: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, graceDays: Int = 90,
+                       k: Int = 10): DataFrame = {
+    val perOrderSupp = lineitem
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $graceDays DAYS"),
+        1).otherwise(0)).as("__late"))
+    val w = Window.partitionBy("l_orderkey")
+    val flagged = perOrderSupp
+      .withColumn("__n_supp", count(lit(1)).over(w))
+      .withColumn("__n_late", sum("__late").over(w))
+      .filter(col("__late") === 1 && col("__n_supp") >= 2 &&
+        col("__n_late") === 1)
+    flagged.groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_orders"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_orders"))
+      .orderBy(desc("n_orders"), asc("s_suppkey"))
+      .limit(k)
+  }
+
   /** Scalar "subquery" as a broadcast 1-row side: orders above the global
     * mean price, counted per priority. The mean is computed exactly
     * (decimal sum / count) so the boundary predicate is reproducible. */

@@ -97,6 +97,27 @@ class ReportQueriesSpec extends SparkSpec {
       s"expected the revenue-view exchange to be reused:\n$plan")
   }
 
+  test("sole-late-supplier: only the lone late shipper on multi-supplier orders") {
+    val supplier = Seq((1L, "s1"), (2L, "s2"), (3L, "s3"))
+      .toDF("s_suppkey", "s_name")
+    val orders = Seq((100L, "1996-01-01"), (101L, "1996-01-01"),
+      (102L, "1996-01-01"))
+      .toDF("o_orderkey", "od")
+      .withColumn("o_orderdate", col("od").cast("timestamp"))
+    def li(ok: Long, sk: Long, ship: String) = (ok, sk, ship)
+    val lineitem = Seq(
+      li(100L, 1L, "1996-06-01"), // late
+      li(100L, 2L, "1996-01-15"), // on time -> s1 is the sole late one
+      li(101L, 1L, "1996-06-01"), // late
+      li(101L, 2L, "1996-06-01"), // late too -> nobody qualifies
+      li(102L, 3L, "1996-06-01")) // late but single-supplier order
+      .toDF("l_orderkey", "l_suppkey", "ship")
+      .withColumn("l_shipdate", col("ship").cast("timestamp"))
+    val out = Relational.soleLateSupplier(supplier, orders, lineitem)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq == Seq((1L, 1L)))
+  }
+
   test("vocabulary stats: hapax and type counts on a constructed corpus") {
     val docs = Seq(
       (1L, "web", "aa bb aa"), // web: tokens=3, types={aa:2, bb:1}
