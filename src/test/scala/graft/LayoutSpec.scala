@@ -37,6 +37,40 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/t").count() == events.count())
   }
 
+  test("z-order: BOTH dimensions skip files; single-key sort only one") {
+    import org.apache.spark.sql.functions.{min, max}
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // uniform 100x100 grid: the worst case for single-key layouts (y is
+    // uncorrelated with x, so x-sorted files all span the full y range)
+    val grid = spark.range(10000)
+      .selectExpr("id % 100 AS x", "CAST(id / 100 AS BIGINT) AS y", "id AS payload")
+    Layout.writeZOrdered(grid, s"$dir/z", Seq("x", "y"), 16)
+    Layout.writeSorted(grid, s"$dir/s", Seq("x"), 16)
+    // per-file [min, max] of each dim, straight from the written files
+    def ranges(path: String, c: String): Seq[(Long, Long)] =
+      partFiles(path).map { f =>
+        spark.read.parquet(f.getPath).agg(min(c), max(c))
+          .as[(Long, Long)].head()
+      }
+    def intersecting(rs: Seq[(Long, Long)], lo: Long, hi: Long): Int =
+      rs.count { case (l, h) => h >= lo && l <= hi }
+    assert(partFiles(s"$dir/z").size == 16)
+    // a 13%-selective predicate on either z dimension must skip at least
+    // half the files (ideal 4x4 tiling intersects 4 of 16)
+    assert(intersecting(ranges(s"$dir/z", "x"), 0, 12) <= 8)
+    assert(intersecting(ranges(s"$dir/z", "y"), 0, 12) <= 8)
+    // the x-sorted layout skips on x but EVERY file spans all of y
+    assert(intersecting(ranges(s"$dir/s", "x"), 0, 12) <= 8)
+    assert(intersecting(ranges(s"$dir/s", "y"), 0, 12) == 16)
+    // layout passes lose nothing
+    assert(spark.read.parquet(s"$dir/z").count() == 10000)
+    // the maintenance form: re-lay the x-sorted table on the z-curve and
+    // y-skipping appears where there was none
+    Layout.compactZOrdered(spark, s"$dir/s", Seq("x", "y"), 16)
+    assert(intersecting(ranges(s"$dir/s", "y"), 0, 12) <= 8)
+    assert(spark.read.parquet(s"$dir/s").count() == 10000)
+  }
+
   test("compact: fragmented appends collapse to the asked-for layout") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val events = table(spark, "/root/testdata/sf0.001", "events")
