@@ -252,6 +252,9 @@ object SparkEntry {
     }),
 
     // ---- event-time surface (SURVEY §7.3 step 3, batch form) ----
+    // aggregate-then-window: trailing-24h z-score over one row per hour
+    "ev_hourly_anomaly" -> ((s, dir) =>
+      Events.hourlyAnomaly(table(s, dir, "events"))),
     "ev_tumbling_hourly" -> ((s, dir) =>
       Events.tumblingHourly(table(s, dir, "events"))),
     "ev_sliding_hourly" -> ((s, dir) =>
@@ -899,6 +902,19 @@ object SparkEntry {
         |  c_name LIKE '%1%' AS has_one
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
+    // exact-integer window sums -> identical double expression tree (the
+    // monthlyPriceProfile recipe); current hour excluded from its baseline
+    "ev_hourly_anomaly" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hour, count(*) AS n FROM events GROUP BY 1),
+        |s AS (SELECT hour, n,
+        |        count(*) OVER w AS c,
+        |        CAST(sum(n) OVER w AS BIGINT) AS sx,
+        |        CAST(sum(n*n) OVER w AS BIGINT) AS sxx
+        |      FROM h WINDOW w AS (ORDER BY epoch(hour) RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING))
+        |SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, n,
+        |  CASE WHEN c > 1 AND (sxx - CAST(sx AS DOUBLE)*sx/c) > 0
+        |       THEN round((n - CAST(sx AS DOUBLE)/c) / sqrt((sxx - CAST(sx AS DOUBLE)*sx/c)/(c-1)), 4) END AS z_score
+        |FROM s ORDER BY hour""".stripMargin,
     "ev_tumbling_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
         |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -41,6 +41,39 @@ object Events {
         col("n"), col("sum_value"))
       .orderBy("window_start")
 
+  /** Corpus-level hourly anomaly score: each hour's event count as a
+    * z-score against the trailing `trailingHours` window (current hour
+    * EXCLUDED — a spike must not dampen its own baseline). The stats
+    * derive from exact integer window sums (count/sum/sum-of-squares over
+    * a RANGE frame on epoch seconds), so mean and stddev are the identical
+    * double expression tree in any engine — the monthlyPriceProfile
+    * recipe applied to a window. Hours with no baseline (first hour) or
+    * zero variance report NULL.
+    *
+    * Scale notes (100 TB): the heavy pass is the partial+final hourly
+    * count; the un-partitioned window then runs over ONE ROW PER HOUR —
+    * bounded by the time range (8.8k rows/year), never by event volume.
+    * That single-partition window over an aggregate is the right shape;
+    * windowing raw events would not be. */
+  def hourlyAnomaly(events: DataFrame, trailingHours: Int = 24): DataFrame = {
+    val w = Window.orderBy("__sec")
+      .rangeBetween(-trailingHours * 3600L, -3600L)
+    val mu = col("__sx").cast("double") / col("__c")
+    val varTop = col("__sxx") - col("__sx").cast("double") * col("__sx") / col("__c")
+    events.groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__sec", unix_seconds(col("hour")))
+      .withColumn("__c", count(lit(1)).over(w))
+      .withColumn("__sx", sum("n").over(w))
+      .withColumn("__sxx", sum(col("n") * col("n")).over(w))
+      .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("n"),
+        when(col("__c") > 1 && varTop > 0,
+          round((col("n") - mu) / sqrt(varTop / (col("__c") - 1)), 4))
+          .as("z_score"))
+      .orderBy("hour")
+  }
+
   /** Gap-based sessionization (batch): a new session starts after >gap of
     * user inactivity. Gap compares integer microseconds (unix_micros) so
     * the boundary is exact in both engines. */

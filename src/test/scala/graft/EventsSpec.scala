@@ -70,6 +70,28 @@ class EventsSpec extends SparkSpec {
       (6L, 3L, 1L, 7.0)))
   }
 
+  test("hourly anomaly: spike z-scores against its trailing baseline only") {
+    // hours 00-05: steady 2 events; hour 06: 8-event spike; hour 07 steady.
+    // baseline hours alternate 1..3 so the trailing variance is nonzero
+    val steady = (0 until 6).flatMap { h =>
+      val n = if (h % 2 == 0) 1 else 3
+      (0 until n).map(i => (h * 10L + i, ts(f"2024-01-01 0$h%d:15:00")))
+    }
+    val spike = (0 until 8).map(i => (600L + i, ts("2024-01-01 06:15:00")))
+    val after = Seq((700L, ts("2024-01-01 07:15:00")))
+    val ev = (steady ++ spike ++ after).toDF("event_id", "ts")
+    val rows = Events.hourlyAnomaly(ev).collect()
+    val byHour = rows.map(r => r.getString(0).substring(11, 13) ->
+      (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(byHour("00")._2.isEmpty) // no trailing baseline at the first hour
+    // baseline mean 2, sd 1.095...: the 8-event spike is strongly positive
+    assert(byHour("06")._1 == 8L && byHour("06")._2.get > 3.0)
+    // the hour AFTER the spike compares against a baseline that now
+    // contains the spike -> modest NEGATIVE z, proving the current hour
+    // was excluded from its own frame
+    assert(byHour("07")._2.get < 0.0)
+  }
+
   test("unpivot melts the pivot matrix back to zero-filled long form") {
     val ev = Seq(
       (ts("2024-01-01 10:00:00"), "click"),
