@@ -429,6 +429,11 @@ object SparkEntry {
     "sim_ann_multi" -> ((s, dir) =>
       Similarity.annCosineLshMany(table(s, dir, "embeddings"),
         Seq(0L, 1L, 2L, 3L), 5)),
+    // batch IVF serving: corpus assigned once, one cell-equi-join for the
+    // whole workload (the IVF sibling of sim_ann_multi)
+    "sim_ann_ivf_multi" -> ((s, dir) =>
+      Similarity.annCosineIvfMany(table(s, dir, "embeddings"),
+        Seq(0L, 1L, 2L, 3L), 5)),
     // index-quality evaluation: measured recall@10 of the LSH index vs
     // exact brute force, per query — recall is measured, never assumed
     "sim_recall_eval" -> ((s, dir) =>
@@ -1419,6 +1424,27 @@ object SparkEntry {
         |SELECT shard, doc_id, n_tokens, start_offset,
         |  CAST(floor(start_offset/2048.0) AS BIGINT) AS bin_id
         |FROM o ORDER BY shard, doc_id""".stripMargin,
+    "sim_ann_ivf_multi" ->
+      """WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |e1 AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),
+        |e AS (SELECT vec_id, label, list_transform(v, x -> x/nrm) AS u FROM e1),
+        |c0 AS (SELECT vec_id, u, md5(CAST(vec_id AS VARCHAR) || ':7') AS ck FROM e ORDER BY ck, vec_id LIMIT 16),
+        |c AS (SELECT row_number() OVER (ORDER BY ck, vec_id) AS cell_id, u AS cu FROM c0),
+        |asg AS (SELECT vec_id, label, u, cell_id FROM (
+        |  SELECT e.vec_id, e.label, e.u, c.cell_id,
+        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.u, c.cu) DESC, c.cell_id) AS rn
+        |  FROM e CROSS JOIN c) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, u AS qu FROM asg WHERE vec_id IN (0, 1, 2, 3)),
+        |probe AS (SELECT query_id, cell_id, qu FROM (
+        |  SELECT q.query_id, c.cell_id, q.qu,
+        |         row_number() OVER (PARTITION BY q.query_id ORDER BY list_dot_product(q.qu, c.cu) DESC, c.cell_id) AS rn
+        |  FROM q CROSS JOIN c) WHERE rn <= 4),
+        |s AS (SELECT p.query_id, a.vec_id, a.label, round(list_dot_product(a.u, p.qu), 4) AS cosine
+        |      FROM asg a JOIN probe p USING (cell_id)
+        |      WHERE a.vec_id != p.query_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn FROM s)
+        |SELECT query_id, vec_id, label, cosine, CAST(rn AS INT) AS rn
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     "sim_ann_ivf" ->
       """WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |e1 AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),

@@ -213,6 +213,44 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** Batch IVF serving — the many-queries form of annCosineIvf, symmetric
+    * to annCosineLshMany: the corpus is assigned to cells ONCE (the same
+    * shuffle-free broadcast-fold scan), every query's nProbe cells come
+    * from a window over the tiny (queries × nCells) probe frame, and the
+    * whole workload joins the assigned corpus in ONE cell-equi-join with
+    * the broadcast probe set. At 100 TB each query's candidates are its
+    * probed cells' population (~nProbe/nCells of the corpus), and the
+    * corpus is scanned once for the workload, not once per query. */
+  def annCosineIvfMany(embeddings: DataFrame, queryVecIds: Seq[Long], k: Int,
+                       nCells: Int = 16, nProbe: Int = 4,
+                       seed: Long = 7L): DataFrame = {
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
+    require(nProbe >= 1 && nProbe <= nCells)
+    val e = unitVecs(embeddings)
+    val cells = ivfCells(e, nCells, seed)
+    val assigned = ivfAssign(e, cells)
+    val q = e.filter(col("vec_id").isin(queryVecIds: _*))
+      .select(col("vec_id").as("query_id"), col("u").as("qu"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("__d"), asc("cell_id"))
+    val probed = q.crossJoin(broadcast(cells))
+      .select(col("query_id"), col("qu"), explode(col("cells")).as("c"))
+      .select(col("query_id"), col("qu"), col("c.cell_id").as("cell_id"),
+        dot(col("qu"), col("c.cu")).as("__d"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nProbe)
+      .select("query_id", "cell_id", "qu")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    assigned.join(broadcast(probed), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        round(dot(col("u"), col("qu")), 4).as("cosine"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= k)
+      .orderBy("query_id", "rn")
+  }
+
   /** ANN quality evaluation: recall@k of the sign-bit LSH index against
     * exact brute-force top-k, per query. This is the operator that decides
     * whether an index's bucket geometry is good enough to ship — recall is

@@ -114,6 +114,19 @@ class SimilaritySpec extends SparkSpec {
     assert(multi == single)
   }
 
+  test("batch IVF ANN reproduces the single-query IVF result per query") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    Seq(0L, 3L).foreach { qid =>
+      val single = Similarity.annCosineIvf(e, qid, 5)
+        .as[(Long, Int, Double)].collect().toSeq
+      val multi = Similarity.annCosineIvfMany(e, Seq(0L, 3L), 5)
+        .filter($"query_id" === qid)
+        .select("vec_id", "label", "cosine")
+        .as[(Long, Int, Double)].collect().toSeq
+      assert(multi == single, s"query $qid")
+    }
+  }
+
   test("recall eval agrees with directly computed brute/approx sets") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val r = Similarity.annRecallAtK(e, Seq(0L, 1L), 10)
