@@ -41,6 +41,10 @@ object SparkEntry {
     "idx_doc_frequency" -> ((s, dir) =>
       InvertedIndex.docFrequency(table(s, dir, "documents"))
         .orderBy("term")),
+    // phrase search over positional postings: consecutive-position
+    // adjacency joins, one (doc_id, start-pos) partitioning for the chain
+    "idx_phrase_match" -> ((s, dir) =>
+      InvertedIndex.phraseMatch(table(s, dir, "documents"), "row column sort")),
     "idx_doc_info" -> ((s, dir) =>
       InvertedIndex.docInfo(table(s, dir, "documents"))
         .orderBy("doc_id")),
@@ -580,6 +584,17 @@ object SparkEntry {
       """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents)
         |SELECT doc_id, term, count(*) AS term_frequency
         |FROM tok GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin,
+    // zipped parallel unnests give (pos, term) pairs; 1-based pos vs the
+    // Spark side's 0-based is invisible — only position DIFFERENCES matter
+    "idx_phrase_match" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+        |p AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS pos, unnest(tk) AS term FROM t)
+        |SELECT p0.doc_id AS doc_id, count(*) AS n_occurrences
+        |FROM p p0
+        |JOIN p p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1 AND p1.term = 'column'
+        |JOIN p p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2 AND p2.term = 'sort'
+        |WHERE p0.term = 'row'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "idx_doc_frequency" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
         |d AS (SELECT DISTINCT doc_id, term FROM tok)

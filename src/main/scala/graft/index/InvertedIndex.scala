@@ -25,6 +25,32 @@ object InvertedIndex {
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("term_frequency"))
 
+  /** Positional postings: (doc_id, pos, term), one row per occurrence,
+    * pos 0-based in token order — the index layout phrase and proximity
+    * queries need beyond the reference's bag-of-words tables. */
+  def positionalPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(Tokenize.tokens(col("text"))).as(Seq("pos", "term")))
+
+  /** Exact phrase match over positional postings: docs containing the
+    * phrase's terms at consecutive positions, with overlap-counting
+    * occurrence totals. Term i's postings join on (doc_id, pos - i), so
+    * every join is an equi-join on the SAME (doc_id, start-pos) key —
+    * one partitioning serves the whole chain, and each side is pre-filtered
+    * to a single term's postings (the selective part of the plan). Served
+    * from `IndexStore`-style term-bucketed postings, each side becomes a
+    * partition-pruned lookup rather than a corpus scan. */
+  def phraseMatch(docs: DataFrame, phrase: String): DataFrame = {
+    val terms = phrase.toLowerCase.split("[^a-z0-9_']+").filter(_.nonEmpty)
+    require(terms.nonEmpty, "phrase must contain at least one token")
+    val p = positionalPostings(docs)
+    val starts = terms.zipWithIndex.map { case (t, i) =>
+      p.filter(col("term") === t).select(col("doc_id"), (col("pos") - i).as("pos"))
+    }.reduce(_.join(_, Seq("doc_id", "pos")))
+    starts.groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy("doc_id")
+  }
+
   /** doc_frequency_of_term (schema.cql:5-10; MR1 mapper1.py:20-23 +
     * reducer1.py:33-43): number of docs containing each term. */
   def docFrequency(docs: DataFrame): DataFrame =

@@ -30,6 +30,23 @@ class TextIndexRankSpec extends SparkSpec {
     assert(df("apple") == 1L)
   }
 
+  test("phrase match: consecutive positions only, overlaps counted") {
+    val docs = Seq(
+      (1L, "a b a b a"),      // "a b a" at start-pos 0 and 2 (overlap)
+      (2L, "a c b"),          // both words present but not adjacent
+      (3L, "b a"),            // reversed order
+      (4L, "x a b a y")).toDF("doc_id", "text")
+    val out = InvertedIndex.phraseMatch(docs, "a b a")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 4L -> 1L))
+    // single-term phrase degenerates to occurrence counting
+    assert(InvertedIndex.phraseMatch(docs, "a")
+      .as[(Long, Long)].collect().toMap == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    // case folding and punctuation follow the pinned tokenizer
+    assert(InvertedIndex.phraseMatch(docs, "A, b!? a")
+      .as[(Long, Long)].collect().toMap == Map(1L -> 2L, 4L -> 1L))
+  }
+
   test("doc info = token count incl. duplicates; empty doc has length 0") {
     val dl = InvertedIndex.docInfo(corpus).as[(Long, Long)].collect().toMap
     assert(dl == Map(1L -> 3L, 2L -> 2L, 3L -> 5L, 4L -> 0L))
