@@ -21,16 +21,20 @@ object IndexStore {
   def termBucket(term: org.apache.spark.sql.Column, buckets: Int) =
     pmod(xxhash64(term), lit(buckets.toLong))
 
-  /** Build and persist all four index tables. Idempotent full recompute
-    * (the S8/A8 design decision: recompute beats read-modify-write). */
+  /** Build and persist all five index tables (the reference's four plus
+    * positional postings for phrase/proximity queries). Idempotent full
+    * recompute (the S8/A8 design decision: recompute beats
+    * read-modify-write). */
   def write(docs: DataFrame, dir: String, buckets: Int = DefaultBuckets): Unit =
-    writeTables(InvertedIndex.termFrequency(docs),
-      InvertedIndex.docInfo(docs), dir, buckets)
+    writeTables(InvertedIndex.termFrequency(docs), InvertedIndex.docInfo(docs),
+      Some(InvertedIndex.positionalPostings(docs)), dir, buckets)
 
-  /** The four tables from a (tf, doc_info) stat pair — shared by the
-    * full build (stats from a corpus scan) and the incremental merge
-    * (stats from stored tables + a delta). */
-  private def writeTables(tfIn: DataFrame, info: DataFrame, dir: String,
+  /** The stat tables from a (tf, doc_info) pair plus optional positional
+    * postings — shared by the full build (stats from a corpus scan) and
+    * the incremental merge (stats from stored tables + a delta; positional
+    * absent when merging into a store written before the table existed). */
+  private def writeTables(tfIn: DataFrame, info: DataFrame,
+                          posOpt: Option[DataFrame], dir: String,
                           buckets: Int): Unit = {
     // the bucket count is INDEX metadata, not caller knowledge: a reader
     // pruning with the wrong modulus silently treats ~ (1 - 1/buckets) of
@@ -58,6 +62,14 @@ object IndexStore {
         .write.mode("overwrite").partitionBy("term_bucket")
         .parquet(s"$dir/doc_frequency_of_term")
     } finally tf.unpersist()
+    // positional postings share the term-hash bucketing, so a k-term
+    // phrase prunes to <= k buckets exactly like the BM25 serving path
+    posOpt.foreach { pos =>
+      pos.withColumn("term_bucket", termBucket(col("term"), buckets))
+        .repartition(col("term_bucket"))
+        .write.mode("overwrite").partitionBy("term_bucket")
+        .parquet(s"$dir/positional_postings")
+    }
     // persist doc_info across its two consumers: in the full-build path its
     // lineage is a complete corpus tokenize scan, and the corpus-stats agg
     // would otherwise re-run it
@@ -102,12 +114,21 @@ object IndexStore {
       postings(spark, dir).drop("term_bucket"), newDocs)
     val mergedInfo = docInfo(spark, dir)
       .unionByName(InvertedIndex.docInfo(newDocs))
+    // doc_ids are guaranteed new (guard above), so the positional merge is
+    // a pure union; a store written before the table existed stays without
+    // it (phraseMatchStored fails loudly there; re-`write` to add it)
+    val mergedPos =
+      if (new java.io.File(s"$dir/positional_postings").exists())
+        Some(positional(spark, dir).drop("term_bucket")
+          .unionByName(InvertedIndex.positionalPostings(newDocs)))
+      else None
     val cur = new java.io.File(dir)
     val old = new java.io.File(s"$dir.old")
     val tmp = new java.io.File(s"$dir.next")
     // keep the STORE's bucketing, not the caller's default — re-bucketing
     // on ingest would strand the existing postings files
-    writeTables(mergedTf, mergedInfo, tmp.getPath, storedBuckets(spark, dir))
+    writeTables(mergedTf, mergedInfo, mergedPos, tmp.getPath,
+      storedBuckets(spark, dir))
     def rename(from: java.io.File, to: java.io.File): Unit =
       require(from.renameTo(to), s"IndexStore.ingest: rename $from -> $to failed")
     if (old.exists()) delete(old)
@@ -131,6 +152,9 @@ object IndexStore {
   def vocabulary(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/doc_frequency_of_term")
 
+  def positional(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/positional_postings")
+
   def docInfo(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/doc_info")
 
@@ -151,6 +175,17 @@ object IndexStore {
 
   def vocabularyForTerms(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame =
     prunedByTerm(vocabulary(spark, dir), terms, storedBuckets(spark, dir))
+
+  /** Phrase search served from the stored positional table: each term of
+    * the adjacency chain reads ONLY its hash bucket (partition pruning, as
+    * in searchStored), so a k-term phrase touches <= k of `buckets`
+    * directories of the positional table — never the corpus, never the
+    * full table. Results ≡ InvertedIndex.phraseMatch on the indexed docs. */
+  def phraseMatchStored(spark: SparkSession, dir: String, phrase: String): DataFrame = {
+    val buckets = storedBuckets(spark, dir)
+    InvertedIndex.phraseFromPostings(InvertedIndex.phraseTerms(phrase),
+      t => prunedByTerm(positional(spark, dir), Seq(t), buckets))
+  }
 
   private def prunedByTerm(df: DataFrame, terms: Seq[String], buckets: Int): DataFrame = {
     val bucketIds = terms.map(t => bucketOf(t, buckets)).distinct

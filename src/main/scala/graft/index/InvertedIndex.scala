@@ -41,15 +41,29 @@ object InvertedIndex {
     * from `IndexStore`-style term-bucketed postings, each side becomes a
     * partition-pruned lookup rather than a corpus scan. */
   def phraseMatch(docs: DataFrame, phrase: String): DataFrame = {
-    val terms = phrase.toLowerCase.split("[^a-z0-9_']+").filter(_.nonEmpty)
-    require(terms.nonEmpty, "phrase must contain at least one token")
     val p = positionalPostings(docs)
-    val starts = terms.zipWithIndex.map { case (t, i) =>
-      p.filter(col("term") === t).select(col("doc_id"), (col("pos") - i).as("pos"))
-    }.reduce(_.join(_, Seq("doc_id", "pos")))
-    starts.groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
-      .orderBy("doc_id")
+    phraseFromPostings(phraseTerms(phrase), t => p.filter(col("term") === t))
   }
+
+  /** Phrase tokens, in order, duplicates kept (unlike BM25's T6 dedup —
+    * "the the" is a different phrase than "the"). Same pinned char class
+    * as Tokenize. */
+  private[graft] def phraseTerms(phrase: String): Seq[String] = {
+    val terms = phrase.toLowerCase.split("[^a-z0-9_']+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "phrase must contain at least one token")
+    terms
+  }
+
+  /** The adjacency chain itself, parameterized over the per-term postings
+    * fetcher — shared by the corpus-scan form above and the stored,
+    * bucket-pruned form (IndexStore.phraseMatchStored). */
+  private[graft] def phraseFromPostings(terms: Seq[String],
+                                        forTerm: String => DataFrame): DataFrame =
+    terms.zipWithIndex.map { case (t, i) =>
+      forTerm(t).select(col("doc_id"), (col("pos") - i).as("pos"))
+    }.reduce(_.join(_, Seq("doc_id", "pos")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy("doc_id")
 
   /** doc_frequency_of_term (schema.cql:5-10; MR1 mapper1.py:20-23 +
     * reducer1.py:33-43): number of docs containing each term. */

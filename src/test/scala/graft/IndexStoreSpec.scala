@@ -75,6 +75,38 @@ class IndexStoreSpec extends SparkSpec {
     assert(vocabSize == graft.index.InvertedIndex.docFrequency(docs).count())
   }
 
+  test("stored phrase search equals recompute and prunes per-term buckets") {
+    val docs = table(spark, "/root/testdata/sf0.001", "documents")
+    val stored = IndexStore.phraseMatchStored(spark, dir, "the value")
+    val fresh = graft.index.InvertedIndex.phraseMatch(docs, "the value")
+      .collect().toSeq
+    assert(fresh.nonEmpty && stored.collect().toSeq == fresh)
+    // every positional scan in the chain must carry bucket pruning
+    val scans = stored.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val posScans = scans.filter(_.contains("positional_postings"))
+    assert(posScans.nonEmpty)
+    posScans.foreach { s =>
+      assert(s.contains("PartitionFilters") && s.contains("term_bucket"),
+        s"positional scan not pruned:\n$s")
+    }
+  }
+
+  test("ingest carries the positional table: new-doc phrases become servable") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-index-pp").toString
+    val docs = table(spark, "/root/testdata/sf0.001", "documents")
+    IndexStore.write(docs, d, buckets = 16)
+    val delta = Seq((900001L, "zzzalpha zzzbeta zzzalpha zzzbeta"))
+      .toDF("doc_id", "text")
+    IndexStore.ingest(delta, d)
+    val hit = IndexStore.phraseMatchStored(spark, d, "zzzalpha zzzbeta")
+      .as[(Long, Long)].collect().toSeq
+    assert(hit == Seq((900001L, 2L)))
+    // pre-existing phrases still served after the swap
+    assert(IndexStore.phraseMatchStored(spark, d, "the value").count() ==
+      graft.index.InvertedIndex.phraseMatch(docs, "the value").count())
+  }
+
   test("OOV query against the stored index is empty with intact schema") {
     val res = BM25.searchStored(spark, dir, "zzzznotaword")
     assert(res.columns.toSeq == Seq("doc_id", "doc_rank"))
