@@ -45,6 +45,11 @@ object SparkEntry {
     // adjacency joins, one (doc_id, start-pos) partitioning for the chain
     "idx_phrase_match" -> ((s, dir) =>
       InvertedIndex.phraseMatch(table(s, dir, "documents"), "row column sort")),
+    // proximity search: banded-position candidate join (dup-free 3-band),
+    // never a per-doc position cross product
+    "idx_proximity_match" -> ((s, dir) =>
+      InvertedIndex.proximityMatch(table(s, dir, "documents"),
+        "spark", "join", 8)),
     // phrase search SERVED from the stored positional table — each term
     // reads only its hash bucket; stored ≡ recompute is the claim
     "idx_phrase_stored" -> ((s, dir) => {
@@ -601,6 +606,17 @@ object SparkEntry {
         |JOIN p p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1 AND p1.term = 'column'
         |JOIN p p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2 AND p2.term = 'sort'
         |WHERE p0.term = 'row'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the oracle joins raw positions directly — no banding — so the
+    // band-bucketed candidate generation is what is being checked
+    "idx_proximity_match" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+        |p AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS pos, unnest(tk) AS term FROM t),
+        |a AS (SELECT doc_id, pos FROM p WHERE term = 'spark'),
+        |b AS (SELECT doc_id, pos FROM p WHERE term = 'join')
+        |SELECT a.doc_id AS doc_id, count(*) AS n_pairs,
+        |  CAST(min(abs(a.pos - b.pos)) AS BIGINT) AS min_distance
+        |FROM a JOIN b ON b.doc_id = a.doc_id AND abs(a.pos - b.pos) <= 8
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // stored ≡ recompute: the oracle recomputes from raw text, the query
     // serves from the bucketed positional table

@@ -65,6 +65,39 @@ object InvertedIndex {
       .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
       .orderBy("doc_id")
 
+  /** Proximity match: docs where two DISTINCT terms co-occur within
+    * `window` token positions (either order), with pair count and closest
+    * distance. Candidates come from a banded equi-join keyed
+    * (doc_id, pos/window band) — the BandedRangeJoinRule trick applied to
+    * token positions: one side explodes to 3 adjacent bands, so every
+    * qualifying pair matches in EXACTLY one band (dup-free) and the join
+    * never degenerates to per-doc position cross products. Like
+    * phraseMatch, each side is one term's postings; a stored positional
+    * table serves them as pruned bucket lookups. */
+  def proximityMatch(docs: DataFrame, termA: String, termB: String,
+                     window: Int = 8): DataFrame = {
+    require(window >= 1, "window must be positive")
+    val ta = termA.toLowerCase
+    val tb = termB.toLowerCase
+    require(ta != tb, "proximity of a term with itself is not supported")
+    val p = positionalPostings(docs)
+    val a = p.filter(col("term") === ta)
+      .select(col("doc_id"), col("pos").as("__pa"))
+      .withColumn("__band", floor(col("__pa") / window))
+    val b = p.filter(col("term") === tb)
+      .select(col("doc_id"), col("pos").as("__pb"))
+      .withColumn("__band", explode(array(
+        floor(col("__pb") / window) - 1,
+        floor(col("__pb") / window),
+        floor(col("__pb") / window) + 1)))
+    a.join(b, Seq("doc_id", "__band"))
+      .filter(abs(col("__pa") - col("__pb")) <= window)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("__pa") - col("__pb"))).cast("long").as("min_distance"))
+      .orderBy("doc_id")
+  }
+
   /** doc_frequency_of_term (schema.cql:5-10; MR1 mapper1.py:20-23 +
     * reducer1.py:33-43): number of docs containing each term. */
   def docFrequency(docs: DataFrame): DataFrame =

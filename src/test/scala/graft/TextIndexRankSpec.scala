@@ -47,6 +47,21 @@ class TextIndexRankSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap == Map(1L -> 2L, 4L -> 1L))
   }
 
+  test("proximity match: window boundary inclusive, band edges dup-free") {
+    val docs = Seq(
+      (1L, "a x x x b"),      // distance 4: inside window 4, outside 3
+      (2L, "b a"),            // reversed order, distance 1
+      (3L, "a x x x x x x b"),// distance 7: outside window 4
+      (4L, "a b x a")).toDF("doc_id", "text") // pairs: (0,1)=1, (3,1)=2
+    val w4 = InvertedIndex.proximityMatch(docs, "a", "b", 4)
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, n, d) => k -> (n, d) }.toMap
+    assert(w4 == Map(1L -> (1L, 4L), 2L -> (1L, 1L), 4L -> (2L, 1L)))
+    val w3 = InvertedIndex.proximityMatch(docs, "a", "b", 3)
+      .as[(Long, Long, Long)].collect().map(_._1).toSet
+    assert(w3 == Set(2L, 4L)) // the distance-4 pair drops at window 3
+  }
+
   test("doc info = token count incl. duplicates; empty doc has length 0") {
     val dl = InvertedIndex.docInfo(corpus).as[(Long, Long)].collect().toMap
     assert(dl == Map(1L -> 3L, 2L -> 2L, 3L -> 5L, 4L -> 0L))
