@@ -45,6 +45,11 @@ object SparkEntry {
     // adjacency joins, one (doc_id, start-pos) partitioning for the chain
     "idx_phrase_match" -> ((s, dir) =>
       InvertedIndex.phraseMatch(table(s, dir, "documents"), "row column sort")),
+    // result snippets: context window around the first phrase occurrence;
+    // only matching docs are re-tokenized for rendering
+    "idx_phrase_snippets" -> ((s, dir) =>
+      InvertedIndex.phraseSnippets(table(s, dir, "documents"),
+        "row column sort", 3)),
     // proximity search: banded-position candidate join (dup-free 3-band),
     // never a per-doc position cross product
     "idx_proximity_match" -> ((s, dir) =>
@@ -607,6 +612,22 @@ object SparkEntry {
         |JOIN p p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2 AND p2.term = 'sort'
         |WHERE p0.term = 'row'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DuckDB list slicing is 1-based inclusive [a:b]; Spark's slice takes
+    // (start, LENGTH) — the spellings below pick the same window
+    "idx_phrase_snippets" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+        |p AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS pos, unnest(tk) AS term FROM t),
+        |starts AS (
+        |  SELECT p0.doc_id AS doc_id, p0.pos AS pos
+        |  FROM p p0
+        |  JOIN p p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1 AND p1.term = 'column'
+        |  JOIN p p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2 AND p2.term = 'sort'
+        |  WHERE p0.term = 'row'),
+        |f AS (SELECT doc_id, CAST(min(pos) - 1 AS BIGINT) AS first_pos FROM starts GROUP BY 1)
+        |SELECT t.doc_id, f.first_pos,
+        |  array_to_string(tk[greatest(first_pos + 1 - 3, 1) : greatest(first_pos + 1 - 3, 1) + 8], ' ') AS snippet
+        |FROM t JOIN f ON t.doc_id = f.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     // the oracle joins raw positions directly — no banding — so the
     // band-bucketed candidate generation is what is being checked
     "idx_proximity_match" ->

@@ -54,16 +54,43 @@ object InvertedIndex {
     terms
   }
 
-  /** The adjacency chain itself, parameterized over the per-term postings
-    * fetcher — shared by the corpus-scan form above and the stored,
-    * bucket-pruned form (IndexStore.phraseMatchStored). */
-  private[graft] def phraseFromPostings(terms: Seq[String],
-                                        forTerm: String => DataFrame): DataFrame =
+  /** (doc_id, pos) of every phrase START — the adjacency chain itself,
+    * parameterized over the per-term postings fetcher (corpus-scan or
+    * stored bucket-pruned). */
+  private[graft] def phraseStarts(terms: Seq[String],
+                                  forTerm: String => DataFrame): DataFrame =
     terms.zipWithIndex.map { case (t, i) =>
       forTerm(t).select(col("doc_id"), (col("pos") - i).as("pos"))
     }.reduce(_.join(_, Seq("doc_id", "pos")))
+
+  private[graft] def phraseFromPostings(terms: Seq[String],
+                                        forTerm: String => DataFrame): DataFrame =
+    phraseStarts(terms, forTerm)
       .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
       .orderBy("doc_id")
+
+  /** Search-result snippets: for each matching doc, the token window
+    * around its FIRST phrase occurrence (`context` tokens each side).
+    * The phrase chain produces starts; one min-aggregate picks the first;
+    * a single re-tokenize of ONLY the matching docs (semi-joined before
+    * the slice) renders the window — the corpus at large is never
+    * re-scanned past the postings. Clamped at the doc start; slice
+    * truncates at the end naturally. */
+  def phraseSnippets(docs: DataFrame, phrase: String,
+                     context: Int = 3): DataFrame = {
+    require(context >= 0)
+    val terms = phraseTerms(phrase)
+    val p = positionalPostings(docs)
+    val first = phraseStarts(terms, t => p.filter(col("term") === t))
+      .groupBy("doc_id").agg(min(col("pos")).cast("long").as("first_pos"))
+    val win = lit(terms.length + 2 * context)
+    docs.join(first, Seq("doc_id"))
+      .select(col("doc_id"), col("first_pos"),
+        array_join(slice(graft.text.Tokenize.tokens(col("text")),
+          greatest(col("first_pos") + 1 - context, lit(1)).cast("int"), win),
+          " ").as("snippet"))
+      .orderBy("doc_id")
+  }
 
   /** Proximity match: docs where two DISTINCT terms co-occur within
     * `window` token positions (either order), with pair count and closest

@@ -47,6 +47,20 @@ class TextIndexRankSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap == Map(1L -> 2L, 4L -> 1L))
   }
 
+  test("phrase snippets: first occurrence, clamped at doc start, truncated end") {
+    val docs = Seq(
+      (1L, "one two three a b four five six seven"), // interior window
+      (2L, "a b early context"),                     // clamp at doc start
+      (3L, "x a b"),                                 // truncate at doc end
+      (4L, "no match here")).toDF("doc_id", "text")
+    val out = InvertedIndex.phraseSnippets(docs, "a b", 2)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, "two three a b four five"), // 2 ctx + phrase + 2 ctx
+      (2L, 0L, "a b early context"),       // start clamped, window truncated
+      (3L, 1L, "x a b")))                  // end truncated
+  }
+
   test("proximity match: window boundary inclusive, band edges dup-free") {
     val docs = Seq(
       (1L, "a x x x b"),      // distance 4: inside window 4, outside 3
