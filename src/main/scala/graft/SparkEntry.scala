@@ -302,6 +302,20 @@ object SparkEntry {
     // UNPIVOT: the pivot matrix melted back to long form, zeros included
     "ev_unpivot" -> ((s, dir) =>
       Events.unpivotTypeByDay(table(s, dir, "events"))),
+    // FORWARD as-of: each signup gets the user's first purchase value
+    // at-or-after it (the "next event" lookup, mirror of ev_asof_signup)
+    "ev_asof_next" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"), col("value"))
+      Relational.fmtTsCols(
+        TemporalJoins.asOfJoinForward(signups, purchases, "user_id", "ts",
+          "purchase_ts", "value", "next_purchase_value"),
+        Seq("ts"))
+        .orderBy("event_id")
+    }),
     // as-of join: each purchase gets the user's latest signup at-or-before it
     "ev_asof_signup" -> ((s, dir) => {
       val ev = table(s, dir, "events")
@@ -1044,6 +1058,16 @@ object SparkEntry {
         |FROM a JOIN c ON a.user_id = c.user_id
         |WHERE date_diff('day', c.cohort_day, a.day) >= 0
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    // independent derivation: DuckDB's native forward ASOF (<=); safe here
+    // because (user_id, ts) purchase rows are unique in this corpus, so
+    // the duplicate-tie rule never engages
+    "ev_asof_next" ->
+      """WITH s AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, ts AS pts, value FROM events WHERE event_type = 'purchase')
+        |SELECT s.user_id, s.event_id, strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |       p.value AS next_purchase_value
+        |FROM s ASOF LEFT JOIN p ON s.user_id = p.user_id AND s.ts <= p.pts
+        |ORDER BY s.event_id""".stripMargin,
     "ev_asof_signup" ->
       """WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
         |s AS (SELECT user_id, ts AS sts FROM events WHERE event_type = 'signup')

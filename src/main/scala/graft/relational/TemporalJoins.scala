@@ -74,6 +74,41 @@ object TemporalJoins {
       .drop("__t", "__isLeft", "__v")
   }
 
+  /** Forward as-of: for each left row, `valueCol` from the EARLIEST right
+    * row with rightTime >= leftTime ("next event at-or-after" — the lookup
+    * behind next-maintenance-after-failure / first-purchase-after-signup
+    * questions). Exact mirror of `asOfJoin`: right rows at exactly
+    * leftTime match (>=), no-later-right rows get null, SQL ASOF null
+    * semantics on both time columns. Left sorts BEFORE right on time ties
+    * (isLeft descending) so the equal-time right row lands inside the
+    * [current, following) frame; among duplicate (key, time) right rows
+    * the SMALLEST value wins (first over __v ascending) — deterministic,
+    * where shuffle order would not be. Same one-shuffle union+window
+    * shape, and the same matched-null-value caveat, as asOfJoin. */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTime: String, rightTime: String,
+                      valueCol: String, as: String = "asof_value"): DataFrame = {
+    require(!Set("__t", "__isLeft", "__v").contains(as),
+      s"asOfJoinForward: output column name '$as' is reserved")
+    requireFree("asOfJoinForward", left, "__t", "__isLeft", "__v", as)
+    requireFree("asOfJoinForward", right, "__isLeft")
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__isLeft", lit(1))
+      .withColumn("__v", lit(null).cast(right.schema(valueCol).dataType))
+    val r = right.filter(col(rightTime).isNotNull)
+      .select(col(key), col(rightTime).as("__t"), col(valueCol).as("__v"))
+      .withColumn("__isLeft", lit(0))
+    val w = Window.partitionBy(key)
+      .orderBy(col("__t"), col("__isLeft").desc, col("__v"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(as, when(col(leftTime).isNotNull,
+        first(col("__v"), ignoreNulls = true).over(w)))
+      .filter(col("__isLeft") === 1)
+      .drop("__t", "__isLeft", "__v")
+  }
+
   /** The as-of join as a first-class PLAN NODE (`plans.AsOfJoinNode` →
     * `AsOfJoinExec`): same output shape as `asOfJoin` and identical
     * results whenever the value column is non-null (see the asOfJoin

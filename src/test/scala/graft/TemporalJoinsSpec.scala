@@ -31,6 +31,37 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(res("t3").contains(55.0))
   }
 
+  test("asOfJoinForward picks the earliest right row at-or-after each left time") {
+    val failures = Seq(
+      (1L, ts("2024-01-01 10:00:05"), "f1"), // next repair at :06
+      (1L, ts("2024-01-01 10:00:10"), "f2"), // tie: repair at exactly :10
+      (1L, ts("2024-01-01 10:00:20"), "f3"), // after every repair
+      (2L, ts("2024-01-01 10:00:00"), "f4"),
+    ).toDF("k", "ftime", "failure")
+    val repairs = Seq(
+      (1L, ts("2024-01-01 10:00:06"), 6.0),
+      (1L, ts("2024-01-01 10:00:10"), 10.0),
+      (1L, ts("2024-01-01 10:00:03"), 3.0), // earlier: never matches forward
+      (2L, ts("2024-01-01 10:00:09"), 9.0),
+    ).toDF("k", "rtime", "cost")
+    val res = TemporalJoins.asOfJoinForward(failures, repairs, "k",
+        "ftime", "rtime", "cost", "next_cost")
+      .select("failure", "next_cost")
+      .as[(String, Option[Double])].collect().toMap
+    assert(res("f1").contains(6.0))
+    assert(res("f2").contains(10.0)) // >= includes the equal-time row
+    assert(res("f3").isEmpty)        // nothing later
+    assert(res("f4").contains(9.0))
+    // duplicate (key, time) right rows: the smallest value wins (pinned)
+    val dupRepairs = repairs.unionByName(
+      Seq((1L, ts("2024-01-01 10:00:06"), 5.0)).toDF("k", "rtime", "cost"))
+    val dup = TemporalJoins.asOfJoinForward(failures, dupRepairs, "k",
+        "ftime", "rtime", "cost", "next_cost")
+      .select("failure", "next_cost")
+      .as[(String, Option[Double])].collect().toMap
+    assert(dup("f1").contains(5.0))
+  }
+
   test("bandedRangeJoin equals the naive inequality join") {
     val ev = table(spark, "/root/testdata/sf0.001", "events")
     val a = ev.select(col("user_id"), col("event_id").as("id_a"), col("ts").as("ts_a"))
