@@ -55,13 +55,23 @@ object Events {
     * bounded by the time range (8.8k rows/year), never by event volume.
     * That single-partition window over an aggregate is the right shape;
     * windowing raw events would not be. */
-  def hourlyAnomaly(events: DataFrame, trailingHours: Int = 24): DataFrame = {
+  def hourlyAnomaly(events: DataFrame, trailingHours: Int = 24): DataFrame =
+    anomalyFromHourlyCounts(
+      events.groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n")),
+      trailingHours)
+
+  /** The z-score pass over an already-aggregated (hour TIMESTAMP, n LONG)
+    * frame — shared by the batch form above and the streaming monitor
+    * (Streaming.hourlyAnomalyWriter), so the two can never disagree on
+    * the formula. */
+  def anomalyFromHourlyCounts(hourlyCounts: DataFrame,
+                              trailingHours: Int = 24): DataFrame = {
     val w = Window.orderBy("__sec")
       .rangeBetween(-trailingHours * 3600L, -3600L)
     val mu = col("__sx").cast("double") / col("__c")
     val varTop = col("__sxx") - col("__sx").cast("double") * col("__sx") / col("__c")
-    events.groupBy(date_trunc("hour", col("ts")).as("hour"))
-      .agg(count(lit(1)).as("n"))
+    hourlyCounts
       .withColumn("__sec", unix_seconds(col("hour")))
       .withColumn("__c", count(lit(1)).over(w))
       .withColumn("__sx", sum("n").over(w))

@@ -242,6 +242,62 @@ object Streaming {
         ()
       }
 
+  /** Replay-idempotent hourly-count merge for the anomaly monitor. The
+    * store keys contributions by batch_id: batches strictly older than the
+    * current one are COMMITTED (Structured Streaming replays only the
+    * last, uncommitted batch after a crash) and fold into one compacted
+    * batch_id = -1 row per hour; the current batch's rows keep their id,
+    * REPLACING any same-id rows from a crashed attempt. Re-running the
+    * same (store, batch, id) therefore yields the same store — the
+    * at-least-once foreachBatch becomes effectively exactly-once for the
+    * counts. Store size stays <= 2 rows per hour. */
+  private[graft] def mergeHourlyCounts(store: Option[DataFrame],
+                                       batchCounts: DataFrame,
+                                       batchId: Long): DataFrame = {
+    val tagged = batchCounts.withColumn("batch_id", lit(batchId))
+    store match {
+      case None => tagged
+      case Some(st) =>
+        val committed = st.filter(col("batch_id") =!= batchId)
+          .groupBy("hour").agg(sum("n").as("n"))
+          .withColumn("batch_id", lit(-1L))
+        committed.unionByName(tagged)
+    }
+  }
+
+  /** Streaming anomaly monitor — `Events.hourlyAnomaly`'s streaming twin:
+    * each micro-batch merges its hourly counts into a persisted store
+    * (atomic swap, replay-idempotent via `mergeHourlyCounts`) and
+    * rewrites `outDir` with the full z-score view computed by the SAME
+    * shared formula as the batch operator. The view is a maintained
+    * materialized table (one row per hour ever seen — bounded by the time
+    * range), so late events revise their hour and every affected z-score
+    * on the next batch; out is overwritten BEFORE the store promotes, so
+    * a crash between the two replays the batch and rewrites the view from
+    * the un-promoted store — converging, never double-counting. */
+  def hourlyAnomalyWriter(events: DataFrame, storeDir: String, outDir: String,
+                          trailingHours: Int = 24):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val p = graft.sources.AtomicStore.paths(storeDir, "hourly_counts")
+        val src = graft.sources.AtomicStore.live(p)
+        val bc = batch.groupBy(date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("n"))
+        val merged = mergeHourlyCounts(
+          src.map(f => spark.read.parquet(f.getPath)), bc, batchId)
+          .persist() // drives the view rewrite AND the store swap
+        try {
+          merged.write.mode("overwrite").parquet(p.tmp.getPath)
+          graft.events.Events.anomalyFromHourlyCounts(
+              merged.groupBy("hour").agg(sum("n").as("n")), trailingHours)
+            .write.mode("overwrite").parquet(outDir)
+          graft.sources.AtomicStore.promote(p, src, "hourlyAnomalyWriter")
+        } finally merged.unpersist()
+        ()
+      }
+
   /** STATELESS streaming ANN enrichment: each incoming query vector gets
     * its top-k sign-bit-LSH neighbors from a static embedding index — the
     * stream-time analog of Similarity.annCosineLshMany (analog, not twin:

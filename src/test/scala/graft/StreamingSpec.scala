@@ -282,6 +282,54 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/store/content_hashes").count() == 4L)
   }
 
+  test("streaming anomaly monitor converges to the batch operator's view") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-anom").toString
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = Streaming.hourlyAnomalyWriter(
+      input.toDF().toDF("ts", "event_id"), s"$dir/store", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    def ev(h: Int, n: Int): Seq[(Timestamp, Long)] =
+      (0 until n).map(i => (Timestamp.valueOf(f"2024-01-01 $h%02d:15:00"),
+        h * 100L + i))
+    val all = ev(0, 1) ++ ev(1, 3) ++ ev(2, 1) ++ ev(3, 3) ++ ev(4, 9) ++ ev(5, 2)
+    try {
+      // batches split MID-HOUR: hour 4's count accumulates across batches
+      input.addData(ev(0, 1) ++ ev(1, 3) ++ ev(2, 1))
+      q.processAllAvailable()
+      input.addData(ev(3, 3) ++ ev(4, 4))
+      q.processAllAvailable()
+      input.addData(ev(4, 5) ++ ev(5, 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/out")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    val batch = graft.events.Events.hourlyAnomaly(
+        all.toDF("ts", "event_id"))
+      .as[(String, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
+    assert(streamed.find(_._1.endsWith("04:00:00")).get._2 == 9L)
+  }
+
+  test("replayed hourly-count merge is idempotent (at-least-once safe)") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    def counts(rows: (String, Long)*) =
+      rows.toDF("h", "n").select(col("h").cast("timestamp").as("hour"), col("n"))
+    val b0 = Streaming.mergeHourlyCounts(None,
+      counts(("2024-01-01 00:00:00", 2L)), 0L)
+    // batch 1 lands, then CRASHES after the store promoted; the replay
+    // re-merges the same batch into the already-merged store
+    val b1 = Streaming.mergeHourlyCounts(Some(b0),
+      counts(("2024-01-01 00:00:00", 1L), ("2024-01-01 01:00:00", 4L)), 1L)
+    val b1replay = Streaming.mergeHourlyCounts(Some(b1),
+      counts(("2024-01-01 00:00:00", 1L), ("2024-01-01 01:00:00", 4L)), 1L)
+    def totals(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("hour").agg(fsum("n").as("n"))
+        .as[(Timestamp, Long)].collect().toMap
+    assert(totals(b1) == totals(b1replay))
+    assert(totals(b1replay).values.toSeq.sorted == Seq(3L, 4L))
+  }
+
   test("streaming ANN enrichment matches its own batch evaluation") {
     implicit val sqlCtx = spark.sqlContext
     val index = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
