@@ -72,5 +72,10 @@ class IngestSpec extends SparkSpec {
     val recompute2 = BM25.search(spark, full2, "spark join window")
       .as[(Long, Double)].collect().toSeq
     assert(served == recompute2)
+    // the CLI's phrase mode serves the same store: the ingested doc's
+    // repeated bigram is found with its overlap count
+    val phr = Search.runPhrase(spark, dir, "window window")
+      .as[(Long, Long)].collect().toMap
+    assert(phr.get(999998L).contains(2L))
   }
 }
