@@ -140,6 +140,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("phrase occurrences equal a substring replay of the token stream") {
+    // count of "alpha beta" phrase starts == occurrences of the token pair
+    // in the canonical (tokenized) sequence, replayed scala-side
+    samples(5).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = InvertedIndex.phraseMatch(docs, "alpha beta")
+        .as[(Long, Long)].collect().toMap
+      val expected = texts.zipWithIndex.flatMap { case (t, i) =>
+        val toks = "[a-z0-9_']+".r.findAllIn(t.toLowerCase).toVector
+        val n = toks.sliding(2).count(_ == Vector("alpha", "beta"))
+        if (n > 0) Some(i.toLong -> n.toLong) else None
+      }.toMap
+      assert(out == expected, s"corpus: $texts")
+    }
+  }
+
+  test("forward as-of == backward as-of under time negation") {
+    // picking the EARLIEST right row at-or-after t over times T is the
+    // same as picking the LATEST at-or-before -t over -T; the duplicate
+    // tie-breaks (smallest vs greatest value) coincide when (key, time)
+    // right rows are unique, which the generator guarantees
+    import graft.relational.TemporalJoins
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    // left times range past every right time (right < 50) so some rows
+    // genuinely have no following match
+    val leftRows = (1 to 40).map(i =>
+      (i.toLong, (i % 4).toLong, rnd.between(0L, 60L) * 1000000L))
+    val rightRows = rnd.shuffle((0 until 4).flatMap(k =>
+      rnd.shuffle((0L until 50L).toList).take(12).map(t =>
+        (k.toLong, t * 1000000L, rnd.nextInt(1000).toDouble))))
+    val l = leftRows.toDF("id", "k", "t")
+      .select(col("id"), col("k"), org.apache.spark.sql.functions
+        .timestamp_micros(col("t")).as("lt"))
+    def rts(neg: Boolean) = rightRows.toDF("k", "t", "v")
+      .select(col("k"), org.apache.spark.sql.functions
+        .timestamp_micros(if (neg) -col("t") else col("t")).as("rt"), col("v"))
+    val fwd = TemporalJoins.asOfJoinForward(l, rts(neg = false), "k",
+        "lt", "rt", "v", "nxt")
+      .select("id", "nxt").as[(Long, Option[Double])].collect().toMap
+    val lNeg = l.select(col("id"), col("k"), org.apache.spark.sql.functions
+      .timestamp_micros(-org.apache.spark.sql.functions.unix_micros(col("lt")))
+      .as("lt"))
+    val bwd = TemporalJoins.asOfJoin(lNeg, rts(neg = true), "k",
+        "lt", "rt", "v", "nxt")
+      .select("id", "nxt").as[(Long, Option[Double])].collect().toMap
+    assert(fwd == bwd)
+    assert(fwd.values.exists(_.isDefined) && fwd.values.exists(_.isEmpty))
+  }
+
   test("ANN recall is bounded by 1 and exact when buckets degenerate") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // nPlanes=1 gives only 2 buckets: recall still in [0,1] and n_hits
