@@ -44,13 +44,15 @@ object Curation {
                    maxDupTrigramFrac: Double = 0.2, n: Int = 3,
                    minJaccard: Double = 0.5,
                    maxShingleDf: Int = 100): DataFrame = {
-    val lang = TextAnalysis.languageGuess(docs)
-      .select(col("doc_id"), (col("lang_guess") =!= "und").as("__pl"))
-    val tok = TextAnalysis.tokenCounts(docs)
-      .select(col("doc_id"), col("n_tokens").as("__nt"))
+    // language and token count are both scalar per-row stats: ONE fused
+    // corpus scan, no join between them (round-3 continuation — the
+    // previous three stat frames cost three tokenize scans + two joins)
+    val scalar = TextAnalysis.withLangGuess(docs)
+      .select(col("doc_id"), (col("lang_guess") =!= "und").as("__pl"),
+        size(graft.text.Tokenize.tokens(col("text"))).cast("long").as("__nt"))
     val rep = TextAnalysis.repetitionStats(docs)
       .select(col("doc_id"), col("dup_trigram_frac").as("__dtf"))
-    val stats = lang.join(tok, Seq("doc_id")).join(rep, Seq("doc_id"))
+    val stats = scalar.join(rep, Seq("doc_id"))
       .withColumn("__pq", col("__pl") && col("__nt") >= minTokens &&
         col("__dtf") <= maxDupTrigramFrac)
       .select(col("doc_id"), col("__pl"), col("__pq"))

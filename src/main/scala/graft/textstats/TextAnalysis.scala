@@ -117,7 +117,15 @@ object TextAnalysis {
 
   /** Marker-word language guess: argmax of distinct-marker hits per
     * language, ties and zero-hits -> "und". Deterministic CASE cascade. */
-  def languageGuess(docs: DataFrame): DataFrame = {
+  def languageGuess(docs: DataFrame): DataFrame =
+    withLangGuess(docs).select(col("doc_id"), col("lang_guess"))
+      .orderBy("doc_id")
+
+  /** `docs` plus a `lang_guess` column (and a consumed-internal `best`
+    * projection) — the composable form, so callers that need language AND
+    * other scalar text stats (Curation.curationTags) pay ONE corpus scan
+    * instead of a scan per stat frame. */
+  private[graft] def withLangGuess(docs: DataFrame): DataFrame = {
     val scores = LangMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
       lang -> size(array_intersect(array_distinct(toks),
         array(markers.map(lit): _*)))
@@ -128,8 +136,8 @@ object TextAnalysis {
       when(col("best") > 0 && s === col("best"), lit(lang)).otherwise(acc)
     }
     docs.withColumn("best", best)
-      .select(col("doc_id"), guess.as("lang_guess"))
-      .orderBy("doc_id")
+      .withColumn("lang_guess", guess)
+      .drop("best")
   }
 
   /** Canonical-form document fingerprint: md5 of the normalized token
