@@ -303,7 +303,9 @@ object SparkEntry {
     "ev_unpivot" -> ((s, dir) =>
       Events.unpivotTypeByDay(table(s, dir, "events"))),
     // FORWARD as-of: each signup gets the user's first purchase value
-    // at-or-after it (the "next event" lookup, mirror of ev_asof_signup)
+    // at-or-after it (the "next event" lookup, mirror of ev_asof_signup),
+    // served by the custom plan node in its forward direction — the
+    // composition form is pinned equal in TemporalJoinsSpec
     "ev_asof_next" -> ((s, dir) => {
       val ev = table(s, dir, "events")
       val signups = ev.filter(col("event_type") === "signup")
@@ -311,7 +313,7 @@ object SparkEntry {
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts").as("purchase_ts"), col("value"))
       Relational.fmtTsCols(
-        TemporalJoins.asOfJoinForward(signups, purchases, "user_id", "ts",
+        TemporalJoins.asOfJoinExecForward(signups, purchases, "user_id", "ts",
           "purchase_ts", "value", "next_purchase_value"),
         Seq("ts"))
         .orderBy("event_id")

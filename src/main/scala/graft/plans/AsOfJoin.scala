@@ -52,11 +52,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * string): floating-point keys would need -0.0/NaN normalization that
   * only Spark's own join operators receive.
   */
+/** `forward = false`: greatest rightTime <= leftTime (ties -> greatest
+  * value). `forward = true`: SMALLEST rightTime >= leftTime (ties ->
+  * smallest value) — the "next event at-or-after" direction, matching
+  * `TemporalJoins.asOfJoinForward`. */
 case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Expression, rightKey: Expression,
                         leftTime: Expression, rightTime: Expression,
                         rightValue: Expression,
-                        outAttr: AttributeReference)
+                        outAttr: AttributeReference,
+                        forward: Boolean = false)
   extends BinaryNode {
   override def output: Seq[Attribute] = left.output :+ outAttr
   override def producedAttributes: AttributeSet = AttributeSet(outAttr)
@@ -70,8 +75,8 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
   * `GraftExtensions`. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, rv, out) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, rv, out) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, rv, out, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, rv, out, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -89,7 +94,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Expression, rightKey: Expression,
                         leftTime: Expression, rightTime: Expression,
                         rightValue: Expression,
-                        outAttr: AttributeReference)
+                        outAttr: AttributeReference,
+                        forward: Boolean = false)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output :+ outAttr
@@ -150,6 +156,44 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         val joined = new JoinedRow
         val valueRow = new GenericInternalRow(1)
         val rBuf = rIter.buffered
+        if (forward) {
+          // Forward merge needs NO buffered state: rows with rt < lt are
+          // dead for this key (later left cursors only grow), so after
+          // skipping them the right HEAD — first of any equal-time run,
+          // i.e. the smallest value under the (key, time, value) child
+          // ordering — IS the match, and it is NOT consumed: the same row
+          // may serve later left rows of this key.
+          lIter.map { l =>
+            val lk = lKeyB.eval(l)
+            val lt = lTimeB.eval(l)
+            if (lk == null || lt == null) {
+              valueRow.update(0, null)
+            } else {
+              var advance = true
+              while (advance && rBuf.hasNext) {
+                val head = rBuf.head
+                val rk = rKeyB.eval(head)
+                if (rk == null) { rBuf.next() } // null keys never match
+                else {
+                  val c = keyCmp(rk, lk)
+                  if (c < 0) { rBuf.next() } // keys the left has moved past
+                  else if (c == 0) {
+                    val rt = rTimeB.eval(head)
+                    // null times sort first within the key: consume
+                    if (rt == null || timeCmp(rt, lt) < 0) { rBuf.next() }
+                    else advance = false // head is the earliest >= lt
+                  } else advance = false
+                }
+              }
+              val valid = rBuf.hasNext && {
+                val head = rBuf.head
+                keyCmp(rKeyB.eval(head), lk) == 0
+              }
+              valueRow.update(0, if (valid) rValB.eval(rBuf.head) else null)
+            }
+            proj(joined(l, valueRow))
+          }
+        } else {
         // O(1) merge state: the latest right row (copied) whose
         // (key, time) is <= the current left cursor, plus its cached key
         // so the validity check below is a comparison, not an eval
@@ -186,6 +230,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             valueRow.update(0, if (valid) rValB.eval(matchRow) else null)
           }
           proj(joined(l, valueRow))
+        }
         }
     }
   }

@@ -120,7 +120,8 @@ object TemporalJoins {
     * use (or ship it via `GraftExtensions`). */
   def asOfJoinExec(left: DataFrame, right: DataFrame, key: String,
                    leftTime: String, rightTime: String,
-                   valueCol: String, as: String = "asof_value"): DataFrame = {
+                   valueCol: String, as: String = "asof_value",
+                   forward: Boolean = false): DataFrame = {
     requireFree("asOfJoinExec", left, as)
     val spark = left.sparkSession
     graft.plans.AsOfJoinPlans.ensureRegistered(spark)
@@ -160,9 +161,20 @@ object TemporalJoins {
       s"asOfJoinExec: time types differ (${lt.dataType} vs ${rt.dataType}) — cast first")
     val node = graft.plans.AsOfJoinNode(lPlan, rPlan,
       lk, rk, lt, rt, rAttr(valueCol),
-      AttributeReference(as, right.schema(valueCol).dataType, nullable = true)())
+      AttributeReference(as, right.schema(valueCol).dataType, nullable = true)(),
+      forward)
     org.apache.spark.sql.classic.GraftSqlBridge.ofRows(spark, node)
   }
+
+  /** `asOfJoinExec` in the FORWARD direction: smallest rightTime >=
+    * leftTime, ties to the smallest value — the physical-operator twin of
+    * `asOfJoinForward`, sharing its semantics exactly (including matched
+    * null values, where the exec form is the exact one). */
+  def asOfJoinExecForward(left: DataFrame, right: DataFrame, key: String,
+                          leftTime: String, rightTime: String,
+                          valueCol: String, as: String = "asof_value"): DataFrame =
+    asOfJoinExec(left, right, key, leftTime, rightTime, valueCol, as,
+      forward = true)
 
   /** All (left, right) pairs with the same key whose timestamps differ by
     * at most `toleranceSeconds`. Equi-join on (key, band) with 3-band

@@ -62,6 +62,46 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(dup("f1").contains(5.0))
   }
 
+  test("forward exec matches the forward composition, incl. ties and dups") {
+    val failures = Seq(
+      (1L, ts("2024-01-01 10:00:05"), "f1"),
+      (1L, ts("2024-01-01 10:00:10"), "f2"),
+      (1L, ts("2024-01-01 10:00:20"), "f3"),
+      (2L, ts("2024-01-01 10:00:00"), "f4"),
+    ).toDF("k", "ftime", "failure")
+    val repairs = Seq(
+      (1L, ts("2024-01-01 10:00:06"), 6.0),
+      (1L, ts("2024-01-01 10:00:06"), 5.0), // duplicate time: smallest wins
+      (1L, ts("2024-01-01 10:00:10"), 10.0),
+      (2L, ts("2024-01-01 10:00:09"), 9.0),
+    ).toDF("k", "rtime", "cost")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("failure", "next_cost")
+        .as[(String, Option[Double])].collect().toMap
+    val comp = collect(TemporalJoins.asOfJoinForward(failures, repairs, "k",
+      "ftime", "rtime", "cost", "next_cost"))
+    val exec = collect(TemporalJoins.asOfJoinExecForward(failures, repairs, "k",
+      "ftime", "rtime", "cost", "next_cost"))
+    assert(exec == comp)
+    assert(exec("f1").contains(5.0) && exec("f2").contains(10.0) &&
+      exec("f3").isEmpty && exec("f4").contains(9.0))
+  }
+
+  test("forward exec equals the forward composition on the real events corpus") {
+    val ev = table(spark, "/root/testdata/sf0.001", "events")
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"event_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("pts"), $"value")
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.select("event_id", "nxt").as[(Long, Option[Double])].collect().toMap
+    val comp = run(TemporalJoins.asOfJoinForward(signups, purchases,
+      "user_id", "ts", "pts", "value", "nxt"))
+    val exec = run(TemporalJoins.asOfJoinExecForward(signups, purchases,
+      "user_id", "ts", "pts", "value", "nxt"))
+    assert(comp.nonEmpty && exec == comp)
+  }
+
   test("bandedRangeJoin equals the naive inequality join") {
     val ev = table(spark, "/root/testdata/sf0.001", "events")
     val a = ev.select(col("user_id"), col("event_id").as("id_a"), col("ts").as("ts_a"))
