@@ -428,6 +428,18 @@ object SparkEntry {
     // near-dup keep, reported as docs dropped per stage
     "curate_funnel" -> ((s, dir) =>
       graft.curate.Curation.curationFunnel(table(s, dir, "documents"))),
+    // snapshot diff: old = ids not divisible by 3, new = ids not divisible
+    // by 7 with %5==0 texts amended — all four statuses appear (added:
+    // %3==0 ∧ %7≠0; removed: %7==0 ∧ %3≠0; changed: %5==0 in both)
+    "curate_corpus_diff" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.curate.Curation.corpusDiff(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" amended")))
+              .otherwise(col("text"))))
+    }),
     // benchmark decontamination: src0 plays the eval set, the rest of the
     // corpus is scanned for shared trigrams
     "dedup_contamination" -> ((s, dir) => {
@@ -1174,6 +1186,18 @@ object SparkEntry {
         |WHERE list_dot_product(ea.u, eb.u) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
 
+    "curate_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS oh FROM documents WHERE doc_id % 3 <> 0),
+        |n AS (SELECT doc_id,
+        |        md5(CASE WHEN doc_id % 5 = 0 THEN text || ' amended' ELSE text END) AS nh
+        |      FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.oh IS NULL THEN 'added'
+        |       WHEN n.nh IS NULL THEN 'removed'
+        |       WHEN o.oh <> n.nh THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY 1""".stripMargin,
     // staged exactly like Curation.curationTags: langid pass = any marker
     // hit; quality = tokens >= 5 AND rounded dup-trigram-frac <= 0.2;
     // exact reps among quality survivors; near-dup clusters (df-cap 100,

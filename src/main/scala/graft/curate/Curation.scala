@@ -173,6 +173,28 @@ object Curation {
       .orderBy("source", "doc_id")
   }
 
+  /** Corpus snapshot diff — the dataset-versioning audit between two
+    * corpus versions: per doc_id, `added` (only in new), `removed` (only
+    * in old), `changed` (both, different content hash), `unchanged`.
+    * Exactly the report a training-data release pipeline publishes with a
+    * new corpus drop, and the input to incremental reprocessing (only
+    * added/changed docs re-enter the curation funnel).
+    *
+    * Scale notes (100 TB): both sides reduce to (doc_id, md5) BEFORE the
+    * full outer join, so the exchange carries two narrow hash frames —
+    * text never crosses; one hash-partitioned join on doc_id. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("__oh"))
+    val n = newDocs.select(col("doc_id"), md5(col("text")).as("__nh"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("__oh").isNull, "added")
+          .when(col("__nh").isNull, "removed")
+          .when(col("__oh") =!= col("__nh"), "changed")
+          .otherwise("unchanged").as("status"))
+      .orderBy("doc_id")
+  }
+
   /** The curated corpus: every surviving doc, whole rows. */
   def curatedDocs(docs: DataFrame, minTokens: Long = 5,
                   maxDupTrigramFrac: Double = 0.2, n: Int = 3,

@@ -39,6 +39,17 @@ class CurationSpec extends SparkSpec {
     assert(keptIds == Set(4L, 7L))
   }
 
+  test("corpus diff classifies added, removed, changed, unchanged") {
+    val old = Seq((1L, "same text"), (2L, "will change"), (3L, "will vanish"))
+      .toDF("doc_id", "text")
+    val neu = Seq((1L, "same text"), (2L, "has changed"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val out = Curation.corpusDiff(old, neu)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("funnel counts partition the corpus exactly") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val funnel = Curation.curationFunnel(docs)
