@@ -62,6 +62,13 @@ object SparkEntry {
       IndexStore.write(table(s, dir, "documents"), idx)
       IndexStore.phraseMatchStored(s, idx, "row column sort")
     }),
+    // proximity, same stored serving path (reuses the already-written
+    // store when it runs after idx_phrase_stored in the same session)
+    "idx_proximity_stored" -> ((s, dir) => {
+      val idx = indexPath(s, dir)
+      IndexStore.write(table(s, dir, "documents"), idx)
+      IndexStore.proximityMatchStored(s, idx, "spark", "join", 8)
+    }),
     "idx_doc_info" -> ((s, dir) =>
       InvertedIndex.docInfo(table(s, dir, "documents"))
         .orderBy("doc_id")),
@@ -656,6 +663,16 @@ object SparkEntry {
         |  array_to_string(tk[greatest(first_pos + 1 - 3, 1) : greatest(first_pos + 1 - 3, 1) + 8], ' ') AS snippet
         |FROM t JOIN f ON t.doc_id = f.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // stored ≡ recompute, same oracle derivation as idx_proximity_match
+    "idx_proximity_stored" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+        |p AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS pos, unnest(tk) AS term FROM t),
+        |a AS (SELECT doc_id, pos FROM p WHERE term = 'spark'),
+        |b AS (SELECT doc_id, pos FROM p WHERE term = 'join')
+        |SELECT a.doc_id AS doc_id, count(*) AS n_pairs,
+        |  CAST(min(abs(a.pos - b.pos)) AS BIGINT) AS min_distance
+        |FROM a JOIN b ON b.doc_id = a.doc_id AND abs(a.pos - b.pos) <= 8
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the oracle joins raw positions directly — no banding — so the
     // band-bucketed candidate generation is what is being checked
     "idx_proximity_match" ->

@@ -187,6 +187,15 @@ object IndexStore {
       t => prunedByTerm(positional(spark, dir), Seq(t), buckets))
   }
 
+  /** Proximity search served from the stored positional table — both
+    * sides of the banded join read only their term's hash bucket. */
+  def proximityMatchStored(spark: SparkSession, dir: String, termA: String,
+                           termB: String, window: Int = 8): DataFrame = {
+    val buckets = storedBuckets(spark, dir)
+    InvertedIndex.proximityFromPostings(termA, termB, window,
+      t => prunedByTerm(positional(spark, dir), Seq(t), buckets))
+  }
+
   private def prunedByTerm(df: DataFrame, terms: Seq[String], buckets: Int): DataFrame = {
     val bucketIds = terms.map(t => bucketOf(t, buckets)).distinct
     df.filter(col("term_bucket").isin(bucketIds: _*) &&

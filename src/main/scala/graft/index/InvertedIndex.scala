@@ -103,15 +103,24 @@ object InvertedIndex {
     * table serves them as pruned bucket lookups. */
   def proximityMatch(docs: DataFrame, termA: String, termB: String,
                      window: Int = 8): DataFrame = {
+    val p = positionalPostings(docs)
+    proximityFromPostings(termA, termB, window, t => p.filter(col("term") === t))
+  }
+
+  /** The banded proximity core, parameterized over the per-term postings
+    * fetcher like `phraseFromPostings` — shared by the corpus-scan form
+    * and the stored bucket-pruned form (IndexStore.proximityMatchStored). */
+  private[graft] def proximityFromPostings(termA: String, termB: String,
+                                           window: Int,
+                                           forTerm: String => DataFrame): DataFrame = {
     require(window >= 1, "window must be positive")
     val ta = termA.toLowerCase
     val tb = termB.toLowerCase
     require(ta != tb, "proximity of a term with itself is not supported")
-    val p = positionalPostings(docs)
-    val a = p.filter(col("term") === ta)
+    val a = forTerm(ta)
       .select(col("doc_id"), col("pos").as("__pa"))
       .withColumn("__band", floor(col("__pa") / window))
-    val b = p.filter(col("term") === tb)
+    val b = forTerm(tb)
       .select(col("doc_id"), col("pos").as("__pb"))
       .withColumn("__band", explode(array(
         floor(col("__pb") / window) - 1,

@@ -91,6 +91,23 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("stored proximity equals recompute and prunes both term buckets") {
+    val docs = table(spark, "/root/testdata/sf0.001", "documents")
+    val stored = IndexStore.proximityMatchStored(spark, dir, "the", "value", 8)
+    val fresh = graft.index.InvertedIndex.proximityMatch(docs, "the", "value", 8)
+      .collect().toSeq
+    assert(fresh.nonEmpty && stored.collect().toSeq == fresh)
+    // AQE may fold one side under a reused exchange, so pin that every
+    // SURVIVING positional leaf carries bucket pruning (same pattern as
+    // the phrase pin)
+    val scans = stored.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val posScans = scans.filter(_.contains("positional_postings"))
+    assert(posScans.nonEmpty)
+    posScans.foreach(s => assert(
+      s.contains("PartitionFilters") && s.contains("term_bucket"),
+      s"positional scan not pruned:\n$s"))
+  }
+
   test("ingest carries the positional table: new-doc phrases become servable") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-index-pp").toString
