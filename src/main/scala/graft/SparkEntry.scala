@@ -622,6 +622,30 @@ object SparkEntry {
     }),
   )
 
+  /** One shared index build for Bench: the four stored queries above each
+    * include a full `IndexStore.write` so the correctness gate proves
+    * stored ≡ recompute, but benchmarking that way rebuilds the same index
+    * four times and hides the serving latency the stored path exists to
+    * demonstrate. Bench times this once (reported as `idx_store_build`)
+    * and then times `servedQueries` serve-only. Verify keeps using
+    * `queries` — the inline build IS the correctness claim there. */
+  def buildIndexStore(s: SparkSession, dir: String): Unit =
+    IndexStore.write(table(s, dir, "documents"), indexPath(s, dir))
+
+  /** Serve-only twins of the stored queries: byte-identical serving plans
+    * (same functions, same store path), minus the inline build. */
+  def servedQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bm25_stored" -> ((s, dir) =>
+      BM25.searchStored(s, indexPath(s, dir), FlagshipQuery)),
+    "bm25_multi_stored" -> ((s, dir) =>
+      BM25.searchManyStored(s, indexPath(s, dir),
+        Seq((1L, "spark join window"), (2L, "batch stream")))),
+    "idx_phrase_stored" -> ((s, dir) =>
+      IndexStore.phraseMatchStored(s, indexPath(s, dir), "row column sort")),
+    "idx_proximity_stored" -> ((s, dir) =>
+      IndexStore.proximityMatchStored(s, indexPath(s, dir), "spark", "join", 8)),
+  )
+
   /** Per-(app, sfDir) temp index path — applicationId keeps concurrent
     * harness runs on the same sfDir from clobbering each other's files. */
   private def indexPath(s: SparkSession, dir: String): String =
