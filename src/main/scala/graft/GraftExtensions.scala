@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BigramsExpr, DotProductExpr, ShinglesExpr, TextFunctions, UnitVectorExpr, VectorFunctions}
+import graft.functions.{BigramsExpr, DotProductExpr, ImageDimsExpr, ImageFunctions, ShinglesExpr, TextFunctions, UnitVectorExpr, VectorFunctions}
 
 /** Library packaging for the native functions: sessions built with
   * `spark.sql.extensions=graft.GraftExtensions` (or
@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(TextFunctions.ShinglesName),
       new ExpressionInfo(classOf[ShinglesExpr].getName, TextFunctions.ShinglesName),
       TextFunctions.shinglesBuilder))
+    ext.injectFunction((
+      FunctionIdentifier(ImageFunctions.DimsName),
+      new ExpressionInfo(classOf[ImageDimsExpr].getName, ImageFunctions.DimsName),
+      ImageFunctions.dimsBuilder))
     // optimizer rewrite: |a-b| <= tol inequality joins -> banded equi-joins
     ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)
     // planner strategy: AsOfJoinNode -> AsOfJoinExec (sort-merge as-of)

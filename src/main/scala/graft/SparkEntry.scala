@@ -577,6 +577,15 @@ object SparkEntry {
       feat.select(Seq(col("media_id"), col("modality"), col("n_bytes")) ++ fcols: _*)
         .orderBy("media_id")
     }),
+    // REAL decode (no stub): header-valid PNG/JPEG binaries are assembled
+    // from doc fields with column ops, then the codegen graft_image_dims
+    // expression parses dimensions back out of the BYTES (PNG IHDR read;
+    // JPEG marker-segment walk past a per-row variable-length COM). The
+    // oracle re-assembles the same hex and parses it independently in SQL
+    // (recursive-CTE segment walk) — both engines decode actual bytes.
+    "mm_image_meta" -> ((s, dir) =>
+      Multimodal.imageMeta(
+        Multimodal.syntheticImageCorpus(table(s, dir, "documents")))),
 
     // ---- corpus sampling + stored-index serving (round-2 additions) ----
     // S3 replacement: seeded deterministic sample — stable under partition
@@ -1680,6 +1689,67 @@ object SparkEntry {
          |  $fs
          |FROM documents ORDER BY media_id""".stripMargin
     },
+    // independent byte-level parse: build the same hex, read PNG IHDR at
+    // fixed offsets, walk JPEG marker segments with a recursive CTE (byte
+    // b lives at hex chars 2b+1..2b+2; lengths/dims are big-endian ints
+    // via '0x…' casts). The walk's last row is the SOFn frame header.
+    "mm_image_meta" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id AS media_id, doc_id % 2 = 0 AS is_png,
+        |         CAST(doc_id % 509 + 16 AS INT) AS w,
+        |         CAST((doc_id * 7) % 389 + 16 AS INT) AS h,
+        |         CAST(doc_id % 11 AS INT) AS k
+        |  FROM documents),
+        |hb AS (
+        |  SELECT media_id, is_png,
+        |    CASE WHEN is_png THEN
+        |      '89504E470D0A1A0A' || '0000000D' || '49484452' ||
+        |      lpad(to_hex(w), 8, '0') || lpad(to_hex(h), 8, '0') || '0806000000' ||
+        |      'DEADBEEF' || '0000000049454E44AE426082'
+        |    ELSE
+        |      'FFD8FFFE' || lpad(to_hex(k + 2), 4, '0') ||
+        |      substring('4142434445464748494A4B', 1, k * 2) ||
+        |      'FFC0000B08' || lpad(to_hex(h), 4, '0') || lpad(to_hex(w), 4, '0') ||
+        |      '01011100FFD9'
+        |    END AS hx
+        |  FROM base),
+        |walk AS (
+        |  SELECT media_id, hx, 2 AS pos FROM hb
+        |  WHERE NOT is_png AND substring(hx, 1, 4) = 'FFD8'
+        |  UNION ALL
+        |  SELECT media_id, hx,
+        |    CASE WHEN (m BETWEEN 208 AND 215) OR m = 1 THEN pos + 2
+        |         ELSE pos + 2 + seglen END
+        |  FROM (SELECT media_id, hx, pos,
+        |          COALESCE(TRY_CAST('0x' || substring(hx, 2*pos+1, 2) AS INT), -1) AS ff,
+        |          COALESCE(TRY_CAST('0x' || substring(hx, 2*pos+3, 2) AS INT), -1) AS m,
+        |          COALESCE(TRY_CAST('0x' || substring(hx, 2*pos+5, 4) AS INT), -1) AS seglen
+        |        FROM walk) s
+        |  WHERE ff = 255 AND m >= 0
+        |    AND NOT (m BETWEEN 192 AND 207 AND m NOT IN (196, 200, 204))
+        |    AND m NOT IN (217, 218)
+        |    AND (((m BETWEEN 208 AND 215) OR m = 1) OR seglen >= 2)),
+        |jpeg AS (
+        |  SELECT media_id, 'jpeg' AS format,
+        |         CAST('0x' || substring(hx, 2*pos+15, 4) AS INT) AS width,
+        |         CAST('0x' || substring(hx, 2*pos+11, 4) AS INT) AS height,
+        |         CAST('0x' || substring(hx, 2*pos+9, 2) AS INT) AS bit_depth
+        |  FROM walk
+        |  WHERE COALESCE(TRY_CAST('0x' || substring(hx, 2*pos+1, 2) AS INT), -1) = 255
+        |    AND COALESCE(TRY_CAST('0x' || substring(hx, 2*pos+3, 2) AS INT), -1)
+        |          BETWEEN 192 AND 207
+        |    AND TRY_CAST('0x' || substring(hx, 2*pos+3, 2) AS INT) NOT IN (196, 200, 204)),
+        |png AS (
+        |  SELECT media_id, 'png' AS format,
+        |         CAST('0x' || substring(hx, 33, 8) AS INT) AS width,
+        |         CAST('0x' || substring(hx, 41, 8) AS INT) AS height,
+        |         CAST('0x' || substring(hx, 49, 2) AS INT) AS bit_depth
+        |  FROM hb
+        |  WHERE is_png AND substring(hx, 1, 16) = '89504E470D0A1A0A'
+        |    AND substring(hx, 25, 8) = '49484452')
+        |SELECT media_id, format, width, height, bit_depth
+        |FROM (SELECT * FROM png UNION ALL SELECT * FROM jpeg)
+        |ORDER BY media_id""".stripMargin,
     "samp_seeded" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS sample_key
         |FROM documents ORDER BY sample_key, doc_id LIMIT 100""".stripMargin,

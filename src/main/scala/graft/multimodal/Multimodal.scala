@@ -59,6 +59,53 @@ object Multimodal {
       }
   }
 
+  /** A corpus of REAL (header-valid) image binaries derived from the
+    * documents table — even doc_ids become PNGs, odd doc_ids JPEGs, with
+    * per-doc dimensions. The JPEG carries a variable-length COM segment
+    * ahead of its SOF0 frame header so the decoder's marker walk faces a
+    * different frame-header offset on every row (a fixed-offset "parser"
+    * would fail). Built with pure column ops (hex assembly + one unhex) —
+    * fixture generation is itself a distributed plan, nothing driver-side. */
+  def syntheticImageCorpus(docs: DataFrame): DataFrame = {
+    val w = (col("doc_id") % 509 + 16).cast("int")
+    val h = ((col("doc_id") * 7) % 389 + 16).cast("int")
+    val k = (col("doc_id") % 11).cast("int") // JPEG comment length, 0..10
+    def hex4(c: org.apache.spark.sql.Column) = lpad(hex(c), 4, "0")
+    def hex8(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+    // PNG: signature + IHDR(len,type,w,h,depth 8,color 6,comp/filt/interlace)
+    // + chunk CRC (unchecked by header decode) + empty IEND
+    val pngHex = concat(
+      lit("89504E470D0A1A0A"), lit("0000000D"), lit("49484452"),
+      hex8(w), hex8(h), lit("080600" + "0000"),
+      lit("DEADBEEF"), lit("0000000049454E44AE426082"))
+    // JPEG: SOI + COM(len 2+k, k comment bytes) + SOF0(len 11, precision 8,
+    // h, w, 1 component, spec 01 11 00) + EOI
+    val jpegHex = concat(
+      lit("FFD8"), lit("FFFE"), hex4(k + 2),
+      substring(lit("4142434445464748494A4B"), lit(1), k * 2),
+      lit("FFC0" + "000B" + "08"), hex4(h), hex4(w),
+      lit("01011100"), lit("FFD9"))
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 2 === 0, "png").otherwise("jpeg").as("modality"),
+      unhex(when(col("doc_id") % 2 === 0, pngHex).otherwise(jpegHex))
+        .as("payload"))
+  }
+
+  /** REAL decode: parse PNG IHDR / JPEG SOFn headers from the payload
+    * bytes with the codegen `graft_image_dims` expression (the production
+    * replacement for the feature-stub — corrupt rows surface as nulls,
+    * never task failures). */
+  def imageMeta(media: DataFrame): DataFrame = {
+    graft.functions.ImageFunctions.ensureRegistered(media.sparkSession)
+    media.select(col("media_id"),
+        graft.functions.ImageFunctions.imageDims(col("payload")).as("dims"))
+      .select(col("media_id"), col("dims.format").as("format"),
+        col("dims.width").as("width"), col("dims.height").as("height"),
+        col("dims.bit_depth").as("bit_depth"))
+      .orderBy("media_id")
+  }
+
   /** Deterministic "resize" stub (image-style): sample `outBytes` evenly-
     * strided bytes across the payload, emitted as one hex string — the
     * fixed-size thumbnail shape a real image resize produces, computable

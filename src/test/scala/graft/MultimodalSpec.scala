@@ -38,4 +38,58 @@ class MultimodalSpec extends SparkSpec {
     val f2 = feats.find(_.media_id == 2L).get
     assert(f2.features(2) == 0.0f) // padded beyond payload
   }
+
+  private def unhex(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("imageMeta parses a genuine 1x1 PNG (the canonical 67-byte fixture)") {
+    // real file bytes incl. correct CRCs and a zlib-deflated IDAT
+    val png1x1 = unhex(
+      "89504E470D0A1A0A 0000000D 49484452 00000001 00000001 08 06 000000" +
+        "1F15C489 0000000A 49444154 789C6300010000050001 0D0A2DB4" +
+        "00000000 49454E44 AE426082")
+    val out = Multimodal.imageMeta(
+      Seq((1L, "png", png1x1)).toDF("media_id", "modality", "payload"))
+      .as[(Long, String, Int, Int, Int)].collect()
+    assert(out.toSeq == Seq((1L, "png", 1, 1, 8)))
+  }
+
+  test("imageMeta walks real JPEG segments (APP0+COM+fill+TEM) to SOF0") {
+    // genuine structure: SOI, JFIF APP0, COM("ABC") preceded by a fill
+    // byte, standalone TEM marker, then SOF0 h=2 w=3, 3 components
+    val jpeg = unhex(
+      "FFD8 FFE0 0010 4A46494600 0101 00 0001 0001 00 00" +
+        "FF FFFE 0005 414243 FF01" +
+        "FFC0 0011 08 0002 0003 03 01 2200 02 1101 03 1101")
+    val out = Multimodal.imageMeta(
+      Seq((1L, "jpeg", jpeg)).toDF("media_id", "modality", "payload"))
+      .as[(Long, String, Int, Int, Int)].collect()
+    assert(out.toSeq == Seq((1L, "jpeg", 3, 2, 8)))
+  }
+
+  test("imageMeta yields null rows, not failures, on garbage and truncation") {
+    val bad = Seq[(Long, String, Array[Byte])](
+      (1L, "bin", unhex("DEADBEEF")),            // not an image
+      (2L, "bin", unhex("89504E470D0A1A0A")),    // PNG sig, no IHDR
+      (3L, "bin", unhex("FFD8FFFE0004")),        // JPEG COM truncated
+      (4L, "bin", unhex("FFD8FFDA0002")),        // SOS before any SOF
+      (5L, "bin", Array.emptyByteArray),
+    ).toDF("media_id", "modality", "payload")
+    val out = Multimodal.imageMeta(bad)
+      .as[(Long, Option[String], Option[Int], Option[Int], Option[Int])]
+      .collect()
+    assert(out.length == 5 && out.forall(r =>
+      r._2.isEmpty && r._3.isEmpty && r._4.isEmpty && r._5.isEmpty))
+  }
+
+  test("synthetic corpus round-trips: decode inverts the hex assembly") {
+    val corpus = Seq((6L, "even doc"), (7L, "odd doc"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.imageMeta(Multimodal.syntheticImageCorpus(corpus))
+      .as[(Long, String, Int, Int, Int)].collect().toSeq
+    assert(out == Seq(
+      (6L, "png", (6 % 509 + 16), (6 * 7 % 389 + 16), 8),
+      (7L, "jpeg", (7 % 509 + 16), (7 * 7 % 389 + 16), 8)))
+  }
 }
