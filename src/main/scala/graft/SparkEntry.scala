@@ -967,6 +967,7 @@ object SparkEntry {
         |  SELECT l_orderkey, l_suppkey,
         |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS late
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_suppkey IS NOT NULL
         |  GROUP BY 1, 2)
         |SELECT s_suppkey, s_name, count(*) AS n_orders
         |FROM ps p JOIN supplier ON p.l_suppkey = s_suppkey

@@ -571,20 +571,29 @@ object Relational {
     * supplier was late") decorrelate into one pass: per-(order, supplier)
     * late flags from a single keyed aggregate, then order-level
     * participant/late-count totals as window sums over the SAME order key
-    * — no join-back, no second scan. Shuffle chain: join on o_orderkey →
-    * agg on (orderkey, suppkey) → window re-key on orderkey → final agg
-    * on suppkey; each exchange carries only per-(order, supplier) rows,
-    * never raw lineitems. */
+    * — no join-back, no second scan. Shuffle chain: partial+final agg on
+    * (orderkey, suppkey) → join on o_orderkey → window on orderkey →
+    * final agg on suppkey. `late = max(l_shipdate) > o_orderdate + grace`
+    * is monotone in shipdate, so lineitem pre-aggregates to one
+    * (orderkey, suppkey, max_shipdate) row BEFORE the orders join
+    * (map-side combine): raw lineitems never cross an exchange, and the
+    * join's big side shrinks to per-(order, supplier) rows. NULL
+    * l_suppkey rows are excluded up front — a null supplier is not a
+    * participant and must not disqualify a real sole-late one (the
+    * oracle's correlated `q.l_suppkey <> p.l_suppkey` already ignores
+    * them; this pins the same semantics). */
   def soleLateSupplier(supplier: DataFrame, orders: DataFrame,
                        lineitem: DataFrame, graceDays: Int = 90,
                        k: Int = 10): DataFrame = {
     val perOrderSupp = lineitem
+      .filter(col("l_suppkey").isNotNull)
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max("l_shipdate").as("__max_ship"))
       .join(orders.select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
-      .groupBy("l_orderkey", "l_suppkey")
-      .agg(max(when(
-        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $graceDays DAYS"),
-        1).otherwise(0)).as("__late"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        when(col("__max_ship") > col("o_orderdate") +
+          expr(s"INTERVAL $graceDays DAYS"), 1).otherwise(0).as("__late"))
     val w = Window.partitionBy("l_orderkey")
     val flagged = perOrderSupp
       .withColumn("__n_supp", count(lit(1)).over(w))

@@ -52,6 +52,20 @@ object Layout {
     require(zCols.size * bits <= 63, "zCols.size * bits must fit a signed long")
     require(numFiles >= 1)
     require(!df.columns.contains("__z"), "column __z is reserved by writeZOrdered")
+    // a non-orderable-as-number key would cast to all-NULL bounds and fall
+    // into the constant-column branch below — every row z-maps to 0 on
+    // that dimension, silently un-clustered (round-3 advice). Fail loudly.
+    zCols.foreach { c =>
+      import org.apache.spark.sql.types._
+      val dt = df.schema(c).dataType
+      val ok = dt match {
+        case _: NumericType | DateType | TimestampType | TimestampNTZType => true
+        case _ => false
+      }
+      require(ok, s"writeZOrdered: z-column '$c' has non-numeric type $dt — " +
+        "z-ordering needs numeric/date/timestamp keys (hash or dictionary-" +
+        "encode strings first)")
+    }
     val boundsRow = df.agg(
       lit(0).as("_"),
       zCols.flatMap(c => Seq(

@@ -84,4 +84,13 @@ class LayoutSpec extends SparkSpec {
     assert(partFiles(s"$dir/t").size == 4)
     assert(spark.read.parquet(s"$dir/t").count() == events.count())
   }
+
+  test("z-order rejects non-numeric key columns instead of silently degrading") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val e = intercept[IllegalArgumentException] {
+      Layout.writeZOrdered(df, "/tmp/never_written", Seq("id", "name"), 2)
+    }
+    assert(e.getMessage.contains("name") && e.getMessage.contains("non-numeric"))
+  }
 }
