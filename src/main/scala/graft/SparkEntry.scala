@@ -499,6 +499,12 @@ object SparkEntry {
     // refined centroid head coordinates (the trained-quantizer primitive)
     "sim_kmeans_step" -> ((s, dir) =>
       Similarity.kmeansStep(table(s, dir, "embeddings"))),
+    // full Lloyd loop, 3 fixed rounds (the eps early-stop is spec
+    // territory — a fixed round count is what the SQL oracle can replay).
+    // Per-dim sums are DECIMAL(28,18)-exact on both sides, so the trained
+    // centroids are partition-layout-independent and bit-reproducible.
+    "sim_kmeans_fit" -> ((s, dir) =>
+      Similarity.kmeansFitReport(table(s, dir, "embeddings"))),
 
     // ---- text analysis (north star) ----
     "text_token_counts" -> ((s, dir) =>
@@ -1468,6 +1474,37 @@ object SparkEntry {
         |  round(avg(u[1]), 6) AS c0, round(avg(u[2]), 6) AS c1,
         |  round(avg(u[3]), 6) AS c2, round(avg(u[4]), 6) AS c3
         |FROM asg GROUP BY cell_id ORDER BY cell_id""".stripMargin,
+    // Lloyd replay, 3 unrolled rounds: assignment argmax (same CTE as
+    // sim_kmeans_step), then per-dim DECIMAL(28,18)-exact sums re-unitized
+    // by the identical x/sqrt(dot) tree Spark uses; empty cells keep the
+    // previous centroid via the LEFT JOIN + COALESCE.
+    "sim_kmeans_fit" -> {
+      val rounds = (1 to 3).map { t =>
+        val prev = if (t == 1) "ct0" else s"ct${t - 1}"
+        s"""a$t AS (SELECT vec_id, u, cell_id FROM (
+           |  SELECT e.vec_id, e.u, c.cell_id,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |           ORDER BY list_dot_product(e.u, c.cu) DESC, c.cell_id) AS rn
+           |  FROM e CROSS JOIN $prev c) WHERE rn = 1),
+           |s$t AS (SELECT cell_id, d, CAST(sum(CAST(u[d] AS DECIMAL(28,18))) AS DOUBLE) AS sd
+           |        FROM a$t, generate_series(1, 64) g(d) GROUP BY cell_id, d),
+           |m$t AS (SELECT cell_id, list(sd ORDER BY d) AS m FROM s$t GROUP BY cell_id),
+           |ct$t AS (SELECT p.cell_id,
+           |           COALESCE(list_transform(m$t.m, x -> x / sqrt(list_dot_product(m$t.m, m$t.m))), p.cu) AS cu
+           |         FROM $prev p LEFT JOIN m$t USING (cell_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |e1 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),
+         |e AS (SELECT vec_id, list_transform(v, x -> x/nrm) AS u FROM e1),
+         |c0s AS (SELECT vec_id, u, md5(CAST(vec_id AS VARCHAR) || ':7') AS ck FROM e ORDER BY ck, vec_id LIMIT 16),
+         |ct0 AS (SELECT CAST(row_number() OVER (ORDER BY ck, vec_id) AS INT) AS cell_id, u AS cu FROM c0s),
+         |$rounds
+         |SELECT ct3.cell_id, CAST(COALESCE(n3.n, 0) AS BIGINT) AS n_vecs,
+         |  round(ct3.cu[1], 6) AS c0, round(ct3.cu[2], 6) AS c1,
+         |  round(ct3.cu[3], 6) AS c2, round(ct3.cu[4], 6) AS c3
+         |FROM ct3 LEFT JOIN (SELECT cell_id, count(*) AS n FROM a3 GROUP BY cell_id) n3 USING (cell_id)
+         |ORDER BY cell_id""".stripMargin
+    },
 
     "text_token_counts" ->
       """SELECT doc_id,

@@ -166,7 +166,13 @@ object Similarity {
     VectorFunctions.ensureRegistered(embeddings.sparkSession)
     require(nProbe >= 1 && nProbe <= nCells)
     val e = unitVecs(embeddings)
-    val cells = ivfCells(e, nCells, seed)
+    ivfServe(e, ivfCells(e, nCells, seed), queryVecId, k, nProbe)
+  }
+
+  /** IVF probe+serve against an arbitrary centroid set (sampled or
+    * trained): shared by annCosineIvf and annCosineIvfTrained. */
+  private def ivfServe(e: DataFrame, cells: DataFrame, queryVecId: Long,
+                       k: Int, nProbe: Int): DataFrame = {
     val assigned = ivfAssign(e, cells)
     // the query's nProbe nearest cells: explode the (tiny) cell array once
     // and TakeOrdered nProbe of it — again no window, no extra shuffle
@@ -313,6 +319,98 @@ object Similarity {
     assigned.groupBy("cell_id")
       .agg(aggs.head, aggs.tail: _*)
       .orderBy("cell_id")
+  }
+
+  /** Full Lloyd's convergence loop (spherical k-means over unit vectors):
+    * sampled centroids (ivfCells = iteration 0), then repeat
+    * assign → per-cell mean → re-unitize, up to `iters` rounds or until
+    * the worst per-centroid movement (1 - cos(old, new)) drops below
+    * `eps`. Returns (cell_id, cu, n_vecs): the trained centroids plus the
+    * population of the final assignment.
+    *
+    * Cross-engine determinism (the oracle replays fixed iterations in
+    * SQL): per-dimension sums accumulate as DECIMAL(28,18) — exact and
+    * summation-order-independent, so the new centroid is a pure function
+    * of the SET of members, not of partition layout — and the re-unitize
+    * is the same x/sqrt(dot) expression tree as the oracle's. Empty cells
+    * keep their previous centroid.
+    *
+    * Scale shape: each round is one broadcast-fold corpus scan (ivfAssign,
+    * zero shuffle) plus one partial+final aggregate whose exchange carries
+    * nCells × dims decimal partials. The tiny per-round centroid frame is
+    * eagerly localCheckpoint'ed, truncating lineage the same way
+    * Dedup.duplicateClusters does — without it, round t's plan would
+    * re-derive rounds 1..t-1 and the optimizer would choke by round ~5.
+    * The eps test reads a 1-row aggregate per round (driver-side by
+    * nature: it is the loop condition, not a data path). */
+  def kmeansFit(embeddings: DataFrame, nCells: Int = 16, iters: Int = 3,
+                seed: Long = 7L, dims: Int = 64,
+                eps: Double = 0.0): DataFrame = {
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
+    require(iters >= 1 && nCells >= 1)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 18)
+    val e = unitVecs(embeddings)
+    var cells = ivfCells(e, nCells, seed).localCheckpoint(true)
+    var perCell: DataFrame = null
+    var it = 0
+    var moved = Double.MaxValue
+    while (it < iters && moved > eps) {
+      val assigned = ivfAssign(e, cells)
+      val sumCols = (1 to dims).map(d =>
+        sum(element_at(col("u"), d).cast(dec)).as(s"__s$d"))
+      val sums = assigned.groupBy("cell_id")
+        .agg(count(lit(1)).as("n_vecs"), sumCols: _*)
+      val mArr = array((1 to dims).map(d => col(s"__s$d").cast("double")): _*)
+      val upd = sums.select(col("cell_id"),
+        VectorFunctions.unit(mArr).as("new_cu"), col("n_vecs"))
+      val prev = cells.select(explode(col("cells")).as("c"))
+        .select(col("c.cell_id").as("cell_id"), col("c.cu").as("prev_cu"))
+      val merged = prev.join(upd, Seq("cell_id"), "left")
+        .select(col("cell_id"),
+          coalesce(col("new_cu"), col("prev_cu")).as("cu"),
+          col("prev_cu"),
+          coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+        .localCheckpoint(true)
+      moved = merged
+        .agg(max(lit(1.0) - dot(col("cu"), col("prev_cu"))).as("m"))
+        .head().getDouble(0)
+      perCell = merged.drop("prev_cu")
+      cells = merged
+        .agg(array_sort(collect_list(struct(col("cell_id"), col("cu"))))
+          .as("cells"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    perCell
+  }
+
+  /** Oracle-shaped fit report: per-cell population of the final
+    * assignment + the first `reportDims` trained-centroid coordinates.
+    * Fixed `iters`, no eps stop — the SQL oracle replays the same number
+    * of Lloyd rounds CTE-by-CTE. */
+  def kmeansFitReport(embeddings: DataFrame, nCells: Int = 16,
+                      iters: Int = 3, seed: Long = 7L, dims: Int = 64,
+                      reportDims: Int = 4): DataFrame = {
+    val fit = kmeansFit(embeddings, nCells, iters, seed, dims)
+    val coords = (0 until reportDims).map(d =>
+      round(element_at(col("cu"), d + 1), 6).as(s"c$d"))
+    fit.select(Seq(col("cell_id"), col("n_vecs")) ++ coords: _*)
+      .orderBy("cell_id")
+  }
+
+  /** IVF served from TRAINED centroids — the kmeansFit loop feeding the
+    * coarse quantizer (the production IVF; sampled-centroid annCosineIvf
+    * is iteration 0 of this). Same probe/serve plan, better-placed cells. */
+  def annCosineIvfTrained(embeddings: DataFrame, queryVecId: Long, k: Int,
+                          nCells: Int = 16, nProbe: Int = 4,
+                          iters: Int = 3, seed: Long = 7L,
+                          dims: Int = 64): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells)
+    val e = unitVecs(embeddings)
+    val cells = kmeansFit(embeddings, nCells, iters, seed, dims)
+      .agg(array_sort(collect_list(struct(col("cell_id"), col("cu"))))
+        .as("cells"))
+    ivfServe(e, cells, queryVecId, k, nProbe)
   }
 
   /** Int8 scalar quantization fidelity report: each vector is symmetrically

@@ -178,4 +178,79 @@ class SimilaritySpec extends SparkSpec {
       Seq("query_id", "vec_id", "label", "cosine", "rn"))
     assert(r.count() == 0L)
   }
+
+  /** 3 planted unit-vector clusters in 4-dim: axis directions perturbed
+    * by a small deterministic wobble on another axis. */
+  private def plantedClusters: org.apache.spark.sql.DataFrame = {
+    val base = Seq(
+      Array(1.0f, 0.0f, 0.0f, 0.0f),
+      Array(0.0f, 1.0f, 0.0f, 0.0f),
+      Array(0.0f, 0.0f, 1.0f, 0.0f))
+    val rows = for {
+      c <- 0 until 3
+      i <- 0 until 12
+    } yield {
+      val v = base(c).clone()
+      v(3) = 0.05f * ((i % 5) - 2) // wobble in [-0.1, 0.1]
+      ((c * 12 + i).toLong, v, c)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("kmeansFit converges on planted clusters: centroids land on centers") {
+    val fit = Similarity.kmeansFit(plantedClusters, nCells = 3, iters = 10,
+      dims = 4, eps = 1e-9)
+    val cells = fit.as[(Int, Array[Double], Long)].collect()
+    assert(cells.length == 3)
+    assert(cells.map(_._3).sum == 36L) // every vector assigned
+    // each trained centroid must be dominated by exactly one axis and the
+    // three centroids must cover the three planted axes
+    val domAxes = cells.map { case (_, cu, _) =>
+      cu.zipWithIndex.maxBy(x => math.abs(x._1))._2
+    }
+    assert(domAxes.toSet == Set(0, 1, 2))
+    cells.foreach { case (_, cu, _) =>
+      assert(cu.map(math.abs).max > 0.99, cu.mkString(","))
+    }
+  }
+
+  test("kmeansFit eps-stop: a converged fit stops before the iter cap") {
+    // after centroids stop moving, one extra round changes nothing — the
+    // fit at a generous cap equals the fit at a tight one
+    val a = Similarity.kmeansFit(plantedClusters, nCells = 3, iters = 10,
+        dims = 4, eps = 1e-9)
+      .orderBy("cell_id").as[(Int, Array[Double], Long)].collect().toSeq
+    val b = Similarity.kmeansFit(plantedClusters, nCells = 3, iters = 50,
+        dims = 4, eps = 1e-9)
+      .orderBy("cell_id").as[(Int, Array[Double], Long)].collect().toSeq
+    assert(a.map(r => (r._1, r._2.toSeq, r._3)) ==
+      b.map(r => (r._1, r._2.toSeq, r._3)))
+  }
+
+  test("trained IVF with nProbe == nCells degenerates to exact brute force") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.cosineTopK(e, 0L, 10)
+      .as[(Long, Int, Double)].collect().toSeq
+    val full = Similarity.annCosineIvfTrained(e, 0L, 10, nCells = 8,
+      nProbe = 8, iters = 2).as[(Long, Int, Double)].collect().toSeq
+    assert(full == brute)
+  }
+
+  test("training the quantizer does not hurt recall vs sampled centroids") {
+    // on planted clusters a trained quantizer's cells align with the true
+    // clusters, so probing ONE cell recovers the query's whole cluster
+    val e = plantedClusters
+    def recallAt(k: Int, res: Seq[Long], brute: Seq[Long]): Double =
+      res.count(brute.toSet).toDouble / brute.size
+    val brute = Similarity.cosineTopK(e, 0L, 10)
+      .as[(Long, Int, Double)].collect().map(_._1).toSeq
+    val sampled = Similarity.annCosineIvf(e, 0L, 10, nCells = 3, nProbe = 1)
+      .as[(Long, Int, Double)].collect().map(_._1).toSeq
+    val trained = Similarity.annCosineIvfTrained(e, 0L, 10, nCells = 3,
+      nProbe = 1, iters = 10, dims = 4)
+      .as[(Long, Int, Double)].collect().map(_._1).toSeq
+    val (rs, rt) = (recallAt(10, sampled, brute), recallAt(10, trained, brute))
+    assert(rt >= rs, s"trained recall $rt < sampled $rs")
+    assert(rt >= 0.9, s"trained recall $rt") // one probe covers the cluster
+  }
 }
