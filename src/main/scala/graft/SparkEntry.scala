@@ -473,6 +473,10 @@ object SparkEntry {
       Similarity.cosineTopK(table(s, dir, "embeddings"), 0L, 10)),
     "sim_ann_lsh" -> ((s, dir) =>
       Similarity.annCosineLsh(table(s, dir, "embeddings"), 0L, 10)),
+    // multi-probe serving upgrade: base bucket + 3 lowest-|margin|
+    // single-bit flips, deterministic probe order on both engines
+    "sim_ann_multiprobe" -> ((s, dir) =>
+      Similarity.annCosineLshMultiProbe(table(s, dir, "embeddings"), 0L, 10)),
     "sim_ann_ivf" -> ((s, dir) =>
       Similarity.annCosineIvf(table(s, dir, "embeddings"), 0L, 10)),
     "sim_norms_by_label" -> ((s, dir) =>
@@ -1394,6 +1398,28 @@ object SparkEntry {
         |SELECT b.vec_id, b.label,
         |  round(list_dot_product(v, qv)/(sqrt(list_dot_product(v, v))*sqrt(list_dot_product(qv, qv))), 4) AS cosine
         |FROM b, q WHERE b.bucket = q.qbucket AND b.vec_id != 0
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    // multi-probe: neighbors of the base bucket by flipping the 3 planes
+    // with the smallest |query·plane| margin (ties by plane index) —
+    // identical margin arithmetic, so both engines probe the same buckets
+    "sim_ann_multiprobe" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |b AS (SELECT vec_id, label, v,
+        |  list_sum(list_transform(generate_series(0, 7), j ->
+        |    CASE WHEN list_sum(list_transform(generate_series(1, 64), d ->
+        |      v[d] * CAST(((j*31 + (d-1)*17) % 7) - 3 AS DOUBLE))) >= 0
+        |    THEN 1 << j ELSE 0 END)) AS bucket FROM e),
+        |q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0),
+        |mg AS (SELECT qv, qbucket, j,
+        |         abs(list_sum(list_transform(generate_series(1, 64), d ->
+        |           qv[d] * CAST(((j*31 + (d-1)*17) % 7) - 3 AS DOUBLE)))) AS m
+        |       FROM q, generate_series(0, 7) g(j)),
+        |fl AS (SELECT qv, xor(qbucket, 1 << j) AS bucket
+        |       FROM mg ORDER BY m, j LIMIT 3),
+        |pb AS (SELECT qv, qbucket AS bucket FROM q UNION ALL SELECT qv, bucket FROM fl)
+        |SELECT b.vec_id, b.label,
+        |  round(list_dot_product(v, qv)/(sqrt(list_dot_product(v, v))*sqrt(list_dot_product(qv, qv))), 4) AS cosine
+        |FROM b JOIN pb ON b.bucket = pb.bucket WHERE b.vec_id != 0
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     "sim_norms_by_label" ->
       """WITH e AS (SELECT label, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm FROM embeddings)

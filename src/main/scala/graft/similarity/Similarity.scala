@@ -100,6 +100,49 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe LSH — the standard serving upgrade over the single-bucket
+    * probe: also search the neighboring buckets reached by flipping the
+    * LOWEST-MARGIN hyperplanes (the planes whose dot with the query is
+    * closest to the sign boundary — exactly the bits most likely to have
+    * split true neighbors away). Probe order is deterministic: the base
+    * bucket, then single-bit flips in ascending |margin| (plane index
+    * breaks ties), so both engines enumerate the same `nProbes` buckets.
+    *
+    * Recall rises without touching the corpus again: the candidate join
+    * reads nProbes buckets (~nProbes/2^nPlanes of the collection) instead
+    * of re-scanning everything — the index layout is unchanged, only the
+    * (tiny) query side fans out. */
+  def annCosineLshMultiProbe(embeddings: DataFrame, queryVecId: Long, k: Int,
+                             dims: Int = 64, nPlanes: Int = 8,
+                             nProbes: Int = 4): DataFrame = {
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
+    require(nProbes >= 1 && nProbes <= nPlanes + 1,
+      "single-bit probing covers at most nPlanes+1 buckets")
+    val e = embeddings.select(col("vec_id"), col("label"),
+      toDoubleVec(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), dims, nPlanes))
+    val q = e.filter(col("vec_id") === queryVecId)
+      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+    // per-plane signed margins of the query (tiny: nPlanes rows)
+    val planes = array((0 until nPlanes).map(j =>
+      struct(lit(j).as("j"), array((0 until dims).map(d =>
+        lit(planeCoef(j, d).toDouble)): _*).as("p"))): _*)
+    val flips = q.select(col("qv"), col("qbucket"), explode(planes).as("pl"))
+      .select(col("qv"), col("qbucket"), col("pl.j").as("j"),
+        abs(dot(col("qv"), col("pl.p"))).as("__m"))
+      .orderBy(asc("__m"), asc("j")).limit(nProbes - 1)
+      .select(col("qv"), col("qbucket")
+        .bitwiseXOR(expr("shiftleft(CAST(1 AS BIGINT), j)")).as("bucket"))
+    val probeSet = q.select(col("qv"), col("qbucket").as("bucket"))
+      .unionByName(flips)
+    e.join(broadcast(probeSet), Seq("bucket"))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("v"), col("qv")), 4).as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** IVF (inverted-file) ANN — the second scale path next to sign-bit LSH:
     * a coarse quantizer of `nCells` sampled centroids partitions the
     * vectors into cells; a query probes only its `nProbe` nearest cells.

@@ -179,6 +179,25 @@ class SimilaritySpec extends SparkSpec {
     assert(r.count() == 0L)
   }
 
+  test("multi-probe LSH: superset of single-probe, recall never drops") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.cosineTopK(e, 0L, 10)
+      .as[(Long, Int, Double)].collect().map(_._1).toSet
+    val single = Similarity.annCosineLsh(e, 0L, 10)
+      .as[(Long, Int, Double)].collect().map(_._1).toSeq
+    val multi = Similarity.annCosineLshMultiProbe(e, 0L, 10, nProbes = 4)
+      .as[(Long, Int, Double)].collect().map(_._1).toSeq
+    val (rs, rm) = (single.count(brute).toDouble / 10,
+      multi.count(brute).toDouble / 10)
+    assert(rm >= rs, s"multi-probe recall $rm < single $rs")
+    // probing every single-flip neighbor must reach everything a
+    // same-or-one-bit-away bucket holds — on this corpus that is the
+    // whole true top-10
+    val all = Similarity.annCosineLshMultiProbe(e, 0L, 10, nProbes = 9)
+      .as[(Long, Int, Double)].collect().map(_._1).toSeq
+    assert(all.count(brute).toDouble / 10 >= rm)
+  }
+
   /** 3 planted unit-vector clusters in 4-dim: axis directions perturbed
     * by a small deterministic wobble on another axis. */
   private def plantedClusters: org.apache.spark.sql.DataFrame = {
