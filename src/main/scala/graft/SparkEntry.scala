@@ -639,6 +639,13 @@ object SparkEntry {
       BM25.searchManyStored(s, idx,
         Seq((1L, "spark join window"), (2L, "batch stream")))
     }),
+    // phrase-aware ranking: BM25 over the phrase's terms + exact-phrase
+    // boost from the positional table, both served from the same store
+    "bm25_phrase_boost" -> ((s, dir) => {
+      val idx = indexPath(s, dir)
+      IndexStore.write(table(s, dir, "documents"), idx)
+      BM25.searchStoredPhraseBoosted(s, idx, "row column sort")
+    }),
   )
 
   /** One shared index build for Bench: the four stored queries above each
@@ -663,6 +670,8 @@ object SparkEntry {
       IndexStore.phraseMatchStored(s, indexPath(s, dir), "row column sort")),
     "idx_proximity_stored" -> ((s, dir) =>
       IndexStore.proximityMatchStored(s, indexPath(s, dir), "spark", "join", 8)),
+    "bm25_phrase_boost" -> ((s, dir) =>
+      BM25.searchStoredPhraseBoosted(s, indexPath(s, dir), "row column sort")),
   )
 
   /** Per-(app, sfDir) temp index path — applicationId keeps concurrent
@@ -1843,6 +1852,33 @@ object SparkEntry {
         |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM s ORDER BY doc_id""".stripMargin,
     "bm25_stored" -> bm25OracleSql("('spark','join','window')"),
     "bm25_multi_stored" -> bm25MultiOracleSql,
+    // BM25 over the phrase terms (same CTEs as bm25OracleSql) left-joined
+    // to the phrase-occurrence replay (same chain as idx_phrase_stored);
+    // boost multiplies the UNROUNDED sum, then one final round(4)
+    "bm25_phrase_boost" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term IN ('row','column','sort') GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok WHERE term IN ('row','column','sort') GROUP BY term),
+        |dl AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS dl FROM documents),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |         sum( ln(CAST(n AS DOUBLE)/df) * (2.0*tf) / (1.0*(0.25 + 0.75*dl/avgdl) + tf) ) AS score
+        |  FROM tf JOIN dfq USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+        |  GROUP BY tf.doc_id),
+        |t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+        |p AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS pos, unnest(tk) AS term FROM t),
+        |ph AS (SELECT p0.doc_id AS doc_id, count(*) AS n_occ
+        |       FROM p p0
+        |       JOIN p p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1 AND p1.term = 'column'
+        |       JOIN p p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2 AND p2.term = 'sort'
+        |       WHERE p0.term = 'row'
+        |       GROUP BY 1)
+        |SELECT s.doc_id,
+        |  round(s.score * (1.0 + 0.5 * ln(1.0 + COALESCE(ph.n_occ, 0))), 4) AS doc_rank,
+        |  CAST(COALESCE(ph.n_occ, 0) AS BIGINT) AS n_phrase
+        |FROM scored s LEFT JOIN ph USING (doc_id)
+        |ORDER BY doc_rank DESC, doc_id LIMIT 10""".stripMargin,
   )
 
   /** sketch_cms_topk oracle — the full CMS replay (same md5 hash family,

@@ -74,8 +74,11 @@ object BM25 {
         lit(b) * col("doc_length") / col("avg_doc_length")) +
         col("term_frequency"))
 
-  private def rank(qtf: DataFrame, qdf: DataFrame, dl: DataFrame,
-                   stats: DataFrame, k1: Double, b: Double, topK: Int): DataFrame =
+  /** Per-doc UNROUNDED BM25 sums — the shared scoring core; rank() and
+    * the phrase-boosted form round only their FINAL score (a boost over a
+    * pre-rounded sum would compound rounding error). */
+  private def scoreAll(qtf: DataFrame, qdf: DataFrame, dl: DataFrame,
+                       stats: DataFrame, k1: Double, b: Double): DataFrame =
     qtf
       .join(broadcast(qdf), Seq("term"))                  // J1
       .join(dl, Seq("doc_id"))                            // J2
@@ -83,9 +86,46 @@ object BM25 {
       .withColumn("bm25", bm25Score(k1, b))
       .groupBy("doc_id")
       .agg(sum("bm25").as("score"))
+
+  private def rank(qtf: DataFrame, qdf: DataFrame, dl: DataFrame,
+                   stats: DataFrame, k1: Double, b: Double, topK: Int): DataFrame =
+    scoreAll(qtf, qdf, dl, stats, k1, b)
       .select(col("doc_id"), round(col("score"), 4).as("doc_rank"))
       .orderBy(desc("doc_rank"), asc("doc_id"))
       .limit(topK)
+
+  /** Phrase-aware ranking from ONE stored index: bag-of-words BM25 over
+    * the phrase's terms, boosted for documents containing the EXACT
+    * phrase — `score * (1 + boost * ln(1 + phrase_occurrences))`. The
+    * natural composition now that the stat tables and the positional
+    * table live in the same 5-table store: the BM25 side prunes the
+    * postings buckets, the phrase side prunes the positional buckets, and
+    * one left join marries them — phrase hits rank above their
+    * bag-of-words ties, docs without the phrase keep their base score
+    * (ln(1+0) = 0). Boost applies BEFORE top-k: an exact-phrase doc
+    * outside the bag-of-words top-k can still surface. */
+  def searchStoredPhraseBoosted(spark: SparkSession, indexDir: String,
+                                phrase: String, k1: Double = 1.0,
+                                b: Double = 0.75, topK: Int = 10,
+                                boost: Double = 0.5): DataFrame = {
+    val terms = InvertedIndex.phraseTerms(phrase).distinct
+    val qtf = IndexStore.postingsForTerms(spark, indexDir, terms)
+      .drop("term_bucket")
+    val qdf = IndexStore.vocabularyForTerms(spark, indexDir, terms)
+      .drop("term_bucket")
+    val scores = scoreAll(qtf, qdf, IndexStore.docInfo(spark, indexDir),
+      IndexStore.corpusInfo(spark, indexDir), k1, b)
+    val phr = IndexStore.phraseMatchStored(spark, indexDir, phrase)
+    scores.join(phr, Seq("doc_id"), "left")
+      .withColumn("n_phrase", coalesce(col("n_occurrences"), lit(0L)))
+      .select(col("doc_id"),
+        round(col("score") *
+          (lit(1.0) + lit(boost) * log(lit(1.0) + col("n_phrase"))), 4)
+          .as("doc_rank"),
+        col("n_phrase"))
+      .orderBy(desc("doc_rank"), asc("doc_id"))
+      .limit(topK)
+  }
 
   /** Batch form: score MANY queries in one plan — the query-workload scale
     * path. One tf build amortizes over all queries; per-query top-k is a

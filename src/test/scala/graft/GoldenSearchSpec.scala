@@ -51,4 +51,29 @@ class GoldenSearchSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(recompute == stored)
   }
+
+  test("phrase boost lifts exact-phrase docs above their bag-of-words ties") {
+    // two docs with IDENTICAL token multisets (same BM25 for any query):
+    // only one has them in phrase order
+    val docs = Seq(
+      (1L, "alpha beta gamma filler filler"),
+      (2L, "beta alpha filler gamma filler"),
+      (3L, "unrelated words entirely here now"),
+    ).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-phrase-idx").toString
+    IndexStore.write(docs, dir)
+    val base = BM25.searchStored(spark, dir, "alpha beta gamma")
+      .as[(Long, Double)].collect().toSeq
+    // unboosted: the tie breaks by doc_id, 1 before 2, equal scores
+    assert(base.take(2).map(_._1) == Seq(1L, 2L))
+    assert(base(0)._2 == base(1)._2)
+    val boosted = BM25.searchStoredPhraseBoosted(spark, dir, "alpha beta gamma")
+      .as[(Long, Double, Long)].collect().toSeq
+    // boosted: doc 1 (exact phrase, n_phrase=1) strictly above doc 2
+    assert(boosted.head._1 == 1L && boosted.head._3 == 1L)
+    val doc2 = boosted.find(_._1 == 2L).get
+    assert(doc2._3 == 0L && boosted.head._2 > doc2._2)
+    // docs without all terms score on what they have; doc 3 has none
+    assert(!boosted.exists(_._1 == 3L))
+  }
 }
