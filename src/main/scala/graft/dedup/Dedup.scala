@@ -121,12 +121,20 @@ object Dedup {
     * executor memory for the session lifetime with no way to unpersist
     * after the caller's action. */
   def jaccardPairs(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.05,
-                   maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+                   maxShingleDf: Int = DefaultMaxShingleDf): DataFrame =
+    jaccardPairsFromShingles(shingles(docs, n), minJaccard, maxShingleDf)
+
+  /** jaccardPairs over an ALREADY-BUILT (doc_id, shingle) frame — the
+    * entry point for incremental curation, where survivors' shingles come
+    * from a persisted store instead of re-tokenizing text. Semantics are
+    * identical to jaccardPairs by construction (the text form delegates
+    * here). */
+  def jaccardPairsFromShingles(sh0: DataFrame, minJaccard: Double = 0.05,
+                               maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     if (maxShingleDf <= 0) {
-      val sh = shingles(docs, n)
-      return scoreJaccard(sh, sharedShingleCounts(sh), minJaccard)
+      return scoreJaccard(sh0, sharedShingleCounts(sh0), minJaccard)
     }
-    val buckets = shingles(docs, n)
+    val buckets = sh0
       .groupBy("shingle").agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) <= maxShingleDf)
     val inter = buckets
