@@ -311,6 +311,65 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.find(_._1.endsWith("04:00:00")).get._2 == 9L)
   }
 
+  test("anomaly monitor killed mid-stream resumes from its checkpoint " +
+    "exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-anom-rst").toString
+    val input = MemoryStream[(Timestamp, Long)]
+    def ev(h: Int, n: Int): Seq[(Timestamp, Long)] =
+      (0 until n).map(i => (Timestamp.valueOf(f"2024-01-01 $h%02d:15:00"),
+        h * 100L + i))
+    def writer = Streaming.hourlyAnomalyWriter(
+      input.toDF().toDF("ts", "event_id"), s"$dir/store", s"$dir/out")
+    val q1 = writer.option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      input.addData(ev(0, 1) ++ ev(1, 3))
+      q1.processAllAvailable()
+      // data arrives, then the query dies BEFORE processing it
+      input.addData(ev(2, 1) ++ ev(3, 3))
+    } finally q1.stop()
+    // a NEW query object on the SAME checkpoint must pick up the pending
+    // batch exactly once and keep going
+    val q2 = writer.option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q2.processAllAvailable()
+      input.addData(ev(4, 9) ++ ev(5, 2))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val all = ev(0, 1) ++ ev(1, 3) ++ ev(2, 1) ++ ev(3, 3) ++ ev(4, 9) ++ ev(5, 2)
+    val streamed = spark.read.parquet(s"$dir/out")
+      .as[(String, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    val batch = graft.events.Events.hourlyAnomaly(all.toDF("ts", "event_id"))
+      .as[(String, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(streamed == batch) // no loss, no double count across the restart
+  }
+
+  test("store-backed dedup killed mid-stream resumes from its checkpoint " +
+    "without re-emitting") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-dstore-rst").toString
+    val input = MemoryStream[(Long, String)]
+    def writer = Streaming.dedupAgainstStoreWriter(
+      input.toDF().toDF("doc_id", "text"), s"$dir/store", s"$dir/out")
+    val q1 = writer.option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      input.addData((1L, "alpha"), (2L, "beta"))
+      q1.processAllAvailable()
+      input.addData((3L, "alpha"), (4L, "gamma")) // pending at the kill
+    } finally q1.stop()
+    val q2 = writer.option("checkpointLocation", s"$dir/ckpt").start()
+    try {
+      q2.processAllAvailable()
+      input.addData((5L, "gamma"), (6L, "delta"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val outIds = spark.read.parquet(s"$dir/out")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    // 3 dups 1, 5 dups 4 — and nothing from the pre-kill batches re-emits
+    assert(outIds == Seq(1L, 2L, 4L, 6L))
+    assert(spark.read.parquet(s"$dir/store/content_hashes").count() == 4L)
+  }
+
   test("replayed hourly-count merge is idempotent (at-least-once safe)") {
     import org.apache.spark.sql.functions.{col, sum => fsum}
     def counts(rows: (String, Long)*) =
