@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up of a testdata directory: union `copies` shifted
+  * replicas of every fact table, offsetting each KEY DOMAIN by
+  * `copy * (max_key + 1)` consistently across primary and foreign sides,
+  * so referential structure (and therefore join selectivity per key) is
+  * preserved while row counts grow `copies`-fold. Dimension tables
+  * (nation, region) stay single-copy — replicated facts keep referencing
+  * the original rows, exactly how a bigger TPC-H SF behaves.
+  *
+  * Purpose: the sf1-scale bench artifact (round-3 verdict item #10) —
+  * the per-query time ratio sf1/sf0.1 against a 10x row ratio is the
+  * scaling table in BASELINE.md. Text/embedding content is replicated,
+  * not re-synthesized, which RAISES duplicate density for the dedup
+  * family (every doc gains `copies-1` exact twins) — fine for a scaling
+  * probe, stated in the artifact.
+  */
+object MakeScaled {
+
+  private def maxOf(df: DataFrame, c: String): Long =
+    df.agg(max(col(c).cast("long"))).head().getLong(0)
+
+  private def replicate(df: DataFrame, copies: Int,
+                        offsets: Map[String, Long]): DataFrame =
+    (0 until copies).map { i =>
+      offsets.foldLeft(df) { case (d, (c, stride)) =>
+        // cast back: the shifted key keeps its source column type
+        d.withColumn(c, (col(c) + lit(i * stride)).cast(d.schema(c).dataType))
+      }
+    }.reduce(_.unionByName(_))
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val spark = graft.Cli.session()
+    // events stores TIMESTAMP(NANOS): read as raw nanos longs and write
+    // them back as plain INT64 — graft.table's `ts div 1000` conversion
+    // handles both spellings identically
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def t(n: String) = spark.read.parquet(s"$src/$n.parquet")
+
+    val orderStride = maxOf(t("orders"), "o_orderkey") + 1
+    val custStride = maxOf(t("customer"), "c_custkey") + 1
+    val suppStride = maxOf(t("supplier"), "s_suppkey") + 1
+    val partStride = maxOf(t("part"), "p_partkey") + 1
+    val docStride = maxOf(t("documents"), "doc_id") + 1
+    val vecStride = maxOf(t("embeddings"), "vec_id") + 1
+    val evStride = maxOf(t("events"), "event_id") + 1
+    val userStride = maxOf(t("events"), "user_id") + 1
+
+    val plan: Seq[(String, Map[String, Long])] = Seq(
+      "customer" -> Map("c_custkey" -> custStride),
+      "supplier" -> Map("s_suppkey" -> suppStride),
+      "part" -> Map("p_partkey" -> partStride),
+      "orders" -> Map("o_orderkey" -> orderStride, "o_custkey" -> custStride),
+      "lineitem" -> Map("l_orderkey" -> orderStride,
+        "l_partkey" -> partStride, "l_suppkey" -> suppStride),
+      "documents" -> Map("doc_id" -> docStride),
+      "embeddings" -> Map("vec_id" -> vecStride),
+      "events" -> Map("event_id" -> evStride, "user_id" -> userStride),
+    )
+    plan.foreach { case (name, offsets) =>
+      replicate(t(name), copies, offsets)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    Seq("nation", "region").foreach { name =>
+      t(name).write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    println(s"scaled $src x$copies -> $out")
+    spark.stop()
+  }
+}
