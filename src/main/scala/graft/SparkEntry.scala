@@ -199,6 +199,44 @@ object SparkEntry {
     "rel_sole_late_supplier" -> ((s, dir) =>
       Relational.soleLateSupplier(table(s, dir, "supplier"),
         table(s, dir, "orders"), table(s, dir, "lineitem"))),
+    // TPC-H Q7 shape: bilateral nation trade volume by ship year
+    "rel_nation_trade" -> ((s, dir) =>
+      Relational.nationTradeVolume(table(s, dir, "lineitem"),
+        table(s, dir, "orders"), table(s, dir, "customer"),
+        table(s, dir, "supplier"), table(s, dir, "nation"),
+        "NATION_1", "NATION_2")),
+    // TPC-H Q8 shape: one nation's share of a region's part-type revenue
+    "rel_market_share" -> ((s, dir) =>
+      Relational.marketShare(table(s, dir, "lineitem"), table(s, dir, "orders"),
+        table(s, dir, "customer"), table(s, dir, "supplier"),
+        table(s, dir, "part"), table(s, dir, "nation"),
+        table(s, dir, "region"), "STANDARD", "ASIA", "NATION_1")),
+    // TPC-H Q13 shape: aggregate-of-aggregate order-count histogram
+    "rel_order_count_dist" -> ((s, dir) =>
+      Relational.orderCountDistribution(table(s, dir, "customer"),
+        table(s, dir, "orders"), "1-URGENT")),
+    // TPC-H Q14 shape: conditional-aggregate promo revenue ratio
+    "rel_promo_revenue" -> ((s, dir) =>
+      Relational.promoRevenue(table(s, dir, "lineitem"), table(s, dir, "part"),
+        "1997-03-01", "1997-04-01")),
+    // TPC-H Q16 shape: distinct-supplier counts with NOT-IN denylist
+    "rel_supplier_variety" -> ((s, dir) =>
+      Relational.supplierVariety(table(s, dir, "lineitem"),
+        table(s, dir, "part"), table(s, dir, "supplier"), "Brand#9",
+        Seq(1, 5, 10, 15, 20, 25, 30, 35))),
+    // TPC-H Q19 shape: OR-of-ANDs join predicate with per-side pushdown
+    "rel_disjunctive_join" -> ((s, dir) =>
+      Relational.disjunctiveRevenue(table(s, dir, "lineitem"),
+        table(s, dir, "part"))),
+    // TPC-H Q20 shape: share-of-part-total threshold via reused window
+    "rel_excess_share" -> ((s, dir) =>
+      Relational.excessShareSuppliers(table(s, dir, "lineitem"),
+        table(s, dir, "part"), table(s, dir, "supplier"),
+        table(s, dir, "nation"), "NATION_11", "small", 10)),
+    // TPC-H Q22 shape: scalar mean threshold + anti-join, by segment
+    "rel_idle_capital" -> ((s, dir) =>
+      Relational.idleCapital(table(s, dir, "customer"),
+        table(s, dir, "orders"), "2001-01-01")),
     "rel_cube" -> ((s, dir) =>
       Relational.cubeFlagStatus(table(s, dir, "lineitem"))),
     "rel_date_parts" -> ((s, dir) =>
@@ -997,6 +1035,97 @@ object SparkEntry {
         |                  AND q.l_suppkey <> p.l_suppkey AND q.late = 1)
         |GROUP BY 1, 2
         |ORDER BY n_orders DESC, s_suppkey LIMIT 10""".stripMargin,
+    "rel_nation_trade" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "rel_market_share" ->
+      """WITH base AS (
+        |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |    n1.n_name AS supp_nation,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem
+        |    JOIN part ON l_partkey = p_partkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |    JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN customer ON o_custkey = c_custkey
+        |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |    JOIN region ON n2.n_regionkey = r_regionkey
+        |  WHERE p_type = 'STANDARD' AND r_name = 'ASIA')
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN rev
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |  / CAST(sum(rev) AS DOUBLE) AS mkt_share
+        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rel_order_count_dist" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM pc GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "rel_promo_revenue" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+        |  100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+    "rel_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#9' AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "rel_disjunctive_join" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "rel_excess_share" ->
+      """WITH sp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+        |  ps AS (
+        |    SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |    FROM lineitem JOIN sp ON l_partkey = p_partkey
+        |    GROUP BY 1, 2),
+        |  tot AS (SELECT l_partkey, sum(sq) AS tq FROM ps GROUP BY 1)
+        |SELECT DISTINCT s_suppkey, s_name
+        |FROM ps JOIN tot USING (l_partkey)
+        |  JOIN supplier ON ps.l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_11' AND ps.sq * 100 > tot.tq * 10
+        |ORDER BY s_suppkey""".stripMargin,
+    "rel_idle_capital" ->
+      """WITH m AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer, m
+        |WHERE c_acctbal > mean_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = customer.c_custkey
+        |                  AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "rel_mode_priority" ->
       """WITH c AS (
         |  SELECT c_mktsegment, o_orderpriority, count(*) AS n

@@ -621,4 +621,227 @@ object Relational {
       .agg(count(lit(1)).as("n_above"))
       .orderBy("o_orderpriority")
   }
+
+  /** Bilateral trade volume (TPC-H Q7 shape): revenue shipped between two
+    * named nations, in both directions, by ship year. Each nation filter
+    * is applied to its dimension BEFORE the fact joins — supplier and
+    * customer shrink to two nations' worth of rows and broadcast, so the
+    * only exchanges the plan keeps are lineitem⋈orders on orderkey (the
+    * two fact tables). The disjunctive pair predicate
+    * (A→B or B→A) runs after both nation names are attached; it cannot be
+    * pushed below the join but operates on already-pruned rows. */
+  def nationTradeVolume(lineitem: DataFrame, orders: DataFrame,
+                        customer: DataFrame, supplier: DataFrame,
+                        nation: DataFrame, nationA: String,
+                        nationB: String): DataFrame = {
+    val pair = Seq(nationA, nationB)
+    val supp = supplier
+      .join(broadcast(nation.filter(col("n_name").isin(pair: _*))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = customer
+      .join(broadcast(nation.filter(col("n_name").isin(pair: _*))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    lineitem
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Market-share ratio (TPC-H Q8 shape): of all revenue from one part
+    * type sold to customers in one region, the fraction supplied by one
+    * nation, per order year. The share is a conditional aggregate — ONE
+    * pass computes numerator (CASE WHEN supp_nation = N) and denominator
+    * together; the naive two-subquery spelling would scan the join twice.
+    * Both sums accumulate as DECIMAL and the final division is one double
+    * op on both engines (bit-equal, no rounding needed). Part is filtered
+    * to one type before its join and broadcast; region restriction
+    * reaches customer through a broadcast nation⋈region dim chain. */
+  def marketShare(lineitem: DataFrame, orders: DataFrame,
+                  customer: DataFrame, supplier: DataFrame, part: DataFrame,
+                  nation: DataFrame, region: DataFrame, partType: String,
+                  regionName: String, suppNation: String): DataFrame = {
+    val parts = part.filter(col("p_type") === partType).select("p_partkey")
+    val custInRegion = customer
+      .join(broadcast(nation
+        .join(broadcast(region.filter(col("r_name") === regionName)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val suppNations = supplier
+      .join(broadcast(nation.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val rev = money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))
+    lineitem
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNations), col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custInRegion, col("o_custkey") === col("c_custkey"), "leftsemi")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(sum(when(col("supp_nation") === suppNation, rev)
+        .otherwise(money(lit(0)))).cast("double").as("nation_revenue"),
+        sum(rev).cast("double").as("total_revenue"))
+      .select(col("o_year"),
+        (col("nation_revenue") / col("total_revenue")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** Aggregate-of-aggregate distribution (TPC-H Q13 shape): how many
+    * customers placed exactly k non-urgent orders, including k = 0 via
+    * the left outer join. Two shuffles by construction — one on custkey
+    * for the per-customer count, one on the count value for the
+    * histogram — and the second input is one row per customer, so the
+    * distribution agg is negligible at any scale. */
+  def orderCountDistribution(customer: DataFrame, orders: DataFrame,
+                             excludePriority: String): DataFrame = {
+    val perCustomer = customer.select("c_custkey")
+      .join(orders.filter(col("o_orderpriority") =!= excludePriority)
+        .select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCustomer.groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** Conditional-aggregate ratio (TPC-H Q14 shape): percent of one
+    * month's shipped revenue from promo-type parts. The date window is a
+    * scan-side pushed filter on lineitem (only one month's rows join);
+    * the promo flag resolves through the p_partkey join and the ratio is
+    * numerator/denominator from a single aggregate pass. The part join
+    * stays a shuffle join — at 100 TB every part may be referenced, so
+    * there is no small side to broadcast (AQE may still convert it when
+    * the type filter makes one). */
+  def promoRevenue(lineitem: DataFrame, part: DataFrame,
+                   monthStart: String, monthEnd: String): DataFrame = {
+    val rev = money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))
+    lineitem
+      .filter(col("l_shipdate") >= ts(monthStart) &&
+        col("l_shipdate") < ts(monthEnd))
+      .join(part.select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("p_type").startsWith("PROMO"), rev)
+        .otherwise(money(lit(0)))).cast("double").as("promo_revenue"),
+        sum(rev).cast("double").as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        (lit(100.0) * col("promo_revenue") / col("total_revenue"))
+          .as("promo_pct"))
+  }
+
+  /** Distinct-count with NOT-IN exclusion (TPC-H Q16 shape): how many
+    * distinct suppliers serve each (brand, type, size) bucket, excluding
+    * a denylist (here: suppliers in deficit) and one brand. The NOT IN
+    * decorrelates to a broadcast anti-join BEFORE aggregation — denied
+    * suppliers never enter the distinct machinery. The part⋈lineitem
+    * association shuffles on partkey; count(DISTINCT l_suppkey) then
+    * plans as Spark's two-phase distinct expand, the standard way to
+    * keep partial aggregation despite the distinct. */
+  def supplierVariety(lineitem: DataFrame, part: DataFrame,
+                      supplier: DataFrame, excludeBrand: String,
+                      sizes: Seq[Int]): DataFrame = {
+    val denied = supplier.filter(col("s_acctbal") < 0).select("s_suppkey")
+    val parts = part
+      .filter(col("p_brand") =!= excludeBrand && col("p_size").isin(sizes: _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    lineitem.select("l_partkey", "l_suppkey")
+      .join(broadcast(denied), col("l_suppkey") === col("s_suppkey"), "leftanti")
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
+  }
+
+  /** Disjunctive multi-clause join predicate (TPC-H Q19 shape): revenue
+    * from three OR'd (brand, size-range, quantity-range) clauses. The
+    * whole disjunction references both sides, so it evaluates as the
+    * join condition; Catalyst additionally pushes each side's derivable
+    * disjunction down to its scan (the brand/size union prunes part, the
+    * quantity union prunes lineitem) — the join only sees rows that
+    * could satisfy SOME clause. One aggregate row out. */
+  def disjunctiveRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val qty = col("l_quantity")
+    val clause1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+      qty.between(1, 11)
+    val clause2 = col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+      qty.between(10, 20)
+    val clause3 = col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+      qty.between(20, 30)
+    lineitem
+      .join(part.select("p_partkey", "p_brand", "p_size"),
+        col("l_partkey") === col("p_partkey") && (clause1 || clause2 || clause3))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Correlated share-of-total threshold (TPC-H Q20 shape): suppliers in
+    * one nation who shipped more than `sharePct` of some prefix-named
+    * part's total volume. The correlated "this part's total" subquery
+    * decorrelates to one (partkey, suppkey) aggregate plus a per-part
+    * window total — raw lineitems cross one exchange with map-side
+    * combine, and the window's re-exchange on partkey moves only the
+    * already-reduced per-(part, supplier) rows. The join-back spelling
+    * (the oracle's) would aggregate twice and join; same asymptotics,
+    * one more scan of the reduced frame. The threshold compare is exact
+    * decimal cross-multiplication (100 * supp_qty > pct * total_qty),
+    * never a float division. */
+  def excessShareSuppliers(lineitem: DataFrame, part: DataFrame,
+                           supplier: DataFrame, nation: DataFrame,
+                           nationName: String, namePrefix: String,
+                           sharePct: Int): DataFrame = {
+    val parts = part.filter(col("p_name").startsWith(namePrefix))
+      .select("p_partkey")
+    val perSupp = lineitem
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(money(col("l_quantity"))).as("__supp_qty"))
+    val withTotal = perSupp.withColumn("__total_qty",
+      sum(col("__supp_qty")).over(Window.partitionBy("l_partkey")))
+    val natSupp = supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name")
+    withTotal
+      .filter(col("__supp_qty") * 100 > col("__total_qty") * sharePct)
+      .select("l_suppkey").distinct()
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
+  /** Scalar-threshold anti-join report (TPC-H Q22 shape): capital parked
+    * with customers who hold an above-average positive balance but have
+    * placed no orders since a cutoff, grouped by market segment. Composes
+    * the scalar-subquery (exact decimal mean, broadcast as a 1-row side)
+    * and NOT-EXISTS (anti-join on custkey) decorrelations in one plan;
+    * the anti-join's right side is pre-filtered to post-cutoff orders so
+    * it carries the minimum rows through its exchange. */
+  def idleCapital(customer: DataFrame, orders: DataFrame,
+                  cutoff: String): DataFrame = {
+    val meanPositive = customer.filter(col("c_acctbal") > 0)
+      .agg((sum(money(col("c_acctbal"))).cast("double") / count(lit(1)))
+        .as("__mean_bal"))
+    customer.crossJoin(broadcast(meanPositive))
+      .filter(col("c_acctbal") > col("__mean_bal"))
+      .join(orders.filter(col("o_orderdate") >= ts(cutoff)).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "leftanti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(money(col("c_acctbal"))).cast("double").as("total_acctbal"))
+      .orderBy("c_mktsegment")
+  }
 }

@@ -125,4 +125,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("Q19's OR-of-ANDs pushes each side's disjunction to its scan") {
+    // the whole predicate spans both tables, but Catalyst must still
+    // derive and push the single-side unions: quantity ranges prune the
+    // lineitem scan, brand/size clauses prune the part scan — the join
+    // only sees rows that could satisfy SOME clause
+    val p = plan("rel_disjunctive_join")
+    assert(p.contains("PushedFilters: [IsNotNull(l_partkey), " +
+      "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)"), p)
+    assert(p.contains("Or(Or(And(EqualTo(p_brand"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("Q20's window re-exchange moves only reduced per-(part,supp) rows") {
+    // raw lineitems shuffle once (map-side combined on the composite
+    // key); the per-part window total then re-exchanges the already
+    // reduced frame on l_partkey — never the raw scan
+    val p = plan("rel_excess_share")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin")) // part prefix dim + nation supplier dim
+    // exactly three hash exchanges: composite-key agg (map-side combined),
+    // partkey window over reduced rows, suppkey distinct — a fourth would
+    // mean raw lineitems started crossing a second time
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 3, p)
+  }
 }

@@ -133,4 +133,89 @@ class ReportQueriesSpec extends SparkSpec {
     assert(lit.getLong(1) == 2L && lit.getLong(2) == 1L && lit.getLong(3) == 0L)
     assert(lit.getDouble(5) == 0.0)
   }
+
+  test("Q13 histogram keeps the zero-order bucket from the left join") {
+    val customer = Seq(1L, 2L, 3L, 4L).toDF("c_custkey")
+    // cust 1: two normal orders; cust 2: one urgent (excluded -> k=0);
+    // cust 3: one normal; cust 4: no orders at all (k=0)
+    val orders = Seq(
+      (10L, 1L, "2-HIGH"), (11L, 1L, "3-MEDIUM"),
+      (12L, 2L, "1-URGENT"), (13L, 3L, "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val out = Relational.orderCountDistribution(customer, orders, "1-URGENT")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // custdist desc, c_count desc: k=0 has 2 customers, k=1 and k=2 one each
+    assert(out == Seq((0L, 2L), (2L, 1L), (1L, 1L)))
+  }
+
+  test("Q7 keeps both trade directions and drops same-nation flows") {
+    val nation = Seq((1L, "NATION_A"), (2L, "NATION_B"))
+      .toDF("n_nationkey", "n_name")
+    val supplier = Seq((10L, 1L), (11L, 2L)).toDF("s_suppkey", "s_nationkey")
+    val customer = Seq((20L, 1L), (21L, 2L)).toDF("c_custkey", "c_nationkey")
+    val orders = Seq((100L, 21L), (101L, 20L), (102L, 20L))
+      .toDF("o_orderkey", "o_custkey")
+    // A->B (order 100), B->A (order 101), A->A (order 102, dropped)
+    val li = Seq(
+      (100L, 10L, 100.0, 0.0, "1996-02-01"),
+      (101L, 11L, 200.0, 0.5, "1996-03-01"),
+      (102L, 10L, 999.0, 0.0, "1996-04-01"))
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "ship")
+      .withColumn("l_shipdate", col("ship").cast("timestamp"))
+    val out = Relational.nationTradeVolume(li, orders, customer, supplier,
+      nation, "NATION_A", "NATION_B")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3))).toSeq
+    assert(out == Seq(("NATION_A", "NATION_B", 100.0),
+      ("NATION_B", "NATION_A", 100.0)))
+  }
+
+  test("Q20 share threshold is strict and exact at the decimal boundary") {
+    val part = Seq((1L, "small ring"), (2L, "red bolt"))
+      .toDF("p_partkey", "p_name")
+    val nation = Seq((1L, "N")).toDF("n_nationkey", "n_name")
+    val supplier = Seq((10L, 1L, "s10"), (11L, 1L, "s11"), (12L, 1L, "s12"))
+      .toDF("s_suppkey", "s_nationkey", "s_name")
+    // part 1 total = 100: s10 ships exactly 30 (boundary, excluded at
+    // 30%), s11 ships 30.01 (just over, kept), s12 the rest;
+    // part 2 is not prefix-matched -> s12's 100% share there is invisible
+    val li = Seq(
+      (1L, 10L, 30.0), (1L, 11L, 30.01), (1L, 12L, 39.99),
+      (2L, 12L, 50.0))
+      .toDF("l_partkey", "l_suppkey", "l_quantity")
+    val out = Relational.excessShareSuppliers(li, part, supplier, nation,
+      "N", "small", 30)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((11L, "s11"), (12L, "s12")))
+  }
+
+  test("Q16 denylisted suppliers never reach the distinct count") {
+    val part = Seq((1L, "Brand#2", "MEDIUM", 5), (2L, "Brand#9", "MEDIUM", 5))
+      .toDF("p_partkey", "p_brand", "p_type", "p_size")
+    val supplier = Seq((10L, -5.0), (11L, 50.0), (12L, 50.0))
+      .toDF("s_suppkey", "s_acctbal")
+    val li = Seq((1L, 10L), (1L, 10L), (1L, 11L), (1L, 12L), (2L, 11L))
+      .toDF("l_partkey", "l_suppkey")
+    val out = Relational.supplierVariety(li, part, supplier, "Brand#9", Seq(5))
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSeq
+    // supplier 10 is in deficit (denied); Brand#9's part is excluded
+    assert(out == Seq(("Brand#2", 2L)))
+  }
+
+  test("Q22 mean threshold is strict; only post-cutoff orders disqualify") {
+    // positive balances {150,150,100,50,50} -> mean exactly 100
+    val customer = Seq(
+      (1L, 150.0, "SEG_A"),  // above mean, old order only -> counted
+      (2L, 150.0, "SEG_A"),  // above mean, recent order -> dropped
+      (3L, 100.0, "SEG_B"),  // exactly the mean (strict >) -> dropped
+      (4L, 50.0, "SEG_B"),   // below mean
+      (5L, 50.0, "SEG_B"),   // below mean
+      (6L, -50.0, "SEG_B"))  // negative: excluded from the mean itself
+      .toDF("c_custkey", "c_acctbal", "c_mktsegment")
+    val orders = Seq((10L, 1L, "1999-06-01"), (11L, 2L, "2001-06-01"))
+      .toDF("o_orderkey", "o_custkey", "od")
+      .withColumn("o_orderdate", col("od").cast("timestamp"))
+    val out = Relational.idleCapital(customer, orders, "2001-01-01")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq(("SEG_A", 1L, 150.0)))
+  }
 }
