@@ -547,6 +547,10 @@ object SparkEntry {
     // centroids are partition-layout-independent and bit-reproducible.
     "sim_kmeans_fit" -> ((s, dir) =>
       Similarity.kmeansFitReport(table(s, dir, "embeddings"))),
+    // dedup-family member of the trained partition: within-cell cosine
+    // pairs — learned buckets instead of random hyperplanes
+    "dedup_semantic_pairs" -> ((s, dir) =>
+      Similarity.semanticDedupPairs(table(s, dir, "embeddings"))),
 
     // ---- text analysis (north star) ----
     "text_token_counts" -> ((s, dir) =>
@@ -1668,6 +1672,40 @@ object SparkEntry {
          |  round(ct3.cu[3], 6) AS c2, round(ct3.cu[4], 6) AS c3
          |FROM ct3 LEFT JOIN (SELECT cell_id, count(*) AS n FROM a3 GROUP BY cell_id) n3 USING (cell_id)
          |ORDER BY cell_id""".stripMargin
+    },
+    // same unrolled 3-iteration kmeans as sim_kmeans_fit, plus a final
+    // assignment against the trained ct3 and a within-cell self-join
+    "dedup_semantic_pairs" -> {
+      val rounds = (1 to 3).map { t =>
+        val prev = if (t == 1) "ct0" else s"ct${t - 1}"
+        s"""a$t AS (SELECT vec_id, u, cell_id FROM (
+           |  SELECT e.vec_id, e.u, c.cell_id,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |           ORDER BY list_dot_product(e.u, c.cu) DESC, c.cell_id) AS rn
+           |  FROM e CROSS JOIN $prev c) WHERE rn = 1),
+           |s$t AS (SELECT cell_id, d, CAST(sum(CAST(u[d] AS DECIMAL(28,18))) AS DOUBLE) AS sd
+           |        FROM a$t, generate_series(1, 64) g(d) GROUP BY cell_id, d),
+           |m$t AS (SELECT cell_id, list(sd ORDER BY d) AS m FROM s$t GROUP BY cell_id),
+           |ct$t AS (SELECT p.cell_id,
+           |           COALESCE(list_transform(m$t.m, x -> x / sqrt(list_dot_product(m$t.m, m$t.m))), p.cu) AS cu
+           |         FROM $prev p LEFT JOIN m$t USING (cell_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |e1 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),
+         |e AS (SELECT vec_id, list_transform(v, x -> x/nrm) AS u FROM e1),
+         |c0s AS (SELECT vec_id, u, md5(CAST(vec_id AS VARCHAR) || ':7') AS ck FROM e ORDER BY ck, vec_id LIMIT 16),
+         |ct0 AS (SELECT CAST(row_number() OVER (ORDER BY ck, vec_id) AS INT) AS cell_id, u AS cu FROM c0s),
+         |$rounds,
+         |a4 AS (SELECT vec_id, u, cell_id FROM (
+         |  SELECT e.vec_id, e.u, c.cell_id,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY list_dot_product(e.u, c.cu) DESC, c.cell_id) AS rn
+         |  FROM e CROSS JOIN ct3 c) WHERE rn = 1)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(list_dot_product(a.u, b.u), 4) AS cosine
+         |FROM a4 a JOIN a4 b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.u, b.u) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin
     },
 
     "text_token_counts" ->

@@ -456,6 +456,40 @@ object Similarity {
     ivfServe(e, cells, queryVecId, k, nProbe)
   }
 
+  /** SEMANTIC near-dup pairs (the dedup-family member the trained
+    * partition buys): vectors sharing a trained k-means cell whose cosine
+    * clears the threshold. Where the sign-LSH pair generator
+    * (`Dedup.embeddingNearDupPairs`) buckets by random hyperplanes,
+    * this buckets by the LEARNED partition — cells follow the data's
+    * actual density, so near-dup pairs co-locate with far fewer
+    * band/bucket misses at the same candidate volume. Plan: the
+    * shuffle-free broadcast-fold assignment, then ONE equi-join on
+    * cell_id with vec_a < vec_b — candidate generation is bounded per
+    * cell, never all-pairs. At 100 TB the dials are nCells (grow with
+    * corpus as for IVF, keeping cell populations bounded) and AQE skew
+    * split for any over-dense cell — the join is a plain equi-join, so
+    * the skew machinery applies as-is. Cosine is compared UNROUNDED and
+    * surfaced rounded, like every pair generator here. */
+  def semanticDedupPairs(embeddings: DataFrame, threshold: Double = 0.4,
+                         nCells: Int = 16, iters: Int = 3, seed: Long = 7L,
+                         dims: Int = 64): DataFrame = {
+    val e = unitVecs(embeddings)
+    val cells = kmeansFit(embeddings, nCells, iters, seed, dims)
+      .agg(array_sort(collect_list(struct(col("cell_id"), col("cu"))))
+        .as("cells"))
+    val assigned = ivfAssign(e, cells).select("vec_id", "u", "cell_id")
+    val left = assigned.select(col("cell_id"), col("vec_id").as("vec_a"),
+      col("u").as("__ua"))
+    val right = assigned.select(col("cell_id"), col("vec_id").as("vec_b"),
+      col("u").as("__ub"))
+    left.join(right, Seq("cell_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("__cos", dot(col("__ua"), col("__ub")))
+      .filter(col("__cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("__cos"), 4).as("cosine"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Int8 scalar quantization fidelity report: each vector is symmetrically
     * quantized to [-127, 127] (per-vector scale = 127 / max |x|, round-half-up
     * via floor(x*s + 0.5) — spelled identically in the oracle so the

@@ -272,4 +272,29 @@ class SimilaritySpec extends SparkSpec {
     assert(rt >= rs, s"trained recall $rt < sampled $rs")
     assert(rt >= 0.9, s"trained recall $rt") // one probe covers the cluster
   }
+
+  test("semantic dedup pairs: within-cluster twins found, cross-cluster never") {
+    val pairs = Similarity.semanticDedupPairs(plantedClusters,
+      threshold = 0.9, nCells = 3, iters = 10, dims = 4)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.nonEmpty)
+    // the planted clusters are axis-aligned: any pair crossing clusters
+    // has cosine ~= wobble^2 < 0.9, so every surfaced pair must be
+    // intra-cluster (vec_id / 12 identifies the planted cluster)
+    pairs.foreach { case (a, b, cos) =>
+      assert(a / 12 == b / 12, s"cross-cluster pair ($a,$b)")
+      assert(cos >= 0.9 && cos <= 1.0)
+      assert(a < b)
+    }
+    // identical wobble -> identical vector -> cosine 1.0 pairs must all
+    // surface: ids i and i+5 within a cluster repeat the same wobble
+    val exactTwins = for {
+      c <- 0 until 3; i <- 0 until 12; j <- (i + 1) until 12
+      if i % 5 == j % 5
+    } yield ((c * 12 + i).toLong, (c * 12 + j).toLong)
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    exactTwins.foreach { t =>
+      assert(got.contains(t), s"missing exact twin pair $t")
+    }
+  }
 }
