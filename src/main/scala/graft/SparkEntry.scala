@@ -557,6 +557,10 @@ object SparkEntry {
       TextAnalysis.tokenCounts(table(s, dir, "documents"))),
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScores(table(s, dir, "documents"))),
+    // CCNet-style perplexity filter: LM trained on the reference source
+    // only, every doc scored with add-1 smoothing
+    "text_cross_lm" -> ((s, dir) =>
+      TextAnalysis.crossLmScores(table(s, dir, "documents"), "src0")),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(table(s, dir, "documents"))),
     "text_langid" -> ((s, dir) =>
@@ -1797,6 +1801,32 @@ object SparkEntry {
         |       FROM occ JOIN bcw USING (bigram) JOIN c1 USING (w1)),
         |per AS (SELECT doc_id, count(*) AS nb, round(avg(lp), 4) AS avg_logp FROM sc GROUP BY doc_id)
         |SELECT d.doc_id, CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams, avg_logp
+        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "text_cross_lm" ->
+      """WITH t AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+        |occ AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+        |    THEN list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])
+        |    ELSE [] END) AS bigram FROM t),
+        |rt AS (SELECT tk FROM t WHERE source = 'src0'),
+        |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vs FROM (SELECT unnest(tk) AS w FROM rt)),
+        |rocc AS (SELECT unnest(CASE WHEN len(tk) >= 2
+        |    THEN list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])
+        |    ELSE [] END) AS bigram FROM rt),
+        |bc AS (SELECT bigram, count(*) AS c2 FROM rocc GROUP BY bigram),
+        |bcw AS (SELECT bigram, c2, split_part(bigram, ' ', 1) AS w1 FROM bc),
+        |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM bcw GROUP BY w1),
+        |sc AS (SELECT doc_id,
+        |    ln(CAST(coalesce(c2, 0) AS DOUBLE) + 1.0)
+        |      - ln(CAST(coalesce(c1, 0) AS DOUBLE) + 1.0 * vs) AS lp,
+        |    CASE WHEN c2 IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM occ
+        |  LEFT JOIN bcw ON occ.bigram = bcw.bigram
+        |  LEFT JOIN c1 ON split_part(occ.bigram, ' ', 1) = c1.w1
+        |  CROSS JOIN v),
+        |per AS (SELECT doc_id, count(*) AS nb, CAST(sum(oov) AS BIGINT) AS n_oov,
+        |        round(avg(lp), 4) AS avg_logp FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov, avg_logp
         |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
     "text_len_quantiles" ->
       """WITH t AS (SELECT lang, CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS n_tokens FROM documents)

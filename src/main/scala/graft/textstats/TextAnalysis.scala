@@ -191,6 +191,54 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style reference-LM quality score: every document scored by a
+    * bigram LM trained ONLY on the reference source, add-k smoothed so
+    * out-of-reference bigrams stay finite — low avg_logp / high n_oov
+    * marks text unlike the trusted slice (the perplexity filter of a
+    * pretraining pipeline, where `bigramLmScores` is self-perplexity).
+    * P(w2|w1) = (c2 + k) / (c1 + k·V), V = reference vocabulary size
+    * (a broadcast 1-row side); smoothing arithmetic is integer counts
+    * lifted through one identical double expression tree on both
+    * engines. Scale: the LM tables are bounded by the REFERENCE corpus
+    * (curated, orders smaller than the scored corpus — broadcastable in
+    * practice, hash-join correct regardless); the corpus-proportional
+    * side crosses one exchange keyed by bigram, then re-keys per doc for
+    * the average — the same two-exchange shape as the self-LM. */
+  def crossLmScores(docs: DataFrame, refSource: String,
+                    smoothK: Double = 1.0): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(docs.sparkSession)
+    val occ = docs.select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.bigrams(col("t"))).as("bigram"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val refToks = docs.filter(col("source") === refSource).select(toks.as("t"))
+    val vocab = refToks.select(explode(col("t")).as("w"))
+      .agg(countDistinct(col("w")).as("__v"))
+    val refBi = refToks
+      .select(explode(graft.functions.TextFunctions.bigrams(col("t"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c2"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val refC1 = refBi.groupBy("w1").agg(sum("c2").as("c1"))
+    val scored = occ
+      .join(refBi.select("bigram", "c2"), Seq("bigram"), "left")
+      .join(refC1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        (log(coalesce(col("c2"), lit(0L)).cast("double") + lit(smoothK)) -
+          log(coalesce(col("c1"), lit(0L)).cast("double") +
+            lit(smoothK) * col("__v"))).as("lp"),
+        col("c2").isNull.cast("long").as("oov"))
+    val per = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("oov").as("n_oov"),
+        round(avg("lp"), 4).as("avg_logp"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        col("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   /** Top-k word bigrams (occurrence counts, duplicates kept). The bigram
     * array is built by the native codegen graft_bigrams expression — the
     * interpreted HOF spelling (transform+element_at, kept as the semantic

@@ -58,4 +58,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(3L) == ((1L, Some(r4(math.log(1.0) - math.log(3.0))))))
     assert(rows(4L) == ((0L, None))) // single token: no bigrams, NULL score
   }
+
+  test("cross-LM scores: reference-trained, add-1 smoothed, OOV counted") {
+    def r4(v: Double): Double =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Seq(
+      (1L, "ref", "a b a b"), // LM training: c2("a b")=2, c2("b a")=1
+      (2L, "web", "a b c"),   // "a b" seen, "b c" unseen (OOV)
+      (3L, "web", "x"))       // single token: no bigrams
+      .toDF("doc_id", "source", "text")
+    // V = |{a, b}| = 2; c1(a) = 2, c1(b) = 1
+    val rows = TextAnalysis.crossLmScores(docs, "ref").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    // ref doc scores itself: ln(3/4), ln(2/3), ln(3/4) — no OOV
+    val refAvg = (2 * (math.log(3.0) - math.log(4.0)) +
+      (math.log(2.0) - math.log(3.0))) / 3.0
+    assert(rows(1L) == ((3L, 0L, Some(r4(refAvg)))))
+    // "a b": ln((2+1)/(2+2)); "b c": unseen -> ln((0+1)/(1+2)), 1 OOV
+    val webAvg = ((math.log(3.0) - math.log(4.0)) +
+      (math.log(1.0) - math.log(3.0))) / 2.0
+    assert(rows(2L) == ((2L, 1L, Some(r4(webAvg)))))
+    assert(rows(3L) == ((0L, 0L, None)))
+  }
 }
