@@ -757,7 +757,11 @@ object Relational {
     val parts = part
       .filter(col("p_brand") =!= excludeBrand && col("p_size").isin(sizes: _*))
       .select("p_partkey", "p_brand", "p_type", "p_size")
+    // NULL l_suppkey: SQL's NOT IN filters it (NULL comparison) while an
+    // anti-join would keep it — pin the SQL semantics on both engines
+    // (same latent-null rule as soleLateSupplier)
     lineitem.select("l_partkey", "l_suppkey")
+      .filter(col("l_suppkey").isNotNull)
       .join(broadcast(denied), col("l_suppkey") === col("s_suppkey"), "leftanti")
       .join(parts, col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "p_type", "p_size")

@@ -59,6 +59,13 @@ class BenchInvariantsSpec extends SparkSpec {
     ("rel_bucketed_join", 2, 200L),
     ("samp_stratified", 2, 250L),
     ("text_bigram_lm", 5, 6000L),
+    // round-4 additions: the trained-partition pair generator (kmeans
+    // exchanges carry centroid partials, the pair join only reduced
+    // assignments) and the reference-LM filter (bigram-keyed then
+    // doc-keyed, LM tables bounded by the reference slice)
+    ("dedup_semantic_pairs", 2, 60L),
+    ("text_cross_lm", 7, 5000L),
+    ("rel_excess_share", 4, 28000L),
   )
 
   pins.foreach { case (name, nShuffles, maxRecords) =>
