@@ -390,4 +390,54 @@ object Streaming {
       .withColumn(as, try_element_at(eligible, lit(-1)).getField("v"))
       .drop("__versions")
   }
+
+  /** One admission decision per input event (rateLimitPerUser output). */
+  case class Admission(userId: Long, eventId: Long, admitted: Boolean,
+                       nAdmitted: Long)
+
+  /** Per-key quota enforcement on the `transformWithState` API (the
+    * arbitrary-state surface that supersedes mapGroupsWithState): each
+    * user's lifetime admission count lives in a typed ValueState; every
+    * event is emitted back with its admit/reject verdict, so rejected
+    * traffic is observable downstream instead of silently dropped — the
+    * ingestion guard in front of a training-data firehose.
+    *
+    * Requires the RocksDB state store provider (set in the caller's
+    * session conf); state shards by user exactly like the groupByKey
+    * shuffle, and a TTLConfig on the ValueState is the quota-reset dial
+    * (NONE here: lifetime quota, the deterministic form a spec can pin).
+    * Within a micro-batch the admission order follows the iterator order
+    * Spark hands the processor — deterministic for a MemoryStream batch,
+    * arrival order in production. */
+  class RateLimitProcessor(limit: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), Admission] {
+    @transient private var admitted:
+      org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      admitted = getHandle.getValueState[Long]("admitted",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[Admission] = {
+      var c = if (admitted.exists()) admitted.get() else 0L
+      val out = rows.map { case (_, eventId) =>
+        val ok = c < limit
+        if (ok) { c += 1; admitted.update(c) }
+        Admission(key, eventId, ok, c)
+      }.toVector
+      out.iterator
+    }
+  }
+
+  def rateLimitPerUser(events: Dataset[(Long, Long)],
+                       limit: Long): Dataset[Admission] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new RateLimitProcessor(limit),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }

@@ -74,6 +74,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState rate limiter: lifetime quota per user, " +
+    "rejections observable, state carried across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, Long)]
+    val q = Streaming.rateLimitPerUser(input.toDS(), limit = 3)
+      .writeStream.format("memory").queryName("ratelimit")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((1L, 10L), (1L, 11L), (2L, 20L))
+      q.processAllAvailable()
+      input.addData((1L, 12L), (1L, 13L), (1L, 14L), (2L, 21L))
+      q.processAllAvailable()
+      val rows = spark.table("ratelimit").as[Streaming.Admission].collect()
+      // every input event got exactly one verdict
+      assert(rows.length == 7)
+      assert(rows.map(_.eventId).sorted.toSeq ==
+        Seq(10L, 11L, 12L, 13L, 14L, 20L, 21L))
+      val byUser = rows.groupBy(_.userId)
+      // user 1 sent 5, quota 3: exactly 3 admitted, 2 rejected — the
+      // quota must span BOTH batches (2 admitted in batch 1, 1 in batch 2)
+      assert(byUser(1L).count(_.admitted) == 3)
+      assert(byUser(1L).count(!_.admitted) == 2)
+      assert(byUser(1L).filter(_.admitted).map(_.nAdmitted).sorted.toSeq ==
+        Seq(1L, 2L, 3L))
+      // rejected events report the saturated count, unchanged
+      assert(byUser(1L).filter(!_.admitted).forall(_.nAdmitted == 3L))
+      // user 2 stayed under quota
+      assert(byUser(2L).forall(_.admitted) && byUser(2L).length == 2)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming sliding windows double-count each event across overlaps") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Double)]
