@@ -41,4 +41,32 @@ class SourcesSpec extends SparkSpec {
       .as[(Long, String, String)].collect().toSet
     assert(back == Set((1L, "A", "hello world"), (2L, "B", "again")))
   }
+
+  test("graft.table normalizes every events.ts writer spelling to micros") {
+    import org.apache.spark.sql.functions._
+    // 2024-01-01 00:00:11.172425 UTC, with a truncated-away 938ns tail in
+    // the nanos spelling (the harness testdata's actual shape)
+    val micros = 1704067211172425L
+    def write(sub: String)(df: org.apache.spark.sql.DataFrame): String = {
+      val dir = Files.createTempDirectory(s"graft-ev-$sub").toString
+      df.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    val asLong = write("long")(Seq((1L, micros * 1000 + 938))
+      .toDF("event_id", "ts")) // INT64 nanos (nanosAsLong view of NANOS)
+    val asNtz = write("ntz")(Seq((1L, micros))
+      .toDF("event_id", "us")
+      .select(col("event_id"),
+        timestamp_micros(col("us")).cast("timestamp_ntz").as("ts")))
+    val asLtz = write("ltz")(Seq((1L, micros))
+      .toDF("event_id", "us")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts")))
+    val read = Seq(asLong, asNtz, asLtz).map { dir =>
+      val df = graft.table(spark, dir, "events")
+      assert(df.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType, dir)
+      df.select(unix_micros(col("ts"))).as[Long].collect().toSeq
+    }
+    assert(read.forall(_ == Seq(micros)), read.toString)
+  }
 }
