@@ -61,7 +61,10 @@ object Relational {
       .filter(col("l_shipdate") >= ts("2000-01-01") &&
         col("l_shipdate") < ts("2000-04-01") && col("l_quantity") > 45)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the harness testdata
+      // (one duplicate pair at sf0.1) — order by the full projection so
+      // the only remaining ties are value-identical rows
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
 
   /** Fact ⋈ dimension + aggregate: revenue per market segment. */
   def revenueBySegment(orders: DataFrame, customer: DataFrame): DataFrame =
