@@ -24,18 +24,48 @@ object MakeScaled {
     df.agg(max(col(c).cast("long"))).head().getLong(0)
 
   private def replicate(df: DataFrame, copies: Int,
-                        offsets: Map[String, Long]): DataFrame =
+                        offsets: Map[String, Long],
+                        perturbCopy: (DataFrame, Int) => DataFrame =
+                          (d, _) => d): DataFrame =
     (0 until copies).map { i =>
-      offsets.foldLeft(df) { case (d, (c, stride)) =>
+      val shifted = offsets.foldLeft(df) { case (d, (c, stride)) =>
         // cast back: the shifted key keeps its source column type
         d.withColumn(c, (col(c) + lit(i * stride)).cast(d.schema(c).dataType))
       }
+      if (i == 0) shifted else perturbCopy(shifted, i)
     }.reduce(_.unionByName(_))
+
+  /** Copy-i text rewrite for `uniq` mode: every token gains a _c<i>
+    * suffix, so EVERY shingle/minhash/simhash feature of a replica
+    * differs from the original — replicas are not near-duplicates of
+    * each other, and the duplicate DENSITY of the corpus (the
+    * within-copy pair structure) is preserved at every scale. */
+  private def uniqText(d: DataFrame, i: Int): DataFrame =
+    d.withColumn("text",
+      regexp_replace(col("text"), "[a-z0-9_']+", s"$$0_c$i"))
+
+  /** Copy-i embedding rewrite for `uniq` mode: rotate the dimension
+    * order by i. A rotated vector's cosine with the original is the
+    * near-zero of two unrelated directions, so replicas stop being
+    * embedding near-dups while all norms/quantization stats stay
+    * identical. */
+  private def uniqVec(d: DataFrame, i: Int): DataFrame = {
+    val n = 64
+    val r = i % n
+    d.withColumn("embedding",
+      concat(slice(col("embedding"), r + 1, n - r),
+        slice(col("embedding"), 1, r)))
+  }
 
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    // mode `uniq`: perturb replica text/embeddings so copies are NOT
+    // near-duplicates — constant duplicate density, the honest fixture
+    // for dedup-family scaling (default `dup` replicates verbatim: every
+    // doc gains copies-1 exact twins, a dup-density stress test)
+    val uniq = args.length > 3 && args(3) == "uniq"
     val spark = graft.Cli.session()
     // events stores TIMESTAMP(NANOS): read as raw nanos longs and write
     // them back as plain INT64 — graft.table's `ts div 1000` conversion
@@ -64,7 +94,11 @@ object MakeScaled {
       "events" -> Map("event_id" -> evStride, "user_id" -> userStride),
     )
     plan.foreach { case (name, offsets) =>
-      replicate(t(name), copies, offsets)
+      val perturb: (DataFrame, Int) => DataFrame =
+        if (uniq && name == "documents") uniqText
+        else if (uniq && name == "embeddings") uniqVec
+        else (d, _) => d
+      replicate(t(name), copies, offsets, perturb)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
     Seq("nation", "region").foreach { name =>
