@@ -561,6 +561,10 @@ object SparkEntry {
     // only, every doc scored with add-1 smoothing
     "text_cross_lm" -> ((s, dir) =>
       TextAnalysis.crossLmScores(table(s, dir, "documents"), "src0")),
+    // concat-and-chunk pretraining sample layout: docs split across
+    // fixed-length chunks, exact integer spans
+    "text_chunk_seqs" -> ((s, dir) =>
+      TextAnalysis.chunkSequences(table(s, dir, "documents"))),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(table(s, dir, "documents"))),
     "text_langid" -> ((s, dir) =>
@@ -1833,6 +1837,22 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
         |  CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov, avg_logp
         |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "text_chunk_seqs" ->
+      """WITH t AS (SELECT lang AS shard, doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS n
+        |  FROM documents),
+        |nz AS (SELECT * FROM t WHERE n > 0),
+        |o AS (SELECT shard, doc_id, n,
+        |    sum(n) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS s
+        |  FROM nz),
+        |sp AS (SELECT shard, doc_id, s, s + n AS e FROM o),
+        |x AS (SELECT shard, doc_id, s, e,
+        |    unnest(generate_series(CAST(s // 512 AS BIGINT), CAST((e - 1) // 512 AS BIGINT))) AS chunk_id
+        |  FROM sp)
+        |SELECT shard, chunk_id, doc_id,
+        |  CAST(greatest(s, chunk_id * 512) - chunk_id * 512 AS BIGINT) AS start_in_chunk,
+        |  CAST(least(e, (chunk_id + 1) * 512) - greatest(s, chunk_id * 512) AS BIGINT) AS n_toks
+        |FROM x ORDER BY shard, chunk_id, doc_id""".stripMargin,
     "text_len_quantiles" ->
       """WITH t AS (SELECT lang, CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS n_tokens FROM documents)
         |SELECT lang, count(*) AS n_docs,

@@ -383,4 +383,38 @@ object TextAnalysis {
     languageGuess(docs).join(docs.select("doc_id", "lang"), Seq("doc_id"))
       .groupBy("lang", "lang_guess").agg(count(lit(1)).as("n"))
       .orderBy("lang", "lang_guess")
+
+  /** Concat-and-chunk sequence layout — the pretraining SAMPLE format,
+    * where `packIntoBins` only places docs: the shard's token stream is
+    * cut into fixed `seqTokens` chunks and documents SPLIT across chunk
+    * boundaries; each output row is one (chunk, doc) span with its
+    * offset inside the chunk. Every quantity is exact integer arithmetic
+    * (cumulative starts via one per-shard window, span intersection via
+    * min/max, `div` for the chunk range), and a doc spanning k chunks
+    * fans out through a `sequence()` explode — k is bounded by
+    * ceil(doc_len / seqTokens) + 1, never corpus size. Sharding is the
+    * same scale story as packIntoBins: per-shard windows parallelize
+    * like per-worker packing; a global stream would funnel one
+    * partition. */
+  def chunkSequences(docs: DataFrame, seqTokens: Int = 512,
+                     shardCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val l = lit(seqTokens.toLong)
+    docs.select(col(shardCol).as("shard"), col("doc_id"),
+        size(toks).cast("long").as("__n"))
+      .filter(col("__n") > 0)
+      .withColumn("__s", sum("__n").over(w) - col("__n"))
+      .withColumn("__e", col("__s") + col("__n"))
+      .withColumn("chunk_id",
+        explode(sequence(expr(s"__s div ${seqTokens}L"),
+          expr(s"(__e - 1) div ${seqTokens}L"))))
+      .select(col("shard"), col("chunk_id"), col("doc_id"),
+        (greatest(col("__s"), col("chunk_id") * l) - col("chunk_id") * l)
+          .as("start_in_chunk"),
+        (least(col("__e"), (col("chunk_id") + 1) * l) -
+          greatest(col("__s"), col("chunk_id") * l)).as("n_toks"))
+      .orderBy("shard", "chunk_id", "doc_id")
+  }
 }

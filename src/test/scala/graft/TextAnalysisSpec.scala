@@ -82,4 +82,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(2L) == ((2L, 1L, Some(r4(webAvg)))))
     assert(rows(3L) == ((0L, 0L, None)))
   }
+
+  test("chunk sequences: docs split exactly at fixed chunk boundaries") {
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // shard stream (doc_id order): 4 + 8 + 10 + 3 tokens, chunk len 10:
+    //  d1 [0,4)   -> chunk 0 only
+    //  d2 [4,12)  -> chunk 0 (6 toks at offset 4) + chunk 1 (2 at 0)
+    //  d3 [12,22) -> chunk 1 (8 at 2) + chunk 2 (2 at 0)
+    //  d4 [22,25) -> chunk 2 (3 at 2); d5 empty -> no rows
+    val docs = Seq(
+      (1L, "en", words(4)), (2L, "en", words(8)), (3L, "en", words(10)),
+      (4L, "en", words(3)), (5L, "en", ""))
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.chunkSequences(docs, seqTokens = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq(
+      (0L, 1L, 0L, 4L), (0L, 2L, 4L, 6L),
+      (1L, 2L, 0L, 2L), (1L, 3L, 2L, 8L),
+      (2L, 3L, 0L, 2L), (2L, 4L, 2L, 3L)))
+    // spans tile each chunk exactly: per chunk, sum(n_toks) == chunk fill
+    val fills = out.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(fills == Map(0L -> 10L, 1L -> 10L, 2L -> 5L))
+  }
 }
