@@ -417,6 +417,11 @@ object SparkEntry {
     }),
     "dedup_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(table(s, dir, "documents"), 3, 0.05, maxShingleDf = 100)),
+    // duplication-centrality: PageRank over the same near-dup graph —
+    // ranks template hubs that a flat cluster id can't
+    "dedup_pagerank" -> ((s, dir) =>
+      Dedup.similarityPageRank(table(s, dir, "documents"), 0.05,
+        maxShingleDf = 100)),
     // Flagship 100 TB dedup: LSH band buckets generate candidates, exact
     // Jaccard verifies. The bands are xxhash64 (not oracle-able) but the
     // verified OUTPUT is plain Jaccard >= 0.5, which the oracle computes
@@ -1369,6 +1374,33 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "dedup_edit_pairs" -> editDistOracleSql,
     "dedup_jaccard_pairs" -> jaccardOracleSql(0.05),
+    // 3 unrolled PageRank rounds over the 0.05-Jaccard graph; constants
+    // cast to DOUBLE so DuckDB's decimal literals can't diverge from
+    // Spark's double arithmetic ((1 - 0.85) is exact in decimal, not in
+    // binary — the trees must match bit-for-bit before the final round)
+    "dedup_pagerank" -> {
+      val rounds = (1 to 3).map { t =>
+        val prev = s"p${t - 1}"
+        s"""p$t AS (SELECT e.dst AS node,
+           |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+           |      + CAST(0.85 AS DOUBLE) * sum($prev.pr / d.deg) AS pr
+           |  FROM edges e JOIN $prev ON $prev.node = e.src
+           |    JOIN deg d ON d.src = e.src, nn
+           |  GROUP BY e.dst, nn.n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $shingleCtes,
+         |pairs AS (SELECT doc_a, doc_b
+         |  FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.05),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+         |p0 AS (SELECT src AS node, CAST(1 AS DOUBLE) / nn.n AS pr FROM deg, nn),
+         |$rounds
+         |SELECT node AS doc_id, round(pr, 6) AS pagerank
+         |FROM p3 ORDER BY doc_id""".stripMargin
+    },
     // LSH candidates + exact verify: the oracle is the full exact-Jaccard
     // computation at the same threshold/cap (see the query declaration for
     // why LSH recall == 1 here).

@@ -593,4 +593,49 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
       .orderBy("vec_a", "vec_b")
   }
+
+  /** PageRank over the near-dup similarity graph: which documents sit at
+    * the CENTER of duplication neighborhoods — the centrality a curation
+    * pipeline uses to pick cluster representatives or spot template hubs
+    * that connected components (one flat cluster id) can't rank.
+    *
+    * Same iterative discipline as duplicateClusters/kmeansFit: the
+    * (expensive) pair generation and the degree table are checkpointed
+    * ONCE, each round is one edges⋈rank join + keyed aggregate re-using
+    * the same dst partitioning, and rounds are cut loose with eager
+    * localCheckpoint so no lineage or cache pin outlives the call. The
+    * node count is a 1-row scalar fetch (the writeZOrdered exception),
+    * never a data collect. Every node of the undirected graph has
+    * degree >= 1, so there is no dangling-mass term. Ranks are doubles;
+    * the per-node neighbor sums are few terms wide, so round(6) output
+    * absorbs the sub-ulp association noise (the avg_logp rule). */
+  def similarityPageRank(docs: DataFrame, minJaccard: Double = 0.05,
+                         maxShingleDf: Int = DefaultMaxShingleDf,
+                         iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    val pairs = jaccardPairs(docs, 3, minJaccard, maxShingleDf)
+      .select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"),
+        col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val nNodes = deg.count().toDouble
+    var pr = deg.select(col("src").as("node"), (lit(1.0) / nNodes).as("pr"))
+    var i = 0
+    while (i < iters) {
+      pr = edges
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("pr") / col("deg")).as("__m"))
+        .select(col("dst").as("node"),
+          ((lit(1.0) - lit(damping)) / nNodes +
+            lit(damping) * col("__m")).as("pr"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    pr.select(col("node").as("doc_id"), round(col("pr"), 6).as("pagerank"))
+      .orderBy("doc_id")
+  }
 }

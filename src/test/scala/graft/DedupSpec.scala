@@ -315,4 +315,26 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(r == Seq((1L, 0L, 0L, 0.0), (2L, 0L, 0L, 0.0), (3L, 0L, 0L, 0.0)))
   }
+
+  test("similarity PageRank: the template hub outranks its satellites") {
+    // hub = 14 distinct tokens (12 trigram shingles); each satellite
+    // changes ONE token >= 3 positions apart, killing 3 disjoint
+    // shingles: hub-sat Jaccard = 9/15 = 0.6, sat-sat = 6/18 = 0.33 —
+    // with threshold 0.5 the graph is exactly a 3-spoke star
+    val base = (1 to 14).map(i => s"w$i").toArray
+    def mut(p: Int, r: String) = { val a = base.clone(); a(p - 1) = r; a.mkString(" ") }
+    val docs = Seq(
+      (1L, base.mkString(" ")),
+      (2L, mut(4, "xx")), (3L, mut(8, "yy")), (4L, mut(12, "zz")),
+      (5L, "totally different island text entirely unrelated")) // isolated: no pairs, not ranked
+      .toDF("doc_id", "text")
+    val pr = Dedup.similarityPageRank(docs, minJaccard = 0.5,
+        maxShingleDf = 100)
+      .as[(Long, Double)].collect().toMap
+    assert(pr.keySet == Set(1L, 2L, 3L, 4L)) // only graph nodes ranked
+    assert(pr(2L) == pr(3L) && pr(3L) == pr(4L)) // symmetric satellites
+    assert(pr(1L) > pr(2L), s"hub ${pr(1L)} not above satellite ${pr(2L)}")
+    // undirected graph, no dangling nodes: rank mass is conserved
+    assert(math.abs(pr.values.sum - 1.0) < 1e-5, pr.values.sum.toString)
+  }
 }
