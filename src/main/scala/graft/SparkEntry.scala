@@ -525,6 +525,9 @@ object SparkEntry {
     "sim_norms_by_label" -> ((s, dir) =>
       Similarity.normStatsByLabel(table(s, dir, "embeddings"))),
     // int8 quantization fidelity: the 4x-storage-shrink safety report
+    // PQ sibling of the int8 report: 4-bit-per-subspace codebook encoding
+    "sim_pq_error" -> ((s, dir) =>
+      Similarity.pqErrorByLabel(table(s, dir, "embeddings"))),
     "sim_quantize_error" -> ((s, dir) =>
       Similarity.quantizeErrorByLabel(table(s, dir, "embeddings"))),
     // batch serving path: the whole query workload amortizes ONE
@@ -1615,6 +1618,25 @@ object SparkEntry {
     // same round-half-up quantize/dequantize spelling as the Spark plan;
     // list_dot_product is the same left-to-right fold as graft_dot, so the
     // per-vector mse is bit-identical before the rounded aggregate
+    // codebook = the same seeded-hash sample as the Spark side; total
+    // reconstruction error = sum of per-subspace best distances, summed
+    // in subspace order (list ORDER BY s) to match the sequential fold
+    "sim_pq_error" ->
+      """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |cb0 AS (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR) || ':7') AS ck FROM v ORDER BY ck, vec_id LIMIT 16),
+        |cb AS (SELECT v AS cv FROM cb0),
+        |ds AS (SELECT t.vec_id, t.label, g.s,
+        |    min(list_dot_product(
+        |      list_transform(generate_series(1, 8), i -> t.v[g.s*8 + i] - cb.cv[g.s*8 + i]),
+        |      list_transform(generate_series(1, 8), i -> t.v[g.s*8 + i] - cb.cv[g.s*8 + i]))) AS d2
+        |  FROM v t CROSS JOIN generate_series(0, 7) g(s) CROSS JOIN cb
+        |  GROUP BY 1, 2, 3),
+        |pm AS (SELECT vec_id, label, list_sum(list(d2 ORDER BY s)) / 64 AS mse
+        |       FROM ds GROUP BY 1, 2)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(CAST(sum(CAST(mse AS DECIMAL(18,12))) AS DOUBLE) / count(*), 8) AS avg_mse,
+        |  round(max(mse), 8) AS max_mse
+        |FROM pm GROUP BY label ORDER BY label""".stripMargin,
     "sim_quantize_error" ->
       """WITH v AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
         |m AS (SELECT label, e, list_max(list_transform(e, x -> abs(x))) AS ma FROM v),

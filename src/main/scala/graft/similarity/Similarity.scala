@@ -531,6 +531,53 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Product-quantization fidelity report — the codebook sibling of the
+    * int8 report (`quantizeErrorByLabel`): each vector is encoded as
+    * nSub codebook indices (nSub·log2(nCodes) bits, here 8×4 = 4 bytes
+    * per 256-byte vector, a 64x shrink vs float32) and scored by
+    * reconstruction MSE per label. Codebooks are the seeded-hash sample
+    * (the ivfCells discipline — deterministic, no training iterations,
+    * so the whole report stays oracle-expressible); each subspace's
+    * codeword is the sample's slice. The squared reconstruction error
+    * IS the sum of per-subspace best distances, so encoding never
+    * materializes: per row, a transform over subspaces folds an
+    * array_min over the broadcast codebook — one corpus scan, no
+    * shuffle before the tiny per-label aggregate, all sequential-fold
+    * double arithmetic (dot ≡ list_dot_product parity). */
+  def pqErrorByLabel(embeddings: DataFrame, nSub: Int = 8,
+                     nCodes: Int = 16, seed: Long = 7L,
+                     dims: Int = 64): DataFrame = {
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
+    require(dims % nSub == 0)
+    val subLen = dims / nSub
+    val e = embeddings.select(col("vec_id"), col("label"),
+      toDoubleVec(col("embedding")).as("v"))
+    val book = e
+      .withColumn("__ck", md5(concat(col("vec_id").cast("string"), lit(s":$seed"))))
+      .orderBy(col("__ck"), col("vec_id")).limit(nCodes)
+      .agg(array_sort(collect_list(struct(col("__ck").as("ck"),
+        col("vec_id").as("cvid"), col("v").as("cv")))).as("arr"))
+      .select(transform(col("arr"), c => c.getField("cv")).as("codes"))
+    val d2PerSub = transform(sequence(lit(0), lit(nSub - 1)), s => {
+      val sub = slice(col("v"), s * subLen + 1, lit(subLen))
+      array_min(transform(col("codes"), cv => {
+        val err = zip_with(sub, slice(cv, s * subLen + 1, lit(subLen)),
+          (a, b) => a - b)
+        dot(err, err)
+      }))
+    })
+    e.crossJoin(broadcast(book))
+      .select(col("label"),
+        (aggregate(d2PerSub, lit(0.0), (acc, x) => acc + x) / dims).as("mse"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(col("mse").cast(org.apache.spark.sql.types.DataTypes
+            .createDecimalType(18, 12))).cast("double") / count(lit(1)), 8)
+          .as("avg_mse"),
+        round(max(col("mse")), 8).as("max_mse"))
+      .orderBy("label")
+  }
+
   /** Per-label embedding stats (norm is exact-order sequential). */
   def normStatsByLabel(embeddings: DataFrame): DataFrame = {
     VectorFunctions.ensureRegistered(embeddings.sparkSession)

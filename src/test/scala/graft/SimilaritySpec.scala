@@ -273,6 +273,28 @@ class SimilaritySpec extends SparkSpec {
     assert(rt >= 0.9, s"trained recall $rt") // one probe covers the cluster
   }
 
+  test("PQ error: codewords reconstruct exactly; nCodes=1 is plain distance") {
+    // (a) every vector sampled into the codebook -> zero error everywhere
+    val all = (1 to 16).map(i =>
+      (i.toLong, Array.tabulate(4)(d => (i * 10 + d).toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+    val zero = Similarity.pqErrorByLabel(all, nSub = 2, nCodes = 16, dims = 4)
+      .as[(Int, Long, Double, Double)].collect()
+    assert(zero.length == 1 && zero(0)._2 == 16L)
+    assert(zero(0)._3 == 0.0 && zero(0)._4 == 0.0)
+    // (b) one codeword: the sampled vector scores 0, the other scores
+    // ||v1 - v2||^2 / dims regardless of which one was sampled
+    val two = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f, 4.0f), 0),
+      (2L, Array(2.0f, 2.0f, 3.0f, 6.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.pqErrorByLabel(two, nSub = 2, nCodes = 1, dims = 4)
+      .as[(Int, Long, Double, Double)].collect()
+    val expected = (1.0 + 0.0 + 0.0 + 4.0) / 4.0 // 1.25
+    assert(r.length == 1 && r(0)._2 == 2L)
+    assert(r(0)._3 == expected / 2 && r(0)._4 == expected) // avg over {0, d}
+  }
+
   test("semantic dedup pairs: within-cluster twins found, cross-cluster never") {
     val pairs = Similarity.semanticDedupPairs(plantedClusters,
       threshold = 0.9, nCells = 3, iters = 10, dims = 4)
