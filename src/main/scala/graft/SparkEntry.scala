@@ -439,6 +439,10 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) =>
       Dedup.duplicateClusters(
         Dedup.jaccardPairs(table(s, dir, "documents"), 3, 0.5, maxShingleDf = 100))),
+    // the keep decision per near-dup group: highest-centrality member
+    "dedup_cluster_reps" -> ((s, dir) =>
+      Dedup.clusterRepresentatives(table(s, dir, "documents"), 0.5,
+        maxShingleDf = 100)),
     "dedup_keep_list" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       Dedup.keepList(docs, Dedup.duplicateClusters(
@@ -1411,6 +1415,32 @@ object SparkEntry {
     "dedup_clusters" ->
       s"""WITH RECURSIVE $clusterCtes
          |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin,
+    // components + centrality over the SAME 0.5 graph; representative =
+    // rank-1 by (rounded pagerank DESC, doc_id) within each cluster
+    "dedup_cluster_reps" -> {
+      val rounds = (1 to 3).map { t =>
+        val prev = s"p${t - 1}"
+        s"""p$t AS (SELECT e.dst AS node,
+           |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+           |      + CAST(0.85 AS DOUBLE) * sum($prev.pr / d.deg) AS pr
+           |  FROM edges e JOIN $prev ON $prev.node = e.src
+           |    JOIN deg d ON d.src = e.src, nn
+           |  GROUP BY e.dst, nn.n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE $clusterCtes,
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+         |p0 AS (SELECT src AS node, CAST(1 AS DOUBLE) / nn.n AS pr FROM deg, nn),
+         |$rounds,
+         |ranked AS (SELECT c.cluster_id, c.doc_id, round(p3.pr, 6) AS pr,
+         |    count(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY round(p3.pr, 6) DESC, c.doc_id) AS rn
+         |  FROM clusters c JOIN p3 ON p3.node = c.doc_id)
+         |SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+         |  doc_id AS rep_doc_id, pr AS rep_pagerank
+         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+    },
     "dedup_keep_list" ->
       s"""WITH RECURSIVE $clusterCtes
          |SELECT doc_id FROM documents

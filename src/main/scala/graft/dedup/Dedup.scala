@@ -611,9 +611,15 @@ object Dedup {
     * absorbs the sub-ulp association noise (the avg_logp rule). */
   def similarityPageRank(docs: DataFrame, minJaccard: Double = 0.05,
                          maxShingleDf: Int = DefaultMaxShingleDf,
-                         iters: Int = 3, damping: Double = 0.85): DataFrame = {
-    val pairs = jaccardPairs(docs, 3, minJaccard, maxShingleDf)
-      .select("doc_a", "doc_b")
+                         iters: Int = 3, damping: Double = 0.85): DataFrame =
+    pageRankFromPairs(jaccardPairs(docs, 3, minJaccard, maxShingleDf)
+      .select("doc_a", "doc_b"), iters, damping)
+
+  /** PageRank over an already-built pair frame — the entry point shared
+    * with clusterRepresentatives, which reuses one pair generation for
+    * both the component labels and the centrality. */
+  def pageRankFromPairs(pairs: DataFrame, iters: Int = 3,
+                        damping: Double = 0.85): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"),
         col("doc_a").as("dst")))
@@ -637,5 +643,31 @@ object Dedup {
     }
     pr.select(col("node").as("doc_id"), round(col("pr"), 6).as("pagerank"))
       .orderBy("doc_id")
+  }
+
+  /** Canonical representative per duplicate cluster: the member with the
+    * highest duplication centrality — the "which copy do we keep"
+    * decision a curation pipeline makes once per near-dup group, made
+    * with PageRank instead of the arbitrary min-id. ONE pair generation
+    * feeds both the component labels and the centrality (the pair frame
+    * is checkpointed before the two consumers); the argmax is a single
+    * lexicographic max over (rounded rank, -doc_id) structs — rank ties
+    * break to the LOWEST doc_id, pinned on both engines by ranking the
+    * ROUNDED score (the tie rule every top-k here follows). */
+  def clusterRepresentatives(docs: DataFrame, minJaccard: Double = 0.5,
+                             maxShingleDf: Int = DefaultMaxShingleDf):
+      DataFrame = {
+    val pairs = jaccardPairs(docs, 3, minJaccard, maxShingleDf)
+      .select("doc_a", "doc_b").localCheckpoint(true)
+    val clusters = duplicateClusters(pairs)
+    val pr = pageRankFromPairs(pairs)
+    clusters.join(pr, Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("pagerank"), (-col("doc_id")).as("__nid"))).as("__m"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("__m.__nid")).as("rep_doc_id"),
+        col("__m.pagerank").as("rep_pagerank"))
+      .orderBy("cluster_id")
   }
 }

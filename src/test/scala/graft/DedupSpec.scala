@@ -337,4 +337,24 @@ class DedupSpec extends SparkSpec {
     // undirected graph, no dangling nodes: rank mass is conserved
     assert(math.abs(pr.values.sum - 1.0) < 1e-5, pr.values.sum.toString)
   }
+
+  test("cluster representatives: the centrality hub is the kept copy") {
+    // same 3-spoke star: one cluster {1,2,3,4}; min-id would also pick 1,
+    // so shift ids so the hub is NOT the minimum — rep must still be it
+    val base = (1 to 14).map(i => s"w$i").toArray
+    def mut(p: Int, r: String) = { val a = base.clone(); a(p - 1) = r; a.mkString(" ") }
+    val docs = Seq(
+      (9L, base.mkString(" ")), // hub, deliberately the HIGHEST id
+      (2L, mut(4, "xx")), (3L, mut(8, "yy")), (4L, mut(12, "zz")))
+      .toDF("doc_id", "text")
+    val reps = Dedup.clusterRepresentatives(docs, minJaccard = 0.5,
+        maxShingleDf = 100)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(reps.length == 1)
+    val (clusterId, nMembers, repDoc, repPr) = reps(0)
+    assert(clusterId == 2L) // min-label component id
+    assert(nMembers == 4L)
+    assert(repDoc == 9L, s"picked $repDoc, not the hub") // NOT min-id
+    assert(repPr > 0.25) // hub holds more than a uniform share
+  }
 }
