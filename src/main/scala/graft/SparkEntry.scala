@@ -532,6 +532,9 @@ object SparkEntry {
     // PQ sibling of the int8 report: 4-bit-per-subspace codebook encoding
     "sim_pq_error" -> ((s, dir) =>
       Similarity.pqErrorByLabel(table(s, dir, "embeddings"))),
+    // PQ serving: top-k by query x reconstruction (asymmetric distance)
+    "sim_ann_pq" -> ((s, dir) =>
+      Similarity.annCosinePq(table(s, dir, "embeddings"), 0L, 10)),
     "sim_quantize_error" -> ((s, dir) =>
       Similarity.quantizeErrorByLabel(table(s, dir, "embeddings"))),
     // batch serving path: the whole query workload amortizes ONE
@@ -1667,6 +1670,34 @@ object SparkEntry {
         |  round(CAST(sum(CAST(mse AS DECIMAL(18,12))) AS DOUBLE) / count(*), 8) AS avg_mse,
         |  round(max(mse), 8) AS max_mse
         |FROM pm GROUP BY label ORDER BY label""".stripMargin,
+    // unit-vector codebook, rank-1 argmin per (vec, subspace) with ties
+    // to the lowest code index, q-codeword partials summed in subspace
+    // order (list ORDER BY s) to match Spark's sequential fold
+    "sim_ann_pq" ->
+      """WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |e1 AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),
+        |e AS (SELECT vec_id, label, list_transform(v, x -> x/nrm) AS u FROM e1),
+        |cb0 AS (SELECT vec_id, u, md5(CAST(vec_id AS VARCHAR) || ':7') AS ck FROM e ORDER BY ck, vec_id LIMIT 16),
+        |cb AS (SELECT CAST(row_number() OVER (ORDER BY ck, vec_id) AS INT) AS code_id, u AS cu FROM cb0),
+        |q AS (SELECT u AS qu FROM e WHERE vec_id = 0),
+        |d AS (SELECT t.vec_id, t.label, g.s, cb.code_id, cb.cu,
+        |    list_dot_product(
+        |      list_transform(generate_series(1, 8), i -> t.u[g.s*8 + i] - cb.cu[g.s*8 + i]),
+        |      list_transform(generate_series(1, 8), i -> t.u[g.s*8 + i] - cb.cu[g.s*8 + i])) AS d2
+        |  FROM e t CROSS JOIN generate_series(0, 7) g(s) CROSS JOIN cb
+        |  WHERE t.vec_id != 0),
+        |best AS (SELECT vec_id, label, s, cu FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code_id) AS rn FROM d)
+        |  WHERE rn = 1),
+        |part AS (SELECT b.vec_id, b.label, b.s,
+        |    list_dot_product(
+        |      list_transform(generate_series(1, 8), i -> q.qu[b.s*8 + i]),
+        |      list_transform(generate_series(1, 8), i -> b.cu[b.s*8 + i])) AS p
+        |  FROM best b, q),
+        |sc AS (SELECT vec_id, label, list_sum(list(p ORDER BY s)) AS approx
+        |       FROM part GROUP BY 1, 2)
+        |SELECT vec_id, label, round(approx, 4) AS approx_cosine
+        |FROM sc ORDER BY round(approx, 4) DESC, vec_id LIMIT 10""".stripMargin,
     "sim_quantize_error" ->
       """WITH v AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
         |m AS (SELECT label, e, list_max(list_transform(e, x -> abs(x))) AS ma FROM v),

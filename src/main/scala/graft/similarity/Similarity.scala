@@ -578,6 +578,56 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** PQ-served ANN (asymmetric distance): top-k by the dot of the query
+    * against each vector's PQ RECONSTRUCTION — the serving path the
+    * codebook buys, where the corpus is 4 bytes/vector and only the
+    * query side stays full-precision. Codebooks are the same seeded
+    * sample as `pqErrorByLabel` but over UNIT vectors (cosine == dot);
+    * per row, each subspace folds a keep-first argmin over the broadcast
+    * codebook (ties -> lowest code index, same rank-1 the oracle
+    * computes) and contributes one q·codeword partial; the score sums
+    * the 8 partials in subspace order, matching the oracle's ordered
+    * list_sum association exactly. One corpus scan, no shuffle, then
+    * TakeOrderedAndProject on the rounded score. */
+  def annCosinePq(embeddings: DataFrame, queryVecId: Long, k: Int,
+                  nSub: Int = 8, nCodes: Int = 16, seed: Long = 7L,
+                  dims: Int = 64): DataFrame = {
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
+    require(dims % nSub == 0)
+    val subLen = dims / nSub
+    val e = unitVecs(embeddings)
+    val book = e
+      .withColumn("__ck", md5(concat(col("vec_id").cast("string"), lit(s":$seed"))))
+      .orderBy(col("__ck"), col("vec_id")).limit(nCodes)
+      .agg(array_sort(collect_list(struct(col("__ck").as("ck"),
+        col("vec_id").as("cvid"), col("u").as("cu")))).as("arr"))
+      .select(transform(col("arr"), c => c.getField("cu")).as("codes"))
+    val q = e.filter(col("vec_id") === queryVecId)
+      .select(col("u").as("qu"))
+    val parts = transform(sequence(lit(0), lit(nSub - 1)), s => {
+      val usub = slice(col("u"), s * subLen + 1, lit(subLen))
+      val qsub = slice(col("qu"), s * subLen + 1, lit(subLen))
+      val scored = transform(col("codes"), cv => {
+        val cw = slice(cv, s * subLen + 1, lit(subLen))
+        val err = zip_with(usub, cw, (a, b) => a - b)
+        struct(dot(err, err).as("d2"), cw.as("cw"))
+      })
+      val best = aggregate(scored,
+        struct(lit(Double.PositiveInfinity).as("d2"),
+          typedLit(Array.empty[Double]).as("cw")),
+        (acc, c) => when(c.getField("d2") < acc.getField("d2"), c)
+          .otherwise(acc))
+      dot(qsub, best.getField("cw"))
+    })
+    e.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(book)).crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(aggregate(parts, lit(0.0), (acc, x) => acc + x), 4)
+          .as("approx_cosine"))
+      .orderBy(desc("approx_cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Per-label embedding stats (norm is exact-order sequential). */
   def normStatsByLabel(embeddings: DataFrame): DataFrame = {
     VectorFunctions.ensureRegistered(embeddings.sparkSession)

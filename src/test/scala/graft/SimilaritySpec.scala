@@ -295,6 +295,26 @@ class SimilaritySpec extends SparkSpec {
     assert(r(0)._3 == expected / 2 && r(0)._4 == expected) // avg over {0, d}
   }
 
+  test("PQ ANN: exact when every vector is a codeword; high recall on clusters") {
+    // nCodes >= corpus: reconstruction is exact, so PQ serving must equal
+    // brute-force cosine top-k, scores included
+    val e = plantedClusters
+    val pq = Similarity.annCosinePq(e, 0L, 10, nSub = 2, nCodes = 36, dims = 4)
+      .as[(Long, Int, Double)].collect().toSeq
+    val brute = Similarity.cosineTopK(e, 0L, 10)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(pq.map(_._1) == brute.map(_._1))
+    pq.zip(brute).foreach { case ((_, _, a), (_, _, b)) =>
+      assert(math.abs(a - b) <= 1e-4, s"$a vs $b")
+    }
+    // tiny 3-codeword codebook (coarsest possible): recall degrades but
+    // stays far above the 3.3/10 chance floor — measured 7/10
+    val small = Similarity.annCosinePq(e, 0L, 10, nSub = 2, nCodes = 3, dims = 4)
+      .as[(Long, Int, Double)].collect().toSeq
+    val sameCluster = small.map(_._1).count(_ / 12 == 0L)
+    assert(sameCluster >= 6, s"only $sameCluster/10 from the query's cluster")
+  }
+
   test("semantic dedup pairs: within-cluster twins found, cross-cluster never") {
     val pairs = Similarity.semanticDedupPairs(plantedClusters,
       threshold = 0.9, nCells = 3, iters = 10, dims = 4)
