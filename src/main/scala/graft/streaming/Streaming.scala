@@ -440,4 +440,73 @@ object Streaming {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
+
+  /** `sessionCloser` on the transformWithState API: identical session
+    * semantics (mid-batch event-time gaps split immediately; silence is
+    * closed by an EVENT-TIME TIMER once the watermark passes last-seen +
+    * gap), re-expressed with the new primitives — a typed ValueState for
+    * the open session and an explicit re-armed timer in place of
+    * GroupStateTimeout's single implicit one. The equivalence spec
+    * drives both implementations with the same input and requires the
+    * same closed sessions. */
+  class SessionProcessor(gapMinutes: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, java.sql.Timestamp), ClosedSession] {
+    private val gapUs = gapMinutes * 60L * 1000000L
+    @transient private var sess:
+      org.apache.spark.sql.streaming.ValueState[SessionState] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sess = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+        tv: org.apache.spark.sql.streaming.TimerValues):
+        Iterator[ClosedSession] = {
+      val closed = Seq.newBuilder[ClosedSession]
+      var cur = if (sess.exists()) sess.get() else null
+      rows.map(_._2).toSeq.sorted.foreach { t =>
+        cur match {
+          case null =>
+            cur = SessionState(1L, t)
+          case s if t - s.lastSeenUs > gapUs =>
+            closed += ClosedSession(key, s.nEvents, s.lastSeenUs)
+            cur = SessionState(1L, t)
+          case s =>
+            cur = SessionState(s.nEvents + 1, math.max(s.lastSeenUs, t))
+        }
+      }
+      sess.update(cur)
+      // one armed timer per key: re-arm at the open session's deadline
+      val h = getHandle
+      h.listTimers().foreach(t => h.deleteTimer(t.asInstanceOf[Long]))
+      h.registerTimer(cur.lastSeenUs / 1000L + gapMinutes * 60L * 1000L)
+      closed.result().iterator
+    }
+    override def handleExpiredTimer(
+        key: Long, tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo):
+        Iterator[ClosedSession] = {
+      if (!sess.exists()) Iterator.empty
+      else {
+        val s = sess.get()
+        sess.clear()
+        Iterator(ClosedSession(key, s.nEvents, s.lastSeenUs))
+      }
+    }
+  }
+
+  def sessionCloserTws(events: Dataset[(Long, Long)],
+                       gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.toDF("user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor(gapMinutes),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
 }

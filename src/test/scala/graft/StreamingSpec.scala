@@ -191,6 +191,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState session closer matches flatMapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    def us(s: String): Long = ts(s).getTime * 1000L
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, Long)]
+    val closed = Streaming.sessionCloserTws(input.toDS(), gapMinutes = 30)
+    val q = closed.writeStream.format("memory").queryName("closer_tws")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // the exact script of the flatMapGroupsWithState test: the two
+      // implementations must close the same sessions
+      input.addData(
+        (1L, us("2024-01-01 10:00:00")),
+        (1L, us("2024-01-01 10:05:00")),
+        (2L, us("2024-01-01 10:06:00")))
+      q.processAllAvailable()
+      assert(spark.table("closer_tws").count() == 0)
+      input.addData((2L, us("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      input.addData((2L, us("2024-01-01 12:01:00")))
+      q.processAllAvailable()
+      val rows = spark.table("closer_tws").as[Streaming.ClosedSession].collect()
+      assert(rows.exists(r => r.userId == 1L && r.nEvents == 2L &&
+        r.lastSeenUs == us("2024-01-01 10:05:00"))) // timer-fired close
+      assert(rows.exists(r => r.userId == 2L && r.nEvents == 1L &&
+        r.lastSeenUs == us("2024-01-01 10:06:00"))) // mid-batch gap close
+      assert(!rows.exists(r => r.userId == 2L &&
+        r.lastSeenUs >= us("2024-01-01 12:00:00"))) // still open
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval join pairs events within the time bounds") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Timestamp, Long, String)]
