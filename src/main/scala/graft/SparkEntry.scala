@@ -580,6 +580,9 @@ object SparkEntry {
     // fixed-length chunks, exact integer spans
     "text_chunk_seqs" -> ((s, dir) =>
       TextAnalysis.chunkSequences(table(s, dir, "documents"))),
+    // per-source KS drift vs the rest of the corpus (pre-mixing check)
+    "text_ks_drift" -> ((s, dir) =>
+      TextAnalysis.ksLengthDrift(table(s, dir, "documents"))),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(table(s, dir, "documents"))),
     "text_langid" -> ((s, dir) =>
@@ -1968,6 +1971,27 @@ object SparkEntry {
         |  CAST(greatest(s, chunk_id * 512) - chunk_id * 512 AS BIGINT) AS start_in_chunk,
         |  CAST(least(e, (chunk_id + 1) * 512) - greatest(s, chunk_id * 512) AS BIGINT) AS n_toks
         |FROM x ORDER BY shard, chunk_id, doc_id""".stripMargin,
+    // same integer-count derivation: dense source x support grid,
+    // cumulative sums, KS gap as double division of exact integers
+    "text_ks_drift" ->
+      """WITH t AS (SELECT source, CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS n FROM documents),
+        |per AS (SELECT source, n, count(*) AS c FROM t GROUP BY 1, 2),
+        |support AS (SELECT DISTINCT n FROM per),
+        |src AS (SELECT source, CAST(sum(c) AS BIGINT) AS src_total FROM per GROUP BY 1),
+        |gn AS (SELECT n, CAST(sum(c) AS BIGINT) AS g FROM per GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS grand FROM per),
+        |grid AS (SELECT s.source, s.src_total, sup.n, coalesce(p.c, 0) AS c, gn.g, tot.grand
+        |  FROM src s CROSS JOIN support sup
+        |  LEFT JOIN per p ON p.source = s.source AND p.n = sup.n
+        |  JOIN gn ON gn.n = sup.n CROSS JOIN tot),
+        |cum AS (SELECT source, src_total, grand, n,
+        |    sum(c) OVER (PARTITION BY source ORDER BY n ROWS UNBOUNDED PRECEDING) AS cum_src,
+        |    sum(g) OVER (PARTITION BY source ORDER BY n ROWS UNBOUNDED PRECEDING) AS cum_all
+        |  FROM grid)
+        |SELECT source, max(src_total) AS n_docs,
+        |  round(max(abs(CAST(cum_src AS DOUBLE) / src_total
+        |    - CAST(cum_all - cum_src AS DOUBLE) / (grand - src_total))), 6) AS ks_stat
+        |FROM cum GROUP BY source ORDER BY source""".stripMargin,
     "text_len_quantiles" ->
       """WITH t AS (SELECT lang, CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS n_tokens FROM documents)
         |SELECT lang, count(*) AS n_docs,

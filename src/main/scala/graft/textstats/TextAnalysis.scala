@@ -384,6 +384,45 @@ object TextAnalysis {
       .groupBy("lang", "lang_guess").agg(count(lit(1)).as("n"))
       .orderBy("lang", "lang_guess")
 
+  /** Distribution-drift report: the Kolmogorov-Smirnov statistic between
+    * each source's token-length distribution and the REST of the corpus
+    * — the pre-mixing check that a new source isn't length-shaped unlike
+    * everything else (truncation, boilerplate, format drift). Everything
+    * derives from integer counts: one (source, n_tokens) aggregate, a
+    * dense source × support grid (support = distinct observed lengths,
+    * bounded by max document length, never corpus rows), per-source
+    * cumulative window sums, and the KS gap as identical double
+    * divisions of exact integers on both engines. The windows partition
+    * by source over the tiny support grid — no corpus-proportional state
+    * crosses any exchange after the first aggregate. */
+  def ksLengthDrift(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col("source"), size(toks).cast("long").as("n"))
+    val per = t.groupBy("source", "n").agg(count(lit(1)).as("c"))
+    val support = per.select("n").distinct()
+    val sources = per.groupBy("source").agg(sum("c").as("src_total"))
+    val globalN = per.groupBy("n").agg(sum("c").as("g"))
+    val total = per.agg(sum("c").as("grand")).select(col("grand"))
+    val grid = sources.crossJoin(support)
+      .join(per, Seq("source", "n"), "left")
+      .join(globalN, Seq("n"))
+      .crossJoin(broadcast(total))
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val w = Window.partitionBy("source").orderBy("n")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cum_src", sum("c").over(w))
+      .withColumn("cum_all", sum("g").over(w))
+      .withColumn("__gap", abs(
+        col("cum_src").cast("double") / col("src_total") -
+          (col("cum_all") - col("cum_src")).cast("double") /
+            (col("grand") - col("src_total"))))
+      .groupBy("source")
+      .agg(max(col("src_total")).as("n_docs"),
+        round(max(col("__gap")), 6).as("ks_stat"))
+      .orderBy("source")
+  }
+
   /** Concat-and-chunk sequence layout — the pretraining SAMPLE format,
     * where `packIntoBins` only places docs: the shard's token stream is
     * cut into fixed `seqTokens` chunks and documents SPLIT across chunk

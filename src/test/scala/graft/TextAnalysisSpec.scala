@@ -83,6 +83,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(3L) == ((0L, 0L, None)))
   }
 
+  test("KS drift: hand-computed max CDF gap between source and rest") {
+    // A: lengths {1,1,2}; B: lengths {2,3}; support {1,2,3}
+    // cdf_A = [2/3, 1, 1]; cdf_restOfA (=B) = [0, 1/2, 1] -> KS_A = 2/3
+    // and by symmetry KS_B = 2/3
+    val docs = Seq(
+      (1L, "A", "w"), (2L, "A", "w w"), (3L, "A", "w"),
+      (4L, "B", "w w"), (5L, "B", "w w w"))
+      .toDF("doc_id", "source", "text")
+    val r = TextAnalysis.ksLengthDrift(docs)
+      .as[(String, Long, Double)].collect().toSeq
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r == Seq(("A", 3L, r6(2.0 / 3.0)), ("B", 2L, r6(2.0 / 3.0))))
+  }
+
   test("chunk sequences: docs split exactly at fixed chunk boundaries") {
     def words(n: Int) = Seq.fill(n)("w").mkString(" ")
     // shard stream (doc_id order): 4 + 8 + 10 + 3 tokens, chunk len 10:
