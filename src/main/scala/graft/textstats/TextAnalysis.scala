@@ -394,7 +394,12 @@ object TextAnalysis {
     * cumulative window sums, and the KS gap as identical double
     * divisions of exact integers on both engines. The windows partition
     * by source over the tiny support grid — no corpus-proportional state
-    * crosses any exchange after the first aggregate. */
+    * crosses any exchange after the first aggregate.
+    *
+    * Contract: needs >= 2 sources — with a single source the
+    * rest-of-corpus denominator is zero and the statistic degenerates to
+    * Infinity (identically on both engines, so parity holds, but the
+    * number is meaningless). */
   def ksLengthDrift(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = docs.select(col("source"), size(toks).cast("long").as("n"))
