@@ -16,6 +16,54 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first measured query isn't charged for it
     spark.range(100000).selectExpr("sum(id)").collect()
+    // Captures the executed plan of each successful action so per-query
+    // shuffle/spill totals can be reported without a second execution or
+    // any change to what is timed. The listener bus is async — readers
+    // poll briefly after the timed runs.
+    val qeRef = new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.sql.execution.QueryExecution](null)
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            d: Long): Unit = qeRef.set(qe)
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      })
+    // Sums a named SQL metric over the whole executed tree, descending
+    // through AQE wrappers and materialized query stages.
+    def metricSum(root: org.apache.spark.sql.execution.SparkPlan,
+                  key: String): Long = {
+      var acc = 0L
+      def walk(n: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        n.metrics.get(key).foreach(m => acc += m.value)
+        n match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(q.plan)
+          case _ => ()
+        }
+        n.children.foreach(walk)
+      }
+      walk(root)
+      acc
+    }
+    def planMetrics(): Seq[Long] = {
+      var waited = 0
+      while (qeRef.get() == null && waited < 2000) {
+        Thread.sleep(20); waited += 20
+      }
+      Option(qeRef.get()) match {
+        case None => Seq(-1L, -1L, -1L)
+        case Some(qe) =>
+          val p = qe.executedPlan
+          Seq(metricSum(p, "shuffleRecordsWritten"),
+            metricSum(p, "shuffleBytesWritten"),
+            metricSum(p, "spillSize"))
+      }
+    }
     def median(ts: Seq[Double]): Double =
       if (ts.size < runs) -1.0 else ts.sorted.apply(ts.size / 2)
     def timed(name: String)(body: => Unit): Seq[Double] =
@@ -33,15 +81,15 @@ object Bench {
     // One shared index build, timed as its own row: the four stored
     // queries then report SERVE-ONLY latency instead of each paying a
     // full 5-table rebuild (round-3 verdict finding #2). Skipped when a
-    // name filter selects no stored query.
+    // name filter selects no stored query. Reported as "build_sec"
+    // OUTSIDE the query total — it is a build cost, not a query.
     val served = SparkEntry.servedQueries
     val needBuild = selected.keys.exists(served.contains)
-    val buildRow: Seq[(String, Double)] =
-      if (!needBuild) Nil
-      else Seq("idx_store_build" ->
-        median(timed("idx_store_build") {
-          SparkEntry.buildIndexStore(spark, sfDir) }))
-    val results = buildRow ++ selected.map { case (name, fn) =>
+    val buildSec: Double =
+      if (!needBuild) 0.0
+      else median(timed("idx_store_build") {
+        SparkEntry.buildIndexStore(spark, sfDir) })
+    val results = selected.toSeq.map { case (name, fn) =>
       // noop write, not count(): EliminateSorts removes a top-level orderBy
       // beneath count's aggregate, so count-based timing excluded the final
       // sort the correctness checker pays (round-2 review). The noop sink
@@ -52,19 +100,32 @@ object Bench {
       // GC artifact was 30% of the recorded total; documented +/-70%
       // per-query noise on this box). A failed query must not masquerade
       // as a fast one: report -1.
-      name -> median(timed(name) {
+      qeRef.set(null)
+      val sec = median(timed(name) {
         plan(spark, sfDir).write.format("noop").mode("overwrite").save() })
+      (name, sec, planMetrics())
     }
     // millisecond precision keeps the JSON line short enough to survive
     // output-tail truncation (full-precision doubles tripled its size in
     // round 1 and the driver failed to parse the clipped line)
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // plan_metrics values are [shuffle_rows, shuffle_bytes, spill_bytes]
+    // from the last timed execution; -1 = unknown (query failed or the
+    // listener never reported)
+    val pm = results.map { case (k, _, m) =>
+      s"\"" + k + "\":[" + m.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    // total = sum over SUCCESSFUL query rows only; -1 sentinels are
+    // counted in "failures" instead of silently shrinking the total, and
+    // the shared index build is its own "build_sec" key (round-4 advice)
+    val ok = results.filter(_._2 >= 0.0)
+    val failures = results.size - ok.size
+    val total = ok.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failures":$failures,"build_sec":${fmt(buildSec)},"queries":$qs,"sf":"$sfDir","plan_metrics":$pm}"""
     println(line)
     // belt-and-braces: persist the same line where truncation can't eat it
     // (full runs only — a filtered run must not clobber the snapshot)

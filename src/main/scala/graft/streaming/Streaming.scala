@@ -477,11 +477,15 @@ object Streaming {
             cur = SessionState(s.nEvents + 1, math.max(s.lastSeenUs, t))
         }
       }
-      sess.update(cur)
-      // one armed timer per key: re-arm at the open session's deadline
-      val h = getHandle
-      h.listTimers().foreach(t => h.deleteTimer(t.asInstanceOf[Long]))
-      h.registerTimer(cur.lastSeenUs / 1000L + gapMinutes * 60L * 1000L)
+      // cur can stay null if Spark ever hands us an empty row iterator
+      // for a key with no prior state — guard instead of NPEing the task
+      if (cur != null) {
+        sess.update(cur)
+        // one armed timer per key: re-arm at the open session's deadline
+        val h = getHandle
+        h.listTimers().foreach(t => h.deleteTimer(t.asInstanceOf[Long]))
+        h.registerTimer(cur.lastSeenUs / 1000L + gapMinutes * 60L * 1000L)
+      }
       closed.result().iterator
     }
     override def handleExpiredTimer(

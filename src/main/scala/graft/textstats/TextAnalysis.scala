@@ -396,12 +396,18 @@ object TextAnalysis {
     * by source over the tiny support grid — no corpus-proportional state
     * crosses any exchange after the first aggregate.
     *
-    * Contract: needs >= 2 sources — with a single source the
-    * rest-of-corpus denominator is zero and the statistic degenerates to
-    * Infinity (identically on both engines, so parity holds, but the
-    * number is meaningless). */
+    * Contract: needs >= 2 sources — with a single source both the
+    * rest-of-corpus numerator (cum_all - cum_src) and denominator
+    * (grand - src_total) are zero, so the gap is NaN (0.0/0.0), and
+    * NaN max/round semantics are NOT guaranteed identical across
+    * engines. Enforced below rather than left to this comment: the
+    * one-distinct-source case fails fast with a clear message. */
   def ksLengthDrift(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(docs.select("source").distinct().limit(2).count() >= 2,
+      "ksLengthDrift requires >= 2 sources: with one source the " +
+        "rest-of-corpus gap is NaN (0/0) and cross-engine NaN handling " +
+        "is not guaranteed identical")
     val t = docs.select(col("source"), size(toks).cast("long").as("n"))
     val per = t.groupBy("source", "n").agg(count(lit(1)).as("c"))
     val support = per.select("n").distinct()

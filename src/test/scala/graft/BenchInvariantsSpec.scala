@@ -25,7 +25,12 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
   * iteration. */
 class BenchInvariantsSpec extends SparkSpec {
 
-  private val dir = "/root/testdata/sf0.01"
+  // The record ceilings below were measured against the harness's sf0.01
+  // layout under its fixed shuffle.partitions; on another machine point
+  // GRAFT_TESTDATA at an equivalent layout or the suite skips (round-4
+  // advice: don't hard-couple CI to this box).
+  private val dir =
+    sys.env.getOrElse("GRAFT_TESTDATA", "/root/testdata") + "/sf0.01"
 
   private def profile(name: String): (Int, Long) = {
     val df = SparkEntry.queries(name)(spark, dir)
@@ -70,6 +75,7 @@ class BenchInvariantsSpec extends SparkSpec {
 
   pins.foreach { case (name, nShuffles, maxRecords) =>
     test(s"$name: $nShuffles exchanges, <= $maxRecords shuffled records") {
+      assume(new java.io.File(dir).isDirectory, s"testdata absent at $dir")
       val (n, recs) = profile(name)
       assert(n == nShuffles,
         s"$name now plans $n exchanges (pinned $nShuffles) — plan regressed")
