@@ -644,17 +644,16 @@ object SparkEntry {
         .select(col("media_id"), col("frame_idx"),
           hex(col("frame")).as("frame"), col("frame_bytes"))
         .orderBy("media_id", "frame_idx")),
-    // decode-stub features projected to scalar f0..f7 DOUBLE columns (an
-    // ARRAY<FLOAT> cell crashes the checker); the stub maps payload byte i
-    // to (b & 0xFF)/255f, which the oracle reproduces from the ASCII text.
-    "mm_features" -> ((s, dir) => {
-      val feat = Multimodal.extractFeatures(s,
-        Multimodal.fromDocuments(table(s, dir, "documents"))).toDF()
-      val fcols = (0 until 8).map(i =>
-        round(element_at(col("features"), i + 1).cast("double"), 4).as(s"f$i"))
-      feat.select(Seq(col("media_id"), col("modality"), col("n_bytes")) ++ fcols: _*)
-        .orderBy("media_id")
-    }),
+    // REAL features (the round-4 stub graduation): one codegen pass over
+    // the synthetic image corpus's actual bytes computes the 256-bucket
+    // byte histogram -> Shannon entropy + high-nibble counts h0..h15,
+    // while graft_image_dims parses width/height from the container
+    // header. The oracle re-assembles the identical hex, explodes it to
+    // bytes, and recomputes every count and the entropy sum in SQL — both
+    // engines derive the numbers from the same real payload bytes.
+    "mm_features" -> ((s, dir) =>
+      Multimodal.imageFeatures(
+        Multimodal.syntheticImageCorpus(table(s, dir, "documents")))),
     // REAL decode (no stub): header-valid PNG/JPEG binaries are assembled
     // from doc fields with column ops, then the codegen graft_image_dims
     // expression parses dimensions back out of the BYTES (PNG IHDR read;
@@ -2111,17 +2110,56 @@ object SparkEntry {
         |  hex(encode(substr(text, frame_idx*64 + 1, 16))) AS frame,
         |  CAST(length(substr(text, frame_idx*64 + 1, 16)) AS BIGINT) AS frame_bytes
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
-    // stub feature f_i = byte[i]/255 (0.0 past end); ASCII corpus => byte i
-    // == code point of char i+1, so ascii(substr(...)) reproduces it. The
-    // 4-decimal round is safe against float-vs-double drift: k/255 is never
-    // within 1e-6 of a rounding boundary.
+    // independent byte-level replay: re-assemble the same image hex, cut
+    // it into per-position bytes (unnest over range), group to the exact
+    // 256-bucket histogram, and recompute entropy = -sum((c/n)*ln(c/n))
+    // and the nibble counts in SQL. width/height come from the corpus
+    // formulas — ground truth the Spark side must RECOVER from the bytes
+    // (decode inverts encode; the independent parse is mm_image_meta).
     "mm_features" -> {
-      val fs = (0 until 8).map(i =>
-        s"round(CASE WHEN length(text) > $i THEN ascii(substr(text, ${i + 1}, 1))/255.0 ELSE 0.0 END, 4) AS f$i")
-        .mkString(",\n|  ")
-      s"""SELECT doc_id AS media_id, 'text' AS modality, CAST(length(text) AS BIGINT) AS n_bytes,
-         |  $fs
-         |FROM documents ORDER BY media_id""".stripMargin
+      val hs = (0 until 16).map(i =>
+        s"CAST(coalesce(sum(c) FILTER (WHERE b // 16 = $i), 0) AS BIGINT) AS h$i")
+        .mkString(",\n|    ")
+      s"""WITH base AS (
+         |  SELECT doc_id AS media_id, doc_id % 2 = 0 AS is_png,
+         |         CAST(doc_id % 509 + 16 AS INT) AS w,
+         |         CAST((doc_id * 7) % 389 + 16 AS INT) AS h,
+         |         CAST(doc_id % 11 AS INT) AS k
+         |  FROM documents),
+         |hb AS (
+         |  SELECT media_id, is_png,
+         |    CASE WHEN is_png THEN
+         |      '89504E470D0A1A0A' || '0000000D' || '49484452' ||
+         |      lpad(to_hex(w), 8, '0') || lpad(to_hex(h), 8, '0') || '0806000000' ||
+         |      'DEADBEEF' || '0000000049454E44AE426082'
+         |    ELSE
+         |      'FFD8FFFE' || lpad(to_hex(k + 2), 4, '0') ||
+         |      substring('4142434445464748494A4B', 1, k * 2) ||
+         |      'FFC0000B08' || lpad(to_hex(h), 4, '0') || lpad(to_hex(w), 4, '0') ||
+         |      '01011100FFD9'
+         |    END AS hx
+         |  FROM base),
+         |bytes AS (
+         |  SELECT media_id, CAST('0x' || substring(hx, CAST(2*p+1 AS INT), 2) AS INT) AS b
+         |  FROM (SELECT media_id, hx, unnest(range(length(hx) // 2)) AS p FROM hb)),
+         |counts AS (
+         |  SELECT media_id, b, CAST(count(*) AS BIGINT) AS c
+         |  FROM bytes GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT media_id, CAST(sum(c) AS BIGINT) AS n_bytes
+         |  FROM counts GROUP BY 1),
+         |stats AS (
+         |  SELECT media_id,
+         |    round(-sum((CAST(c AS DOUBLE) / CAST(n_bytes AS DOUBLE))
+         |               * ln(CAST(c AS DOUBLE) / CAST(n_bytes AS DOUBLE))), 4) AS entropy,
+         |    $hs
+         |  FROM counts JOIN tot USING (media_id) GROUP BY media_id)
+         |SELECT media_id,
+         |  CASE WHEN is_png THEN 'png' ELSE 'jpeg' END AS format,
+         |  w AS width, h AS height, n_bytes, entropy,
+         |  ${(0 until 16).map(i => s"h$i").mkString(", ")}
+         |FROM stats JOIN tot USING (media_id) JOIN base USING (media_id)
+         |ORDER BY media_id""".stripMargin
     },
     // independent byte-level parse: build the same hex, read PNG IHDR at
     // fixed offsets, walk JPEG marker segments with a recursive CTE (byte

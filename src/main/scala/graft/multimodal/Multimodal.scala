@@ -1,28 +1,24 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (north star): image/audio/video as opaque
   * BINARY payloads + typed metadata, with decode/feature-extraction as
   * partition-local transforms.
   *
-  * The decode step is a clearly-marked DETERMINISTIC STUB (no codec
-  * libraries exist in this environment); everything around it — the
-  * schema, the Dataset[MediaRecord] encoder, the mapPartitions batch
-  * shape, the explode of frame samples — is the real Spark plumbing a
-  * production decoder would drop into.
+  * The header decode (`graft_image_dims`) and byte-level feature
+  * extraction (`graft_image_features`) parse REAL bytes as codegen
+  * expressions; only pixel-level codec work (which needs libraries this
+  * environment lacks) is out of scope, and nothing here stubs around it —
+  * resize/frame-sample operate on the payload bytes directly.
   *
-  * Scale notes: payloads stay off the driver; decode is mapPartitions so
-  * per-partition setup (codec init in real life) is amortized across the
-  * partition's rows, the exact shape a Python `mapInPandas` batch UDF or a
-  * JNI decoder needs.
+  * Scale notes: payloads stay off the driver; every transform is a
+  * column expression inside whole-stage codegen, so the per-row cost is
+  * one pass over the payload with zero boxing.
   */
 object Multimodal {
 
-  case class MediaRecord(media_id: Long, modality: String, payload: Array[Byte])
-  case class MediaFeatures(media_id: Long, modality: String, n_bytes: Long,
-                           features: Array[Float])
 
   /** Wrap the documents table as a binary media corpus (text modality). */
   def fromDocuments(docs: DataFrame): DataFrame =
@@ -39,24 +35,31 @@ object Multimodal {
       hex(substring(col("payload"), 1, 8)).as("magic_prefix"))
       .orderBy("media_id")
 
-  /** Partition-local "decode" + feature extraction.
-    *
-    * STUB: real systems decode image/audio bytes here (JNI codec, or a
-    * Python `mapInPandas` batch). This deterministic fake derives an
-    * 8-dim feature vector from the first payload bytes so the plumbing
-    * (encoder round-trip, batch iteration, schema) is fully testable. */
-  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
-    import spark.implicits._
-    media.select("media_id", "modality", "payload").as[MediaRecord]
-      .mapPartitions { records =>
-        // per-partition setup happens once (codec init in real life)
-        records.map { r =>
-          val f = Array.tabulate(8) { i =>
-            if (i < r.payload.length) (r.payload(i) & 0xFF) / 255.0f else 0.0f
-          }
-          MediaFeatures(r.media_id, r.modality, r.payload.length.toLong, f)
-        }
-      }
+  /** REAL per-payload feature extraction — no stub, no mapPartitions, no
+    * UDF: one codegen expression pass (`graft_image_features`) computes
+    * the 256-bucket byte histogram, its Shannon entropy, and the coarse
+    * high-nibble counts, while `graft_image_dims` parses the container
+    * header for width/height (both stay inside whole-stage codegen). This
+    * is the cheap triage vector a 100 TB multimodal pipeline computes for
+    * every payload before any codec ever runs: entropy separates
+    * compressed/encrypted/garbage payloads from structured ones, the
+    * nibble histogram fingerprints the container, and the parsed
+    * dimensions gate downstream decode work. */
+  def imageFeatures(media: DataFrame): DataFrame = {
+    graft.functions.ImageFunctions.ensureRegistered(media.sparkSession)
+    val cols = Seq(
+      col("media_id"),
+      col("dims.format").as("format"),
+      col("dims.width").as("width"),
+      col("dims.height").as("height"),
+      col("bf.n_bytes").as("n_bytes"),
+      round(col("bf.entropy"), 4).as("entropy")) ++
+      (0 until 16).map(i => col(s"bf.h$i").as(s"h$i"))
+    media.select(col("media_id"),
+        graft.functions.ImageFunctions.imageDims(col("payload")).as("dims"),
+        graft.functions.ImageFunctions.imageFeatures(col("payload")).as("bf"))
+      .select(cols: _*)
+      .orderBy("media_id")
   }
 
   /** A corpus of REAL (header-valid) image binaries derived from the

@@ -28,15 +28,47 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(2)._4 == 2L)   // short doc -> truncated frame
   }
 
-  test("decode-stub features flow through mapPartitions with typed encoder") {
-    val feats = Multimodal.extractFeatures(spark,
-      Multimodal.fromDocuments(docs)).collect()
-    assert(feats.length == 2)
-    val f1 = feats.find(_.media_id == 1L).get
-    assert(f1.n_bytes == 100L && f1.features.length == 8)
-    assert(math.abs(f1.features(0) - 'a'.toInt / 255.0f) < 1e-6)
-    val f2 = feats.find(_.media_id == 2L).get
-    assert(f2.features(2) == 0.0f) // padded beyond payload
+  test("imageFeatures: hand-computed entropy + nibble histogram") {
+    // "aabb": counts {a:2, b:2} -> entropy = -2*(1/2)*ln(1/2) = ln 2;
+    // both bytes are 0x6_, so all 4 land in nibble bucket 6
+    val media = Seq((1L, "bin", "aabb".getBytes("UTF-8")))
+      .toDF("media_id", "modality", "payload")
+    val r = Multimodal.imageFeatures(media).collect().head
+    assert(r.getAs[Long]("n_bytes") == 4L)
+    assert(r.getAs[Double]("entropy") ==
+      BigDecimal(math.log(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Long]("h6") == 4L)
+    assert((0 until 16).filter(_ != 6).forall(i => r.getAs[Long](s"h$i") == 0L))
+    // non-image payload: header fields null, byte stats still real
+    assert(r.isNullAt(r.fieldIndex("format")))
+  }
+
+  test("imageFeatures: empty payload yields 0.0 entropy, never NaN") {
+    val media = Seq((1L, "bin", Array.emptyByteArray))
+      .toDF("media_id", "modality", "payload")
+    val r = Multimodal.imageFeatures(media).collect().head
+    assert(r.getAs[Long]("n_bytes") == 0L)
+    assert(r.getAs[Double]("entropy") == 0.0)
+  }
+
+  test("imageFeatures recovers header dims from the synthetic corpus bytes") {
+    val corpus = Seq((6L, "even doc"), (7L, "odd doc")).toDF("doc_id", "text")
+    val out = Multimodal.imageFeatures(Multimodal.syntheticImageCorpus(corpus))
+      .select("media_id", "format", "width", "height")
+      .as[(Long, String, Int, Int)].collect().toSeq
+    assert(out == Seq(
+      (6L, "png", 6 % 509 + 16, 6 * 7 % 389 + 16),
+      (7L, "jpeg", 7 % 509 + 16, 7 * 7 % 389 + 16)))
+  }
+
+  test("imageFeatures histogram counts sum to n_bytes on real payloads") {
+    val corpus = Seq((10L, "a"), (11L, "b"), (12L, "c")).toDF("doc_id", "text")
+    Multimodal.imageFeatures(Multimodal.syntheticImageCorpus(corpus))
+      .collect().foreach { r =>
+        val total = (0 until 16).map(i => r.getAs[Long](s"h$i")).sum
+        assert(total == r.getAs[Long]("n_bytes"))
+        assert(r.getAs[Double]("entropy") > 0.0)
+      }
   }
 
   private def unhex(s: String): Array[Byte] =
