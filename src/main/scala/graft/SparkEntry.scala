@@ -604,6 +604,14 @@ object SparkEntry {
       TextAnalysis.vocabularyStats(table(s, dir, "documents"))),
     "text_bpe_tokens" -> ((s, dir) =>
       TextAnalysis.bpeTokenCounts(table(s, dir, "documents"))),
+    // BPE merge TRAINING (round-5 verdict item #2): 8 rounds of
+    // highest-frequency-pair merging over the vocabulary, kmeansFit-style
+    // (one aggregate + one argmax row to the driver per round); the
+    // oracle unrolls the same 8 rounds CTE-by-CTE on the identical
+    // wrapped-symbol representation, so the whole training trajectory —
+    // counts, tie-breaks, greedy merge application — is replayed in SQL.
+    "text_bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeTrainMerges(table(s, dir, "documents"), 8)),
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdfTopTerms(table(s, dir, "documents"), 3)),
     // corpus-trained bigram-LM fluency proxy: mean ln p(w2|w1) per doc
@@ -2070,6 +2078,40 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(lower(text), '''[a-z]+|[a-z]+|[0-9]+|[^a-z0-9\s'']+')) AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // replays the full BPE training trajectory: same wrapped-symbol form
+    // ('.h..e..y.'), same pair counting (zipped parallel unnests of the
+    // offset list slices), same (count DESC, lhs, rhs) tie-break, same
+    // single-replace() greedy merge — unrolled one CTE trio per round.
+    "text_bpe_merges" -> {
+      val n = 8
+      val rounds = (1 to n).map { r =>
+        s"""p$r AS (
+           |  SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS pair_count
+           |  FROM (SELECT freq,
+           |          unnest(els[1:len(els)-1]) AS lhs,
+           |          unnest(els[2:len(els)]) AS rhs
+           |        FROM (SELECT freq, string_split(substring(sym, 2, length(sym)-2), '..') AS els
+           |              FROM w${r - 1}))
+           |  GROUP BY 1, 2),
+           |m$r AS (
+           |  SELECT lhs, rhs, lhs || rhs AS merged, pair_count
+           |  FROM p$r ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+           |w$r AS (
+           |  SELECT replace(sym, '.' || lhs || '..' || rhs || '.', '.' || merged || '.') AS sym, freq
+           |  FROM w${r - 1}, m$r)"""
+      }.mkString(",\n")
+      val sel = (1 to n).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS merge_round, lhs, rhs, merged, pair_count FROM m$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH w0 AS (
+         |  SELECT '.' || array_to_string(list_transform(range(1, length(term)+1),
+         |           i -> substring(term, CAST(i AS INT), 1)), '..') || '.' AS sym,
+         |         CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents)
+         |  GROUP BY 1),
+         |$rounds
+         |SELECT * FROM ($sel) ORDER BY merge_round""".stripMargin
+    },
     "text_bigrams" ->
       """WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
         |b AS (SELECT unnest(list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])) AS bigram

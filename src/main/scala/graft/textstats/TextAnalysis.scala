@@ -264,6 +264,76 @@ object TextAnalysis {
         .cast("long").as("n_bpe_tokens"))
       .orderBy("doc_id")
 
+  /** Distributed BPE merge TRAINING — the canonical tokenizer-training
+    * loop of an LLM data pipeline, run with the same discipline as
+    * `Similarity.kmeansFit`: the iterative state lives in ONE
+    * vocabulary-sized table (distinct words + frequencies, never the
+    * corpus), each round is one distributed pair-count aggregate, exactly
+    * ONE row (the argmax pair) comes back to the driver, and the merged
+    * vocabulary is localCheckpoint'ed so lineage stays flat across
+    * rounds. At 100 TB the corpus is scanned ONCE (the word count);
+    * every subsequent round touches only the vocabulary, which is
+    * millions of rows at web scale — a broadcast-sized frame.
+    *
+    * Words are carried in the classic wrapped-symbol string form — each
+    * symbol wrapped in sentinel dots, `hey` -> `.h..e..y.` — chosen so a
+    * merge is ONE `replace()` call: occurrences of `.l..r.` never share
+    * boundary characters, so replace's left-to-right non-overlapping scan
+    * applies the merge exactly like the classic BPE greedy pass, and
+    * IDENTICALLY in Spark and DuckDB (the oracle unrolls the same rounds
+    * CTE-by-CTE on the same representation). The sentinel `.` cannot
+    * collide: symbols only ever contain the pinned tokenizer alphabet
+    * [a-z0-9_'].
+    *
+    * Tie-break is total: highest summed frequency, then lexicographic
+    * (lhs, rhs) — exact integer counts, no float anywhere. */
+  def bpeTrainMerges(docs: DataFrame, nMerges: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    require(nMerges >= 1)
+    val words = Tokenize.termOccurrences(docs)
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .select(concat(lit("."),
+        array_join(expr(
+          "transform(sequence(1, length(term)), i -> substring(term, i, 1))"),
+          ".."),
+        lit(".")).as("sym"), col("freq"))
+    var cur = words.localCheckpoint(true)
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      // adjacent symbol pairs of the wrapped form, weighted by word freq;
+      // guard the size<2 case (Spark's sequence counts DOWN on (1,0))
+      val top = cur
+        .select(col("freq"), expr(
+          """explode(CASE WHEN size(split(substring(sym, 2, length(sym)-2), '\\.\\.')) < 2
+            |  THEN CAST(array() AS ARRAY<STRUCT<lhs: STRING, rhs: STRING>>)
+            |  ELSE transform(sequence(1, size(split(substring(sym, 2, length(sym)-2), '\\.\\.')) - 1),
+            |    i -> struct(split(substring(sym, 2, length(sym)-2), '\\.\\.')[i-1] AS lhs,
+            |                split(substring(sym, 2, length(sym)-2), '\\.\\.')[i] AS rhs))
+            |  END)""".stripMargin).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("freq").as("pair_count"))
+        .orderBy(desc("pair_count"), asc("lhs"), asc("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rr, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, l, rr, l + rr, cnt))
+        // lit()s, not SQL literals: symbols may contain apostrophes
+        cur = cur.withColumn("sym",
+          call_function("replace", col("sym"),
+            lit(s".$l..$rr."), lit(s".$l$rr.")))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    import spark.implicits._
+    merges.result()
+      .toDF("merge_round", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("merge_round")
+  }
+
   /** Top-k TF-IDF terms per document — the keyword/feature extraction a
     * pipeline runs for doc routing and near-dup triage. tf is the raw
     * in-doc count, idf the raw ln(N/df) (same family as the BM25 idf,

@@ -120,4 +120,37 @@ class TextAnalysisSpec extends SparkSpec {
     val fills = out.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
     assert(fills == Map(0L -> 10L, 1L -> 10L, 2L -> 5L))
   }
+
+  test("bpeTrainMerges reproduces the classic hand-computed merge table") {
+    // freqs: low:5 lower:2 newest:3 widest:1
+    // r1: (l,o)=7 ties (o,w)=7 -> lex picks (l,o); r2: (lo,w)=7;
+    // r3: (e,s)=4 ties (s,t)=4 -> lex picks (e,s)
+    val docs = Seq(
+      (1L, "low low low low low"), (2L, "lower lower"),
+      (3L, "newest newest newest"), (4L, "widest"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrainMerges(docs, nMerges = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1L, "l", "o", "lo", 7L),
+      (2L, "lo", "w", "low", 7L),
+      (3L, "e", "s", "es", 4L)))
+  }
+
+  test("bpeTrainMerges applies merges greedily non-overlapping (aaaa)") {
+    // "aaaa": r1 pair (a,a) counted 3 times but ONE merge pass yields
+    // [aa, aa] (leftmost non-overlap), so r2 merges (aa,aa) with count 1
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrainMerges(docs, nMerges = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(4))).toSeq
+    assert(out == Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)))
+  }
+
+  test("bpeTrainMerges stops early when the vocabulary is fully merged") {
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrainMerges(docs, nMerges = 5).collect()
+    assert(out.length == 1) // (a,b) merges once; no pairs remain
+  }
 }
