@@ -506,6 +506,10 @@ object SparkEntry {
     // windows that occur in any other doc ("how much of this doc is copy")
     "dedup_shared_ngrams" -> ((s, dir) =>
       Dedup.sharedNgramStats(table(s, dir, "documents"), 8)),
+    // the actual cut-list: maximal token spans covered by 8-token windows
+    // repeated verbatim in >= 2 distinct docs (round-5 verdict item #3)
+    "dedup_span_pairs" -> ((s, dir) =>
+      Dedup.duplicatedSpans(table(s, dir, "documents"), 8)),
     // temperature-scaled domain mixing: per-source token share ->
     // alpha-flattened sampling weight + resample factor
     "curate_source_mix" -> ((s, dir) =>
@@ -1564,6 +1568,29 @@ object SparkEntry {
         |  round(CASE WHEN coalesce(nw, 0) = 0 THEN 0.0
         |        ELSE CAST(nsw AS DOUBLE)/nw END, 4) AS shared_frac
         |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // same positional-window replay: 1-based list slices -> 0-based pos,
+    // distinct-doc window df >= 2, then SQL gaps-and-islands (lag + running
+    // sum) merges [pos, pos+8) intervals exactly like the Spark window
+    "dedup_span_pairs" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+        |w AS (SELECT doc_id, p - 1 AS pos, array_to_string(list_slice(tk, p, p+7), ' ') AS win
+        |      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk)-7)) AS p
+        |            FROM t WHERE len(tk) >= 8)),
+        |s AS (SELECT win FROM (SELECT DISTINCT doc_id, win FROM w) GROUP BY win HAVING count(*) >= 2),
+        |h AS (SELECT doc_id, pos FROM w JOIN s USING (win)),
+        |i AS (SELECT doc_id, pos,
+        |        CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |               OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM h),
+        |g AS (SELECT doc_id, pos,
+        |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        |      FROM i)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 8 AS BIGINT) AS span_end,
+        |  CAST(max(pos) + 8 - min(pos) AS BIGINT) AS n_tokens
+        |FROM g GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
     "curate_source_mix" ->
       """WITH per AS (SELECT source, count(*) AS n_docs,
         |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9_'']+'))) AS BIGINT) AS n_tokens

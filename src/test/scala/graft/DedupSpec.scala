@@ -357,4 +357,27 @@ class DedupSpec extends SparkSpec {
     assert(repDoc == 9L, s"picked $repDoc, not the hub") // NOT min-id
     assert(repPr > 0.25) // hub holds more than a uniform share
   }
+
+  test("duplicatedSpans emits maximal cross-doc repeated spans") {
+    def words(a: Int, b: Int) = (a until b).map(i => s"w$i").mkString(" ")
+    // doc1 tokens 0..29; doc2 copies doc1's tokens [5,15) then diverges,
+    // and separately copies [20,28) — with k=4 the shared windows must
+    // coalesce into exactly those two maximal spans on BOTH docs
+    val d1 = words(0, 30)
+    val d2 = words(5, 15) + " zzz qqq xxx yyy " + words(20, 28)
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, 5L, 15L, 10L), (1L, 20L, 28L, 8L),
+      (2L, 0L, 10L, 10L), (2L, 14L, 22L, 8L)))
+  }
+
+  test("duplicatedSpans: within-doc repeats alone do not trigger spans") {
+    val rep = ((0 until 8).map(i => s"a$i").mkString(" ") + " ") * 2
+    val docs = Seq((1L, rep), (2L, "completely different tokens here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(docs, k = 4).count() == 0L)
+  }
 }
