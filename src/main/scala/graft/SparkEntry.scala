@@ -570,6 +570,10 @@ object SparkEntry {
     // pairs — learned buckets instead of random hyperplanes
     "dedup_semantic_pairs" -> ((s, dir) =>
       Similarity.semanticDedupPairs(table(s, dir, "embeddings"))),
+    // IVF-PQ composition (round-5): trained coarse cells + residual PQ,
+    // served by cell prune + asymmetric distance
+    "sim_ann_ivfpq" -> ((s, dir) =>
+      Similarity.annCosineIvfPq(table(s, dir, "embeddings"), 0L, 10)),
 
     // ---- text analysis (north star) ----
     "text_token_counts" -> ((s, dir) =>
@@ -1871,6 +1875,67 @@ object SparkEntry {
          |FROM a4 a JOIN a4 b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
          |WHERE list_dot_product(a.u, b.u) >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin
+    },
+    // the full IVF-PQ replay: same unrolled kmeans (ct3), final
+    // assignment, residuals vs the assigned centroid, the seeded-md5
+    // residual codebook, probe rank over trained cells, per-(vec,subspace)
+    // argmin with (d2, code_id) tie-break, and qc + ordered list_sum —
+    // every stage of the composed index recomputed independently in SQL.
+    "sim_ann_ivfpq" -> {
+      val rounds = (1 to 3).map { t =>
+        val prev = if (t == 1) "ct0" else s"ct${t - 1}"
+        s"""a$t AS (SELECT vec_id, u, cell_id FROM (
+           |  SELECT e.vec_id, e.u, c.cell_id,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |           ORDER BY list_dot_product(e.u, c.cu) DESC, c.cell_id) AS rn
+           |  FROM e CROSS JOIN $prev c) WHERE rn = 1),
+           |s$t AS (SELECT cell_id, d, CAST(sum(CAST(u[d] AS DECIMAL(28,18))) AS DOUBLE) AS sd
+           |        FROM a$t, generate_series(1, 64) g(d) GROUP BY cell_id, d),
+           |m$t AS (SELECT cell_id, list(sd ORDER BY d) AS m FROM s$t GROUP BY cell_id),
+           |ct$t AS (SELECT p.cell_id,
+           |           COALESCE(list_transform(m$t.m, x -> x / sqrt(list_dot_product(m$t.m, m$t.m))), p.cu) AS cu
+           |         FROM $prev p LEFT JOIN m$t USING (cell_id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |e1 AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),
+         |e AS (SELECT vec_id, label, list_transform(v, x -> x/nrm) AS u FROM e1),
+         |c0s AS (SELECT vec_id, u, md5(CAST(vec_id AS VARCHAR) || ':7') AS ck FROM e ORDER BY ck, vec_id LIMIT 16),
+         |ct0 AS (SELECT CAST(row_number() OVER (ORDER BY ck, vec_id) AS INT) AS cell_id, u AS cu FROM c0s),
+         |$rounds,
+         |a4 AS (SELECT vec_id, label, u, cell_id FROM (
+         |  SELECT e.vec_id, e.label, e.u, c.cell_id,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY list_dot_product(e.u, c.cu) DESC, c.cell_id) AS rn
+         |  FROM e CROSS JOIN ct3 c) WHERE rn = 1),
+         |res AS (SELECT a4.vec_id, a4.label, a4.cell_id,
+         |          list_transform(generate_series(1, 64), i -> a4.u[i] - c.cu[i]) AS r
+         |        FROM a4 JOIN ct3 c USING (cell_id)),
+         |cb0 AS (SELECT vec_id, r, md5(CAST(vec_id AS VARCHAR) || ':7') AS ck FROM res ORDER BY ck, vec_id LIMIT 16),
+         |cb AS (SELECT CAST(row_number() OVER (ORDER BY ck, vec_id) AS INT) AS code_id, r AS cr FROM cb0),
+         |q AS (SELECT u AS qu FROM e WHERE vec_id = 0),
+         |probe AS (SELECT cell_id, qc FROM (
+         |  SELECT c.cell_id, list_dot_product(q.qu, c.cu) AS qc,
+         |         row_number() OVER (ORDER BY list_dot_product(q.qu, c.cu) DESC, c.cell_id) AS rn
+         |  FROM q CROSS JOIN ct3 c) WHERE rn <= 4),
+         |cand AS (SELECT res.vec_id, res.label, res.r, probe.qc
+         |         FROM res JOIN probe USING (cell_id) WHERE res.vec_id != 0),
+         |d AS (SELECT t.vec_id, t.label, t.qc, g.s, cb.code_id, cb.cr,
+         |    list_dot_product(
+         |      list_transform(generate_series(1, 8), i -> t.r[g.s*8 + i] - cb.cr[g.s*8 + i]),
+         |      list_transform(generate_series(1, 8), i -> t.r[g.s*8 + i] - cb.cr[g.s*8 + i])) AS d2
+         |  FROM cand t CROSS JOIN generate_series(0, 7) g(s) CROSS JOIN cb),
+         |best AS (SELECT vec_id, label, qc, s, cr FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code_id) AS rn FROM d)
+         |  WHERE rn = 1),
+         |part AS (SELECT b.vec_id, b.label, b.qc, b.s,
+         |    list_dot_product(
+         |      list_transform(generate_series(1, 8), i -> q.qu[b.s*8 + i]),
+         |      list_transform(generate_series(1, 8), i -> b.cr[b.s*8 + i])) AS p
+         |  FROM best b, q),
+         |sc AS (SELECT vec_id, label, max(qc) + list_sum(list(p ORDER BY s)) AS approx
+         |       FROM part GROUP BY vec_id, label)
+         |SELECT vec_id, label, round(approx, 4) AS approx_cosine
+         |FROM sc ORDER BY round(approx, 4) DESC, vec_id LIMIT 10""".stripMargin
     },
 
     "text_token_counts" ->

@@ -628,6 +628,88 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ composed index (round-5 verdict item #4): the trained
+    * k-means cells (`kmeansFit`) become the coarse quantizer and PQ
+    * encodes the RESIDUAL u - centroid — the composition production ANN
+    * systems ship, because residuals are small and centered so the
+    * shared codebook spends its codes on fine structure instead of
+    * re-describing cell placement. Serving is cell-prune + asymmetric
+    * distance: probe the nProbe nearest trained cells, then score only
+    * their members by q·centroid + Σ_s q_sub·codeword(argmin ||r_sub -
+    * cw_sub||²).
+    *
+    * Plan shape: the kmeans loop is the bounded kmeansFit iteration;
+    * after it, ONE corpus scan assigns cells (broadcast-fold argmax, no
+    * shuffle), and serving joins the corpus against three broadcast
+    * singletons (probe list, codebook, query) — the only exchange is the
+    * final TakeOrderedAndProject. At 100 TB the residual encode is where
+    * the corpus would be written once as (cell_id, codes) — 8 bytes a
+    * vector — and serving reads ~nProbe/nCells of it.
+    *
+    * Determinism: trained cells are bit-reproducible (kmeansFit), the
+    * residual codebook is the same seeded-md5 sample as annCosinePq, the
+    * per-subspace argmin keeps the first (lowest-index) code on ties,
+    * and the final rank is on the ROUNDED score + vec_id. The residual
+    * is bound ONCE per row through the 1-element-array trick (a bare
+    * zip_with referenced inside the code-scoring lambdas would be
+    * re-inlined per code by CollapseProject — the withUnitVec trap). */
+  def annCosineIvfPq(embeddings: DataFrame, queryVecId: Long, k: Int,
+                     nCells: Int = 16, nProbe: Int = 4, iters: Int = 3,
+                     seed: Long = 7L, nSub: Int = 8, nCodes: Int = 16,
+                     dims: Int = 64): DataFrame = {
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
+    require(dims % nSub == 0 && nProbe >= 1 && nProbe <= nCells)
+    val subLen = dims / nSub
+    val e = unitVecs(embeddings)
+    val fit = kmeansFit(embeddings, nCells, iters, seed, dims)
+    val cells = fit
+      .agg(array_sort(collect_list(struct(col("cell_id"), col("cu"))))
+        .as("cells"))
+    val withCu = ivfAssign(e, cells)
+      .join(broadcast(fit.select("cell_id", "cu")), Seq("cell_id"))
+    val resid = withCu
+      .withColumn("r", zip_with(col("u"), col("cu"), (a, b) => a - b))
+    val book = resid
+      .withColumn("__ck", md5(concat(col("vec_id").cast("string"), lit(s":$seed"))))
+      .orderBy(col("__ck"), col("vec_id")).limit(nCodes)
+      .agg(array_sort(collect_list(struct(col("__ck").as("ck"),
+        col("vec_id").as("cvid"), col("r").as("cr")))).as("arr"))
+      .select(transform(col("arr"), c => c.getField("cr")).as("codes"))
+    val q = e.filter(col("vec_id") === queryVecId).select(col("u").as("qu"))
+    val probed = q.crossJoin(broadcast(cells))
+      .select(col("qu"), explode(col("cells")).as("c"))
+      .select(col("qu"), col("c.cell_id").as("cell_id"),
+        dot(col("qu"), col("c.cu")).as("qc"))
+      .orderBy(desc("qc"), asc("cell_id")).limit(nProbe)
+      .select(col("cell_id"), col("qu"), col("qc"))
+    val score = element_at(transform(
+      array(zip_with(col("u"), col("cu"), (a, b) => a - b)), r => {
+        val parts = transform(sequence(lit(0), lit(nSub - 1)), sIdx => {
+          val rsub = slice(r, sIdx * subLen + 1, lit(subLen))
+          val qsub = slice(col("qu"), sIdx * subLen + 1, lit(subLen))
+          val scored = transform(col("codes"), cv => {
+            val cw = slice(cv, sIdx * subLen + 1, lit(subLen))
+            val err = zip_with(rsub, cw, (a, b) => a - b)
+            struct(dot(err, err).as("d2"), cw.as("cw"))
+          })
+          val best = aggregate(scored,
+            struct(lit(Double.PositiveInfinity).as("d2"),
+              typedLit(Array.empty[Double]).as("cw")),
+            (acc, c) => when(c.getField("d2") < acc.getField("d2"), c)
+              .otherwise(acc))
+          dot(qsub, best.getField("cw"))
+        })
+        col("qc") + aggregate(parts, lit(0.0), (acc, x) => acc + x)
+      }), 1)
+    withCu.join(broadcast(probed), Seq("cell_id"))
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(book))
+      .select(col("vec_id"), col("label"),
+        round(score, 4).as("approx_cosine"))
+      .orderBy(desc("approx_cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** Per-label embedding stats (norm is exact-order sequential). */
   def normStatsByLabel(embeddings: DataFrame): DataFrame = {
     VectorFunctions.ensureRegistered(embeddings.sparkSession)

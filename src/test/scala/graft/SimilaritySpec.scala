@@ -315,6 +315,28 @@ class SimilaritySpec extends SparkSpec {
     assert(sameCluster >= 6, s"only $sameCluster/10 from the query's cluster")
   }
 
+  test("IVF-PQ: near-exact with a rich codebook; recall floor vs brute") {
+    val e = plantedClusters
+    val brute = Similarity.cosineTopK(e, 0L, 10)
+      .as[(Long, Int, Double)].collect().toSeq
+    // nCodes >= corpus: every residual is a codeword, reconstruction is
+    // exact, and probing every trained cell covers the corpus -> serving
+    // must reproduce brute-force ids and scores to the rounding grid
+    val rich = Similarity.annCosineIvfPq(e, 0L, 10, nCells = 3, nProbe = 3,
+      iters = 10, nSub = 2, nCodes = 36, dims = 4)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(rich.map(_._1) == brute.map(_._1))
+    rich.zip(brute).foreach { case ((_, _, a), (_, _, b)) =>
+      assert(math.abs(a - b) <= 1e-4, s"$a vs $b") }
+    // production shape — cell prune (1 of 3 probes) + a coarse codebook:
+    // the query's planted cluster must still dominate the top-10
+    val pruned = Similarity.annCosineIvfPq(e, 0L, 10, nCells = 3, nProbe = 1,
+      iters = 10, nSub = 2, nCodes = 6, dims = 4)
+      .as[(Long, Int, Double)].collect().toSeq
+    val recall = pruned.map(_._1).count(brute.map(_._1).toSet).toDouble / 10
+    assert(recall >= 0.6, s"IVF-PQ recall $recall")
+  }
+
   test("semantic dedup pairs: within-cluster twins found, cross-cluster never") {
     val pairs = Similarity.semanticDedupPairs(plantedClusters,
       threshold = 0.9, nCells = 3, iters = 10, dims = 4)
