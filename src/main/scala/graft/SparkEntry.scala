@@ -510,6 +510,14 @@ object SparkEntry {
     // repeated verbatim in >= 2 distinct docs (round-5 verdict item #3)
     "dedup_span_pairs" -> ((s, dir) =>
       Dedup.duplicatedSpans(table(s, dir, "documents"), 8)),
+    // paragraph-grain near-dup (round-5): blank-line paragraphs (the
+    // synthetic corpus gets breaks re-materialized every 25 tokens first,
+    // like the image corpus gets real headers), then the SAME df-capped
+    // Jaccard path at paragraph keys, reported as per-doc dup fraction
+    "dedup_paragraph_frac" -> ((s, dir) =>
+      Dedup.paragraphDupFraction(
+        Dedup.withSyntheticParagraphs(table(s, dir, "documents"), 25),
+        3, 0.5, 100)),
     // temperature-scaled domain mixing: per-source token share ->
     // alpha-flattened sampling weight + resample factor
     "curate_source_mix" -> ((s, dir) =>
@@ -1595,6 +1603,41 @@ object SparkEntry {
         |  CAST(max(pos) + 8 - min(pos) AS BIGINT) AS n_tokens
         |FROM g GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+    // paragraph replay: 25-token blocks of the raw space-split (insertion
+    // + regex split == direct slicing since the corpus has no newlines),
+    // pkey = doc_id*1e6 + para_id, then the standard capped-Jaccard CTEs
+    // at paragraph grain, cross-doc filtered, re-aggregated per doc
+    "dedup_paragraph_frac" ->
+      """WITH tk0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |par0 AS (SELECT doc_id, p AS para_id,
+        |           array_to_string(list_slice(w, CAST(p*25+1 AS INT), CAST(p*25+25 AS INT)), ' ') AS para
+        |         FROM (SELECT doc_id, w,
+        |                 unnest(generate_series(0, CAST(greatest(ceil(len(w)/25.0), 1) AS BIGINT) - 1)) AS p
+        |               FROM tk0)),
+        |par AS (SELECT * FROM par0 WHERE length(trim(para)) > 0),
+        |pk AS (SELECT doc_id, para_id, doc_id*1000000 + para_id AS pkey, para FROM par),
+        |t AS (SELECT pkey, regexp_extract_all(lower(para), '[a-z0-9_'']+') AS tk FROM pk),
+        |g AS (SELECT pkey, CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) ELSE [] END AS shl FROM t),
+        |sh0 AS (SELECT pkey, unnest(shl) AS shingle FROM g),
+        |hot AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh0 GROUP BY shingle) WHERE df > 100),
+        |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        |sizes AS (SELECT pkey, count(*) AS sz FROM sh GROUP BY pkey),
+        |shared AS (SELECT a.pkey AS pa, b.pkey AS pb, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.pkey < b.pkey GROUP BY 1, 2),
+        |pairs AS (SELECT pa, pb FROM shared
+        |  JOIN sizes sa ON sa.pkey = pa JOIN sizes sb ON sb.pkey = pb
+        |  WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.5
+        |    AND pa // 1000000 != pb // 1000000),
+        |dup AS (SELECT DISTINCT pkey FROM (SELECT pa AS pkey FROM pairs UNION ALL SELECT pb FROM pairs)),
+        |np AS (SELECT doc_id, count(*) AS n_paras FROM pk GROUP BY doc_id),
+        |nd AS (SELECT pkey // 1000000 AS doc_id, count(*) AS n_dup FROM dup GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(np.n_paras, 0) AS BIGINT) AS n_paras,
+        |  CAST(coalesce(nd.n_dup, 0) AS BIGINT) AS n_dup_paras,
+        |  round(CASE WHEN coalesce(np.n_paras, 0) = 0 THEN 0.0
+        |        ELSE CAST(coalesce(nd.n_dup, 0) AS DOUBLE)/np.n_paras END, 4) AS dup_frac
+        |FROM documents d LEFT JOIN np USING (doc_id) LEFT JOIN nd USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "curate_source_mix" ->
       """WITH per AS (SELECT source, count(*) AS n_docs,
         |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9_'']+'))) AS BIGINT) AS n_tokens

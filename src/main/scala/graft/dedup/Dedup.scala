@@ -430,6 +430,71 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Paragraph-key base: pkey = doc_id * ParaKeyBase + para_id keeps the
+    * composite key a plain LONG so the whole df-capped Jaccard path runs
+    * unchanged at paragraph grain. 10^6 paragraphs per doc is far above
+    * any real document; doc_ids stay safe below ~9.2e12. */
+  val ParaKeyBase = 1000000L
+
+  /** Re-materialize paragraph structure on the flat synthetic corpus
+    * (which carries no newlines): insert a blank line after every
+    * `every` whitespace tokens, with pure column ops — the same
+    * fixture-assembly pattern as Multimodal.syntheticImageCorpus. The
+    * paragraph split downstream then exercises the REAL `\n{2,}` regex
+    * path a production corpus needs. */
+  def withSyntheticParagraphs(docs: DataFrame, every: Int = 25): DataFrame = {
+    val tk = split(col("text"), " ")
+    val nChunks = ceil(size(tk) / lit(every.toDouble)).cast("int")
+    docs.withColumn("text",
+      array_join(transform(sequence(lit(0), greatest(nChunks, lit(1)) - 1),
+        i => array_join(slice(tk, i * every + 1, lit(every)), " ")), "\n\n"))
+  }
+
+  /** Split documents into (doc_id, para_id, para) on blank lines — the
+    * granularity real pipelines dedup at alongside whole docs (boilerplate
+    * headers/footers duplicate at paragraph level while their documents
+    * stay unique). Empty/whitespace paragraphs drop out. */
+  def paragraphs(docs: DataFrame, sep: String = "\n{2,}"): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), sep)).as(Seq("para_id", "para")))
+      .filter(length(trim(col("para"))) > 0)
+
+  /** Paragraph-grain near-dup report (round-5 verdict item #6): per doc,
+    * how many of its paragraphs near-duplicate (n-gram Jaccard >=
+    * `minJaccard`) a paragraph of a DIFFERENT doc, and the duplicated
+    * fraction. The pair generation is literally `jaccardPairsFromShingles`
+    * — the same ONE-exchange-by-shingle, df-capped, bucket-bounded path as
+    * doc-level dedup — run over paragraph keys, so every scale property
+    * (cap^2 per-task bound, no all-pairs, AQE skew split) carries over
+    * verbatim. Cross-doc filtering happens on the pair frame (pkey DIV
+    * base recovers the doc), and the report is two tiny per-doc
+    * aggregates joined back to the doc spine. */
+  def paragraphDupFraction(docs: DataFrame, n: Int = 3,
+                           minJaccard: Double = 0.5,
+                           maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val pars = paragraphs(docs)
+    val asDocs = pars.select(
+      (col("doc_id") * ParaKeyBase + col("para_id")).as("doc_id"),
+      col("para").as("text"))
+    val pairs = jaccardPairsFromShingles(shingles(asDocs, n), minJaccard,
+      maxShingleDf)
+      .filter(expr(s"doc_a DIV $ParaKeyBase") =!= expr(s"doc_b DIV $ParaKeyBase"))
+    val dup = pairs.select(col("doc_a").as("pkey"))
+      .union(pairs.select(col("doc_b").as("pkey"))).distinct()
+    val np = pars.groupBy("doc_id").agg(count(lit(1)).as("n_paras"))
+    val nd = dup.select(expr(s"pkey DIV $ParaKeyBase").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    docs.select("doc_id")
+      .join(np, Seq("doc_id"), "left").join(nd, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_paras"),
+        round(when(coalesce(col("n_paras"), lit(0L)) === 0, lit(0.0))
+          .otherwise(coalesce(col("n_dup"), lit(0L)).cast("double") /
+            col("n_paras")), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Exact duplicated-SPAN extraction (round-5 verdict item #3) — the
     * remove-duplicated-substrings step real training pipelines run:
     * instead of `sharedNgramStats`' per-doc share, emit the actual

@@ -380,4 +380,28 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(Dedup.duplicatedSpans(docs, k = 4).count() == 0L)
   }
+
+  test("paragraphDupFraction flags exactly the cross-doc shared paragraph") {
+    val boiler = (0 until 30).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, (0 until 30).map(i => s"a$i").mkString(" ") + "\n\n" + boiler),
+      (2L, (0 until 30).map(i => s"c$i").mkString(" ") + "\n\n" + boiler),
+      (3L, (0 until 30).map(i => s"d$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDupFraction(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(out == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5),
+      (3L, 1L, 0L, 0.0)))
+  }
+
+  test("withSyntheticParagraphs materializes blank-line breaks paragraphs() recovers") {
+    val docs = Seq((1L, (0 until 60).map(i => s"w$i").mkString(" ")),
+      (2L, "short doc"))
+      .toDF("doc_id", "text")
+    val paras = Dedup.paragraphs(Dedup.withSyntheticParagraphs(docs, 25))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    // 60 tokens at 25/para -> 3 paragraphs; 2 tokens -> 1
+    assert(paras == Seq((1L, 0), (1L, 1), (1L, 2), (2L, 0)))
+  }
 }
