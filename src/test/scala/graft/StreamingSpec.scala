@@ -507,4 +507,89 @@ class StreamingSpec extends SparkSpec {
       assert(got.map(_._4) == got.map(_._4).sorted.reverse) // cos descending
     } finally q.stop()
   }
+
+  test("transformWithState funnel (ListState+MapState): out-of-order " +
+    "arrival converges to the batch funnel") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, String, Long)]
+    val q = Streaming.funnelProgressTws(input.toDS())
+      .writeStream.format("memory").queryName("funnel_tws")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1 arrives OUT OF ORDER: the purchase lands before its
+      // qualifying click; the click before the signup
+      input.addData((1L, "purchase", 300L), (1L, "signup", 100L))
+      q.processAllAvailable()
+      // signup reached (t0=100); click absent -> purchase can't count
+      val p1 = spark.table("funnel_tws").as[Streaming.FunnelProgress]
+        .collect().filter(_.userId == 1L).maxBy(_.stagesReached)
+      assert(p1.stagesReached == 1 && p1.lastReachUs == 100L)
+      // the LATE click (ts between signup and purchase) unlocks stage 3
+      input.addData((1L, "click", 200L))
+      q.processAllAvailable()
+      val p2 = spark.table("funnel_tws").as[Streaming.FunnelProgress]
+        .collect().filter(_.userId == 1L).maxBy(_.stagesReached)
+      assert(p2.stagesReached == 3 && p2.lastReachUs == 300L)
+      // a click BEFORE the signup must not qualify (strict ordering)
+      input.addData((2L, "click", 10L), (2L, "signup", 20L))
+      q.processAllAvailable()
+      val p3 = spark.table("funnel_tws").as[Streaming.FunnelProgress]
+        .collect().filter(_.userId == 2L).maxBy(_.stagesReached)
+      assert(p3.stagesReached == 1 && p3.lastReachUs == 20L)
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("transformWithState funnel equals batch funnelCounts on real events") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val events = graft.table(spark, "/root/testdata/sf0.001", "events")
+    val stages = Seq("signup", "click", "purchase")
+    val rows = events
+      .filter(org.apache.spark.sql.functions.col("event_type").isin(stages: _*))
+      .select("user_id", "event_type", "ts")
+      .as[(Long, String, java.sql.Timestamp)].collect()
+      .map(r => (r._1, r._2, r._3.getTime * 1000L)).toSeq
+    // split into 3 interleaved chunks so most users' funnels span batches
+    val chunks = rows.zipWithIndex.groupBy(_._2 % 3).toSeq.sortBy(_._1)
+      .map(_._2.map(_._1))
+    val input = MemoryStream[(Long, String, Long)]
+    val q = Streaming.funnelProgressTws(input.toDS(), stages)
+      .writeStream.format("memory").queryName("funnel_eq")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+      val fin = spark.table("funnel_eq").as[Streaming.FunnelProgress]
+        .collect().groupBy(_.userId).view
+        .mapValues(_.maxBy(_.stagesReached).stagesReached).toMap
+      val batch = graft.events.Events.funnelCounts(events, stages)
+        .collect().head
+      val streamCounts = (0 until 3).map(i => fin.values.count(_ > i).toLong)
+      val batchCounts = (0 until 3).map(i => batch.getLong(i))
+      assert(streamCounts == batchCounts,
+        s"stream $streamCounts vs batch $batchCounts")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
