@@ -57,6 +57,17 @@ object MakeScaled {
         slice(col("embedding"), 1, r)))
   }
 
+  /** In-memory document scale-up — the same replicate + `uniq` rewrite
+    * the artifact path writes to parquet, exposed for
+    * ScalingInvariantsSpec so the 10x sub-linearity pins need no disk
+    * fixture. */
+  def scaledDocuments(docs: DataFrame, copies: Int,
+                      uniq: Boolean): DataFrame = {
+    val stride = maxOf(docs, "doc_id") + 1
+    replicate(docs, copies, Map("doc_id" -> stride),
+      if (uniq) uniqText else (d, _) => d)
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
