@@ -1,0 +1,41 @@
+#!/usr/bin/env bash
+# The per-round 10x gate (round-4 verdict item #5, made mechanical):
+# build the CONSTANT-DENSITY 10x fixture (`uniq` mode — replica tokens
+# perturbed so duplicate density, not duplicate count, is what scales),
+# run the full oracle sweep on it, then snapshot the full bench as
+# BENCH_sf1.json. BENCH_LOCAL.json is backed up and restored around the
+# bench run (graft.Bench persists full runs there by design).
+#
+# Usage: tools/sf1_gate.sh [src_sf_dir] [work_dir] [copies]
+# Runs sbt — do not run concurrently with any other sbt invocation.
+set -euo pipefail
+SRC=${1:-/root/testdata/sf0.1}
+WORK=${2:-/tmp/graft_sf1u}
+COPIES=${3:-10}
+FLAT=${WORK}_flat
+cd /root/repo
+
+echo "== [1/4] scale ${SRC} x${COPIES} (uniq) -> ${WORK}"
+sbt -batch "runMain graft.tools.MakeScaled $SRC $WORK $COPIES uniq" \
+  2>/dev/null | grep -F "scaled $SRC" \
+  || { echo "MakeScaled failed"; exit 1; }
+
+echo "== [2/4] flatten -> ${FLAT}"
+python3 tools/flatten_scaled.py "$WORK" "$FLAT"
+
+echo "== [3/4] full Verify + oracle sweep at 10x"
+SPARK_GRAFT_CPUS=8 sbt -batch \
+  "runMain graft.Verify $FLAT /tmp/verify_sf1" 2>/dev/null | tail -1
+python3 tools/check_oracle.py "$FLAT" /tmp/verify_sf1 | tail -4
+
+echo "== [4/4] bench at 10x -> BENCH_sf1.json"
+# NOTE: same core count as BENCH_LOCAL (local[32] default) — an sf1/sf0.1
+# time ratio is only meaningful at equal parallelism (a CPUS=8 run
+# inflates CPU-bound rows ~3-4x and poisons every family ratio)
+cp BENCH_LOCAL.json /tmp/bench_local.bak
+SPARK_GRAFT_SF_DIR=$FLAT sbt -batch \
+  "runMain graft.Bench" 2>/dev/null | grep '{"metric"' \
+  | sed 's/^\[info\] //' > BENCH_sf1.json
+cp /tmp/bench_local.bak BENCH_LOCAL.json
+head -c 400 BENCH_sf1.json; echo
+echo "sf1 gate complete"
