@@ -41,6 +41,11 @@ object SparkEntry {
     "idx_doc_frequency" -> ((s, dir) =>
       InvertedIndex.docFrequency(table(s, dir, "documents"))
         .orderBy("term")),
+    // what the index STORES at 100 TB: block-local delta + varint
+    // postings size per term (absolute block heads keep blocks skippable,
+    // and bound the lag() window partitions on stopword lists)
+    "idx_postings_compressed" -> ((s, dir) =>
+      InvertedIndex.postingsCompression(table(s, dir, "documents"))),
     // phrase search over positional postings: consecutive-position
     // adjacency joins, one (doc_id, start-pos) partitioning for the chain
     "idx_phrase_match" -> ((s, dir) =>
@@ -415,6 +420,25 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0)
           .select(md5(col("text")).as("content_hash")))
     }),
+    // Bloom membership triage: the store compresses to a fixed-size bit
+    // set (distinct md5-derived positions — broadcastable at ANY store
+    // cardinality, the point of the structure), each batch doc probes its
+    // k positions, and the exact hash join runs alongside to label false
+    // positives. Same even/odd split as dedup_incremental_exact.
+    // The corpus has no verbatim twins (near-dups only), so the batch =
+    // odd-id docs PLUS every 50th doc replanted verbatim under a fresh id
+    // (%50==0 implies even, i.e. stored) — those replants are the true
+    // positives the triage must flag. Oracle replays the same replant.
+    "dedup_bloom_incremental" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val replants = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 800000000L).as("doc_id"), col("text"))
+      Dedup.bloomIncrementalDedup(
+        docs.filter(col("doc_id") % 2 === 1)
+          .select("doc_id", "text").unionByName(replants),
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(md5(col("text")).as("content_hash")))
+    }),
     "dedup_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(table(s, dir, "documents"), 3, 0.05, maxShingleDf = 100)),
     // duplication-centrality: PageRank over the same near-dup graph —
@@ -518,6 +542,17 @@ object SparkEntry {
       Dedup.paragraphDupFraction(
         Dedup.withSyntheticParagraphs(table(s, dir, "documents"), 25),
         3, 0.5, 100)),
+    // asymmetric containment dedup: |A∩B|/min(|A|,|B|) — the metric that
+    // catches a doc EMBEDDED in another (quotes, excerpts, boilerplate
+    // wrappers) where the size mismatch dilutes Jaccard to ~0.5. The
+    // corpus gets deterministic first-half excerpt docs planted first
+    // (same fixture-assembly pattern as the paragraph/image queries)
+    // because verbatim twins alone cannot distinguish the two metrics;
+    // the emitted jaccard column shows the asymmetry per pair.
+    "dedup_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(
+        Dedup.withSyntheticExcerpts(table(s, dir, "documents")),
+        3, 0.9, 100)),
     // temperature-scaled domain mixing: per-source token share ->
     // alpha-flattened sampling weight + resample factor
     "curate_source_mix" -> ((s, dir) =>
@@ -588,6 +623,11 @@ object SparkEntry {
       TextAnalysis.tokenCounts(table(s, dir, "documents"))),
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScores(table(s, dir, "documents"))),
+    // closed-form least-squares probe: stopword count ~ a + b*tokens over
+    // the corpus, per-source deviation from the line (outlier-source
+    // detector). All floating math post-aggregation over exact long sums.
+    "text_quality_regression" -> ((s, dir) =>
+      TextAnalysis.qualityRegression(table(s, dir, "documents"))),
     // CCNet-style perplexity filter: LM trained on the reference source
     // only, every doc scored with add-1 smoothing
     "text_cross_lm" -> ((s, dir) =>
@@ -842,6 +882,7 @@ object SparkEntry {
       """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
         |d AS (SELECT DISTINCT doc_id, term FROM tok)
         |SELECT term, count(*) AS doc_frequency FROM d GROUP BY term ORDER BY term""".stripMargin,
+    "idx_postings_compressed" -> postingsCompressionOracleSql,
     "idx_doc_info" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS doc_length
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -1441,6 +1482,8 @@ object SparkEntry {
     // computation at the same threshold/cap (see the query declaration for
     // why LSH recall == 1 here).
     "dedup_minhash_lsh_pairs" -> jaccardOracleSql(0.5),
+    "dedup_containment_pairs" -> containmentOracleSql,
+    "dedup_bloom_incremental" -> bloomOracleSql,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $clusterCtes
          |SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id""".stripMargin,
@@ -1994,6 +2037,7 @@ object SparkEntry {
         |  round(CASE WHEN len(tk) = 0 THEN 0.0 ELSE CAST(len(list_distinct(tk)) AS DOUBLE)/len(tk) END, 4) AS type_token_ratio,
         |  round(CASE WHEN len(tk) = 0 THEN 0.0 ELSE CAST(len(list_intersect(list_distinct(tk), ['the','a','of','and','is'])) AS DOUBLE)/len(tk) END, 4) AS stopword_type_ratio
         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_quality_regression" -> qualityRegressionOracleSql,
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
         |tri AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3 THEN list_transform(generate_series(1, len(tk)-2),
@@ -2495,16 +2539,18 @@ object SparkEntry {
   /** Shared CTE chain: df-capped (<= 100) shingle universe, set sizes, and
     * pair intersection counts — mirroring Dedup's capped lineage exactly
     * (the cap applies before intersections AND sizes). */
-  private val shingleCtes: String =
-    """t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
-      |g AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
-      |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) ELSE [] END AS shl FROM t),
-      |sh0 AS (SELECT doc_id, unnest(shl) AS shingle FROM g),
-      |hot AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh0 GROUP BY shingle) WHERE df > 100),
-      |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
-      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-      |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+  private def shingleCtesOver(src: String): String =
+    s"""t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM $src),
+       |g AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+       |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) ELSE [] END AS shl FROM t),
+       |sh0 AS (SELECT doc_id, unnest(shl) AS shingle FROM g),
+       |hot AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh0 GROUP BY shingle) WHERE df > 100),
+       |sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  private val shingleCtes: String = shingleCtesOver("documents")
 
   /** Exact n-gram-Jaccard pair oracle over the capped shingle universe. */
   /** dedup_edit_pairs oracle, generated from the SAME constants as the
@@ -2533,6 +2579,103 @@ object SparkEntry {
        |FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
        |WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= $minJaccard
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Quality-regression oracle: the same exact-BIGINT sums and the same
+    * post-aggregation double expression tree, term by term (association
+    * order matters — both engines evaluate the identical IEEE tree, which
+    * is what makes the doubles hash-equal); markers interpolate from
+    * TextAnalysis.LangMarkers so a list change cannot desynchronize. */
+  private def qualityRegressionOracleSql: String = {
+    val markers = graft.textstats.TextAnalysis.LangMarkers("en")
+      .map(m => s"'$m'").mkString(", ")
+    s"""WITH f AS (SELECT source,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS x,
+       |    CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_'']+'), t -> t IN ($markers))) AS BIGINT) AS y
+       |  FROM documents),
+       |tot AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy FROM f),
+       |ab AS (SELECT n, sx, sy,
+       |    CASE WHEN CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) = 0.0 THEN 0.0
+       |         ELSE (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+       |              / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) END AS slope
+       |  FROM tot),
+       |ab2 AS (SELECT slope, (CAST(sy AS DOUBLE) - slope*CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept FROM ab),
+       |s AS (SELECT source, count(*) AS ns, CAST(sum(x) AS BIGINT) AS sxs, CAST(sum(y) AS BIGINT) AS sys,
+       |    CAST(sum(x*x) AS BIGINT) AS sxxs, CAST(sum(x*y) AS BIGINT) AS sxys, CAST(sum(y*y) AS BIGINT) AS syys
+       |  FROM f GROUP BY source)
+       |SELECT source, ns AS n_docs, round(slope, 6) AS slope, round(intercept, 6) AS intercept,
+       |  round((CAST(sys AS DOUBLE) - slope*CAST(sxs AS DOUBLE) - intercept*CAST(ns AS DOUBLE)) / CAST(ns AS DOUBLE), 6) AS mean_resid,
+       |  round(sqrt(greatest(CAST(syys AS DOUBLE) - 2.0*slope*CAST(sxys AS DOUBLE) - 2.0*intercept*CAST(sys AS DOUBLE) + CAST(ns AS DOUBLE)*intercept*intercept + 2.0*slope*intercept*CAST(sxs AS DOUBLE) + slope*slope*CAST(sxxs AS DOUBLE), 0.0) / CAST(ns AS DOUBLE)), 6) AS rmse
+       |FROM s CROSS JOIN ab2 ORDER BY source""".stripMargin
+  }
+
+  /** Postings-compression oracle: same block-local delta (lag over
+    * (term, block)) and the same integer varint byte thresholds; the
+    * block width interpolates from InvertedIndex.PostingsBlockWidth. */
+  private def postingsCompressionOracleSql: String = {
+    val bw = graft.index.InvertedIndex.PostingsBlockWidth
+    s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+       |d AS (SELECT DISTINCT doc_id, term FROM tok),
+       |e AS (SELECT term, doc_id, doc_id // $bw AS block,
+       |        coalesce(doc_id - lag(doc_id) OVER (PARTITION BY term, doc_id // $bw ORDER BY doc_id), doc_id) AS gap
+       |      FROM d),
+       |v AS (SELECT term, block,
+       |        CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+       |             WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+       |             ELSE 5 END AS vb
+       |      FROM e)
+       |SELECT term, count(*) AS df, CAST(count(*) * 8 AS BIGINT) AS raw_bytes,
+       |  CAST(sum(vb) AS BIGINT) AS varint_bytes,
+       |  count(DISTINCT block) AS n_blocks,
+       |  round(CAST(sum(vb) AS DOUBLE) / (count(*) * 8), 4) AS ratio
+       |FROM v GROUP BY term ORDER BY term""".stripMargin
+  }
+
+  /** Bloom triage oracle: replays the md5 position arithmetic (6-hex
+    * windows -> BIGINT mod m) with m/k interpolated from Dedup's
+    * constants; bit set = distinct positions over even-id hashes. */
+  private def bloomOracleSql: String = {
+    import graft.dedup.Dedup.{DefaultBloomBits, DefaultBloomHashes}
+    val idx = (0 until DefaultBloomHashes).map(i => s"($i)").mkString(", ")
+    s"""WITH k AS (SELECT * FROM (VALUES $idx) AS t(i)),
+       |store AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+       |bits AS (SELECT DISTINCT ('0x' || substring(h, i*6 + 1, 6))::BIGINT % $DefaultBloomBits AS pos
+       |         FROM store CROSS JOIN k),
+       |probe AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1
+       |          UNION ALL
+       |          SELECT doc_id + 800000000, md5(text) FROM documents WHERE doc_id % 50 = 0),
+       |pp AS (SELECT DISTINCT doc_id, ('0x' || substring(h, i*6 + 1, 6))::BIGINT % $DefaultBloomBits AS pos
+       |       FROM probe CROSS JOIN k),
+       |np AS (SELECT doc_id, count(*) AS np FROM pp GROUP BY doc_id),
+       |nh AS (SELECT doc_id, count(*) AS nhit FROM pp JOIN bits USING (pos) GROUP BY doc_id),
+       |sh AS (SELECT DISTINCT h FROM store)
+       |SELECT p.doc_id,
+       |  CAST(coalesce(nhit, 0) = np.np AS INT) AS bloom_maybe,
+       |  CAST(p.h IN (SELECT h FROM sh) AS INT) AS exact_dup,
+       |  CAST(coalesce(nhit, 0) = np.np AND p.h NOT IN (SELECT h FROM sh) AS INT) AS false_positive
+       |FROM probe p JOIN np USING (doc_id) LEFT JOIN nh USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Containment oracle: replants the first-half excerpt docs (identical
+    * space-word slice arithmetic, constants interpolated from Dedup so a
+    * retune cannot desynchronize the sides), then runs the same capped
+    * shingle chain over the widened corpus with the min-size scorer. */
+  private def containmentOracleSql: String = {
+    import graft.dedup.Dedup.{DefaultExcerptEvery, ExcerptKeyBase}
+    s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |ex AS (SELECT doc_id + $ExcerptKeyBase AS doc_id,
+       |         array_to_string(w[1:greatest(len(w)//2, 1)], ' ') AS text
+       |       FROM sp WHERE doc_id % $DefaultExcerptEvery = 0),
+       |corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT * FROM ex),
+       |${shingleCtesOver("corpus")}
+       |SELECT doc_a, doc_b,
+       |  round(CAST(inter AS DOUBLE)/least(sa.sz, sb.sz), 4) AS containment,
+       |  round(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter), 4) AS jaccard
+       |FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(inter AS DOUBLE)/least(sa.sz, sb.sz) >= 0.9
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** Jaccard >= 0.5 pairs -> undirected edges -> transitive closure; the
     * recursive CTE is the oracle for the engine's min-label propagation. */

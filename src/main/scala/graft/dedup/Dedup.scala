@@ -72,6 +72,63 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // Bloom triage defaults, named so the declared oracle SQL interpolates
+  // the SAME constants (SparkEntry) and a retune cannot desynchronize the
+  // sides. m = 2^20 bits, k = 5 md5-derived positions: at a 10% fill the
+  // false-positive odds are ~1e-5 — the triage passes almost nothing
+  // spurious to the exact verifier.
+  val DefaultBloomBits = 1 << 20
+  val DefaultBloomHashes = 5
+
+  /** k Bloom bit positions from a 32-hex md5: position i = the i-th
+    * 6-hex-digit window as an integer, mod m. Pure string/int arithmetic
+    * (conv/substring), replayable bit-for-bit in the SQL oracle — unlike
+    * xxhash64, which is why the minhash family is rows-only but this is
+    * not. Duplicate positions within one hash are kept distinct-able by
+    * the caller (array_distinct) so "all k present" is well-defined. */
+  def bloomPositions(hash: Column, m: Int = DefaultBloomBits,
+                     k: Int = DefaultBloomHashes): Column =
+    array_distinct(array((0 until k).map(i =>
+      conv(substring(hash, i * 6 + 1, 6), 16, 10).cast("long") % m): _*))
+
+  /** Probabilistic membership triage for incremental dedup: the store is
+    * summarized as a Bloom BIT SET (distinct positions over stored
+    * content hashes) whose size is bounded by m REGARDLESS of store
+    * cardinality — the structure that lets a 100 TB-corpus membership
+    * check ride a broadcast join (<= m narrow rows, a few MB) instead of
+    * shuffling the full store's hash column against every batch. Each
+    * batch doc is "maybe dup" iff all its k positions are set; the exact
+    * hash join (the expensive path bloom exists to short-circuit) runs
+    * alongside to label false positives. Bloom admits no false
+    * negatives: an exact dup's positions are all set by construction —
+    * DedupSpec pins this and forces real false positives at a tiny m. */
+  def bloomIncrementalDedup(newDocs: DataFrame, storedHashes: DataFrame,
+                            m: Int = DefaultBloomBits,
+                            k: Int = DefaultBloomHashes): DataFrame = {
+    val bits = storedHashes
+      .select(explode(bloomPositions(col("content_hash"), m, k)).as("pos"))
+      .distinct()
+    val probes = newDocs
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .withColumn("ps", bloomPositions(col("content_hash"), m, k))
+    val hits = probes
+      .select(col("doc_id"), size(col("ps")).as("np"), explode(col("ps")).as("pos"))
+      .join(broadcast(bits), Seq("pos"))
+      .groupBy("doc_id", "np").agg(count(lit(1)).as("nhit"))
+      .select(col("doc_id"), (col("nhit") === col("np")).as("maybe"))
+    val store = storedHashes.select(col("content_hash")).distinct()
+      .withColumn("__in_store", lit(true))
+    probes
+      .join(hits, Seq("doc_id"), "left")
+      .join(store, Seq("content_hash"), "left")
+      .select(col("doc_id"),
+        coalesce(col("maybe"), lit(false)).cast("int").as("bloom_maybe"),
+        coalesce(col("__in_store"), lit(false)).cast("int").as("exact_dup"),
+        (coalesce(col("maybe"), lit(false)) &&
+          !coalesce(col("__in_store"), lit(false))).cast("int").as("false_positive"))
+      .orderBy("doc_id")
+  }
+
   /** Distinct word n-gram shingles per doc: (doc_id, shingle). The shingle
     * build is the native codegen graft_shingles expression — the
     * interpreted HOF spelling (transform + n element_at probes per
@@ -144,6 +201,64 @@ object Dedup {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     val cappedSh = buckets.select(explode(col("ds")).as("doc_id"))
     scoreJaccard(cappedSh, inter, minJaccard)
+  }
+
+  /** Asymmetric containment near-dup: containment = |A∩B| / min(|A|,|B|)
+    * over the capped shingle universe. Catches SUBSET duplication — a doc
+    * quoted or embedded verbatim inside a larger one scores 1.0 here,
+    * while the size mismatch dilutes symmetric Jaccard to
+    * |small|/|large| (below any useful threshold once the host doc is
+    * ~2x the excerpt). Identical ONE-exchange bucket lineage and df-cap
+    * pair bound as jaccardPairsFromShingles; only the scorer differs.
+    * The emitted jaccard column makes the asymmetry visible per pair. */
+  def containmentPairs(docs: DataFrame, n: Int = 3,
+                       minContainment: Double = 0.9,
+                       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val buckets = shingles(docs, n)
+      .groupBy("shingle").agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) <= maxShingleDf)
+    val inter = buckets
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val sizes = buckets.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), Seq("doc_b"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("sza"), col("szb")))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 4).as("containment"),
+        round(col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Excerpt-key base: planted excerpt ids live at ExcerptKeyBase +
+    * source doc_id, disjoint from real corpus ids at any tested scale. */
+  val ExcerptKeyBase = 900000000L
+
+  /** Every `every`-th doc's id (the oracle interpolates this constant). */
+  val DefaultExcerptEvery = 40
+
+  /** Plant excerpt docs: every `every`-th doc contributes a copy holding
+    * its FIRST HALF (space-word slice, so no word is cut) under
+    * ExcerptKeyBase + doc_id. Same deterministic fixture-assembly
+    * pattern as withSyntheticParagraphs: the synthetic corpus has
+    * verbatim twins but no strict-subset docs, and subset duplication
+    * (quotes, embedded excerpts, boilerplate wrappers) is exactly the
+    * case containment detects and Jaccard dilutes. */
+  def withSyntheticExcerpts(docs: DataFrame,
+                            every: Int = DefaultExcerptEvery): DataFrame = {
+    val tk = split(col("text"), " ")
+    val excerpts = docs.filter(col("doc_id") % every === 0)
+      .select((col("doc_id") + ExcerptKeyBase).as("doc_id"),
+        array_join(slice(tk, lit(1),
+          greatest((size(tk) / lit(2)).cast("int"), lit(1))), " ").as("text"))
+    docs.select("doc_id", "text").unionByName(excerpts)
   }
 
   /** Self-join the shingle index on identical (un-projected) sides so both

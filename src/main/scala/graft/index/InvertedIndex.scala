@@ -141,6 +141,50 @@ object InvertedIndex {
       .groupBy("term")
       .agg(count(lit(1)).as("doc_frequency"))
 
+  /** Postings-block width for [[postingsCompression]] — doc-id range per
+    * delta block. Named so the oracle SQL interpolates the same value. */
+  val PostingsBlockWidth = 4096L
+
+  /** Delta + LEB128-varint postings compression report: what a 100 TB
+    * index actually stores. Per term, postings sort by doc_id and encode
+    * as BLOCK-LOCAL deltas — the first id of each `PostingsBlockWidth`
+    * doc-id block is absolute, the rest are gaps — exactly the
+    * skip-pointer-friendly layout production indexes use (absolute block
+    * heads let a query seek without decoding prior blocks). Varint byte
+    * counts come from integer range tests (no log(), no float): gaps are
+    * >= 1 and ids fit 5 bytes below 2^35.
+    *
+    * Scale notes: blocking is ALSO what makes the window safe at scale —
+    * the lag() partitions by (term, block), so a stopword with a
+    * 10^9-doc posting list becomes many bounded-width sort partitions
+    * instead of one giant skewed one. The aggregate then re-exchanges by
+    * term alone, but that carries one row per (term, block), not per
+    * posting. Report: per-term df, raw int64 bytes, varint bytes, block
+    * count, compression ratio. */
+  def postingsCompression(docs: DataFrame): DataFrame = {
+    val block = (col("doc_id") / lit(PostingsBlockWidth)).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"), col("block")).orderBy("doc_id")
+    val entries = Tokenize.distinctTerms(docs)
+      .withColumn("block", block)
+      .withColumn("gap",
+        coalesce(col("doc_id") - lag("doc_id", 1).over(w), col("doc_id")))
+    val vbytes = when(col("gap") < 128L, 1L)
+      .when(col("gap") < (1L << 14), 2L)
+      .when(col("gap") < (1L << 21), 3L)
+      .when(col("gap") < (1L << 28), 4L)
+      .otherwise(5L)
+    entries
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        (count(lit(1)) * 8).as("raw_bytes"),
+        sum(vbytes).as("varint_bytes"),
+        countDistinct(col("block")).as("n_blocks"))
+      .withColumn("ratio",
+        round(col("varint_bytes").cast("double") / col("raw_bytes"), 4))
+      .orderBy("term")
+  }
+
   /** doc_info (schema.cql:21-26; reducer2.py:66-70): token count per doc.
     * Computed as size(tokens) — no shuffle at all, unlike the reference's
     * second full MR pass. */

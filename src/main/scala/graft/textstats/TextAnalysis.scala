@@ -115,6 +115,69 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Linear quality probe, fit CLOSED-FORM: least-squares
+    * stopword_occurrences ~ a + b * token_count over the whole corpus,
+    * then each source's deviation from the corpus line — the
+    * outlier-source detector a curation run uses to spot slices whose
+    * stopword density departs from the corpus-wide relationship
+    * (templated/generated text runs low; scraped boilerplate runs high).
+    *
+    * Numeric discipline (the rel_welford_stats / KS-drift rule): every
+    * aggregate is an exact BIGINT sum (n, Σx, Σy, Σxx, Σxy, Σyy — x and
+    * y are per-doc integers), and ALL floating arithmetic happens after
+    * aggregation in one fixed expression tree over those sums, so the
+    * result is independent of partition order and identical in any
+    * IEEE-conforming engine. A naive sum of double residuals would be
+    * order-dependent and could never hash-match the oracle. The
+    * per-source sum of squared residuals expands algebraically
+    * (Σ(y-a-bx)² = Σyy - 2bΣxy - 2aΣy + na² + 2abΣx + b²Σxx) so it too
+    * derives from the exact sums.
+    *
+    * Scale: one tokenize scan into per-source partial sums (map-side
+    * combine), the 6 corpus totals broadcast back — no second scan, no
+    * shuffle of anything wider than (source, 6 longs). */
+  def qualityRegression(docs: DataFrame,
+                        markers: Seq[String] = LangMarkers("en")): DataFrame = {
+    val x = size(toks).cast("long")
+    val y = size(filter(toks, t => t.isInCollection(markers))).cast("long")
+    val perDoc = docs.select(col("source"), x.as("x"), y.as("y"))
+    val totals = perDoc.agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    val perSrc = perDoc.groupBy("source").agg(
+      count(lit(1)).as("ns"), sum("x").as("sxs"), sum("y").as("sys"),
+      sum(col("x") * col("x")).as("sxxs"),
+      sum(col("x") * col("y")).as("sxys"),
+      sum(col("y") * col("y")).as("syys"))
+    // exact longs -> double ONCE, then a fixed tree (see scaladoc)
+    val nD = col("n").cast("double"); val sxD = col("sx").cast("double")
+    val syD = col("sy").cast("double"); val sxxD = col("sxx").cast("double")
+    val sxyD = col("sxy").cast("double")
+    val den = nD * sxxD - sxD * sxD
+    val slope = when(den === 0.0, 0.0).otherwise((nD * sxyD - sxD * syD) / den)
+    val nsD = col("ns").cast("double")
+    perSrc.crossJoin(broadcast(totals))
+      .withColumn("slope", slope)
+      .withColumn("intercept", (syD - col("slope") * sxD) / nD)
+      .withColumn("mean_resid",
+        (col("sys").cast("double") - col("slope") * col("sxs").cast("double") -
+          col("intercept") * nsD) / nsD)
+      .withColumn("ssr",
+        col("syys").cast("double") -
+          lit(2.0) * col("slope") * col("sxys").cast("double") -
+          lit(2.0) * col("intercept") * col("sys").cast("double") +
+          nsD * col("intercept") * col("intercept") +
+          lit(2.0) * col("slope") * col("intercept") * col("sxs").cast("double") +
+          col("slope") * col("slope") * col("sxxs").cast("double"))
+      .select(col("source"), col("ns").as("n_docs"),
+        round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"),
+        round(col("mean_resid"), 6).as("mean_resid"),
+        round(sqrt(greatest(col("ssr"), lit(0.0)) / nsD), 6).as("rmse"))
+      .orderBy("source")
+  }
+
   /** Marker-word language guess: argmax of distinct-marker hits per
     * language, ties and zero-hits -> "und". Deterministic CASE cascade. */
   def languageGuess(docs: DataFrame): DataFrame =

@@ -395,6 +395,55 @@ class DedupSpec extends SparkSpec {
       (3L, 1L, 0L, 0.0)))
   }
 
+  test("bloom triage admits no false negatives and labels forced FPs at m=1") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val store = corpus.filter(col("doc_id").isin(1L, 4L))
+      .select(md5(col("text")).as("content_hash"))
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (11L, "fresh text never seen before in the stored corpus at all"),
+      (13L, "another brand new document body entirely its own"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.bloomIncrementalDedup(batch, store)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    // default m = 2^20: the exact dup is flagged by BOTH paths (exact =>
+    // bloom, the no-false-negative guarantee), the novels by neither
+    assert(out == Seq((10L, 1, 1, 0), (11L, 0, 0, 0), (13L, 0, 0, 0)))
+    // m = 1: the single bit is set, every probe is a maybe — the novels
+    // become LABELED false positives, the dup stays a true positive
+    val tiny = Dedup.bloomIncrementalDedup(batch, store, m = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(3))).toSeq
+    assert(tiny == Seq((10L, 1, 0), (11L, 1, 1), (13L, 1, 1)))
+  }
+
+  test("containment flags the embedded excerpt that Jaccard dilutes") {
+    // doc 2 = first half of doc 1 (strict subset); doc 3 unrelated
+    val words = (0 until 40).map(i => s"w$i")
+    val docs = Seq(
+      (1L, words.mkString(" ")),
+      (2L, words.take(20).mkString(" ")),
+      (3L, (0 until 40).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // exactly the (1,2) pair: containment 1.0 (all 18 excerpt shingles in
+    // doc 1), jaccard 18/38 — far below the same 0.9 threshold
+    assert(out.toSeq == Seq((1L, 2L, 1.0, 0.4737)))
+    // symmetric Jaccard at the same threshold finds nothing
+    assert(Dedup.jaccardPairs(docs, 3, 0.9).count() == 0)
+  }
+
+  test("withSyntheticExcerpts plants first-half subset docs at the key base") {
+    val docs = Seq(
+      (0L, (0 until 10).map(i => s"a$i").mkString(" ")),
+      (1L, (0 until 10).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.withSyntheticExcerpts(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out.size == 3) // only doc 0 matches every=2
+    assert(out(Dedup.ExcerptKeyBase) == (0 until 5).map(i => s"a$i").mkString(" "))
+  }
+
   test("withSyntheticParagraphs materializes blank-line breaks paragraphs() recovers") {
     val docs = Seq((1L, (0 until 60).map(i => s"w$i").mkString(" ")),
       (2L, "short doc"))

@@ -7,6 +7,35 @@ import graft.textstats.TextAnalysis
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("qualityRegression: perfect-fit corpus recovers the exact line, zero residuals") {
+    // y (stopword count) = x/2 exactly on every doc:
+    // n=3, Σx=12, Σy=6, Σxx=56, Σxy=28 -> slope 0.5, intercept 0
+    val docs = Seq(
+      (1L, "a", "the x"),
+      (2L, "a", "the x the y"),
+      (3L, "b", "the x the y the z"))
+      .toDF("doc_id", "source", "text")
+    val rows = TextAnalysis.qualityRegression(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(rows == Seq(("a", 2L, 0.5, 0.0, 0.0, 0.0),
+      ("b", 1L, 0.5, 0.0, 0.0, 0.0)))
+  }
+
+  test("qualityRegression: the stopword-poor source sits below the line") {
+    val docs = Seq(
+      (1L, "a", "the x"),
+      (2L, "a", "the x the y"),
+      (3L, "b", "the x the y the z"),
+      // 8 tokens, ZERO stopwords — far under what the line predicts
+      (4L, "c", "x y z w x y z w"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.qualityRegression(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(got("c") < 0.0)        // below the fitted line
+    assert(got("a") > got("c") && got("b") > got("c"))
+  }
+
   test("repetition stats: planted loops score high, clean text scores low") {
     val docs = Seq(
       // "spam spam spam spam": trigrams = [s s s, s s s] -> dup frac 0.5;

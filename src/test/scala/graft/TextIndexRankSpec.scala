@@ -30,6 +30,20 @@ class TextIndexRankSpec extends SparkSpec {
     assert(df("apple") == 1L)
   }
 
+  test("postingsCompression: block-local deltas, absolute heads, varint widths") {
+    // term "t" in docs 0, 100, 4096, 4100 (block width 4096):
+    // block 0 encodes head 0 (1B) + gap 100 (1B); block 1 encodes
+    // head 4096 absolute (2B) + gap 4 (1B) -> varint 5 of raw 32
+    val docs = Seq((0L, "t"), (100L, "t"), (4096L, "t"), (4100L, "t"),
+      (1L, "other")).toDF("doc_id", "text")
+    val rows = InvertedIndex.postingsCompression(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(rows == Seq(
+      ("other", 1L, 8L, 1L, 1L, 0.125),
+      ("t", 4L, 32L, 5L, 2L, 0.1563)))
+  }
+
   test("phrase match: consecutive positions only, overlaps counted") {
     val docs = Seq(
       (1L, "a b a b a"),      // "a b a" at start-pos 0 and 2 (overlap)
