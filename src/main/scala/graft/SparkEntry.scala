@@ -553,6 +553,15 @@ object SparkEntry {
       Dedup.containmentPairs(
         Dedup.withSyntheticExcerpts(table(s, dir, "documents")),
         3, 0.9, 100)),
+    // winnowed fingerprints (rolling-hash sketch, SIGMOD'03): the
+    // selected (pos, hash) per doc — the positional sketch a dedup
+    // pipeline stores instead of full shingle sets
+    "text_winnow_fingerprints" -> ((s, dir) =>
+      Dedup.winnowFingerprints(table(s, dir, "documents"))),
+    // near-dup pairs over the winnowed sketches — same df-capped bucket
+    // path as dedup_jaccard_pairs but on ~1/3 the rows with long keys
+    "dedup_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(table(s, dir, "documents"))),
     // temperature-scaled domain mixing: per-source token share ->
     // alpha-flattened sampling weight + resample factor
     "curate_source_mix" -> ((s, dir) =>
@@ -1483,6 +1492,8 @@ object SparkEntry {
     // why LSH recall == 1 here).
     "dedup_minhash_lsh_pairs" -> jaccardOracleSql(0.5),
     "dedup_containment_pairs" -> containmentOracleSql,
+    "text_winnow_fingerprints" -> winnowFingerprintOracleSql,
+    "dedup_winnow_pairs" -> winnowPairsOracleSql,
     "dedup_bloom_incremental" -> bloomOracleSql,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $clusterCtes
@@ -2634,6 +2645,54 @@ object SparkEntry {
   /** Bloom triage oracle: replays the md5 position arithmetic (6-hex
     * windows -> BIGINT mod m) with m/k interpolated from Dedup's
     * constants; bit set = distinct positions over even-id hashes. */
+  /** Winnow CTEs shared by the fingerprint and pair oracles: per-token
+    * md5-prefix hashes, the degree-(k-1) polynomial window hashes
+    * (unrolled here — the same values the operator's O(n) rolling update
+    * produces), then the frame-min selection with the packed
+    * (hash, rightmost-pos) key. Every constant is interpolated from
+    * Dedup / RollingHashExpr so a retune cannot desynchronize the sides. */
+  private def winnowCtes: String = {
+    import graft.dedup.Dedup.{DefaultWinnowK, DefaultWinnowW, WinnowPosBase}
+    import graft.functions.RollingHashExpr.{HashB, HashM}
+    val k = DefaultWinnowK
+    val w = DefaultWinnowW
+    val poly = (1 until k).foldLeft("hs[p]") { (acc, j) =>
+      s"(($acc)*$HashB + hs[p+$j]) % $HashM"
+    }
+    val pb = WinnowPosBase
+    s"""t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+       |th AS (SELECT doc_id, list_transform(tk, x -> ('0x' || substring(md5(x), 1, 8))::BIGINT % $HashM) AS hs
+       |       FROM t WHERE len(tk) >= $k),
+       |wh AS (SELECT doc_id, p - 1 AS pos, $poly AS h
+       |       FROM (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - ${k - 1})) AS p FROM th)),
+       |sel AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY doc_id) AS n,
+       |          min(h*$pb + (${pb - 1} - pos)) OVER (PARTITION BY doc_id ORDER BY pos
+       |            ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS sel
+       |        FROM wh),
+       |fp AS (SELECT DISTINCT doc_id, ${pb - 1} - (sel % $pb) AS fp_pos, sel // $pb AS fp
+       |       FROM sel WHERE pos <= greatest(n - $w, 0))""".stripMargin
+  }
+
+  private def winnowFingerprintOracleSql: String =
+    s"""WITH $winnowCtes
+       |SELECT doc_id, CAST(fp_pos AS BIGINT) AS fp_pos, CAST(fp AS BIGINT) AS fp
+       |FROM fp ORDER BY doc_id, fp_pos""".stripMargin
+
+  private def winnowPairsOracleSql: String = {
+    import graft.dedup.Dedup.{DefaultMaxShingleDf, DefaultWinnowMinJaccard}
+    s"""WITH $winnowCtes,
+       |fps AS (SELECT DISTINCT doc_id, fp FROM fp),
+       |hot AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fps GROUP BY fp) WHERE df > $DefaultMaxShingleDf),
+       |f2 AS (SELECT * FROM fps WHERE fp NOT IN (SELECT fp FROM hot)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM f2 GROUP BY doc_id),
+       |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter), 4) AS jaccard
+       |FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= $DefaultWinnowMinJaccard
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   private def bloomOracleSql: String = {
     import graft.dedup.Dedup.{DefaultBloomBits, DefaultBloomHashes}
     val idx = (0 until DefaultBloomHashes).map(i => s"($i)").mkString(", ")

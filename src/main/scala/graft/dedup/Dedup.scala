@@ -658,6 +658,81 @@ object Dedup {
       .orderBy("doc_id", "span_start")
   }
 
+  // Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03) defaults: k-token
+  // rolling-hash windows, winnow window w. Guarantee: any shared token
+  // run of >= w + k - 1 tokens contributes at least one SHARED selected
+  // fingerprint, while expected density is only 2/(w+1) of windows — the
+  // sketch real pipelines store instead of full shingle sets. Named so
+  // SparkEntry's oracle SQL interpolates the SAME constants.
+  val DefaultWinnowK = 5
+  val DefaultWinnowW = 4
+  val DefaultWinnowMinJaccard = 0.25
+
+  /** Encodes (hash, rightmost-position) into one long for the frame min:
+    * val = h * base + (base-1 - pos), so min() orders by hash first and
+    * then by LARGEST position (the robust-winnowing rightmost-min
+    * tie-break). Bounds: h < 2^31 (RollingHashExpr.HashM), so the
+    * product stays under 2^53; pos must stay under base = 2^22 (4M
+    * windows per document — raise the base before ingesting longer
+    * docs; h * 2^22 leaves 2^62 headroom). */
+  val WinnowPosBase = 1L << 22
+
+  private def winnowSelect(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.TextFunctions.ensureRegistered(docs.sparkSession)
+    val hashed = docs
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.rollingHashes(
+          Tokenize.tokens(col("text")), k).as("hs"))
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+    val byDoc = Window.partitionBy("doc_id")
+    val frame = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    // Every window start p with a full w-frame contributes its frame min;
+    // docs with fewer than w windows keep only p = 0, whose truncated
+    // frame is the whole doc — the global min, still >= 1 fingerprint.
+    hashed
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("sel", min(col("h") * WinnowPosBase +
+        lit(WinnowPosBase - 1) - col("pos")).over(frame))
+      .filter(col("pos") <= greatest(col("n") - w, lit(0)))
+      .select(col("doc_id"),
+        (lit(WinnowPosBase - 1) - (col("sel") % WinnowPosBase)).as("fp_pos"),
+        expr(s"sel DIV $WinnowPosBase").as("fp"))
+      .distinct()
+  }
+
+  /** Winnowed document fingerprints: (doc_id, fp_pos, fp) — the selected
+    * k-gram rolling-hash values and the positions they cover. One
+    * exchange by doc_id (the per-doc window pair); the rolling-hash pass
+    * itself is a codegen scan, O(tokens) per doc regardless of k.
+    *
+    * Scale notes (100 TB): output is ~2/(w+1) of corpus windows — this
+    * IS the compression: downstream consumers (the pair join, a
+    * fingerprint store) handle a 3x-smaller frame than the shingle
+    * index, with the collision-resistance of a 31-bit hash per entry.
+    * Reference surface: `app/prepare_data.py`'s doc identity column,
+    * generalized to the positional sketch real dedup pipelines store. */
+  def winnowFingerprints(docs: DataFrame, k: Int = DefaultWinnowK,
+                         w: Int = DefaultWinnowW): DataFrame =
+    winnowSelect(docs, k, w).orderBy("doc_id", "fp_pos")
+
+  /** Near-dup pairs by Jaccard over winnowed fingerprint SETS — the
+    * sketch-level twin of jaccardPairs: same df-capped one-exchange
+    * bucket path (cap^2-per-task bound, no all-pairs, AQE skew split all
+    * carry over verbatim via jaccardPairsFromShingles), but each doc is
+    * represented by its ~2/(w+1)-density fingerprint sketch instead of
+    * every shingle, so the exchanged bytes drop by the same factor and
+    * the bucket key is an 8-byte long instead of a k-token string. */
+  def winnowPairs(docs: DataFrame, k: Int = DefaultWinnowK,
+                  w: Int = DefaultWinnowW,
+                  minJaccard: Double = DefaultWinnowMinJaccard,
+                  maxFpDf: Int = DefaultMaxShingleDf): DataFrame = {
+    val fps = winnowSelect(docs, k, w)
+      .select(col("doc_id"), col("fp").as("shingle")).distinct()
+    jaccardPairsFromShingles(fps, minJaccard, maxFpDf)
+  }
+
   /** Connected components over near-dup pairs: every doc in a duplicate
     * cluster gets the cluster's minimum doc_id as its cluster_id — the
     * step that turns pairwise similarity into an actionable keep/drop

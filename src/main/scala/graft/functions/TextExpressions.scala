@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native adjacent-bigram builder over a token array.
@@ -122,9 +122,103 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Polynomial rolling hash over a token array — the fingerprinting
+  * primitive behind winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03;
+  * reference surface: the document-fingerprinting family).
+  *
+  * Per token: the first 4 bytes of md5(token) as an unsigned 32-bit
+  * big-endian int, reduced mod M — exactly `('0x' ||
+  * substring(md5(tok), 1, 8))::BIGINT % M` in DuckDB, so the SQL oracle
+  * replays every value bit-for-bit. Per k-window: the degree-(k-1)
+  * polynomial in B over the token hashes, mod M. The window values are
+  * computed with the true ROLLING update (drop the leading term via the
+  * precomputed B^(k-1) mod M, shift, add the entering token) — O(n)
+  * total instead of O(n*k), which is what makes the hash family usable
+  * over 100 TB of text. M = 2^31-1 (prime) keeps every intermediate
+  * product (< M * B < 2^51) inside a long with no overflow.
+  *
+  * Arrays shorter than k yield []; a null token hashes as 0 (the
+  * tokenizer never emits nulls, but SQL callers can).
+  */
+case class RollingHashExpr(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "window width must be >= 1")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_rolling_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingHashExpr.compute(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |${ev.value} = graft.functions.RollingHashExpr.compute($a, $k);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingHashExpr {
+  /** Polynomial base and modulus, shared verbatim with the DuckDB oracle
+    * (SparkEntry interpolates these constants into the SQL so a retune
+    * here can never desynchronize the two sides). M = 2^31-1 is prime;
+    * B is coprime to it. */
+  val HashB = 1000003L
+  val HashM = 2147483647L
+
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 4 md5 bytes, big-endian unsigned, mod M — DuckDB's
+    * ('0x' || substring(md5(tok), 1, 8))::BIGINT % M. */
+  def tokenHash(tok: UTF8String): Long = {
+    if (tok == null) return 0L
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(tok.getBytes)
+    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    v % HashM
+  }
+
+  /** Called from both the interpreted eval and the generated code — the
+    * single implementation keeps the two paths identical by construction. */
+  def compute(a: ArrayData, k: Int): ArrayData = {
+    val n = a.numElements()
+    val m = math.max(n - k + 1, 0)
+    val out = new Array[Long](m)
+    if (m == 0) return new GenericArrayData(out)
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) { th(i) = tokenHash(a.getUTF8String(i)); i += 1 }
+    // B^(k-1) mod M, for the rolling leading-term removal
+    var lead = 1L
+    i = 1
+    while (i < k) { lead = lead * HashB % HashM; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = (h * HashB + th(i)) % HashM; i += 1 }
+    out(0) = h
+    i = 1
+    while (i < m) {
+      // h <- ((h - th(i-1)*B^(k-1)) * B + th(i+k-1)) mod M, kept positive
+      h = (h - th(i - 1) * lead % HashM + HashM) % HashM
+      h = (h * HashB + th(i + k - 1)) % HashM
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object TextFunctions {
   val BigramsName = "graft_bigrams"
   val ShinglesName = "graft_shingles"
+  val RollingHashName = "graft_rolling_hash"
 
   val bigramsBuilder: Seq[Expression] => Expression = { args =>
     require(args.length == 1, s"$BigramsName expects 1 argument")
@@ -148,15 +242,36 @@ object TextFunctions {
     ShinglesExpr(Cast(args(0), ArrayType(StringType)), n)
   }
 
+  /** width must be a literal int, like shingles. */
+  val rollingHashBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 2, s"$RollingHashName expects 2 arguments")
+    val k = args(1) match {
+      case e if e.foldable => e.eval(null) match {
+        case i: Int  => i
+        case l: Long => l.toInt
+        case other   => throw new IllegalArgumentException(
+          s"$RollingHashName: width must be an integer literal, got $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        s"$RollingHashName: width must be a literal")
+    }
+    RollingHashExpr(Cast(args(0), ArrayType(StringType)), k)
+  }
+
   def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       BigramsName, bigramsBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       ShinglesName, shinglesBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      RollingHashName, rollingHashBuilder, "built-in")
   }
 
   def bigrams(tokens: Column): Column = call_function(BigramsName, tokens)
 
   def shingles(tokens: Column, n: Int): Column =
     call_function(ShinglesName, tokens, org.apache.spark.sql.functions.lit(n))
+
+  def rollingHashes(tokens: Column, k: Int): Column =
+    call_function(RollingHashName, tokens, org.apache.spark.sql.functions.lit(k))
 }

@@ -453,4 +453,53 @@ class DedupSpec extends SparkSpec {
     // 60 tokens at 25/para -> 3 paragraphs; 2 tokens -> 1
     assert(paras == Seq((1L, 0), (1L, 1), (1L, 2), (2L, 0)))
   }
+
+  test("winnowing: density, the gap guarantee, and the short-doc floor") {
+    val k = Dedup.DefaultWinnowK
+    val w = Dedup.DefaultWinnowW
+    val docs = Seq(
+      (1L, (0 until 80).map(i => s"tok${i % 37}x$i").mkString(" ")),
+      // fewer than w windows (k+1 tokens = 2 windows) -> exactly 1 fp
+      (2L, (0 until (k + 1)).map(i => s"s$i").mkString(" ")),
+      // fewer than k tokens -> no windows, no fingerprints
+      (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = fps.groupBy(_._1)
+    // doc 1: 80 tokens -> 76 windows; selected count strictly between the
+    // 2/(w+1) expectation's floor and the window count, and the winnowing
+    // guarantee holds: consecutive selected positions differ by <= w
+    val pos1 = byDoc(1L).map(_._2).sorted
+    assert(pos1.length > 76 / (w + 1) && pos1.length < 76)
+    assert(pos1.head <= w - 1)
+    assert(pos1.sliding(2).forall(p => p.length < 2 || p(1) - p(0) <= w))
+    assert(byDoc(2L).length == 1) // truncated-frame global min
+    assert(!byDoc.contains(3L))
+    // every fingerprint replays the degree-(k-1) polynomial over the
+    // md5-prefix token hashes at its recorded position
+    import graft.functions.RollingHashExpr.{HashB, HashM}
+    def th(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % HashM
+    }
+    val toks1 = (0 until 80).map(i => s"tok${i % 37}x$i")
+    byDoc(1L).foreach { case (_, pos, fp) =>
+      val expect = toks1.slice(pos.toInt, pos.toInt + k)
+        .foldLeft(0L)((h, t) => (h * HashB + th(t)) % HashM)
+      assert(fp == expect, s"fingerprint mismatch at pos $pos")
+    }
+  }
+
+  test("winnow pairs recover the planted near-dup and skip unrelated docs") {
+    // winnowing guarantee: a shared run of >= w+k-1 tokens shares a
+    // fingerprint; docs 1/2 share all but one token, 3 is exact, 4 disjoint
+    val pairs = Dedup.winnowPairs(corpus, 3, 2, 0.2, 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L))) // exact dup: identical sketch
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
 }

@@ -88,6 +88,28 @@ class FunctionsSpec extends SparkSpec {
     assert(out(0).isEmpty)
   }
 
+  test("rolling hash matches the direct polynomial and handles edges") {
+    import graft.functions.RollingHashExpr
+    import graft.functions.RollingHashExpr.{HashB, HashM}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def direct(toks: Seq[String], k: Int): Seq[Long] =
+      toks.sliding(k).filter(_.length == k).map(_.foldLeft(0L)((h, t) =>
+        (h * HashB + RollingHashExpr.tokenHash(UTF8String.fromString(t)))
+          % HashM)).toSeq
+    val toks = (0 until 50).map(i => s"w${i % 7}_$i")
+    val arr = new GenericArrayData(
+      toks.map(t => UTF8String.fromString(t): AnyRef).toArray)
+    for (k <- Seq(1, 2, 5, 13)) {
+      val got = RollingHashExpr.compute(arr, k)
+      assert(got.toLongArray().toSeq == direct(toks, k), s"k=$k")
+    }
+    // shorter than k -> []; the rolling leading-term removal never
+    // produces a negative intermediate (all values already asserted equal)
+    assert(RollingHashExpr.compute(new GenericArrayData(Array.empty[AnyRef]), 3)
+      .numElements() == 0)
+  }
+
   test("pairwise dot runs inside a whole-stage-codegen region") {
     // In the near-dup query normalization happens below the join and the
     // per-pair dot above it; after AQE finalizes, the O(n^2) hot path's
