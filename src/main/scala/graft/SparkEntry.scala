@@ -608,6 +608,12 @@ object SparkEntry {
     "sim_recall_eval" -> ((s, dir) =>
       Similarity.annRecallAtK(table(s, dir, "embeddings"),
         Seq(0L, 1L, 2L, 3L), 10)),
+    // sparse-vector similarity through the postings index: top-k
+    // neighbors per doc by cosine over top-m TF-IDF keyword signatures
+    // (the embedding-free routing/triage form; bucket-bounded like dedup)
+    "sim_sparse_topk" -> ((s, dir) =>
+      graft.textstats.TextAnalysis.sparseCosineNeighbors(
+        table(s, dir, "documents"))),
     // one Lloyd's iteration over the IVF assignment: per-cell population +
     // refined centroid head coordinates (the trained-quantizer primitive)
     "sim_kmeans_step" -> ((s, dir) =>
@@ -2097,6 +2103,37 @@ object SparkEntry {
         |  round(CAST(count(*) AS DOUBLE) / CAST(sum(n) AS BIGINT), 6) AS type_token_ratio,
         |  round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS hapax_share
         |FROM tc GROUP BY source ORDER BY source""".stripMargin,
+
+    // replays the text_tfidf top-3 signature, then the feature-bucket
+    // cosine: df-capped term join, dot over <= m rounded weights, norms
+    // over the full top-m vector, rank on the ROUNDED cosine
+    "sim_sparse_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |        round(tf * ln(CAST(n.n AS DOUBLE)/df), 4) AS tfidf
+        |      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tfidf,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM s),
+        |feats AS (SELECT doc_id, term, tfidf FROM r WHERE rn <= 3),
+        |fdf AS (SELECT term FROM feats GROUP BY term HAVING count(*) <= 1000),
+        |f2 AS (SELECT feats.* FROM feats JOIN fdf USING (term)),
+        |dots AS (SELECT a.doc_id AS doc_id, b.doc_id AS neighbor_id,
+        |           sum(a.tfidf * b.tfidf) AS dot
+        |         FROM f2 a JOIN f2 b ON a.term = b.term AND a.doc_id != b.doc_id
+        |         GROUP BY 1, 2),
+        |norms AS (SELECT doc_id, sum(tfidf * tfidf) AS n2 FROM feats GROUP BY doc_id),
+        |c AS (SELECT d.doc_id, d.neighbor_id,
+        |        round(d.dot / sqrt(na.n2 * nb.n2), 4) AS cosine
+        |      FROM dots d JOIN norms na ON na.doc_id = d.doc_id
+        |        JOIN norms nb ON nb.doc_id = d.neighbor_id),
+        |rk AS (SELECT doc_id, neighbor_id, cosine,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY cosine DESC, neighbor_id) AS rn
+        |       FROM c WHERE cosine > 0)
+        |SELECT doc_id, neighbor_id, cosine, CAST(rn AS INT) AS rn
+        |FROM rk WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
 
     "text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),

@@ -422,6 +422,49 @@ object TextAnalysis {
       .orderBy("doc_id", "rn")
   }
 
+  /** Sparse-vector document similarity through the postings index: top-k
+    * neighbors per doc by cosine over each doc's top-m TF-IDF features —
+    * the keyword-signature routing real pipelines run when embeddings are
+    * too expensive (cluster-assign, near-dup triage, topical grouping).
+    *
+    * The truncation IS the scale lever: each doc carries exactly m
+    * features regardless of its length, so candidate generation is the
+    * same bucket-explode as the dedup family — one aggregation by term,
+    * buckets over `maxFeatureDf` dropped (a feature shared by everyone
+    * routes nothing), pairs explode locally per bucket, cap^2 per task.
+    * The dot sums at most m products of ALREADY-ROUNDED weights (the
+    * tfIdfTopTerms output), so the float sum spans <= m rows — the BM25
+    * discipline — and ranking uses the rounded cosine with a doc-id
+    * tie-break, so cross-engine order can't diverge on ulps. */
+  def sparseCosineNeighbors(docs: DataFrame, m: Int = 3, k: Int = 5,
+                            maxFeatureDf: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feats = tfIdfTopTerms(docs, m).select("doc_id", "term", "tfidf")
+    val buckets = feats.groupBy("term")
+      .agg(collect_list(struct(col("doc_id"), col("tfidf"))).as("ps"))
+      .filter(size(col("ps")) <= maxFeatureDf)
+    val dots = buckets
+      .select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("neighbor_id"))
+      .agg(sum(col("a.tfidf") * col("b.tfidf")).as("dot"))
+    val norms = feats.groupBy("doc_id")
+      .agg(sum(col("tfidf") * col("tfidf")).as("n2"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    dots
+      .join(norms.withColumnRenamed("n2", "na"), Seq("doc_id"))
+      .join(norms.select(col("doc_id").as("neighbor_id"),
+        col("n2").as("nb")), Seq("neighbor_id"))
+      .withColumn("cosine", round(col("dot") / sqrt(col("na") * col("nb")), 4))
+      .filter(col("cosine") > 0)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("neighbor_id"), col("cosine"), col("rn"))
+      .orderBy("doc_id", "rn")
+  }
+
   /** Exact token-count quantiles per language label — the distribution
     * profile a pipeline checks before setting length filters. percentile()
     * is the exact interpolating form (deterministic), not approx. */

@@ -182,4 +182,30 @@ class TextAnalysisSpec extends SparkSpec {
     val out = TextAnalysis.bpeTrainMerges(docs, nMerges = 5).collect()
     assert(out.length == 1) // (a,b) merges once; no pairs remain
   }
+
+  test("sparse cosine neighbors rank shared-keyword docs and skip disjoint ones") {
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana durian"),
+      (3L, "apple fig grape"),
+      (4L, "kiwi lemon mango"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.sparseCosineNeighbors(docs, m = 3, k = 5)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byDoc = out.groupBy(_._1)
+    // doc 4 shares no term -> absent on both sides
+    assert(!byDoc.contains(4L) && !out.exists(_._2 == 4L))
+    // d1's best neighbor is d2 (banana+apple) over d3 (apple only);
+    // symmetric for d2; cosine replays the rounded-weight arithmetic
+    assert(byDoc(1L).map(t => (t._2, t._4)).toSet == Set((2L, 1), (3L, 2)))
+    assert(byDoc(2L).head._2 == 1L)
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val wApple = r4(1 * math.log(4.0 / 3)); val wBanana = r4(1 * math.log(4.0 / 2))
+    val wUniq = r4(1 * math.log(4.0))
+    val n12 = wUniq * wUniq + wBanana * wBanana + wApple * wApple
+    val exp12 = (wBanana * wBanana + wApple * wApple) / math.sqrt(n12 * n12)
+    val got12 = byDoc(1L).find(_._2 == 2L).get._3
+    assert(math.abs(got12 - exp12) < 5e-4, s"got $got12 expected ~$exp12")
+  }
 }
