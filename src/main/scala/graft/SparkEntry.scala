@@ -553,6 +553,13 @@ object SparkEntry {
       Dedup.containmentPairs(
         Dedup.withSyntheticExcerpts(table(s, dir, "documents")),
         3, 0.9, 100)),
+    // exact line-level boilerplate removal (C4/CCNet line dedup): lines
+    // repeated verbatim in >= 3 docs drop; per-doc counts + cleaned-text
+    // hash. Header/footer chrome planted first (same fixture pattern as
+    // the excerpt/paragraph queries — the corpus has no repeated lines)
+    "dedup_line_boilerplate" -> ((s, dir) =>
+      Dedup.lineDedup(
+        Dedup.withSyntheticBoilerplate(table(s, dir, "documents")))),
     // winnowed fingerprints (rolling-hash sketch, SIGMOD'03): the
     // selected (pos, hash) per doc — the positional sketch a dedup
     // pipeline stores instead of full shingle sets
@@ -1500,6 +1507,7 @@ object SparkEntry {
     "dedup_containment_pairs" -> containmentOracleSql,
     "text_winnow_fingerprints" -> winnowFingerprintOracleSql,
     "dedup_winnow_pairs" -> winnowPairsOracleSql,
+    "dedup_line_boilerplate" -> lineDedupOracleSql,
     "dedup_bloom_incremental" -> bloomOracleSql,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $clusterCtes
@@ -2728,6 +2736,32 @@ object SparkEntry {
        |FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
        |WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= $DefaultWinnowMinJaccard
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Line-dedup oracle: replants the same header/footer chrome (strings
+    * interpolated from Dedup), splits on newline positionally, counts
+    * line df by DISTINCT doc over md5 hashes, then rebuilds the cleaned
+    * text in line order. string_agg skips removed (NULL) lines exactly
+    * like the Spark side's collect_list; coalesce('') keeps the
+    * all-lines-removed doc at md5('') on both sides. */
+  private def lineDedupOracleSql: String = {
+    import graft.dedup.Dedup.{BoilerplateFooter, BoilerplateHeader, DefaultLineMinDf}
+    s"""WITH base AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 2 = 0 THEN '$BoilerplateHeader' || chr(10) ELSE '' END
+       |    || text ||
+       |    CASE WHEN doc_id % 3 = 0 THEN chr(10) || '$BoilerplateFooter' ELSE '' END AS text
+       |  FROM documents),
+       |ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM base),
+       |l0 AS (SELECT doc_id, p - 1 AS line_id, ls[p] AS line
+       |       FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS p FROM ls)),
+       |l AS (SELECT * FROM l0 WHERE length(trim(line)) > 0),
+       |hot AS (SELECT h FROM (SELECT md5(line) AS h, count(DISTINCT doc_id) AS df
+       |                       FROM l GROUP BY 1) WHERE df >= $DefaultLineMinDf),
+       |t AS (SELECT doc_id, line_id, line, md5(line) IN (SELECT h FROM hot) AS dup FROM l)
+       |SELECT doc_id, count(*) AS n_lines,
+       |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  md5(coalesce(string_agg(CASE WHEN NOT dup THEN line END, chr(10) ORDER BY line_id), '')) AS cleaned_hash
+       |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   private def bloomOracleSql: String = {

@@ -733,6 +733,57 @@ object Dedup {
     jaccardPairsFromShingles(fps, minJaccard, maxFpDf)
   }
 
+  // Planted boilerplate lines for the line-dedup query (the synthetic
+  // corpus has no repeated lines of its own, the same reason the
+  // excerpt/paragraph fixtures exist). Named so the oracle interpolates
+  // identical strings.
+  val BoilerplateHeader = "subscribe to our newsletter for updates"
+  val BoilerplateFooter = "all rights reserved contact us for details"
+  val DefaultLineMinDf = 3
+
+  /** Prepend the header line to every `headEvery`-th doc and append the
+    * footer to every `footEvery`-th — the scraped-page shape (nav chrome
+    * and legal footers repeated across a site) line dedup exists to cut. */
+  def withSyntheticBoilerplate(docs: DataFrame, headEvery: Int = 2,
+                               footEvery: Int = 3): DataFrame =
+    docs.withColumn("text", concat(
+      when(col("doc_id") % headEvery === 0, lit(BoilerplateHeader + "\n"))
+        .otherwise(lit("")),
+      col("text"),
+      when(col("doc_id") % footEvery === 0, lit("\n" + BoilerplateFooter))
+        .otherwise(lit(""))))
+
+  /** Exact line-level boilerplate removal (the C4/CCNet line-dedup pass):
+    * a line whose EXACT content appears in >= `minDf` distinct documents
+    * is chrome, not content — drop it everywhere. Emits per doc the line
+    * counts and the md5 of the CLEANED text (kept lines re-joined in
+    * line order), which is what downstream stages would train on.
+    *
+    * Scale notes (100 TB): the df count exchanges md5 hashes, never line
+    * text; the hot set is tiny by construction (only lines repeated
+    * across >= minDf docs) so the tag join broadcasts; reconstruction
+    * groups by doc_id with an in-group array_sort on (line_id) — per-doc
+    * work, no global sort. */
+  def lineDedup(docs: DataFrame, minDf: Int = DefaultLineMinDf): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("line_id", "line")))
+      .filter(length(trim(col("line"))) > 0)
+    val hot = lines.select(col("doc_id"), md5(col("line")).as("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("h"), lit(true).as("dup"))
+    lines.withColumn("h", md5(col("line")))
+      .join(broadcast(hot), Seq("h"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_removed"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(!coalesce(col("dup"), lit(false)),
+            struct(col("line_id"), col("line"))))),
+          x => x.getField("line")), "\n")).as("cleaned_hash"))
+      .orderBy("doc_id")
+  }
+
   /** Connected components over near-dup pairs: every doc in a duplicate
     * cluster gets the cluster's minimum doc_id as its cluster_id — the
     * step that turns pairwise similarity into an actionable keep/drop

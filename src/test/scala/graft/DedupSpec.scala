@@ -493,6 +493,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("line dedup removes cross-doc boilerplate and rebuilds cleaned text") {
+    val docs = Seq(
+      (1L, "promo line\nunique body one"),
+      (2L, "promo line\nunique body two"),
+      (3L, "promo line\nunique body three\npromo line"),
+      (4L, "unique body four"),
+      (5L, "promo line"))
+      .toDF("doc_id", "text")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = Dedup.lineDedup(docs, minDf = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // "promo line" reaches df 3 on DISTINCT docs (doc 3's second copy
+    // doesn't inflate df) and every occurrence is cut, including both in
+    // doc 3 and doc 5's only line (cleaned text = "")
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, md5hex("unique body one")),
+      (2L, 2L, 1L, md5hex("unique body two")),
+      (3L, 3L, 2L, md5hex("unique body three")),
+      (4L, 1L, 0L, md5hex("unique body four")),
+      (5L, 1L, 1L, md5hex(""))))
+  }
+
   test("winnow pairs recover the planted near-dup and skip unrelated docs") {
     // winnowing guarantee: a shared run of >= w+k-1 tokens shares a
     // fingerprint; docs 1/2 share all but one token, 3 is exact, 4 disjoint
