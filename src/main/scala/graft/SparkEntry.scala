@@ -615,6 +615,10 @@ object SparkEntry {
     "sim_recall_eval" -> ((s, dir) =>
       Similarity.annRecallAtK(table(s, dir, "embeddings"),
         Seq(0L, 1L, 2L, 3L), 10)),
+    // per-label centroid + pairwise centroid cosine: the embedding-level
+    // corpus-mix probe (decimal-exact sums, kmeansFit discipline)
+    "sim_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroidSimilarity(table(s, dir, "embeddings"))),
     // sparse-vector similarity through the postings index: top-k
     // neighbors per doc by cosine over top-m TF-IDF keyword signatures
     // (the embedding-free routing/triage form; bucket-bounded like dedup)
@@ -2111,6 +2115,27 @@ object SparkEntry {
         |  round(CAST(count(*) AS DOUBLE) / CAST(sum(n) AS BIGINT), 6) AS type_token_ratio,
         |  round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS hapax_share
         |FROM tc GROUP BY source ORDER BY source""".stripMargin,
+
+    // decimal-exact per-dim sums -> rounded centroid coords -> pair
+    // cosine; the VARCHAR hop is not needed because round(...,6) absorbs
+    // DuckDB's occasional 1-ulp wide-decimal->DOUBLE cast
+    "sim_label_centroids" ->
+      """WITH e AS (SELECT label, embedding AS v FROM embeddings),
+        |x AS (SELECT label, d, CAST(v[d] AS DECIMAL(28,18)) AS x
+        |      FROM (SELECT label, v, unnest(generate_series(1, 64)) AS d FROM e)),
+        |s AS (SELECT label, d, sum(x) AS s FROM x GROUP BY label, d),
+        |n AS (SELECT label, count(*) AS n FROM e GROUP BY label),
+        |c AS (SELECT s.label, d, round(CAST(s / n AS DOUBLE), 6) AS c
+        |      FROM s JOIN n USING (label)),
+        |dt AS (SELECT a.label AS label_a, b.label AS label_b, sum(a.c * b.c) AS dot
+        |       FROM c a JOIN c b ON a.d = b.d AND a.label < b.label GROUP BY 1, 2),
+        |nrm AS (SELECT label, sum(c * c) AS n2 FROM c GROUP BY label)
+        |SELECT d.label_a, d.label_b, na.n AS n_a, nb.n AS n_b,
+        |  round(d.dot / sqrt(xa.n2 * xb.n2), 4) AS cosine
+        |FROM dt d JOIN nrm xa ON xa.label = d.label_a
+        |  JOIN nrm xb ON xb.label = d.label_b
+        |  JOIN n na ON na.label = d.label_a JOIN n nb ON nb.label = d.label_b
+        |ORDER BY label_a, label_b""".stripMargin,
 
     // replays the text_tfidf top-3 signature, then the feature-bucket
     // cosine: df-capped term join, dot over <= m rounded weights, norms

@@ -710,6 +710,42 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-label centroid + pairwise centroid cosine — the embedding-level
+    * corpus-mix probe: how close are two sources/clusters in embedding
+    * space (merge candidates, drift between snapshots, mixture design).
+    *
+    * Determinism follows the kmeansFit discipline: per-dimension sums
+    * accumulate as DECIMAL(28,18) (exact, order-independent), the
+    * centroid coordinate rounds once at 6 decimals, and the pair cosine
+    * is the fixed graft_dot fold over those rounded coordinates — so the
+    * result is a pure function of the SET of vectors per label.
+    *
+    * Scale shape: ONE partial+final aggregate whose exchange carries
+    * labels × dims decimal partials; the pair join is over the
+    * labels-sized centroid frame (broadcast, k^2/2 rows) — corpus size
+    * only ever appears in the first scan. */
+  def labelCentroidSimilarity(embeddings: DataFrame, dims: Int = 64): DataFrame = {
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 18)
+    val sums = (1 to dims).map(d =>
+      sum(element_at(col("embedding"), d).cast(dec)).as(s"s$d"))
+    val per = embeddings.groupBy("label")
+      .agg(count(lit(1)).as("n"), sums: _*)
+    val cArr = array((1 to dims).map(d =>
+      round((col(s"s$d") / col("n")).cast("double"), 6)): _*)
+    val cents = per.select(col("label"), col("n"), cArr.as("c"))
+    val a = cents.select(col("label").as("label_a"), col("n").as("n_a"),
+      col("c").as("ca"))
+    val b = cents.select(col("label").as("label_b"), col("n").as("n_b"),
+      col("c").as("cb"))
+    a.join(broadcast(b), col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        round(VectorFunctions.dot(col("ca"), col("cb")) /
+          sqrt(VectorFunctions.dot(col("ca"), col("ca")) *
+            VectorFunctions.dot(col("cb"), col("cb"))), 4).as("cosine"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** Per-label embedding stats (norm is exact-order sequential). */
   def normStatsByLabel(embeddings: DataFrame): DataFrame = {
     VectorFunctions.ensureRegistered(embeddings.sparkSession)

@@ -361,4 +361,20 @@ class SimilaritySpec extends SparkSpec {
       assert(got.contains(t), s"missing exact twin pair $t")
     }
   }
+
+  test("label centroids: exact means and pairwise cosine on a known frame") {
+    import spark.implicits._
+    // label 0: (1,0)+(0,1) -> centroid (.5,.5); label 1: (1,0); label 2: (-1,0)
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.0f, 1.0f), 0),
+      (2L, Array(1.0f, 0.0f), 1),
+      (3L, Array(-1.0f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroidSimilarity(e, dims = 2)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out((0, 1)) == ((2L, 1L, 0.7071)))
+    assert(out((0, 2)) == ((2L, 1L, -0.7071)))
+    assert(out((1, 2)) == ((1L, 1L, -1.0)))
+  }
 }
