@@ -694,6 +694,11 @@ object SparkEntry {
     // counts, tie-breaks, greedy merge application — is replayed in SQL.
     "text_bpe_merges" -> ((s, dir) =>
       TextAnalysis.bpeTrainMerges(table(s, dir, "documents"), 8)),
+    // the APPLY side of the trained tokenizer: encode the vocab with the
+    // 8 ranked merges (one chained-replace projection), roll up per-doc
+    // word/BPE-token counts + compression — the token-budget accounting
+    "text_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(table(s, dir, "documents"), 8)),
     "text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfIdfTopTerms(table(s, dir, "documents"), 3)),
     // corpus-trained bigram-LM fluency proxy: mean ln p(w2|w1) per doc
@@ -2372,6 +2377,50 @@ object SparkEntry {
          |$rounds
          |SELECT * FROM ($sel) ORDER BY merge_round""".stripMargin
     },
+    // the same 8-round unroll as text_bpe_merges, with a parallel
+    // per-TERM symbol chain (v0..v8) receiving each round's replace, then
+    // the per-doc rollup through the (doc_id, term, tf) frame
+    "text_bpe_encode" -> {
+      val n = 8
+      val rounds = (1 to n).map { r =>
+        s"""p$r AS (
+           |  SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS pair_count
+           |  FROM (SELECT freq,
+           |          unnest(els[1:len(els)-1]) AS lhs,
+           |          unnest(els[2:len(els)]) AS rhs
+           |        FROM (SELECT freq, string_split(substring(sym, 2, length(sym)-2), '..') AS els
+           |              FROM w${r - 1}))
+           |  GROUP BY 1, 2),
+           |m$r AS (
+           |  SELECT lhs, rhs, lhs || rhs AS merged, pair_count
+           |  FROM p$r ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+           |w$r AS (
+           |  SELECT replace(sym, '.' || lhs || '..' || rhs || '.', '.' || merged || '.') AS sym, freq
+           |  FROM w${r - 1}, m$r),
+           |v$r AS (
+           |  SELECT term, replace(sym, '.' || lhs || '..' || rhs || '.', '.' || merged || '.') AS sym
+           |  FROM v${r - 1}, m$r)"""
+      }.mkString(",\n")
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+         |w0 AS (
+         |  SELECT '.' || array_to_string(list_transform(range(1, length(term)+1),
+         |           i -> substring(term, CAST(i AS INT), 1)), '..') || '.' AS sym,
+         |         CAST(count(*) AS BIGINT) AS freq
+         |  FROM tok GROUP BY 1),
+         |v0 AS (
+         |  SELECT DISTINCT term, '.' || array_to_string(list_transform(range(1, length(term)+1),
+         |           i -> substring(term, CAST(i AS INT), 1)), '..') || '.' AS sym
+         |  FROM tok),
+         |$rounds,
+         |enc AS (SELECT term, len(string_split(substring(sym, 2, length(sym)-2), '..')) AS n_sym FROM v$n),
+         |wc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_words,
+         |  CAST(sum(tf * n_sym) AS BIGINT) AS n_bpe_tokens,
+         |  round(CAST(sum(tf * n_sym) AS DOUBLE) / sum(tf), 4) AS compression
+         |FROM wc JOIN enc USING (term)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
     "text_bigrams" ->
       """WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
         |b AS (SELECT unnest(list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])) AS bigram

@@ -397,6 +397,47 @@ object TextAnalysis {
       .orderBy("merge_round")
   }
 
+  /** BPE ENCODING with the trained merge table — the apply side of
+    * bpeTrainMerges, closing the tokenizer loop (train once, encode the
+    * corpus, budget token counts). Encoding happens on the DISTINCT
+    * vocabulary (the same frame training pair-counts on), as one
+    * projection chaining the N merge replaces in ranked order — a single
+    * codegen pass over vocab-sized data, not corpus-sized. Per-doc
+    * counts then come from one join of the (doc_id, term, tf) frame to
+    * the encoded vocab and a final aggregate.
+    *
+    * Scale notes (100 TB): corpus text is scanned once (termOccurrences);
+    * everything after is vocabulary-sized (Heaps' law: << corpus). The
+    * merge table is a driver-side list by construction (bpeTrainMerges
+    * materializes one row per round), so the fold is plan structure, not
+    * a join. */
+  def bpeEncode(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+    val merges = bpeTrainMerges(docs, nMerges).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val wc = Tokenize.termOccurrences(docs)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val vocab = wc.select("term").distinct()
+      .withColumn("sym", concat(lit("."),
+        array_join(expr(
+          "transform(sequence(1, length(term)), i -> substring(term, i, 1))"),
+          ".."),
+        lit(".")))
+    val symCol = merges.foldLeft(col("sym")) { case (c, (l, r)) =>
+      call_function("replace", c, lit(s".$l..$r."), lit(s".$l$r."))
+    }
+    val enc = vocab.select(col("term"), symCol.as("sym"))
+      .withColumn("n_sym",
+        size(split(expr("substring(sym, 2, length(sym)-2)"), "\\.\\."))
+          .cast("long"))
+    wc.join(enc.select("term", "n_sym"), Seq("term"))
+      .groupBy("doc_id").agg(
+        sum("tf").as("n_words"),
+        sum(col("tf") * col("n_sym")).as("n_bpe_tokens"))
+      .withColumn("compression",
+        round(col("n_bpe_tokens").cast("double") / col("n_words"), 4))
+      .orderBy("doc_id")
+  }
+
   /** Top-k TF-IDF terms per document — the keyword/feature extraction a
     * pipeline runs for doc routing and near-dup triage. tf is the raw
     * in-doc count, idf the raw ln(N/df) (same family as the BM25 idf,

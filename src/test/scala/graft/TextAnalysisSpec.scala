@@ -183,6 +183,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.length == 1) // (a,b) merges once; no pairs remain
   }
 
+  test("bpeEncode applies the trained merges and counts symbols per doc") {
+    // train on {aaaa x2, ab}: r1 merges (a,a) [weight 3*2=6 beats (a,b)=1]
+    // -> aaaa=[aa,aa]; r2 merges (aa,aa) -> aaaa=1 symbol; ab stays [a,b]
+    val docs = Seq((1L, "aaaa aaaa ab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(docs, nMerges = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 3L, 4L, 1.3333)))
+  }
+
   test("sparse cosine neighbors rank shared-keyword docs and skip disjoint ones") {
     val docs = Seq(
       (1L, "apple banana cherry"),
