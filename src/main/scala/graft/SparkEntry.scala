@@ -2142,11 +2142,13 @@ object SparkEntry {
         |  JOIN n na ON na.label = d.label_a JOIN n nb ON nb.label = d.label_b
         |ORDER BY label_a, label_b""".stripMargin,
 
-    // replays the text_tfidf top-3 signature, then the feature-bucket
+    // replays the top-3 BIGRAM tf-idf signature, then the feature-bucket
     // cosine: df-capped term join, dot over <= m rounded weights, norms
     // over the full top-m vector, rank on the ROUNDED cosine
     "sim_sparse_topk" ->
-      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+      """WITH t0 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+        |tok AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])) AS term
+        |        FROM t0 WHERE len(tk) >= 2),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
         |n AS (SELECT count(*) AS n FROM documents),

@@ -192,7 +192,9 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 3L, 4L, 1.3333)))
   }
 
-  test("sparse cosine neighbors rank shared-keyword docs and skip disjoint ones") {
+  test("sparse cosine neighbors rank shared-phrase docs and skip disjoint ones") {
+    // bigram features: d1/d2 share "apple banana" (df 2); d3 shares a
+    // TOKEN with d1/d2 but no bigram; d4 fully disjoint
     val docs = Seq(
       (1L, "apple banana cherry"),
       (2L, "apple banana durian"),
@@ -203,18 +205,16 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
     val byDoc = out.groupBy(_._1)
-    // doc 4 shares no term -> absent on both sides
-    assert(!byDoc.contains(4L) && !out.exists(_._2 == 4L))
-    // d1's best neighbor is d2 (banana+apple) over d3 (apple only);
-    // symmetric for d2; cosine replays the rounded-weight arithmetic
-    assert(byDoc(1L).map(t => (t._2, t._4)).toSet == Set((2L, 1), (3L, 2)))
-    assert(byDoc(2L).head._2 == 1L)
+    assert(!byDoc.contains(3L) && !byDoc.contains(4L))
+    assert(byDoc(1L).map(t => (t._2, t._4)).toSeq == Seq((2L, 1)))
+    assert(byDoc(2L).map(t => (t._2, t._4)).toSeq == Seq((1L, 1)))
+    // cosine replays the rounded-weight arithmetic: shared "apple banana"
+    // at ln(4/2) against each doc's unique second bigram at ln(4/1)
     def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val wApple = r4(1 * math.log(4.0 / 3)); val wBanana = r4(1 * math.log(4.0 / 2))
-    val wUniq = r4(1 * math.log(4.0))
-    val n12 = wUniq * wUniq + wBanana * wBanana + wApple * wApple
-    val exp12 = (wBanana * wBanana + wApple * wApple) / math.sqrt(n12 * n12)
-    val got12 = byDoc(1L).find(_._2 == 2L).get._3
+    val wShared = r4(math.log(4.0 / 2)); val wUniq = r4(math.log(4.0))
+    val n2 = wShared * wShared + wUniq * wUniq
+    val exp12 = wShared * wShared / math.sqrt(n2 * n2)
+    val got12 = byDoc(1L).head._3
     assert(math.abs(got12 - exp12) < 5e-4, s"got $got12 expected ~$exp12")
   }
 }
