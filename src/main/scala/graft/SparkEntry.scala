@@ -87,6 +87,15 @@ object SparkEntry {
     // S9: all-OOV query must yield empty result with intact schema, not fail.
     "bm25_oov" -> ((s, dir) =>
       BM25.search(s, table(s, dir, "documents"), "zzzznotaword qqqqnotaword")),
+    // impact-ordered champion lists: per-term top-5 postings by tf — the
+    // static pruning that bounds per-term serve cost regardless of df
+    "idx_champion_lists" -> ((s, dir) =>
+      InvertedIndex.championLists(table(s, dir, "documents"), 5)
+        .orderBy("term", "impact_rank")),
+    // BM25 served from champion lists (m=10): candidates bounded at
+    // |terms|*m, scores exact for every surviving doc
+    "bm25_champion" -> ((s, dir) =>
+      BM25.searchChampions(s, table(s, dir, "documents"), FlagshipQuery, 10)),
     // Batch multi-query form: many queries, one tf build, windowed top-k.
     "bm25_multi" -> ((s, dir) => {
       import s.implicits._
@@ -923,6 +932,15 @@ object SparkEntry {
         |       round(avg(doc_length), 4) AS avg_doc_length FROM dl""".stripMargin,
     "bm25_search" -> bm25OracleSql("('spark','join','window')"),
     "bm25_oov" -> bm25OracleSql("('zzzznotaword','qqqqnotaword')"),
+    "idx_champion_lists" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |r AS (SELECT term, doc_id, tf,
+        |        row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS impact_rank
+        |      FROM tf)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS term_frequency, CAST(impact_rank AS INT) AS impact_rank
+        |FROM r WHERE impact_rank <= 5 ORDER BY term, impact_rank""".stripMargin,
+    "bm25_champion" -> bm25ChampionOracleSql("('spark','join','window')", 10),
     "idx_incremental_merge" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents)
         |SELECT doc_id, term, count(*) AS term_frequency
@@ -2917,6 +2935,27 @@ object SparkEntry {
       |FROM r WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
 
   /** BM25 oracle pipeline (k1=1, b=0.75, raw ln(N/df) idf — app/query.py:131-135). */
+  /** bm25OracleSql with the per-term champion restriction: the tf CTE
+    * keeps only each term's top-m postings by (tf desc, doc_id); df and
+    * the doc/corpus stats stay TRUE corpus values, like the operator. */
+  private def bm25ChampionOracleSql(termsInList: String, m: Int): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+       |tf0 AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term IN $termsInList GROUP BY doc_id, term),
+       |tf AS (SELECT doc_id, term, tf FROM (
+       |         SELECT doc_id, term, tf,
+       |           row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS r
+       |         FROM tf0) WHERE r <= $m),
+       |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok WHERE term IN $termsInList GROUP BY term),
+       |dl AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS dl FROM documents),
+       |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+       |scored AS (
+       |  SELECT tf.doc_id,
+       |         sum( ln(CAST(n AS DOUBLE)/df) * (2.0*tf) / (1.0*(0.25 + 0.75*dl/avgdl) + tf) ) AS score
+       |  FROM tf JOIN dfq USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+       |  GROUP BY tf.doc_id)
+       |SELECT doc_id, round(score, 4) AS doc_rank FROM scored
+       |ORDER BY doc_rank DESC, doc_id LIMIT 10""".stripMargin
+
   private def bm25OracleSql(termsInList: String): String =
     s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term IN $termsInList GROUP BY doc_id, term),

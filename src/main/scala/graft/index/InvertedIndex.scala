@@ -25,6 +25,29 @@ object InvertedIndex {
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("term_frequency"))
 
+  /** Impact-ordered champion lists (round 5): per term, only the top-m
+    * postings by (term_frequency desc, doc_id) survive — the classic
+    * static index-pruning that bounds per-term SERVE cost at m rows
+    * regardless of document frequency (the stopword posting list that is
+    * 10^8 rows at 100 TB serves as m). The window partitions by term —
+    * the exchange the postings build already pays — and Spark plans the
+    * rank<=m filter as a partial+final WindowGroupLimit, so each map task
+    * keeps at most m rows per term before the exchange (no full posting
+    * list is ever sorted in one task). Callers that only need some terms
+    * must restrict BEFORE ranking (BM25.searchChampions does): champion
+    * lists are per-term independent, and Catalyst does not push a join
+    * through a Window. */
+  def championLists(docs: DataFrame, m: Int = 10): DataFrame =
+    championListsFromTf(termFrequency(docs), m)
+
+  def championListsFromTf(tf: DataFrame, m: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("term")
+      .orderBy(desc("term_frequency"), asc("doc_id"))
+    tf.withColumn("impact_rank", row_number().over(w))
+      .filter(col("impact_rank") <= m)
+  }
+
   /** Positional postings: (doc_id, pos, term), one row per occurrence,
     * pos 0-based in token order — the index layout phrase and proximity
     * queries need beyond the reference's bag-of-words tables. */

@@ -45,6 +45,34 @@ object BM25 {
     rank(qtf, qdf, dl, stats, k1, b, topK)
   }
 
+  /** BM25 served from champion lists only (round 5): per query term, at
+    * most m candidate postings — the approximate serving mode whose cost
+    * is |terms| * m however hot the terms are. df/idf, doc lengths, and
+    * corpus stats stay TRUE corpus values (pruning changes the candidate
+    * set, not the formula), so every returned score equals the exact
+    * BM25 score; only docs outside every champion list can be missed.
+    * The query-term restriction applies BEFORE the champion ranking —
+    * valid because a term's champion list depends only on that term's
+    * own postings — so the window ranks |terms| partitions, not the
+    * vocabulary (a join above the window would not be pushed through by
+    * Catalyst; verified in the physical plan). */
+  def searchChampions(spark: SparkSession, docs: DataFrame, query: String,
+                      m: Int = 10, k1: Double = 1.0, b: Double = 0.75,
+                      topK: Int = 10): DataFrame = {
+    import spark.implicits._
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+    val qTerms = terms.toSeq.toDF("term")
+    val tf = InvertedIndex.termFrequency(docs)
+    val dfreq = InvertedIndex.docFrequencyFromTf(tf)
+    val dl = InvertedIndex.docLengthFromTf(tf)
+    val stats = InvertedIndex.corpusInfo(docs)
+    val qtf = InvertedIndex.championListsFromTf(
+        tf.join(broadcast(qTerms), Seq("term")), m)
+      .select("term", "doc_id", "term_frequency")
+    val qdf = dfreq.join(broadcast(qTerms), Seq("term"))
+    rank(qtf, qdf, dl, stats, k1, b, topK)
+  }
+
   /** BM25 search served from a persisted IndexStore — no recompute; the
     * term predicate partition-prunes the postings scan to the query terms'
     * hash buckets (the Cassandra-token-routing equivalent). The bucket

@@ -142,4 +142,30 @@ class TextIndexRankSpec extends SparkSpec {
       .as[(Long, Double)].collect()
     assert(once.toSeq == twice.toSeq)
   }
+
+  test("champion lists keep per-term top-m by tf with doc_id tie-break") {
+    val ch = InvertedIndex.championLists(corpus, 1)
+      .select("term", "doc_id", "term_frequency")
+      .as[(String, Long, Long)].collect().toSet
+    // banana: tf 1 in docs 1 and 2 -> tie broken by doc_id -> doc 1
+    assert(ch.contains(("banana", 1L, 1L)) && !ch.exists(
+      t => t._1 == "banana" && t._2 == 2L))
+    assert(ch.contains(("cherry", 3L, 4L))) // top tf wins
+    assert(ch.contains(("apple", 1L, 2L)))
+  }
+
+  test("champion-served BM25: exact at m >= df, exact-subset at m=1") {
+    val exact = BM25.search(spark, corpus, "banana cherry")
+      .as[(Long, Double)].collect().toSeq
+    val full = BM25.searchChampions(spark, corpus, "banana cherry", m = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(full == exact) // m covers every posting list -> identical
+    val pruned = BM25.searchChampions(spark, corpus, "banana cherry", m = 1)
+      .as[(Long, Double)].collect().toSeq
+    val exactScores = exact.toMap
+    // every surviving doc keeps its EXACT score (pruning drops candidates,
+    // never changes the formula)
+    assert(pruned.nonEmpty && pruned.forall { case (d, s) => exactScores(d) == s })
+    assert(pruned.map(_._1).toSet.subsetOf(exact.map(_._1).toSet))
+  }
 }
