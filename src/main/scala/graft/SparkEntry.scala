@@ -586,6 +586,10 @@ object SparkEntry {
     // 20k-token budget in seeded-hash order
     "curate_budget_sample" -> ((s, dir) =>
       graft.curate.Curation.budgetSample(table(s, dir, "documents"), 20000L)),
+    // DSIR importance weights (Xie'23): hashed-bigram log-likelihood
+    // ratio of target-slice vs raw-corpus feature distributions
+    "curate_dsir_weights" -> ((s, dir) =>
+      graft.curate.Curation.dsirWeights(table(s, dir, "documents"), "src0")),
 
     // ---- similarity search (north star) ----
     "sim_cosine_topk" -> ((s, dir) =>
@@ -667,6 +671,10 @@ object SparkEntry {
     // only, every doc scored with add-1 smoothing
     "text_cross_lm" -> ((s, dir) =>
       TextAnalysis.crossLmScores(table(s, dir, "documents"), "src0")),
+    // trigram stupid-backoff scoring (Brants'07): the distributed-corpus
+    // LM — plain count ratios, alpha-damped backoff, add-one unigram floor
+    "text_stupid_backoff" -> ((s, dir) =>
+      TextAnalysis.stupidBackoffScores(table(s, dir, "documents"), "src0")),
     // concat-and-chunk pretraining sample layout: docs split across
     // fixed-length chunks, exact integer spans
     "text_chunk_seqs" -> ((s, dir) =>
@@ -1767,6 +1775,26 @@ object SparkEntry {
         |SELECT source, doc_id, n_tokens FROM o
         |WHERE CAST(cum_before AS DOUBLE) < mix * 20000.0
         |ORDER BY source, doc_id""".stripMargin,
+    // DSIR oracle: identical md5-prefix bucketing, identical add-one
+    // probability tree; round(4) absorbs ln's per-term ulp noise over the
+    // per-doc sum (values bounded by |lp| <= ln-ratio of the two tables).
+    "curate_dsir_weights" ->
+      """WITH t AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+        |occ AS (SELECT doc_id, source, ('0x' || substring(md5(bigram), 1, 6))::BIGINT % 1024 AS b
+        |  FROM (SELECT doc_id, source, unnest(CASE WHEN len(tk) >= 2
+        |    THEN list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])
+        |    ELSE [] END) AS bigram FROM t)),
+        |raw AS (SELECT b, count(*) AS cr FROM occ GROUP BY b),
+        |tgt AS (SELECT b, count(*) AS ct FROM occ WHERE source = 'src0' GROUP BY b),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nr,
+        |  CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS nt FROM occ),
+        |sc AS (SELECT doc_id,
+        |    ln((CAST(coalesce(ct, 0) AS DOUBLE) + 1.0) / (CAST(nt AS DOUBLE) + CAST(1024 AS DOUBLE))) -
+        |    ln((CAST(cr AS DOUBLE) + 1.0) / (CAST(nr AS DOUBLE) + CAST(1024 AS DOUBLE))) AS lp
+        |  FROM occ JOIN raw USING (b) LEFT JOIN tgt USING (b) CROSS JOIN tot),
+        |per AS (SELECT doc_id, count(*) AS nf, round(sum(lp), 4) AS log_ratio FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(nf, 0) AS BIGINT) AS n_feats, log_ratio
+        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
     "dedup_embedding_lsh" ->
       """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |bk AS (SELECT vec_id, v,
@@ -2246,6 +2274,50 @@ object SparkEntry {
         |        round(avg(lp), 4) AS avg_logp FROM sc GROUP BY doc_id)
         |SELECT d.doc_id, CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
         |  CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov, avg_logp
+        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Stupid-backoff oracle: the same three-branch CASE over the same
+    // integer count tables; alpha literals forced to DOUBLE (DuckDB would
+    // otherwise fold 0.4*0.4 as exact DECIMAL and diverge from the
+    // engine's IEEE product); round(4) absorbs ln's 1-ulp noise.
+    "text_stupid_backoff" ->
+      """WITH t AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+        |occ AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+        |    THEN list_transform(generate_series(1, len(tk)-2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |    ELSE [] END) AS tri FROM t),
+        |occp AS (SELECT doc_id, tri,
+        |    split_part(tri, ' ', 1) || ' ' || split_part(tri, ' ', 2) AS w12,
+        |    split_part(tri, ' ', 2) || ' ' || split_part(tri, ' ', 3) AS w23,
+        |    split_part(tri, ' ', 2) AS w2, split_part(tri, ' ', 3) AS w3 FROM occ),
+        |rt AS (SELECT tk FROM t WHERE source = 'src0'),
+        |c3 AS (SELECT tri, count(*) AS c3 FROM (SELECT unnest(CASE WHEN len(tk) >= 3
+        |    THEN list_transform(generate_series(1, len(tk)-2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |    ELSE [] END) AS tri FROM rt) GROUP BY tri),
+        |c2 AS (SELECT bi, count(*) AS c2 FROM (SELECT unnest(CASE WHEN len(tk) >= 2
+        |    THEN list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])
+        |    ELSE [] END) AS bi FROM rt) GROUP BY bi),
+        |c1 AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(tk) AS w FROM rt) GROUP BY w),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT w) AS BIGINT) AS v
+        |  FROM (SELECT unnest(tk) AS w FROM rt)),
+        |sc AS (SELECT doc_id,
+        |    CASE WHEN c3.c3 IS NOT NULL THEN ln(CAST(c3.c3 AS DOUBLE) / CAST(p2.c2 AS DOUBLE))
+        |         WHEN s2.c2 IS NOT NULL THEN ln(CAST(0.4 AS DOUBLE) * (CAST(s2.c2 AS DOUBLE) / CAST(m1.c1 AS DOUBLE)))
+        |         ELSE ln(CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE) *
+        |              ((CAST(coalesce(l1.c1, 0) AS DOUBLE) + 1.0) / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE)))) END AS lp,
+        |    CASE WHEN c3.c3 IS NOT NULL THEN 0 WHEN s2.c2 IS NOT NULL THEN 1 ELSE 2 END AS lvl
+        |  FROM occp
+        |  LEFT JOIN c3 ON occp.tri = c3.tri
+        |  LEFT JOIN c2 p2 ON occp.w12 = p2.bi
+        |  LEFT JOIN c2 s2 ON occp.w23 = s2.bi
+        |  LEFT JOIN c1 m1 ON occp.w2 = m1.w
+        |  LEFT JOIN c1 l1 ON occp.w3 = l1.w
+        |  CROSS JOIN tot),
+        |per AS (SELECT doc_id, count(*) AS nt,
+        |    CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nu,
+        |    round(avg(lp), 4) AS avg_logp FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(nt, 0) AS BIGINT) AS n_trigrams,
+        |  CAST(coalesce(nb, 0) AS BIGINT) AS n_bi_backoff,
+        |  CAST(coalesce(nu, 0) AS BIGINT) AS n_uni_backoff, avg_logp
         |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
     "text_chunk_seqs" ->
       """WITH t AS (SELECT lang AS shard, doc_id,

@@ -204,4 +204,58 @@ object Curation {
       curationTags(docs, minTokens, maxDupTrigramFrac, n, minJaccard, maxShingleDf)
         .filter(col("stage") === Stages(4)).select("doc_id"),
       Seq("doc_id"), "left_semi")
+
+  /** DSIR importance weights (Xie et al., NeurIPS'23 "Data Selection for
+    * Language Models via Importance Resampling"): every document scored by
+    * how much more likely its HASHED-BIGRAM features are under the target
+    * slice's distribution than under the raw corpus's —
+    *
+    *   w(doc) = Σ_occ [ ln p_target(b) − ln p_raw(b) ],
+    *   p(b) = (c(b)+1) / (N+B)   (add-one over B hash buckets)
+    *
+    * where b = first-6-hex-of-md5(bigram) mod B, the paper's
+    * hashed-n-gram feature map (collisions are part of the estimator, not
+    * an error). High-weight docs are the ones importance resampling keeps
+    * to match the target domain. The target here is a source slice — the
+    * curated/trusted corpus a pipeline reweights toward.
+    *
+    * Scale notes (100 TB): both feature distributions are B-row tables
+    * regardless of corpus size — broadcast by construction; the
+    * occurrence frame hash-joins them without moving, then one exchange
+    * keys by doc for the sum. The `crossLmScores` shape with a
+    * fixed-size model instead of a vocabulary-sized one. */
+  def dsirWeights(docs: DataFrame, targetSource: String,
+                  buckets: Int = 1024): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(docs.sparkSession)
+    val tf = graft.functions.TextFunctions
+    val bD = lit(buckets.toDouble)
+    val occ = docs.select(col("doc_id"), col("source"),
+        graft.text.Tokenize.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("source"),
+        explode(tf.bigrams(col("t"))).as("bigram"))
+      .withColumn("b",
+        conv(substring(md5(col("bigram")), 1, 6), 16, 10).cast("long") %
+          buckets)
+    val raw = occ.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgt = occ.filter(col("source") === targetSource)
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val totals = occ.agg(count(lit(1)).as("nr"),
+      sum((col("source") === targetSource).cast("long")).as("nt"))
+    val scored = occ.select("doc_id", "b")
+      .join(broadcast(raw), Seq("b"))
+      .join(broadcast(tgt), Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        (log((coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0)) /
+            (col("nt").cast("double") + bD)) -
+          log((col("cr").cast("double") + lit(1.0)) /
+            (col("nr").cast("double") + bD))).as("lp"))
+    val per = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), round(sum("lp"), 4).as("log_ratio"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        col("log_ratio"))
+      .orderBy("doc_id")
+  }
 }

@@ -704,4 +704,84 @@ object TextAnalysis {
           greatest(col("__s"), col("chunk_id") * l)).as("n_toks"))
       .orderBy("shard", "chunk_id", "doc_id")
   }
+
+  /** Trigram stupid-backoff LM scoring (Brants et al., EMNLP'07 — the
+    * backoff designed FOR distributed corpora: no discount renormalization,
+    * so every score is a plain ratio of counts and the model parallelizes
+    * as ordinary count tables). The LM trains on `refSource` only and
+    * scores every document (reference surface: the ranking/scoring family;
+    * `crossLmScores` is the bigram add-k sibling):
+    *
+    *   S(w3|w1 w2) = c3(w1 w2 w3) / c2(w1 w2)            when c3 > 0
+    *               = alpha * c2(w2 w3) / c1(w2)           when c2(w2 w3) > 0
+    *               = alpha^2 * (c1(w3)+1) / (N+V)         otherwise
+    *
+    * (the unigram floor is add-one so fully-OOV tokens stay finite; a
+    * nonzero trigram count guarantees its prefix bigram count, and a
+    * nonzero bigram count its mid-token count, so no branch divides by
+    * zero). Per doc: trigram occurrence count, how often each backoff
+    * level fired, and mean ln S rounded to 4 (ln's 1-ulp engine noise
+    * averages out below the rounding, the `bigramLmScores` precedent).
+    *
+    * Scale notes (100 TB): the five probability joins are all keyed by
+    * n-gram/token against REFERENCE-bounded count tables (curated slice,
+    * orders smaller than the scored corpus — broadcastable in practice,
+    * hash-join correct regardless); the corpus-proportional occurrence
+    * frame crosses one exchange per join key and re-keys once per doc for
+    * the average. Nothing is ever keyed by the full corpus vocabulary. */
+  def stupidBackoffScores(docs: DataFrame, refSource: String,
+                          alpha: Double = 0.4): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(docs.sparkSession)
+    val tf = graft.functions.TextFunctions
+    val occ = docs.select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), explode(tf.shingles(col("t"), 3)).as("tri"))
+      .withColumn("w12", substring_index(col("tri"), " ", 2))
+      .withColumn("w23", substring_index(col("tri"), " ", -2))
+      .withColumn("w2", substring_index(col("w23"), " ", 1))
+      .withColumn("w3", substring_index(col("tri"), " ", -1))
+    val ref = docs.filter(col("source") === refSource).select(toks.as("t"))
+    val c3 = ref.select(explode(tf.shingles(col("t"), 3)).as("tri"))
+      .groupBy("tri").agg(count(lit(1)).as("c3"))
+    val c2 = ref.select(explode(tf.bigrams(col("t"))).as("bi"))
+      .groupBy("bi").agg(count(lit(1)).as("c2"))
+    val c1 = ref.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val tot = ref.select(explode(col("t")).as("w"))
+      .agg(count(lit(1)).as("__n"), countDistinct(col("w")).as("__v"))
+    val a = lit(alpha)
+    val scored = occ
+      .join(c3, Seq("tri"), "left")
+      .join(c2.select(col("bi").as("w12"), col("c2").as("c2pre")),
+        Seq("w12"), "left")
+      .join(c2.select(col("bi").as("w23"), col("c2").as("c2suf")),
+        Seq("w23"), "left")
+      .join(c1.select(col("w").as("w2"), col("c1").as("c1mid")),
+        Seq("w2"), "left")
+      .join(c1.select(col("w").as("w3"), col("c1").as("c1last")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        when(col("c3").isNotNull,
+          log(col("c3").cast("double") / col("c2pre").cast("double")))
+          .when(col("c2suf").isNotNull,
+            log(a * (col("c2suf").cast("double") / col("c1mid").cast("double"))))
+          .otherwise(log(a * a *
+            ((coalesce(col("c1last"), lit(0L)).cast("double") + lit(1.0)) /
+              (col("__n").cast("double") + col("__v").cast("double")))))
+          .as("lp"),
+        when(col("c3").isNotNull, lit(0))
+          .when(col("c2suf").isNotNull, lit(1)).otherwise(lit(2)).as("lvl"))
+    val per = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum((col("lvl") === 1).cast("long")).as("n_bi_backoff"),
+        sum((col("lvl") === 2).cast("long")).as("n_uni_backoff"),
+        round(avg("lp"), 4).as("avg_logp"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_bi_backoff"), lit(0L)).as("n_bi_backoff"),
+        coalesce(col("n_uni_backoff"), lit(0L)).as("n_uni_backoff"),
+        col("avg_logp"))
+      .orderBy("doc_id")
+  }
 }

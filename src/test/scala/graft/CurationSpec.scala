@@ -110,4 +110,49 @@ class CurationSpec extends SparkSpec {
       assert(r == Seq(("only", 2L, 5L, 1.0, 1.0, 1.0)))
     }
   }
+
+  test("DSIR weights match an independent plain-Scala replay") {
+    // target slice speaks "alpha beta"; off-target doc speaks "zulu yankee"
+    val docs = Seq(
+      (1L, "tgt", "alpha beta alpha beta gamma"),
+      (2L, "web", "alpha beta gamma delta"),
+      (3L, "web", "zulu yankee zulu yankee xray"),
+      (4L, "web", "solo")) // single token: no bigram features
+      .toDF("doc_id", "source", "text")
+    val got = Curation.dsirWeights(docs, "tgt").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+
+    // independent replay: same md5-prefix bucketing, same add-one tree
+    def bucket(bigram: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(bigram.getBytes("UTF-8"))
+      val hex = d.take(3).map(b => f"$b%02x").mkString // first 6 hex chars
+      java.lang.Long.parseLong(hex, 16) % 1024
+    }
+    def bigrams(t: String): Seq[String] =
+      t.split(" ").toSeq.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toSeq
+    val all = Seq(1L -> ("tgt", "alpha beta alpha beta gamma"),
+      2L -> ("web", "alpha beta gamma delta"),
+      3L -> ("web", "zulu yankee zulu yankee xray"))
+    val occ = all.flatMap { case (id, (src, t)) =>
+      bigrams(t).map(bg => (id, src, bucket(bg))) }
+    val cr = occ.groupBy(_._3).view.mapValues(_.size).toMap
+    val ct = occ.filter(_._2 == "tgt").groupBy(_._3).view.mapValues(_.size).toMap
+    val (nr, nt) = (occ.size, occ.count(_._2 == "tgt"))
+    def r4(v: Double): Double =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    all.foreach { case (id, (_, t)) =>
+      val feats = bigrams(t).map(bucket)
+      val w = feats.map { b =>
+        math.log((ct.getOrElse(b, 0) + 1.0) / (nt + 1024.0)) -
+          math.log((cr(b) + 1.0) / (nr + 1024.0))
+      }.sum
+      assert(got(id) == ((feats.size.toLong, Some(r4(w)))), s"doc $id")
+    }
+    assert(got(4L) == ((0L, None)))
+    // the target-like doc outranks the off-distribution doc
+    assert(got(2L)._2.get > got(3L)._2.get)
+  }
 }

@@ -112,6 +112,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(3L) == ((0L, 0L, None)))
   }
 
+  test("stupid backoff: hand-computed scores at all three backoff levels") {
+    // ref tokens: a b c d b c e
+    //   c3: each of "a b c","b c d","c d b","d b c","b c e" once
+    //   c2: "a b"=1,"b c"=2,"c d"=1,"d b"=1,"c e"=1; c1: a=1,b=2,c=2,d=1,e=1
+    //   N=7, V=5
+    val docs = Seq(
+      (1L, "ref", "a b c d b c e"),
+      (2L, "web", "a b c x"), // "a b c" hit (lvl0), "b c x" fully OOV (lvl2)
+      (3L, "web", "x b c"),   // "x b c" backs off to bigram "b c" (lvl1)
+      (4L, "web", "a"))       // <3 tokens: no trigrams, NULL score
+      .toDF("doc_id", "source", "text")
+    val rows = TextAnalysis.stupidBackoffScores(docs, "ref").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))))
+      .toMap
+    def r4(v: Double): Double =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // ref self-score: ln(1/1), ln(1/2), ln(1/1), ln(1/1), ln(1/2)
+    assert(rows(1L) == ((5L, 0L, 0L, Some(r4(2 * math.log(0.5) / 5)))))
+    // lvl0: ln(1/1) = 0; lvl2: ln(0.4 * 0.4 * (0+1)/(7+5))
+    val oov = math.log(0.4 * 0.4 * (1.0 / 12.0))
+    assert(rows(2L) == ((2L, 0L, 1L, Some(r4(oov / 2)))))
+    // lvl1: ln(0.4 * c2("b c")/c1(b)) = ln(0.4 * 2/2)
+    assert(rows(3L) == ((1L, 1L, 0L, Some(r4(math.log(0.4 * (2.0 / 2.0)))))))
+    assert(rows(4L) == ((0L, 0L, 0L, None)))
+  }
+
   test("KS drift: hand-computed max CDF gap between source and rest") {
     // A: lengths {1,1,2}; B: lengths {2,3}; support {1,2,3}
     // cdf_A = [2/3, 1, 1]; cdf_restOfA (=B) = [0, 1/2, 1] -> KS_A = 2/3
