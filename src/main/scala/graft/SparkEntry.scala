@@ -675,6 +675,10 @@ object SparkEntry {
     // LM — plain count ratios, alpha-damped backoff, add-one unigram floor
     "text_stupid_backoff" -> ((s, dir) =>
       TextAnalysis.stupidBackoffScores(table(s, dir, "documents"), "src0")),
+    // trained quality classifier: 4 full-batch GD rounds of logistic
+    // regression (decimal-exact gradient sums, one driver row per round)
+    "text_quality_classifier" -> ((s, dir) =>
+      TextAnalysis.logisticQualityScores(table(s, dir, "documents"))),
     // concat-and-chunk pretraining sample layout: docs split across
     // fixed-length chunks, exact integer spans
     "text_chunk_seqs" -> ((s, dir) =>
@@ -2319,6 +2323,44 @@ object SparkEntry {
         |  CAST(coalesce(nb, 0) AS BIGINT) AS n_bi_backoff,
         |  CAST(coalesce(nu, 0) AS BIGINT) AS n_uni_backoff, avg_logp
         |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Logistic-GD oracle: the same iters/lr interpolated from the engine
+    // constants, each round unrolled CTE-by-CTE with the identical
+    // decimal-exact gradient sums and the identical round(…,12) update;
+    // the sigmoid literal 1.0 is exactly representable so DuckDB's
+    // decimal-literal parsing cannot diverge from the double tree.
+    "text_quality_classifier" -> {
+      val iters = TextAnalysis.ClassifierIters
+      val markers = TextAnalysis.LangMarkers("en")
+        .map(m => s"'$m'").mkString(", ")
+      val sig = (w: String) =>
+        s"1.0/(1.0+exp(-($w.w0 + $w.w1*x1 + $w.w2*x2)))"
+      val rounds = (1 to iters).map { t =>
+        val prev = s"ww${t - 1}"
+        s"""gg$t AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+           |  CAST(sum(CAST((${sig(prev)} - y) AS DECIMAL(28,18))) AS DOUBLE) AS g0,
+           |  CAST(sum(CAST((${sig(prev)} - y) * x1 AS DECIMAL(28,18))) AS DOUBLE) AS g1,
+           |  CAST(sum(CAST((${sig(prev)} - y) * x2 AS DECIMAL(28,18))) AS DOUBLE) AS g2
+           |  FROM f CROSS JOIN $prev),
+           |ww$t AS (SELECT round($prev.w0 - 1.0 * (g0 / n), 12) AS w0,
+           |  round($prev.w1 - 1.0 * (g1 / n), 12) AS w1,
+           |  round($prev.w2 - 1.0 * (g2 / n), 12) AS w2
+           |  FROM gg$t CROSS JOIN $prev)""".stripMargin
+      }.mkString(",\n")
+      val wf = s"ww$iters"
+      s"""WITH f AS (SELECT doc_id,
+         |    CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y,
+         |    CASE WHEN len(tk) = 0 THEN CAST(0 AS DOUBLE)
+         |         ELSE CAST(len(list_filter(tk, t -> t IN ($markers))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) END AS x1,
+         |    CASE WHEN len(tk) = 0 THEN CAST(0 AS DOUBLE)
+         |         ELSE CAST(len(array_to_string(tk, '')) AS DOUBLE) / CAST(len(tk) AS DOUBLE) END AS x2
+         |  FROM (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents)),
+         |ww0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1, CAST(0 AS DOUBLE) AS w2),
+         |$rounds
+         |SELECT doc_id, CAST(y AS INT) AS label,
+         |  round(${sig(wf)}, 4) AS score,
+         |  CASE WHEN round(${sig(wf)}, 4) >= 0.5 THEN 1 ELSE 0 END AS pred
+         |FROM f CROSS JOIN $wf ORDER BY doc_id""".stripMargin
+    },
     "text_chunk_seqs" ->
       """WITH t AS (SELECT lang AS shard, doc_id,
         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS n

@@ -705,6 +705,77 @@ object TextAnalysis {
       .orderBy("shard", "chunk_id", "doc_id")
   }
 
+  /** Fixed GD hyperparameters for `logisticQualityScores` — object
+    * constants so the SQL oracle interpolates the SAME values and a
+    * change here cannot desynchronize the two sides. */
+  val ClassifierIters: Int = 4
+  val ClassifierLr: Double = 1.0
+
+  /** Trained quality classifier — batch-gradient-descent logistic
+    * regression, the fastText-style "does this look like the target
+    * slice" filter every curation pipeline trains (reference surface:
+    * the scoring/ranking family; `qualityRegression` is the closed-form
+    * sibling, this is the ITERATIVE one). Features are exact per-doc
+    * ratios (stopword share, mean token length; empty docs feature as
+    * 0), label = (lang == targetLang); `iters` full-batch rounds of
+    *   w := round(w − lr · Σ(σ(w·x) − y)·x / n, 12)
+    * from w = 0, then every doc scored by the final weights.
+    *
+    * Cross-engine determinism (the kmeansFit discipline): each gradient
+    * component is cast to DECIMAL(28,18) BEFORE the sum, so the
+    * aggregate is order-independent; the per-round round(…,12) absorbs
+    * exp()'s 1-ulp engine noise and the wide-decimal→double cast ulp
+    * (error per round ≲ 1e-14, eleven digits below the rounding).
+    *
+    * Scale notes (100 TB): one tokenize scan builds the 4-column feature
+    * frame (localCheckpoint'ed once — iteration must not re-tokenize the
+    * corpus); each round is ONE partial+final aggregate returning a
+    * single 4-value row to the driver (the `kmeansFit` one-scalar-per-
+    * round discipline — weights live in driver doubles, never a shuffle);
+    * scoring is a scan-shaped projection with literal weights. */
+  def logisticQualityScores(docs: DataFrame, targetLang: String = "en",
+                            lr: Double = ClassifierLr,
+                            iters: Int = ClassifierIters,
+                            markers: Seq[String] = LangMarkers("en"))
+      : DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 18)
+    val ntok = size(toks).cast("long")
+    val nstop = size(filter(toks, t => t.isInCollection(markers))).cast("long")
+    val sumlen = length(array_join(toks, "")).cast("long")
+    val feats = docs.select(col("doc_id"),
+        (col("lang") === targetLang).cast("double").as("y"),
+        ntok.as("ntok"), nstop.as("nstop"), sumlen.as("sumlen"))
+      .select(col("doc_id"), col("y"),
+        when(col("ntok") === 0L, lit(0.0))
+          .otherwise(col("nstop").cast("double") / col("ntok").cast("double"))
+          .as("x1"),
+        when(col("ntok") === 0L, lit(0.0))
+          .otherwise(col("sumlen").cast("double") / col("ntok").cast("double"))
+          .as("x2"))
+      .localCheckpoint(true)
+    def r12(v: Double): Double =
+      BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var w = Array(0.0, 0.0, 0.0)
+    def zCol = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
+    def pCol = lit(1.0) / (lit(1.0) + exp(-zCol))
+    var it = 0
+    while (it < iters) {
+      val row = feats.agg(
+        count(lit(1)).as("n"),
+        sum((pCol - col("y")).cast(dec)).as("g0"),
+        sum(((pCol - col("y")) * col("x1")).cast(dec)).as("g1"),
+        sum(((pCol - col("y")) * col("x2")).cast(dec)).as("g2")).head()
+      val n = row.getLong(0).toDouble
+      w = Array.tabulate(3)(j =>
+        r12(w(j) - lr * (row.getDecimal(j + 1).doubleValue / n)))
+      it += 1
+    }
+    feats.select(col("doc_id"), col("y").cast("int").as("label"),
+        round(pCol, 4).as("score"))
+      .withColumn("pred", (col("score") >= 0.5).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** Trigram stupid-backoff LM scoring (Brants et al., EMNLP'07 — the
     * backoff designed FOR distributed corpora: no discount renormalization,
     * so every score is a plain ratio of counts and the model parallelizes

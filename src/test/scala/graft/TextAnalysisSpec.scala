@@ -139,6 +139,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(4L) == ((0L, 0L, 0L, None)))
   }
 
+  test("logistic quality classifier matches an independent plain-Scala GD replay") {
+    // stopword-rich docs are 'en'; stopword-free ones are not — separable
+    val data = Seq(
+      (1L, "en", "the cat is on the mat"),
+      (2L, "en", "a dog and a cat"),
+      (3L, "de", "zz yy xx ww"),
+      (4L, "de", "qq rr ss tt uu"),
+      (5L, "en", ""))
+    val docs = data.toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.logisticQualityScores(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getInt(3))))
+      .toMap
+
+    // independent replay of the exact training arithmetic
+    val markers = Set("the", "a", "of", "and", "is")
+    def tokens(t: String): Seq[String] =
+      "[a-z0-9_']+".r.findAllIn(t.toLowerCase).toSeq
+    val feats = data.map { case (id, lang, t) =>
+      val tk = tokens(t)
+      val y = if (lang == "en") 1.0 else 0.0
+      val x1 = if (tk.isEmpty) 0.0 else tk.count(markers).toDouble / tk.size
+      val x2 = if (tk.isEmpty) 0.0
+        else tk.map(_.length).sum.toDouble / tk.size
+      (id, y, x1, x2)
+    }
+    def r(v: Double, s: Int): Double =
+      BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var w = Array(0.0, 0.0, 0.0)
+    for (_ <- 1 to TextAnalysis.ClassifierIters) {
+      val g = Array(0.0, 0.0, 0.0)
+      feats.foreach { case (_, y, x1, x2) =>
+        val p = 1.0 / (1.0 + math.exp(-(w(0) + w(1) * x1 + w(2) * x2)))
+        g(0) += p - y; g(1) += (p - y) * x1; g(2) += (p - y) * x2
+      }
+      w = Array.tabulate(3)(j => r(w(j) - g(j) / feats.size, 12))
+    }
+    feats.foreach { case (id, y, x1, x2) =>
+      val p = 1.0 / (1.0 + math.exp(-(w(0) + w(1) * x1 + w(2) * x2)))
+      val score = r(p, 4)
+      assert(got(id) == ((y.toInt, score, if (score >= 0.5) 1 else 0)),
+        s"doc $id")
+    }
+    // the trained model separates the planted slices
+    assert(got(1L)._2 > got(3L)._2 && got(2L)._2 > got(4L)._2)
+  }
+
   test("KS drift: hand-computed max CDF gap between source and rest") {
     // A: lengths {1,1,2}; B: lengths {2,3}; support {1,2,3}
     // cdf_A = [2/3, 1, 1]; cdf_restOfA (=B) = [0, 1/2, 1] -> KS_A = 2/3
