@@ -656,6 +656,10 @@ object SparkEntry {
     // served by cell prune + asymmetric distance
     "sim_ann_ivfpq" -> ((s, dir) =>
       Similarity.annCosineIvfPq(table(s, dir, "embeddings"), 0L, 10)),
+    // top principal component by power iteration: mean-centered matvec
+    // rounds with decimal-exact sums; never materializes the covariance
+    "sim_power_iteration" -> ((s, dir) =>
+      Similarity.powerIterationPc(table(s, dir, "embeddings"))),
 
     // ---- text analysis (north star) ----
     "text_token_counts" -> ((s, dir) =>
@@ -2011,6 +2015,33 @@ object SparkEntry {
          |  round(ct3.cu[3], 6) AS c2, round(ct3.cu[4], 6) AS c3
          |FROM ct3 LEFT JOIN (SELECT cell_id, count(*) AS n FROM a3 GROUP BY cell_id) n3 USING (cell_id)
          |ORDER BY cell_id""".stripMargin
+    },
+    // Power-iteration oracle: same exact v0 = 0.125, same decimal matvec
+    // sums, same sequential self-dot normalization (list_dot_product ≡
+    // graft_dot fold order), same per-round round(…,6) re-anchoring.
+    "sim_power_iteration" -> {
+      val rounds = (1 to 3).map { t =>
+        val prev = if (t == 1) "v0" else s"v${t - 1}"
+        s"""s$t AS (SELECT vec_id, list_dot_product(x, vv) AS s FROM xc CROSS JOIN $prev),
+           |w$t AS (SELECT d, CAST(sum(CAST(s$t.s * x[d] AS DECIMAL(28,18))) AS DOUBLE) AS wd
+           |  FROM xc JOIN s$t USING (vec_id), generate_series(1, 64) g(d) GROUP BY d),
+           |wl$t AS (SELECT list(wd ORDER BY d) AS wl FROM w$t),
+           |v$t AS (SELECT list_transform(wl, c -> round(c / sqrt(list_dot_product(wl, wl)), 6)) AS vv FROM wl$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS nl FROM e),
+         |mu0 AS (SELECT d, CAST(sum(CAST(v[d] AS DECIMAL(28,18))) AS DOUBLE) AS sd
+         |  FROM e, generate_series(1, 64) g(d) GROUP BY d),
+         |mu AS (SELECT list(sd / CAST(nl AS DOUBLE) ORDER BY d) AS mu FROM mu0 CROSS JOIN nn),
+         |xc AS (SELECT vec_id, list_transform(generate_series(1, 64), d -> v[d] - mu[d]) AS x FROM e CROSS JOIN mu),
+         |v0 AS (SELECT list_transform(generate_series(1, 64), d -> CAST(0.125 AS DOUBLE)) AS vv),
+         |$rounds,
+         |sf AS (SELECT vec_id, list_dot_product(x, vv) AS s FROM xc CROSS JOIN v3),
+         |s2t AS (SELECT CAST(sum(CAST(s * s AS DECIMAL(28,18))) AS DOUBLE) AS s2 FROM sf),
+         |lam AS (SELECT round(s2 / CAST(nl AS DOUBLE), 4) AS lambda FROM s2t CROSS JOIN nn)
+         |SELECT CAST(d AS INT) AS d, vv[d] AS loading, lambda
+         |FROM v3 CROSS JOIN lam, generate_series(1, 64) g(d)
+         |ORDER BY d""".stripMargin
     },
     // same unrolled 3-iteration kmeans as sim_kmeans_fit, plus a final
     // assignment against the trained ct3 and a within-cell self-join

@@ -746,6 +746,69 @@ object Similarity {
       .orderBy("label_a", "label_b")
   }
 
+  /** Top principal component by POWER ITERATION — the PCA/whitening step
+    * an embedding pipeline runs before indexing (OPQ rotation, drift
+    * monitoring, dimensionality triage). Mean-centered, fixed `iters`
+    * rounds of v ← unit(Σᵢ x'ᵢ (x'ᵢ·v)) from the exact v₀ = 1/8 (1/√64 —
+    * exactly representable, deterministic), each round's components
+    * rounded to 6 so exp-free but ulp-accumulating float noise re-anchors
+    * every round (the kmeansFit discipline). Output: one row per
+    * dimension with the loading, plus the Rayleigh eigenvalue
+    * λ = Σ s²/n of the final vector (the explained variance).
+    *
+    * Scale notes (100 TB): NEVER materializes the d×d covariance — each
+    * round is one scan computing s = x'·v (broadcast literal vector) and
+    * d decimal partial+final sums; the driver holds d doubles, and the
+    * matvec stays n·d work per round regardless of corpus size. Decimal
+    * casts make every sum order-independent across any partitioning. */
+  def powerIterationPc(embeddings: DataFrame, dims: Int = 64,
+                       iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    VectorFunctions.ensureRegistered(spark)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 18)
+    def r(v: Double, s: Int): Double =
+      BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val x = embeddings.select(col("vec_id"),
+      toDoubleVec(col("embedding")).as("v"))
+    // per-dim mean: exact decimal sums, one driver row of d values
+    val muRow = x.agg(count(lit(1)).as("n"),
+      (1 to dims).map(d =>
+        sum(element_at(col("v"), d).cast(dec)).as(s"m$d")): _*).head()
+    val n = muRow.getLong(0).toDouble
+    val mu = Array.tabulate(dims)(i => muRow.getDecimal(i + 1).doubleValue / n)
+    val muLit = array(mu.map(lit): _*)
+    def centered = zip_with(col("v"), muLit, (a, b) => a - b)
+    var v = Array.fill(dims)(0.125)
+    var it = 0
+    while (it < iters) {
+      val sC = VectorFunctions.dot(centered, array(v.map(lit): _*))
+      val frame = x.select(centered.as("xc"), sC.as("s"))
+      val row = frame.agg(
+        sum((col("s") * element_at(col("xc"), 1)).cast(dec)).as("w1"),
+        (2 to dims).map(d =>
+          sum((col("s") * element_at(col("xc"), d)).cast(dec)).as(s"w$d"))
+          : _*).head()
+      val w = Array.tabulate(dims)(i => row.getDecimal(i).doubleValue)
+      // sequential left-to-right self-dot: the graft_dot/list_dot_product
+      // fold order, so both engines normalize by the identical double
+      var ss = 0.0
+      var i = 0
+      while (i < dims) { ss += w(i) * w(i); i += 1 }
+      val nrm = math.sqrt(ss)
+      v = w.map(c => r(c / nrm, 6))
+      it += 1
+    }
+    val sF = VectorFunctions.dot(centered, array(v.map(lit): _*))
+    val lamRow = x.select(sF.as("s"))
+      .agg(sum((col("s") * col("s")).cast(dec)).as("l2")).head()
+    val lambda = r(lamRow.getDecimal(0).doubleValue / n, 4)
+    spark.range(1)
+      .select(posexplode(array(v.map(lit): _*)).as(Seq("p", "loading")))
+      .select((col("p") + 1).cast("int").as("d"), col("loading"),
+        lit(lambda).as("lambda"))
+      .orderBy("d")
+  }
+
   /** Per-label embedding stats (norm is exact-order sequential). */
   def normStatsByLabel(embeddings: DataFrame): DataFrame = {
     VectorFunctions.ensureRegistered(embeddings.sparkSession)

@@ -377,4 +377,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out((0, 2)) == ((2L, 1L, -0.7071)))
     assert(out((1, 2)) == ((1L, 1L, -1.0)))
   }
+
+  test("power iteration recovers a planted axis-aligned principal component") {
+    import spark.implicits._
+    // zero mean, all variance on dim 1: PC = e1 exactly, lambda = 10/4
+    val e = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(-1f, 0f, 0f, 0f)),
+      (3L, Array(2f, 0f, 0f, 0f)), (4L, Array(-2f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.powerIterationPc(e, dims = 4).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1, 1.0, 2.5), (2, 0.0, 2.5),
+      (3, 0.0, 2.5), (4, 0.0, 2.5)))
+  }
+
+  test("power iteration recovers a planted tilted principal component") {
+    import spark.implicits._
+    // all mass along (0.6, 0.8): w after one round is exactly
+    // (26.25, 35) -> unit (0.6, 0.8); projections (±5, ±10) -> lambda 62.5
+    val e = Seq(
+      (1L, Array(3f, 4f, 0f, 0f)), (2L, Array(-3f, -4f, 0f, 0f)),
+      (3L, Array(6f, 8f, 0f, 0f)), (4L, Array(-6f, -8f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.powerIterationPc(e, dims = 4).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1, 0.6, 62.5), (2, 0.8, 62.5),
+      (3, 0.0, 62.5), (4, 0.0, 62.5)))
+  }
 }
