@@ -660,6 +660,12 @@ object SparkEntry {
     // rounds with decimal-exact sums; never materializes the covariance
     "sim_power_iteration" -> ((s, dir) =>
       Similarity.powerIterationPc(table(s, dir, "embeddings"))),
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 arm and the
+    // dense cosine arm (the RAG serving composition; fusion cost is
+    // bounded by 2*armK rows however large the corpus)
+    "bm25_rrf_hybrid" -> ((s, dir) =>
+      graft.rank.Hybrid.rrfSearch(s, table(s, dir, "documents"),
+        table(s, dir, "embeddings"), FlagshipQuery, 0L)),
 
     // ---- text analysis (north star) ----
     "text_token_counts" -> ((s, dir) =>
@@ -957,6 +963,36 @@ object SparkEntry {
         |SELECT doc_id, term, CAST(tf AS BIGINT) AS term_frequency, CAST(impact_rank AS INT) AS impact_rank
         |FROM r WHERE impact_rank <= 5 ORDER BY term, impact_rank""".stripMargin,
     "bm25_champion" -> bm25ChampionOracleSql("('spark','join','window')", 10),
+    // RRF hybrid oracle: the bm25_search chain at armK=20 + the
+    // sim_cosine_topk chain at armK=20, each re-ranked over rounded
+    // scores, fused by 1/(60+rank) with NULL-absorbing coalesce.
+    "bm25_rrf_hybrid" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term IN ('spark','join','window') GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok WHERE term IN ('spark','join','window') GROUP BY term),
+        |dl AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS dl FROM documents),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |         sum( ln(CAST(n AS DOUBLE)/df) * (2.0*tf) / (1.0*(0.25 + 0.75*dl/avgdl) + tf) ) AS score
+        |  FROM tf JOIN dfq USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+        |  GROUP BY tf.doc_id),
+        |bm AS (SELECT doc_id, round(score, 4) AS doc_rank FROM scored
+        |       ORDER BY doc_rank DESC, doc_id LIMIT 20),
+        |bmr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY doc_rank DESC, doc_id) AS INT) AS bm25_rank FROM bm),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |co AS (SELECT e.vec_id,
+        |         round(list_dot_product(v, qv)/(sqrt(list_dot_product(v, v))*sqrt(list_dot_product(qv, qv))), 4) AS cosine
+        |       FROM e, q WHERE e.vec_id != 0
+        |       ORDER BY cosine DESC, vec_id LIMIT 20),
+        |cor AS (SELECT vec_id AS doc_id, CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS ann_rank FROM co),
+        |fu AS (SELECT coalesce(bmr.doc_id, cor.doc_id) AS doc_id, bm25_rank, ann_rank,
+        |         round(coalesce(1.0/(60.0 + CAST(bm25_rank AS DOUBLE)), 0.0) +
+        |               coalesce(1.0/(60.0 + CAST(ann_rank AS DOUBLE)), 0.0), 6) AS rrf_score
+        |       FROM bmr FULL OUTER JOIN cor ON bmr.doc_id = cor.doc_id)
+        |SELECT doc_id, bm25_rank, ann_rank, rrf_score FROM fu
+        |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
     "idx_incremental_merge" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents)
         |SELECT doc_id, term, count(*) AS term_frequency

@@ -168,4 +168,31 @@ class TextIndexRankSpec extends SparkSpec {
     assert(pruned.nonEmpty && pruned.forall { case (d, s) => exactScores(d) == s })
     assert(pruned.map(_._1).toSet.subsetOf(exact.map(_._1).toSet))
   }
+
+  test("RRF hybrid: fused score is exactly 1/(60+r) summed over present arms") {
+    // lexical arm: doc 1 beats doc 2 on "cat"; doc 3 lexical-absent.
+    // dense arm vs query vec 0: vec 2 (r1), vec 3 (r2), vec 1 (r3).
+    val docs = Seq(
+      (0L, "filler filler"), (1L, "cat cat cat"), (2L, "cat dog"),
+      (3L, "dog dog"))
+      .toDF("doc_id", "text")
+    val embs = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0f, 1f), 0),
+      (2L, Array(1f, 0f), 0), (3L, Array(0.9f, 0.1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = graft.rank.Hybrid.rrfSearch(spark, docs, embs, "cat", 0L)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        r.getDouble(3))).toSeq
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def rrf(rs: Seq[Int]): Double = r6(rs.map(r => 1.0 / (60.0 + r)).sum)
+    // doc 2 (bm r2 + ann r1) outfuses doc 1 (bm r1 + ann r3)
+    assert(got == Seq(
+      (2L, Some(2), Some(1), rrf(Seq(2, 1))),
+      (1L, Some(1), Some(3), rrf(Seq(1, 3))),
+      (3L, None, Some(2), rrf(Seq(2)))))
+  }
 }
