@@ -660,6 +660,14 @@ object SparkEntry {
     // rounds with decimal-exact sums; never materializes the covariance
     "sim_power_iteration" -> ((s, dir) =>
       Similarity.powerIterationPc(table(s, dir, "embeddings"))),
+    // rank-aware index-quality eval: nDCG@10 of the IVF ranking vs the
+    // exact ranking, graded relevance from the exact arm itself
+    "sim_ndcg_eval" -> ((s, dir) =>
+      Similarity.ndcgEval(table(s, dir, "embeddings"))),
+    // MMR diversification: greedy λ·rel − μ·max-sim rerank of the top-20
+    // candidates (the RAG anti-near-duplicate serving pass)
+    "sim_mmr_rerank" -> ((s, dir) =>
+      Similarity.mmrRerank(table(s, dir, "embeddings"))),
     // hybrid retrieval: reciprocal-rank fusion of the BM25 arm and the
     // dense cosine arm (the RAG serving composition; fusion cost is
     // bounded by 2*armK rows however large the corpus)
@@ -963,6 +971,73 @@ object SparkEntry {
         |SELECT doc_id, term, CAST(tf AS BIGINT) AS term_frequency, CAST(impact_rank AS INT) AS impact_rank
         |FROM r WHERE impact_rank <= 5 ORDER BY term, impact_rank""".stripMargin,
     "bm25_champion" -> bm25ChampionOracleSql("('spark','join','window')", 10),
+    // nDCG oracle: exact and IVF arms replayed, ranks over rounded
+    // cosines, the ln(x)/ln(2) discount spelled identically (native log2
+    // differs from the ln quotient by an ulp on powers of two).
+    "sim_ndcg_eval" ->
+      """WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |e1 AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),
+        |e AS (SELECT vec_id, label, list_transform(v, x -> x/nrm) AS u FROM e1),
+        |ex0 AS (SELECT e.vec_id,
+        |    round(list_dot_product(v, qv)/(sqrt(list_dot_product(v, v))*sqrt(list_dot_product(qv, qv))), 4) AS cosine
+        |  FROM e0 e, (SELECT v AS qv FROM e0 WHERE vec_id = 0) q WHERE e.vec_id != 0
+        |  ORDER BY cosine DESC, vec_id LIMIT 10),
+        |xr AS (SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank_exact FROM ex0),
+        |c0 AS (SELECT vec_id, u, md5(CAST(vec_id AS VARCHAR) || ':7') AS ck FROM e ORDER BY ck, vec_id LIMIT 16),
+        |c AS (SELECT row_number() OVER (ORDER BY ck, vec_id) AS cell_id, u AS cu FROM c0),
+        |asg AS (SELECT vec_id, u, cell_id FROM (
+        |  SELECT e.vec_id, e.u, c.cell_id,
+        |         row_number() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.u, c.cu) DESC, c.cell_id) AS rn
+        |  FROM e CROSS JOIN c) WHERE rn = 1),
+        |q AS (SELECT u AS qu FROM asg WHERE vec_id = 0),
+        |probe AS (SELECT cell_id FROM (
+        |  SELECT c.cell_id, row_number() OVER (ORDER BY list_dot_product(q.qu, c.cu) DESC, c.cell_id) AS rn
+        |  FROM q CROSS JOIN c) WHERE rn <= 4),
+        |ap AS (SELECT a.vec_id, round(list_dot_product(a.u, q.qu), 4) AS cosine
+        |  FROM asg a JOIN probe USING (cell_id) CROSS JOIN q
+        |  WHERE a.vec_id != 0
+        |  ORDER BY cosine DESC, vec_id LIMIT 10),
+        |ar AS (SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS pos FROM ap),
+        |dc AS (SELECT sum(CAST(coalesce(11 - rank_exact, 0) AS DOUBLE) /
+        |    (ln(CAST(pos AS DOUBLE) + 1.0) / ln(CAST(2 AS DOUBLE)))) AS dcg
+        |  FROM ar LEFT JOIN xr USING (vec_id)),
+        |ic AS (SELECT sum(CAST(11 - rank_exact AS DOUBLE) /
+        |    (ln(CAST(rank_exact AS DOUBLE) + 1.0) / ln(CAST(2 AS DOUBLE)))) AS idcg FROM xr)
+        |SELECT 10 AS k, round(dcg, 4) AS dcg, round(idcg, 4) AS idcg,
+        |  round(dcg / idcg, 4) AS ndcg
+        |FROM dc CROSS JOIN ic""".stripMargin,
+    // MMR oracle: candidate arm replayed, then each greedy round
+    // unrolled — NOT-IN of prior picks, correlated max over the selected
+    // set's rounded pairwise cosines, same round(…,6) + vec_id argmax.
+    "sim_mmr_rerank" -> {
+      val lam = "CAST(0.7 AS DOUBLE)"
+      val div = "CAST(0.3 AS DOUBLE)"
+      val rounds = (2 to 5).map { t =>
+        val selList = (1 until t).map(i => s"SELECT vec_id FROM s$i")
+          .mkString(" UNION ALL ")
+        val selU = (1 until t)
+          .map(i => s"SELECT u FROM cand JOIN s$i USING (vec_id)")
+          .mkString(" UNION ALL ")
+        s"""p$t AS (SELECT c.vec_id, round($lam * c.rel - $div *
+           |    (SELECT max(round(list_dot_product(c.u, s.u), 4)) FROM ($selU) s), 6) AS mmr
+           |  FROM cand c WHERE c.vec_id NOT IN ($selList)),
+           |s$t AS (SELECT vec_id, mmr, $t AS pos FROM p$t ORDER BY mmr DESC, vec_id LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val all = (1 to 5).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |e1 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),
+         |e AS (SELECT vec_id, list_transform(v, x -> x/nrm) AS u FROM e1),
+         |ex AS (SELECT e0.vec_id,
+         |    round(list_dot_product(v, qv)/(sqrt(list_dot_product(v, v))*sqrt(list_dot_product(qv, qv))), 4) AS rel
+         |  FROM e0, (SELECT v AS qv FROM e0 WHERE vec_id = 0) q WHERE e0.vec_id != 0
+         |  ORDER BY rel DESC, vec_id LIMIT 20),
+         |cand AS (SELECT ex.vec_id, ex.rel, e.u FROM ex JOIN e USING (vec_id)),
+         |p1 AS (SELECT vec_id, round($lam * rel - $div * CAST(0 AS DOUBLE), 6) AS mmr FROM cand),
+         |s1 AS (SELECT vec_id, mmr, 1 AS pos FROM p1 ORDER BY mmr DESC, vec_id LIMIT 1),
+         |$rounds
+         |SELECT CAST(pos AS INT) AS pos, vec_id, mmr AS mmr_score
+         |FROM ($all) ORDER BY pos""".stripMargin
+    },
     // RRF hybrid oracle: the bm25_search chain at armK=20 + the
     // sim_cosine_topk chain at armK=20, each re-ranked over rounded
     // scores, fused by 1/(60+rank) with NULL-absorbing coalesce.

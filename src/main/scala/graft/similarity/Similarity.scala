@@ -746,6 +746,119 @@ object Similarity {
       .orderBy("label_a", "label_b")
   }
 
+  /** nDCG@k of the IVF approximate ranking against the exact brute-force
+    * ranking — the RANK-AWARE index-quality metric (annRecallAtK is the
+    * set-overlap one): a miss at position 1 must cost more than a miss at
+    * position k. Graded relevance comes from the exact arm itself,
+    * rel(doc) = k+1 − exact_rank (0 outside the exact top-k), so the
+    * evaluation needs no external labels:
+    *
+    *   DCG  = Σ_p rel(doc at approx position p) / (ln(p+1)/ln 2)
+    *   nDCG = DCG / IDCG   (IDCG = the exact arm scored against itself)
+    *
+    * The log2 discount is spelled ln(x)/ln(2) on BOTH engines — native
+    * log2 differs from the ln quotient by an ulp on exact powers of two,
+    * the one avoidable cross-engine divergence here. Ranks order by
+    * ROUNDED cosine with vec_id tie-break, the established determinism
+    * anchor of both arms.
+    *
+    * Scale notes (100 TB): both arms are top-k results (the corpus is
+    * scanned by the arms, never by the evaluation); ranking windows and
+    * the DCG sums run on ≤ k rows. */
+  def ndcgEval(embeddings: DataFrame, queryVecId: Long = 0L,
+               k: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    VectorFunctions.ensureRegistered(spark)
+    import org.apache.spark.sql.expressions.Window
+    val exact = cosineTopK(embeddings, queryVecId, k)
+      .withColumn("rank_exact", row_number()
+        .over(Window.orderBy(desc("cosine"), asc("vec_id"))))
+      .select(col("vec_id"), col("rank_exact"))
+    val approx = annCosineIvf(embeddings, queryVecId, k)
+      .withColumn("pos", row_number()
+        .over(Window.orderBy(desc("cosine"), asc("vec_id"))))
+      .select(col("vec_id"), col("pos"))
+    val ln2 = log(lit(2.0))
+    val dcg = approx.join(exact, Seq("vec_id"), "left")
+      .agg(sum(coalesce(lit(k + 1) - col("rank_exact"), lit(0))
+        .cast("double") / (log(col("pos").cast("double") + lit(1.0)) / ln2))
+        .as("dcg"))
+    val idcg = exact
+      .agg(sum((lit(k + 1) - col("rank_exact")).cast("double") /
+        (log(col("rank_exact").cast("double") + lit(1.0)) / ln2))
+        .as("idcg"))
+    dcg.crossJoin(idcg)
+      .select(lit(k).as("k"), round(col("dcg"), 4).as("dcg"),
+        round(col("idcg"), 4).as("idcg"),
+        round(col("dcg") / col("idcg"), 4).as("ndcg"))
+  }
+
+  /** Fixed MMR weights — object constants so the SQL oracle interpolates
+    * the same values. Spelled as TWO constants (not 1−λ computed at
+    * runtime: double 1.0−0.7 is 0.30000000000000004, not the 0.3 both
+    * engines parse from the literal). */
+  val MmrLambda: Double = 0.7
+  val MmrDiversity: Double = 0.3
+
+  /** MMR diversification rerank (Carbonell & Goldstein, SIGIR'98) of a
+    * cosine top-`candK` candidate list: greedily pick k results by
+    *
+    *   mmr(c) = λ·rel(c) − μ·max_{s∈selected} cos(c, s)
+    *
+    * — the result-diversity pass a RAG serving stack runs so the k
+    * passages are not k near-duplicates of each other. rel is the
+    * ROUNDED query cosine and each pairwise cosine is rounded to 4
+    * before the max, so every comparison the greedy argmax makes is
+    * over hash-stable values; mmr itself re-anchors at round(…,6) with
+    * a vec_id tie-break.
+    *
+    * Scale notes (100 TB): the corpus is scanned once by the candidate
+    * arm (TakeOrderedAndProject); the k greedy rounds run on the
+    * localCheckpoint'ed candK-row frame (selected vectors ride along as
+    * broadcast literals, one 1-row driver read per round — the
+    * kmeansFit discipline; nothing per-round touches the corpus). */
+  def mmrRerank(embeddings: DataFrame, queryVecId: Long = 0L,
+                candK: Int = 20, k: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    VectorFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val eu = embeddings.select(col("vec_id"),
+      VectorFunctions.unit(toDoubleVec(col("embedding"))).as("u"))
+    val cand = cosineTopK(embeddings, queryVecId, candK)
+      .select(col("vec_id"), col("cosine").as("rel"))
+      .join(eu, Seq("vec_id"))
+      .localCheckpoint(true)
+    var selected = Vector.empty[(Int, Long, Double)]
+    var selU = Vector.empty[Array[Double]]
+    var pos = 1
+    while (pos <= k) {
+      val maxSim =
+        if (selU.isEmpty) lit(0.0)
+        else {
+          val sims = selU.map(s =>
+            round(VectorFunctions.dot(col("u"), array(s.map(lit): _*)), 4))
+          if (sims.size == 1) sims.head else greatest(sims: _*)
+        }
+      val remaining =
+        if (selected.isEmpty) cand
+        else cand.filter(!col("vec_id").isin(selected.map(_._2): _*))
+      val picked = remaining
+        .select(col("vec_id"), col("u"),
+          round(lit(MmrLambda) * col("rel") - lit(MmrDiversity) * maxSim, 6)
+            .as("mmr"))
+        .orderBy(desc("mmr"), asc("vec_id")).limit(1).collect()
+      if (picked.isEmpty) {
+        pos = k + 1 // fewer than k candidates: emit what exists
+      } else {
+        val p = picked.head
+        selected :+= ((pos, p.getLong(0), p.getDouble(2)))
+        selU :+= p.getSeq[Double](1).toArray
+        pos += 1
+      }
+    }
+    selected.toDF("pos", "vec_id", "mmr_score").orderBy("pos")
+  }
+
   /** Top principal component by POWER ITERATION — the PCA/whitening step
     * an embedding pipeline runs before indexing (OPQ rotation, drift
     * monitoring, dimensionality triage). Mean-centered, fixed `iters`

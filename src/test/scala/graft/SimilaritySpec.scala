@@ -378,6 +378,73 @@ class SimilaritySpec extends SparkSpec {
     assert(out((1, 2)) == ((1L, 1L, -1.0)))
   }
 
+  test("nDCG eval: IVF-equals-exact yields ndcg 1.0 with hand-computed idcg") {
+    import spark.implicits._
+    // 4 vectors -> 4 sampled cells, nProbe=4 probes them all, so the
+    // approximate arm IS the exact arm and ndcg must be exactly 1.0
+    val e = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0), (1L, Array(0.9f, 0.1f, 0f, 0f), 0),
+      (2L, Array(0f, 1f, 0f, 0f), 0), (3L, Array(-1f, 0f, 0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.ndcgEval(e).collect().head
+    def r4(v: Double): Double =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // exact ranks: vec 1 (r1), vec 2 (r2), vec 3 (r3); rel = 11-rank
+    val idcg = (1 to 3).map(p =>
+      (11.0 - p) / (math.log(p + 1.0) / math.log(2.0))).sum
+    assert(r.getInt(0) == 10)
+    assert(r.getDouble(1) == r4(idcg) && r.getDouble(2) == r4(idcg))
+    assert(r.getDouble(3) == 1.0)
+  }
+
+  test("MMR rerank diversifies: the near-duplicate drops below the diverse doc") {
+    import spark.implicits._
+    // vec 1 and vec 2 are exact duplicates (rel ~0.9); vec 3 is slightly
+    // less relevant but diverse. Pure relevance: 1, 2, 3. MMR: 1, 3, 2.
+    val v1 = Array(0.9f, 0.4359f, 0f, 0f)
+    val e = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0), (1L, v1, 0), (2L, v1, 0),
+      (3L, Array(0.85f, 0f, 0.5268f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    // k > candidates: early-stop emits exactly the 3 available rows
+    val got = Similarity.mmrRerank(e, 0L, candK = 20, k = 5).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.map(_._2) == Seq(1L, 3L, 2L))
+
+    // independent plain-Scala replay of the greedy arithmetic
+    def unit(v: Array[Float]): Array[Double] = {
+      val d = v.map(_.toDouble)
+      var ss = 0.0; d.foreach(x => ss += x * x)
+      val n = math.sqrt(ss); d.map(_ / n)
+    }
+    def dotd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def rr(v: Double, s: Int): Double =
+      BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val raw = Map(1L -> v1, 2L -> v1,
+      3L -> Array(0.85f, 0f, 0.5268f, 0f))
+      .view.mapValues(_.map(_.toDouble)).toMap
+    val vecs = Map(1L -> v1, 2L -> v1,
+      3L -> Array(0.85f, 0f, 0.5268f, 0f)).view.mapValues(unit).toMap
+    val qv = Array(1f, 0f, 0f, 0f).map(_.toDouble)
+    // rel replays the cosineTopK raw-vector formula exactly
+    val rel = raw.map { case (id, v) => id ->
+      rr(dotd(v, qv) / (math.sqrt(dotd(v, v)) * math.sqrt(dotd(qv, qv))), 4) }
+    var sel = Vector.empty[(Int, Long, Double)]
+    var selU = Vector.empty[Array[Double]]
+    for (p <- 1 to 3) {
+      val best = vecs.keys.filterNot(sel.map(_._2).contains).map { id =>
+        val ms = if (selU.isEmpty) 0.0
+          else selU.map(s => rr(dotd(vecs(id), s), 4)).max
+        (id, rr(0.7 * rel(id) - 0.3 * ms, 6))
+      }.toSeq.sortBy { case (id, m) => (-m, id) }.head
+      sel :+= ((p, best._1, best._2)); selU :+= vecs(best._1)
+    }
+    assert(got == sel)
+  }
+
   test("power iteration recovers a planted axis-aligned principal component") {
     import spark.implicits._
     // zero mean, all variance on dim 1: PC = e1 exactly, lambda = 10/4
