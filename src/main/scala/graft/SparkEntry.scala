@@ -668,6 +668,10 @@ object SparkEntry {
     // candidates (the RAG anti-near-duplicate serving pass)
     "sim_mmr_rerank" -> ((s, dir) =>
       Similarity.mmrRerank(table(s, dir, "embeddings"))),
+    // PSI drift monitor: norm-bucket population stability index between
+    // the baseline and current label slices (add-one smoothed)
+    "sim_psi_drift" -> ((s, dir) =>
+      Similarity.psiDrift(table(s, dir, "embeddings"))),
     // hybrid retrieval: reciprocal-rank fusion of the BM25 arm and the
     // dense cosine arm (the RAG serving composition; fusion cost is
     // bounded by 2*armK rows however large the corpus)
@@ -1006,6 +1010,32 @@ object SparkEntry {
         |SELECT 10 AS k, round(dcg, 4) AS dcg, round(idcg, 4) AS idcg,
         |  round(dcg / idcg, 4) AS ndcg
         |FROM dc CROSS JOIN ic""".stripMargin,
+    // PSI oracle: same rounded-norm bucketing (round-6 BEFORE floor so a
+    // 1-ulp sqrt cannot flip a bin), same add-one probability tree.
+    "sim_psi_drift" ->
+      """WITH e AS (SELECT label, round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm FROM embeddings),
+        |b AS (SELECT norm FROM e WHERE label <= 4),
+        |c AS (SELECT norm FROM e WHERE label > 4),
+        |bounds AS (SELECT min(norm) AS bmin, max(norm) AS bmax FROM b),
+        |nb AS (SELECT CASE WHEN bmax = bmin THEN 0
+        |    ELSE least(9, greatest(0, CAST(floor((norm - bmin) / (bmax - bmin) * CAST(10 AS DOUBLE)) AS INT))) END AS bucket,
+        |    count(*) AS n_base FROM b CROSS JOIN bounds GROUP BY 1),
+        |nc AS (SELECT CASE WHEN bmax = bmin THEN 0
+        |    ELSE least(9, greatest(0, CAST(floor((norm - bmin) / (bmax - bmin) * CAST(10 AS DOUBLE)) AS INT))) END AS bucket,
+        |    count(*) AS n_cur FROM c CROSS JOIN bounds GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM b) AS tb,
+        |               (SELECT CAST(count(*) AS BIGINT) FROM c) AS tc),
+        |spine AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+        |per AS (SELECT s.bucket,
+        |    CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+        |    CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur,
+        |    (CAST(coalesce(n_base, 0) AS DOUBLE) + 1.0) / (CAST(tb AS DOUBLE) + CAST(10 AS DOUBLE)) AS pb,
+        |    (CAST(coalesce(n_cur, 0) AS DOUBLE) + 1.0) / (CAST(tc AS DOUBLE) + CAST(10 AS DOUBLE)) AS pc
+        |  FROM spine s LEFT JOIN nb USING (bucket) LEFT JOIN nc USING (bucket) CROSS JOIN tot),
+        |pt AS (SELECT bucket, n_base, n_cur, round((pb - pc) * ln(pb / pc), 6) AS psi_term FROM per),
+        |tt AS (SELECT round(sum(psi_term), 6) AS psi_total FROM pt)
+        |SELECT CAST(bucket AS INT) AS bucket, n_base, n_cur, psi_term, psi_total
+        |FROM pt CROSS JOIN tt ORDER BY bucket""".stripMargin,
     // MMR oracle: candidate arm replayed, then each greedy round
     // unrolled — NOT-IN of prior picks, correlated max over the selected
     // set's rounded pairwise cosines, same round(…,6) + vec_id argmax.

@@ -793,6 +793,64 @@ object Similarity {
         round(col("dcg") / col("idcg"), 4).as("ndcg"))
   }
 
+  /** PSI (population stability index) drift report between two embedding
+    * slices — THE production ML monitoring metric for "has the embedding
+    * distribution moved since the index/model was built":
+    *
+    *   PSI = Σ_buckets (p_base − p_cur) · ln(p_base / p_cur)
+    *
+    * over `nBuckets` equal-width bins of the vector NORM, bounds taken
+    * from the baseline slice (the deployed reference), out-of-range
+    * current vectors clamped to the edge bins, add-one smoothing so
+    * empty bins stay finite (PSI > 0.2 is the conventional "retrain"
+    * alarm). Norms are rounded to 6 BEFORE bucketing — floor() at a bin
+    * boundary must not flip on a 1-ulp sqrt difference between engines.
+    *
+    * Scale notes (100 TB): one scan computes every norm; bucket counts
+    * are a `nBuckets`-row partial+final aggregate per slice; the bin
+    * spine, bounds, and totals are broadcast 1-row/`nBuckets`-row sides.
+    * Nothing joins at corpus cardinality. */
+  def psiDrift(embeddings: DataFrame, baselineMaxLabel: Int = 4,
+               nBuckets: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    VectorFunctions.ensureRegistered(spark)
+    val e = embeddings.select(col("label"),
+      round(l2Norm(toDoubleVec(col("embedding"))), 6).as("norm"))
+    val base = e.filter(col("label") <= baselineMaxLabel)
+    val cur = e.filter(col("label") > baselineMaxLabel)
+    val bounds = base.agg(min("norm").as("bmin"), max("norm").as("bmax"))
+    def bucketOf(norm: Column): Column =
+      when(col("bmax") === col("bmin"), lit(0)).otherwise(
+        least(lit(nBuckets - 1), greatest(lit(0),
+          floor((norm - col("bmin")) / (col("bmax") - col("bmin")) *
+            lit(nBuckets.toDouble)).cast("int"))))
+    def counts(slice: DataFrame): DataFrame =
+      slice.crossJoin(broadcast(bounds))
+        .select(bucketOf(col("norm")).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val spine = spark.range(nBuckets).select(col("id").cast("int").as("bucket"))
+    val nb = counts(base).withColumnRenamed("n", "n_base")
+    val nc = counts(cur).withColumnRenamed("n", "n_cur")
+    val tot = base.agg(count(lit(1)).as("tb"))
+      .crossJoin(cur.agg(count(lit(1)).as("tc")))
+    val kD = lit(nBuckets.toDouble)
+    val perBucket = spine
+      .join(nb, Seq("bucket"), "left").join(nc, Seq("bucket"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        ((coalesce(col("n_base"), lit(0L)).cast("double") + lit(1.0)) /
+          (col("tb").cast("double") + kD)).as("pb"),
+        ((coalesce(col("n_cur"), lit(0L)).cast("double") + lit(1.0)) /
+          (col("tc").cast("double") + kD)).as("pc"))
+      .select(col("bucket"), col("n_base"), col("n_cur"),
+        round((col("pb") - col("pc")) * log(col("pb") / col("pc")), 6)
+          .as("psi_term"))
+    val total = perBucket.agg(round(sum("psi_term"), 6).as("psi_total"))
+    perBucket.crossJoin(broadcast(total)).orderBy("bucket")
+  }
+
   /** Fixed MMR weights — object constants so the SQL oracle interpolates
     * the same values. Spelled as TWO constants (not 1−λ computed at
     * runtime: double 1.0−0.7 is 0.30000000000000004, not the 0.3 both

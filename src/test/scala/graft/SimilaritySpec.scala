@@ -445,6 +445,37 @@ class SimilaritySpec extends SparkSpec {
     assert(got == sel)
   }
 
+  test("PSI drift: identical slices score zero; a shifted slice matches the replay") {
+    import spark.implicits._
+    // norms: (3,4) -> 5 and (1,0) -> 1, exactly representable
+    val same = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(3f, 4f), 0),
+      (2L, Array(1f, 0f), 9), (3L, Array(3f, 4f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val z = Similarity.psiDrift(same).collect()
+    assert(z.forall(_.getDouble(3) == 0.0) && z.forall(_.getDouble(4) == 0.0))
+
+    // current slice piles onto the top bin: bins 0 and 9 diverge
+    val drift = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(3f, 4f), 0),
+      (2L, Array(3f, 4f), 9), (3L, Array(3f, 4f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.psiDrift(drift).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def term(nb: Long, nc: Long): Double = {
+      val pb = (nb + 1.0) / 12.0; val pc = (nc + 1.0) / 12.0
+      r6((pb - pc) * math.log(pb / pc))
+    }
+    val expTotal = r6(term(1, 0) + term(1, 2) + 8 * term(0, 0))
+    assert(got(0) == ((1L, 0L, term(1, 0), expTotal)))
+    assert(got(9) == ((1L, 2L, term(1, 2), expTotal)))
+    (1 to 8).foreach(b => assert(got(b) == ((0L, 0L, 0.0, expTotal))))
+    assert(expTotal > 0.0)
+  }
+
   test("power iteration recovers a planted axis-aligned principal component") {
     import spark.implicits._
     // zero mean, all variance on dim 1: PC = e1 exactly, lambda = 10/4
