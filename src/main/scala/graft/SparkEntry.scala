@@ -678,6 +678,12 @@ object SparkEntry {
     "bm25_rrf_hybrid" -> ((s, dir) =>
       graft.rank.Hybrid.rrfSearch(s, table(s, dir, "documents"),
         table(s, dir, "embeddings"), FlagshipQuery, 0L)),
+    // RM3-style pseudo-relevance feedback: expansion vocabulary mined
+    // from the feedback top-10, re-ranked with weighted union query
+    "bm25_expansion_terms" -> ((s, dir) =>
+      BM25.expansionTerms(s, table(s, dir, "documents"), FlagshipQuery)),
+    "bm25_rm3_expanded" -> ((s, dir) =>
+      BM25.searchExpanded(s, table(s, dir, "documents"), FlagshipQuery)),
 
     // ---- text analysis (north star) ----
     "text_token_counts" -> ((s, dir) =>
@@ -975,6 +981,59 @@ object SparkEntry {
         |SELECT doc_id, term, CAST(tf AS BIGINT) AS term_frequency, CAST(impact_rank AS INT) AS impact_rank
         |FROM r WHERE impact_rank <= 5 ORDER BY term, impact_rank""".stripMargin,
     "bm25_champion" -> bm25ChampionOracleSql("('spark','join','window')", 10),
+    // PRF oracles: the bm25 chain ranks the feedback set; expansion terms
+    // by rounded tf-idf mass with term tie-break; the expanded ranking is
+    // the same bm25 tree times the broadcast weight (qw * (...) — the
+    // commuted product is bit-equal to Spark's (...) * qw).
+    "bm25_expansion_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+        |tf0 AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dfall AS (SELECT term, count(*) AS df FROM tf0 GROUP BY term),
+        |dl AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS dl FROM documents),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |         sum( ln(CAST(n AS DOUBLE)/df) * (2.0*tf) / (1.0*(0.25 + 0.75*dl/avgdl) + tf) ) AS score
+        |  FROM tf0 t JOIN dfall USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+        |  WHERE t.term IN ('spark','join','window')
+        |  GROUP BY t.doc_id),
+        |fb AS (SELECT doc_id FROM (SELECT doc_id, round(score, 4) AS doc_rank FROM scored
+        |       ORDER BY doc_rank DESC, doc_id LIMIT 10)),
+        |expw AS (SELECT t.term,
+        |    round(sum(CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE)/df)), 6) AS expansion_weight
+        |  FROM tf0 t JOIN fb USING (doc_id) JOIN dfall USING (term) CROSS JOIN stats
+        |  WHERE t.term NOT IN ('spark','join','window')
+        |  GROUP BY t.term ORDER BY expansion_weight DESC, term LIMIT 5)
+        |SELECT term, expansion_weight FROM expw
+        |ORDER BY expansion_weight DESC, term""".stripMargin,
+    "bm25_rm3_expanded" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+        |tf0 AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dfall AS (SELECT term, count(*) AS df FROM tf0 GROUP BY term),
+        |dl AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS dl FROM documents),
+        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |         sum( ln(CAST(n AS DOUBLE)/df) * (2.0*tf) / (1.0*(0.25 + 0.75*dl/avgdl) + tf) ) AS score
+        |  FROM tf0 t JOIN dfall USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+        |  WHERE t.term IN ('spark','join','window')
+        |  GROUP BY t.doc_id),
+        |fb AS (SELECT doc_id FROM (SELECT doc_id, round(score, 4) AS doc_rank FROM scored
+        |       ORDER BY doc_rank DESC, doc_id LIMIT 10)),
+        |expw AS (SELECT t.term,
+        |    round(sum(CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE)/df)), 6) AS w
+        |  FROM tf0 t JOIN fb USING (doc_id) JOIN dfall USING (term) CROSS JOIN stats
+        |  WHERE t.term NOT IN ('spark','join','window')
+        |  GROUP BY t.term ORDER BY w DESC, term LIMIT 5),
+        |wq AS (SELECT term, CAST(1 AS DOUBLE) AS qw
+        |       FROM (VALUES ('spark'),('join'),('window')) v(term)
+        |       UNION ALL SELECT term, CAST(0.5 AS DOUBLE) AS qw FROM expw),
+        |fs AS (SELECT t.doc_id,
+        |         sum( qw * (ln(CAST(n AS DOUBLE)/df) * (2.0*tf) / (1.0*(0.25 + 0.75*dl/avgdl) + tf)) ) AS score
+        |  FROM tf0 t JOIN wq USING(term) JOIN dfall USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, round(score, 4) AS doc_rank FROM fs
+        |ORDER BY doc_rank DESC, doc_id LIMIT 10""".stripMargin,
     // nDCG oracle: exact and IVF arms replayed, ranks over rounded
     // cosines, the ln(x)/ln(2) discount spelled identically (native log2
     // differs from the ln quotient by an ulp on powers of two).

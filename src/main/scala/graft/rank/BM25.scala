@@ -122,6 +122,85 @@ object BM25 {
       .orderBy(desc("doc_rank"), asc("doc_id"))
       .limit(topK)
 
+  /** Shared frames for pseudo-relevance feedback: the corpus stat tables,
+    * the feedback top-`feedbackK` of the ORIGINAL query, and the top-
+    * `expandE` expansion terms by tf-idf mass inside the feedback docs
+    * (original query terms excluded; weight rounded to 6 and tie-broken
+    * by term so the selection is deterministic cross-engine). The tf
+    * table feeds three consumers (feedback ranking, expansion scoring,
+    * final scoring) — localCheckpoint'ed once so the corpus tokenize
+    * scan is paid once, not three times. */
+  private def expansionFrames(spark: SparkSession, docs: DataFrame,
+                              query: String, feedbackK: Int, expandE: Int,
+                              k1: Double, b: Double)
+      : (Seq[String], DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .distinct.toSeq
+    val tf = InvertedIndex.termFrequency(docs).localCheckpoint(true)
+    val dfreq = InvertedIndex.docFrequencyFromTf(tf)
+    val dl = InvertedIndex.docLengthFromTf(tf)
+    val stats = InvertedIndex.corpusInfo(docs)
+    val qTerms = terms.toDF("term")
+    val fb = rank(tf.join(broadcast(qTerms), Seq("term")),
+      dfreq.join(broadcast(qTerms), Seq("term")), dl, stats, k1, b,
+      feedbackK).select("doc_id")
+    val exp = tf.join(fb, Seq("doc_id"), "left_semi")
+      .filter(!col("term").isin(terms: _*))
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(stats.select("doc_n")))
+      .groupBy("term")
+      .agg(round(sum(col("term_frequency").cast("double") *
+        log(col("doc_n").cast("double") / col("doc_frequency"))), 6)
+        .as("expansion_weight"))
+      .orderBy(desc("expansion_weight"), asc("term")).limit(expandE)
+    (terms, tf, dfreq, dl, stats, exp)
+  }
+
+  /** The chosen expansion terms themselves — the observable a relevance
+    * engineer inspects before trusting automatic expansion. */
+  def expansionTerms(spark: SparkSession, docs: DataFrame, query: String,
+                     feedbackK: Int = 10, expandE: Int = 5,
+                     k1: Double = 1.0, b: Double = 0.75): DataFrame =
+    expansionFrames(spark, docs, query, feedbackK, expandE, k1, b)._6
+      .orderBy(desc("expansion_weight"), asc("term"))
+
+  /** RM3-style pseudo-relevance-feedback search (Lavrenko & Croft'01
+    * relevance models, the simplified tf-idf-mass variant production
+    * stacks run): rank with the original query, mine the top feedback
+    * docs for the `expandE` highest tf-idf-mass new terms, then re-rank
+    * with the UNION query — original terms at weight 1, expansion terms
+    * at `expandWeight` — so the final score is Σ_t w_t · bm25(t, d).
+    * Recall widens (docs matching only expansion vocabulary surface)
+    * while original-term matches keep their full contribution.
+    *
+    * Scale notes (100 TB): the expansion vocabulary is mined from
+    * `feedbackK` docs (a constant), df/dl/stats stay TRUE corpus tables,
+    * and the final ranking is the same J1/J2-join shape as `search` with
+    * a ≤ |terms|+expandE broadcast weight table — the second pass costs
+    * what any bm25 query costs, never a corpus re-tokenize (shared
+    * checkpointed tf). */
+  def searchExpanded(spark: SparkSession, docs: DataFrame, query: String,
+                     feedbackK: Int = 10, expandE: Int = 5,
+                     expandWeight: Double = 0.5, k1: Double = 1.0,
+                     b: Double = 0.75, topK: Int = 10): DataFrame = {
+    import spark.implicits._
+    val (terms, tf, dfreq, dl, stats, exp) =
+      expansionFrames(spark, docs, query, feedbackK, expandE, k1, b)
+    val wq = terms.toDF("term").withColumn("qw", lit(1.0))
+      .unionByName(exp.select(col("term"), lit(expandWeight).as("qw")))
+    val qtf = tf.join(broadcast(wq), Seq("term"))
+    val qdf = dfreq.join(broadcast(wq.select("term")), Seq("term"))
+    qtf.join(broadcast(qdf), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("bm25w", bm25Score(k1, b) * col("qw"))
+      .groupBy("doc_id").agg(sum("bm25w").as("score"))
+      .select(col("doc_id"), round(col("score"), 4).as("doc_rank"))
+      .orderBy(desc("doc_rank"), asc("doc_id"))
+      .limit(topK)
+  }
+
   /** Phrase-aware ranking from ONE stored index: bag-of-words BM25 over
     * the phrase's terms, boosted for documents containing the EXACT
     * phrase — `score * (1 + boost * ln(1 + phrase_occurrences))`. The

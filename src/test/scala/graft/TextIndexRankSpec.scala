@@ -169,6 +169,25 @@ class TextIndexRankSpec extends SparkSpec {
     assert(pruned.map(_._1).toSet.subsetOf(exact.map(_._1).toSet))
   }
 
+  test("RM3 expansion: mined terms and the weighted re-ranking, hand-computed") {
+    // 3 docs, every dl = 2 = avgdl, every df = 2 -> per-term bm25 = ln(1.5)
+    val docs = Seq((1L, "banana apple"), (2L, "banana cherry"),
+      (3L, "apple cherry")).toDF("doc_id", "text")
+    def r(v: Double, s: Int): Double =
+      BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val l = math.log(1.5)
+    // feedback docs for "banana" = {1, 2}; candidates apple/cherry both
+    // carry weight 1 * ln(3/2), tie broken alphabetically
+    val exp = BM25.expansionTerms(spark, docs, "banana")
+      .as[(String, Double)].collect().toSeq
+    assert(exp == Seq(("apple", r(l, 6)), ("cherry", r(l, 6))))
+    // expanded ranking: d1 = d2 = 1.5*ln(1.5); d3 (expansion-only) = ln(1.5)
+    val got = BM25.searchExpanded(spark, docs, "banana")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, r(1.5 * l, 4)), (2L, r(1.5 * l, 4)),
+      (3L, r(l, 4))))
+  }
+
   test("RRF hybrid: fused score is exactly 1/(60+r) summed over present arms") {
     // lexical arm: doc 1 beats doc 2 on "cat"; doc 3 lexical-absent.
     // dense arm vs query vec 0: vec 2 (r1), vec 3 (r2), vec 1 (r3).
