@@ -72,17 +72,25 @@ object Streaming {
     * sides carry watermarks and the join condition carries the time bounds
     * — the combination is what lets Spark age out buffered rows on BOTH
     * sides (an unbounded-time stream-stream join would buffer forever).
-    * The batch sibling is TemporalJoins.bandedRangeJoin. */
+    * The batch sibling is TemporalJoins.bandedRangeJoin.
+    *
+    * `joinType` "leftOuter" is the attribution-with-timeout form: a left
+    * event with no partner inside the window is EMITTED (right columns
+    * null) once the watermark proves no partner can still arrive —
+    * exactly the state-eviction moment, so outer results cost no extra
+    * buffering over the inner join. */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    leftTime: String, rightTime: String,
                    before: String = "10 minutes", after: String = "10 minutes",
-                   watermarkDelay: String = "1 hour"): DataFrame = {
+                   watermarkDelay: String = "1 hour",
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTime, watermarkDelay)
     val r = right.withWatermark(rightTime, watermarkDelay)
     l.join(r,
       l(key) === r(key) &&
         r(rightTime) >= l(leftTime) - expr(s"INTERVAL $before") &&
-        r(rightTime) <= l(leftTime) + expr(s"INTERVAL $after"))
+        r(rightTime) <= l(leftTime) + expr(s"INTERVAL $after"),
+      joinType)
       .drop(r(key))
   }
 

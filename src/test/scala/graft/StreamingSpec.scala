@@ -258,6 +258,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched lefts once the watermark closes the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val buys = MemoryStream[(Timestamp, Long, String)]
+    val joined = Streaming.intervalJoin(
+      clicks.toDF().toDF("cts", "user_id", "click_id"),
+      buys.toDF().toDF("bts", "user_id", "buy_id"),
+      "user_id", "cts", "bts",
+      watermarkDelay = "5 minutes", joinType = "leftOuter")
+    val q = joined.select("click_id", "buy_id")
+      .writeStream.format("memory").queryName("interval_lo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "c1"),
+        (ts("2024-01-01 10:00:00"), 2L, "c2")) // no buy for user 2
+      buys.addData((ts("2024-01-01 10:05:00"), 1L, "b1"))
+      q.processAllAvailable()
+      // watermark far past c2's window -> the unmatched left must flush
+      clicks.addData((ts("2024-01-01 12:00:00"), 9L, "c9"))
+      buys.addData((ts("2024-01-01 12:00:00"), 9L, "b9"))
+      q.processAllAvailable()
+      clicks.addData((ts("2024-01-01 13:00:00"), 8L, "c8"))
+      buys.addData((ts("2024-01-01 13:00:00"), 8L, "b8"))
+      q.processAllAvailable()
+      val rows = spark.table("interval_lo")
+        .as[(String, Option[String])].collect().toSet
+      assert(rows.contains(("c1", Some("b1"))))
+      assert(rows.contains(("c2", None))) // emitted with null right side
+    } finally q.stop()
+  }
+
   test("foreachBatch incremental index equals the batch full recompute") {
     implicit val sqlCtx = spark.sqlContext
     val store = java.nio.file.Files.createTempDirectory("graft-incidx").toString
