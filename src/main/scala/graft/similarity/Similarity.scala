@@ -814,8 +814,12 @@ object Similarity {
                nBuckets: Int = 10): DataFrame = {
     val spark = embeddings.sparkSession
     VectorFunctions.ensureRegistered(spark)
+    // one corpus scan computes every norm; the (label, norm) frame is two
+    // narrow columns, so it checkpoints once and the four consumers below
+    // (bounds, two bucket counts, totals) never re-read the embeddings
     val e = embeddings.select(col("label"),
       round(l2Norm(toDoubleVec(col("embedding"))), 6).as("norm"))
+      .localCheckpoint(true)
     val base = e.filter(col("label") <= baselineMaxLabel)
     val cur = e.filter(col("label") > baselineMaxLabel)
     val bounds = base.agg(min("norm").as("bmin"), max("norm").as("bmax"))
@@ -914,6 +918,9 @@ object Similarity {
         pos += 1
       }
     }
+    // the output is driver literals — nothing references the candidate
+    // checkpoint after the loop, so release it instead of waiting for GC
+    cand.unpersist()
     selected.toDF("pos", "vec_id", "mmr_score").orderBy("pos")
   }
 
