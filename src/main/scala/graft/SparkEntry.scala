@@ -251,6 +251,12 @@ object SparkEntry {
     "rel_idle_capital" -> ((s, dir) =>
       Relational.idleCapital(table(s, dir, "customer"),
         table(s, dir, "orders"), "2001-01-01")),
+    // TPC-H Q9 shape (partsupp-free adaptation): profit by nation x year,
+    // one decimal pass for revenue - cost, dims pruned-then-broadcast
+    "rel_product_profit" -> ((s, dir) =>
+      Relational.productProfit(table(s, dir, "lineitem"),
+        table(s, dir, "orders"), table(s, dir, "supplier"),
+        table(s, dir, "part"), table(s, dir, "nation"), "widget")),
     "rel_cube" -> ((s, dir) =>
       Relational.cubeFlagStatus(table(s, dir, "lineitem"))),
     "rel_date_parts" -> ((s, dir) =>
@@ -535,6 +541,10 @@ object SparkEntry {
         docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"))
     }),
+    // the semantic complement: corpus vectors cosine-close to the held-out
+    // eval slice (vec_id % 17 == 0) via the banded-LSH candidate path
+    "dedup_embedding_contamination" -> ((s, dir) =>
+      Dedup.embeddingContamination(table(s, dir, "embeddings"))),
     // substring-level dedup report: per doc, the fraction of its 8-token
     // windows that occur in any other doc ("how much of this doc is copy")
     "dedup_shared_ngrams" -> ((s, dir) =>
@@ -590,6 +600,11 @@ object SparkEntry {
     // ratio of target-slice vs raw-corpus feature distributions
     "curate_dsir_weights" -> ((s, dir) =>
       graft.curate.Curation.dsirWeights(table(s, dir, "documents"), "src0")),
+    // the upsampling executor: per-doc repeat counts materializing the
+    // alpha-mix recipe at a 200k-token budget (> corpus => whole epochs
+    // + a seeded-hash partial epoch)
+    "curate_epoch_plan" -> ((s, dir) =>
+      graft.curate.Curation.epochPlan(table(s, dir, "documents"), 200000L)),
 
     // ---- similarity search (north star) ----
     "sim_cosine_topk" -> ((s, dir) =>
@@ -757,6 +772,18 @@ object SparkEntry {
       TextAnalysis.lengthQuantilesByLang(table(s, dir, "documents"))),
     "text_redact_pii" -> ((s, dir) =>
       TextAnalysis.redactPii(table(s, dir, "documents"))),
+    // C4-style bad-words gate: per-doc blocked-term hits + drop verdict,
+    // blocklist as an array literal (codegen membership, zero joins)
+    "text_blocklist_filter" -> ((s, dir) =>
+      TextAnalysis.blocklistFilter(table(s, dir, "documents"))),
+    // novelty vs the src0 reference slice: fraction of each doc's distinct
+    // trigrams unseen in the reference n-gram universe
+    "text_ngram_novelty" -> ((s, dir) =>
+      TextAnalysis.ngramNovelty(table(s, dir, "documents"), "src0", 3)),
+    // deterministic T5-style denoising plan: maximal masked-token spans
+    // from an md5 coin per (doc, pos) at 15%
+    "text_span_corruption" -> ((s, dir) =>
+      TextAnalysis.spanCorruptionPlan(table(s, dir, "documents"), 15, 17L)),
     "text_chunks" -> ((s, dir) =>
       TextAnalysis.chunkDocuments(table(s, dir, "documents"), 64, 16)),
     "text_pack_bins" -> ((s, dir) =>
@@ -1458,6 +1485,20 @@ object SparkEntry {
         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         |GROUP BY 1, 2, 3
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // Q9-adapted profit: one decimal pass of rev - cost per line, the
+    // same EXTRACT(year) + DECIMAL(18,2) conventions as rel_nation_trade
+    "rel_product_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |    - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
     "rel_disjunctive_join" ->
       """SELECT
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
@@ -1807,6 +1848,35 @@ object SparkEntry {
         |WHERE list_dot_product(ea.u, eb.u) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin,
 
+    // same banded-bucket replay as dedup_embedding_pairs (here 8 bands x
+    // 6 planes — the contamination gate trades bucket width for recall),
+    // restricted to eval (vec_id % 17 = 0) x corpus candidates; per
+    // corpus vector the closest eval neighbor (cos DESC, eval_id
+    // tie-break) at cos >= 0.35
+    "dedup_embedding_contamination" ->
+      """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |bands AS (SELECT unnest(generate_series(0, 7)) AS band),
+        |bk AS (SELECT vec_id, band,
+        |  list_sum(list_transform(generate_series(0, 5), jj ->
+        |    CASE WHEN list_sum(list_transform(generate_series(1, 64), d ->
+        |      v[d] * CAST((((band*6 + jj)*31 + (d-1)*17) % 7) - 3 AS DOUBLE))) >= 0
+        |    THEN 1 << jj ELSE 0 END)) AS bucket
+        |  FROM e0 CROSS JOIN bands),
+        |cand AS (SELECT DISTINCT c.vec_id AS vec_id, ev.vec_id AS eval_id
+        |  FROM bk ev JOIN bk c ON ev.band = c.band AND ev.bucket = c.bucket
+        |  WHERE ev.vec_id % 17 = 0 AND c.vec_id % 17 <> 0),
+        |e1 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),
+        |e AS (SELECT vec_id, list_transform(v, x -> x/nrm) AS u FROM e1),
+        |vf AS (SELECT cand.vec_id, cand.eval_id, list_dot_product(ec.u, ee.u) AS cos
+        |  FROM cand JOIN e ec ON ec.vec_id = cand.vec_id
+        |            JOIN e ee ON ee.vec_id = cand.eval_id
+        |  WHERE list_dot_product(ec.u, ee.u) >= 0.35),
+        |r AS (SELECT vec_id, eval_id, cos,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_id) AS rn
+        |  FROM vf)
+        |SELECT vec_id, eval_id, round(cos, 4) AS cosine
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
     "curate_corpus_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS oh FROM documents WHERE doc_id % 3 <> 0),
         |n AS (SELECT doc_id,
@@ -1983,6 +2053,30 @@ object SparkEntry {
         |SELECT source, doc_id, n_tokens FROM o
         |WHERE CAST(cum_before AS DOUBLE) < mix * 20000.0
         |ORDER BY source, doc_id""".stripMargin,
+    // same weight CTEs as curate_budget_sample; whole epochs = floor of
+    // the double target/source-token ratio, partial epoch by the same
+    // exact-cumsum-vs-double-threshold rule, budget 200000
+    "curate_epoch_plan" ->
+      """WITH toks AS (SELECT source, doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR) || ':42') AS k
+        |  FROM documents),
+        |per AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS st FROM toks GROUP BY source),
+        |tot AS (SELECT CAST(sum(st) AS BIGINT) AS tt FROM per),
+        |sh AS (SELECT source, st, power(CAST(st AS DOUBLE)/tt, 0.5) AS w FROM per CROSS JOIN tot),
+        |wt AS (SELECT sum(w) AS wtot FROM sh),
+        |wx AS (SELECT source, st, round(w/wtot, 6) AS mix FROM sh CROSS JOIN wt),
+        |pl AS (SELECT source, st, mix * 200000.0 AS target,
+        |        CAST(floor(mix * 200000.0 / CAST(st AS DOUBLE)) AS BIGINT) AS ef FROM wx),
+        |pl2 AS (SELECT source, ef,
+        |        target - CAST(ef AS DOUBLE) * CAST(st AS DOUBLE) AS frac_tokens FROM pl),
+        |o AS (SELECT t.source, doc_id, n_tokens, ef, frac_tokens,
+        |        CAST(coalesce(sum(n_tokens) OVER (PARTITION BY t.source ORDER BY k, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |      FROM toks t JOIN pl2 USING (source))
+        |SELECT source, doc_id, n_tokens,
+        |  CAST(ef + CASE WHEN CAST(cum_before AS DOUBLE) < frac_tokens THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+        |FROM o ORDER BY source, doc_id""".stripMargin,
     // DSIR oracle: identical md5-prefix bucketing, identical add-one
     // probability tree; round(4) absorbs ln's per-term ulp noise over the
     // per-doc sum (values bounded by |lp| <= ln-ratio of the two tables).
@@ -2644,6 +2738,49 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(er, '\+[0-9][0-9()\- ]+[0-9]')) AS BIGINT) AS n_phones,
         |  md5(regexp_replace(er, '\+[0-9][0-9()\- ]+[0-9]', '<PHONE>', 'g')) AS redacted_hash
         |FROM r ORDER BY doc_id""".stripMargin,
+    // C4 bad-words replay: same tokenize, same ['dup','slow','big'] list,
+    // membership via list_filter/list_intersect
+    "text_blocklist_filter" ->
+      """WITH t AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents)
+        |SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(tk, x -> list_contains(['dup','slow','big'], x))) AS BIGINT) AS n_hits,
+        |  CAST(len(list_intersect(list_distinct(tk), ['dup','slow','big'])) AS BIGINT) AS n_blocked_terms,
+        |  CASE WHEN len(list_filter(tk, x -> list_contains(['dup','slow','big'], x))) > 0
+        |    THEN 'dropped' ELSE 'kept' END AS verdict
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // novelty vs src0: the dedup_contamination trigram CTEs, flipped to
+    // count the UNSEEN side; NULL novelty when a doc has no trigram
+    "text_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+        |g AS (SELECT doc_id, source, CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) ELSE [] END AS shl FROM t),
+        |sh AS (SELECT doc_id, source, unnest(shl) AS g1 FROM g),
+        |ref AS (SELECT DISTINCT g1 FROM sh WHERE source = 'src0'),
+        |per AS (SELECT doc_id, count(*) AS n_ngrams,
+        |        sum(CASE WHEN r.g1 IS NULL THEN 1 ELSE 0 END) AS n_novel
+        |      FROM sh LEFT JOIN ref r USING (g1) WHERE sh.source <> 'src0' GROUP BY doc_id)
+        |SELECT t.doc_id, t.source, CAST(coalesce(n_ngrams, 0) AS BIGINT) AS n_ngrams,
+        |  CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+        |  CASE WHEN coalesce(n_ngrams, 0) > 0
+        |    THEN round(CAST(n_novel AS DOUBLE)/n_ngrams, 4) END AS novelty
+        |FROM t LEFT JOIN per USING (doc_id) WHERE t.source <> 'src0'
+        |ORDER BY doc_id""".stripMargin,
+    // T5 denoising-plan replay: the hex8Int md5 coin per (doc, pos, seed
+    // 17) at rate 15, then the same gaps-and-islands span merge
+    "text_span_corruption" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+        |p AS (SELECT doc_id, unnest(generate_series(0, len(tk)-1)) AS pos FROM t WHERE len(tk) > 0),
+        |m AS (SELECT doc_id, pos FROM p
+        |  WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR) || ':17'), 1, 8))::BIGINT % 100 < 15),
+        |isl AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM m),
+        |sp AS (SELECT doc_id, grp, min(pos) AS start_pos, max(pos) AS end_pos,
+        |    count(*) AS span_len FROM isl GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_pos) AS BIGINT) AS span_id,
+        |  CAST(start_pos AS INT) AS start_pos, CAST(end_pos AS INT) AS end_pos,
+        |  CAST(span_len AS BIGINT) AS span_len
+        |FROM sp ORDER BY doc_id, span_id""".stripMargin,
     // last chunk index floor((n-17)/48) for n>16 (a trailing chunk must add
     // >=1 new token); n_chunk_tokens from the slice bounds
     "text_chunks" ->

@@ -173,6 +173,55 @@ object Curation {
       .orderBy("source", "doc_id")
   }
 
+  /** Epoch/upsampling plan — the OTHER executor for sourceMixWeights:
+    * where budgetSample subsamples down to a budget, this materializes the
+    * LLaMA-style data recipe when the budget EXCEEDS the corpus — each
+    * source's docs repeat `epochs_full` whole times, plus one partial
+    * epoch whose membership is the SAME seeded-hash-order cumulative-token
+    * rule budgetSample uses (so a doc's partial-epoch slot is a pure
+    * function of (doc_id, seed) — stable under repartition and appends).
+    * Emits per doc: (source, doc_id, n_tokens, n_repeats); n_repeats = 0
+    * means a sub-1-epoch source dropped the doc, and
+    * sum(n_repeats * n_tokens) per source lands within one doc of
+    * mix_weight * totalBudget.
+    *
+    * Scale notes (100 TB): ONE tokenize scan builds the narrow checkpointed
+    * frame; weights are a sources-sized broadcast; the partial-epoch window
+    * hash-partitions by source over the hash order, never a global sort.
+    * Floating math: mix is the round(6) report value, the per-source
+    * target/floor are one double op each, and the membership compare is
+    * exact-long-cumsum vs a double threshold — the budgetSample contract. */
+  def epochPlan(docs: DataFrame, totalBudget: Long, alpha: Double = 0.5,
+                seed: Long = 42): DataFrame = {
+    val toks = docs
+      .select(col("source"), col("doc_id"),
+        size(graft.text.Tokenize.tokens(col("text"))).cast("long").as("n_tokens"),
+        md5(concat(col("doc_id").cast("string"), lit(s":$seed"))).as("__k"))
+      .localCheckpoint(true)
+    val per = toks.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    val plan = alphaMix(per, alpha)
+      .select(col("source"), col("n_tokens").as("__src_tokens"),
+        round(col("__mix"), 6).as("__mix"))
+      .withColumn("__target", col("__mix") * lit(totalBudget.toDouble))
+      .withColumn("__epochs_full",
+        floor(col("__target") / col("__src_tokens").cast("double")).cast("long"))
+      .withColumn("__frac_tokens",
+        col("__target") - col("__epochs_full").cast("double") *
+          col("__src_tokens").cast("double"))
+      .select("source", "__epochs_full", "__frac_tokens")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("__k", "doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    toks.join(broadcast(plan), Seq("source"))
+      .withColumn("__cum_before", coalesce(sum("n_tokens").over(win), lit(0L)))
+      .withColumn("n_repeats", col("__epochs_full") +
+        when(col("__cum_before").cast("double") < col("__frac_tokens"), 1L)
+          .otherwise(0L))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("n_repeats"))
+      .orderBy("source", "doc_id")
+  }
+
   /** Corpus snapshot diff — the dataset-versioning audit between two
     * corpus versions: per doc_id, `added` (only in new), `removed` (only
     * in old), `changed` (both, different content hash), `unchanged`.

@@ -515,6 +515,56 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Embedding-grain benchmark decontamination — the semantic complement
+    * to contaminationReport: corpus vectors whose cosine against ANY
+    * eval-set vector clears `minCosine` (paraphrased eval leakage that
+    * n-gram overlap misses). The eval set here is a deterministic held-out
+    * slice (vec_id % evalMod == 0) standing in for the benchmark
+    * embeddings a real run would load. Candidates come from the SAME
+    * banded sign-LSH buckets as embeddingNearDupPairsBanded — eval and
+    * corpus rows meet only inside a (band, bucket) cell, never all-pairs —
+    * then exact cosine verifies, and one max_by per corpus vector reports
+    * its worst (closest) eval neighbor.
+    *
+    * Scale notes (100 TB): the eval side is benchmark-sized by nature, so
+    * its banded frame is the small side of the bucket join (broadcast in
+    * practice, hash-correct regardless); the corpus pays one scan + one
+    * exchange by (band, bucket). Recall follows the banded-LSH curve —
+    * the same declared tradeoff as the near-dup query, with the brute
+    * eval×corpus form spec-only (it is the recall baseline, not the scale
+    * path). */
+  def embeddingContamination(embeddings: DataFrame, evalMod: Int = 17,
+                             minCosine: Double = 0.35, dims: Int = 64,
+                             nPlanes: Int = 6, bands: Int = 8): DataFrame = {
+    val e = Similarity.withUnitVec(
+      embeddings.select(col("vec_id"),
+        Similarity.toDoubleVec(col("embedding")).as("v")), "v")
+      .select(col("vec_id"), col("v"), col("u"))
+    val banded = e.select(col("vec_id"), posexplode(
+      array((0 until bands).map(b =>
+        Similarity.lshBucket(col("v"), dims, nPlanes, b * nPlanes)): _*))
+      .as(Seq("band", "bucket")))
+    val isEval = col("vec_id") % evalMod === 0
+    val cand = banded.filter(isEval)
+      .select(col("vec_id").as("eval_id"), col("band"), col("bucket"))
+      .join(banded.filter(!isEval)
+        .select(col("vec_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("vec_id", "eval_id").distinct()
+    cand
+      .join(e.select(col("vec_id"), col("u").as("uc")), Seq("vec_id"))
+      .join(e.select(col("vec_id").as("eval_id"), col("u").as("ue")),
+        Seq("eval_id"))
+      .withColumn("cos", Similarity.dot(col("uc"), col("ue")))
+      .filter(col("cos") >= minCosine)
+      .groupBy("vec_id")
+      // ties broken toward the LOWest eval id: max over (cos, -eval_id)
+      .agg(max(struct(col("cos"), (-col("eval_id")).as("neg_eval"))).as("m"))
+      .select(col("vec_id"), (-col("m.neg_eval")).as("eval_id"),
+        round(col("m.cos"), 4).as("cosine"))
+      .orderBy("vec_id")
+  }
+
   /** Exact duplicated-substring report at n-token-window granularity (the
     * "how much of each doc is copied text" metric behind substring-level
     * training-data dedup): per doc, the share of its DISTINCT n-token

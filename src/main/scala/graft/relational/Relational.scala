@@ -851,4 +851,33 @@ object Relational {
         sum(money(col("c_acctbal"))).cast("double").as("total_acctbal"))
       .orderBy("c_mktsegment")
   }
+
+  /** Product-line profit by supplier nation and year (TPC-H Q9 shape,
+    * adapted: this schema has no partsupp, so unit cost is the part's
+    * retail price — the join topology and aggregation are Q9's). Profit =
+    * revenue − cost per lineitem, summed by (nation, year). The part
+    * dimension prunes on the name predicate FIRST and broadcasts with its
+    * cost column; supplier⋈nation broadcasts as one dim chain; the only
+    * corpus-proportional exchange is lineitem⋈orders on orderkey. Both
+    * profit terms accumulate as DECIMAL in one pass (never
+    * sum(rev) − sum(cost) as two scans), cast double once at the edge. */
+  def productProfit(lineitem: DataFrame, orders: DataFrame,
+                    supplier: DataFrame, part: DataFrame, nation: DataFrame,
+                    nameToken: String): DataFrame = {
+    val parts = part.filter(col("p_name").contains(nameToken))
+      .select(col("p_partkey"), money(col("p_retailprice")).as("__cost"))
+    val natSupp = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    lineitem
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))
+        - col("__cost") * money(col("l_quantity")))
+        .cast("double").as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
 }

@@ -855,4 +855,99 @@ object TextAnalysis {
         col("avg_logp"))
       .orderBy("doc_id")
   }
+
+  /** C4-style blocklist filter (Raffel'20 §2.2 removes any page containing
+    * a "bad words" list hit). Per doc: total tokens, blocked-token
+    * occurrences, distinct blocked terms, and the drop/keep verdict (C4
+    * drops on ANY hit). The list rides as an array LITERAL inside the
+    * projection — membership is a codegen `array_contains` per token, no
+    * join, no broadcast, no shuffle until the final sort: the cheapest
+    * possible spelling of the first gate every web-corpus pipeline runs. */
+  val DefaultBlocklist: Seq[String] = Seq("dup", "slow", "big")
+
+  def blocklistFilter(docs: DataFrame,
+                      blocklist: Seq[String] = DefaultBlocklist): DataFrame = {
+    val blockArr = array(blocklist.map(lit): _*)
+    docs.select(col("doc_id"), col("source"), toks.as("tk"))
+      .select(col("doc_id"), col("source"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(filter(col("tk"), t => array_contains(blockArr, t)))
+          .cast("long").as("n_hits"),
+        size(array_intersect(array_distinct(col("tk")), blockArr))
+          .cast("long").as("n_blocked_terms"))
+      .withColumn("verdict",
+        when(col("n_hits") > 0, "dropped").otherwise("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** N-gram novelty vs a reference slice — the "how much of this doc is
+    * text we have never seen" score used both for decontamination review
+    * and for novelty-weighted curation. Per non-reference doc: distinct
+    * n-grams, how many do NOT occur anywhere in the reference source, and
+    * the novel fraction (NULL when the doc is too short to have any
+    * n-gram, and that is a statement of no evidence, not novelty 0).
+    *
+    * Scale notes (100 TB): one shingle scan covers both sides; the
+    * reference universe reduces to distinct n-grams BEFORE the join, the
+    * probe side is distinct-per-doc, and the join hash-partitions by
+    * n-gram with map-side-combined per-doc counting after — a hot
+    * boilerplate n-gram costs linear join rows, never a pair explosion
+    * (same argument as sharedNgramStats). */
+  def ngramNovelty(docs: DataFrame, refSource: String = "src0",
+                   n: Int = 3): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(docs.sparkSession)
+    val grams = docs.select(col("doc_id"), col("source"),
+      explode(array_distinct(
+        graft.functions.TextFunctions.shingles(toks, n))).as("g"))
+    val refGrams = grams.filter(col("source") === refSource)
+      .select("g").distinct().withColumn("__seen", lit(1L))
+    val per = grams.filter(col("source") =!= refSource)
+      .join(refGrams, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+    docs.filter(col("source") =!= refSource).select("doc_id", "source")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_ngrams") > 0,
+          round(col("n_novel").cast("double") / col("n_ngrams"), 4))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic T5-style span corruption plan (Raffel'20 §3.1.4): which
+    * token spans a denoising-objective prep pass would mask. Each token
+    * position flips an md5-derived coin (the Sampling.hex8Int contract, so
+    * the oracle replays it bit-for-bit); adjacent masked positions merge
+    * into maximal spans by the gaps-and-islands discipline. Emits one row
+    * per span: (doc_id, span_id, start_pos, end_pos, span_len) — exactly
+    * the sentinel plan the corruption writer consumes.
+    *
+    * Scale notes (100 TB): the coin is a projection inside the tokenize
+    * scan; both windows partition BY DOC over masked positions only
+    * (bounded by doc length × rate) — never a global sort. The mask
+    * decision is a pure function of (doc_id, pos, seed): stable under
+    * repartition and replayable, the same property hashSplit guarantees
+    * for split membership. */
+  def spanCorruptionPlan(docs: DataFrame, ratePct: Int = 15,
+                         seed: Long = 17): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs.select(col("doc_id"), posexplode(toks).as(Seq("pos", "t")))
+      .withColumn("__coin", graft.sources.Sampling.hex8Int(
+        md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("pos").cast("string"), lit(s":$seed")))) % 100)
+      .filter(col("__coin") < ratePct)
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = pos
+      .withColumn("__grp", col("pos") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min("pos").as("start_pos"), max("pos").as("end_pos"),
+        count(lit(1)).as("span_len"))
+    val spanIds = Window.partitionBy("doc_id").orderBy("start_pos")
+    spans.withColumn("span_id", row_number().over(spanIds).cast("long"))
+      .select("doc_id", "span_id", "start_pos", "end_pos", "span_len")
+      .orderBy("doc_id", "span_id")
+  }
 }

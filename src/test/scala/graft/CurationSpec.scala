@@ -155,4 +155,29 @@ class CurationSpec extends SparkSpec {
     // the target-like doc outranks the off-distribution doc
     assert(got(2L)._2.get > got(3L)._2.get)
   }
+
+  test("epoch plan: whole epochs + seeded-hash partial epoch hit the budget") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // one source, 6 docs x 10 tokens (60 total) -> mix = 1.0
+    val docs = (1L to 6L).map(i => (i, Seq.fill(10)("w").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val hashOrder = (1L to 6L).sortBy(i => (md5hex(s"$i:42"), i))
+    // budget 150 -> repeat 2.5: two whole epochs + first 3 docs (30 of the
+    // 30-token fractional remainder) get a third pass
+    val got = Curation.epochPlan(docs, 150L, 0.5, 42L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._2 -> r._4).toMap
+    assert(hashOrder.take(3).forall(got(_) == 3L))
+    assert(hashOrder.drop(3).forall(got(_) == 2L))
+    // sub-epoch budget degenerates to budgetSample membership (0/1 repeats)
+    val small = Curation.epochPlan(docs, 35L, 0.5, 42L)
+      .as[(String, Long, Long, Long)].collect().map(r => r._2 -> r._4).toMap
+    assert(hashOrder.take(4).forall(small(_) == 1L))
+    assert(hashOrder.drop(4).forall(small(_) == 0L))
+    // planned tokens land within one doc of the target in both regimes
+    assert(math.abs(got.map { case (d, n) => n * 10L }.sum - 150L) <= 10L)
+    assert(math.abs(small.map { case (d, n) => n * 10L }.sum - 35L) <= 10L)
+  }
 }

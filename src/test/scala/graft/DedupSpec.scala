@@ -525,4 +525,17 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)))
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  test("embedding contamination: catches the planted eval twin, skips orthogonal") {
+    // vec 0 is eval (0 % 17 == 0); vec 1 is a scaled copy (cosine 1, same
+    // sign buckets in every band -> MUST surface); vec 2 is orthogonal
+    // (cosine 0 -> below any threshold even when bucket-matched)
+    val v0 = Array.tabulate(64)(d => math.sin(d + 1).toFloat)
+    val v1 = v0.map(x => x * 2f)
+    val v2 = Array.tabulate(64)(d => (if (d % 2 == 0) v0(d + 1) else -v0(d - 1)))
+    val emb = Seq((0L, v0), (1L, v1), (2L, v2)).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingContamination(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 0L, 1.0)))
+  }
 }

@@ -218,4 +218,25 @@ class ReportQueriesSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(out == Seq(("SEG_A", 1L, 150.0)))
   }
+
+  test("product profit: one decimal pass of revenue minus cost per nation-year") {
+    val nation = Seq((1L, "N1", 0L)).toDF("n_nationkey", "n_name", "n_regionkey")
+    val supplier = Seq((1L, "s1", 1L)).toDF("s_suppkey", "s_name", "s_nationkey")
+    val part = Seq(
+      (1L, "small widget", 10.0), (2L, "blue rod", 1.0))
+      .toDF("p_partkey", "p_name", "p_retailprice")
+    val orders = Seq((10L, "1996-02-01"), (11L, "1997-02-01"))
+      .toDF("o_orderkey", "od")
+      .withColumn("o_orderdate", col("od").cast("timestamp"))
+    val li = Seq(
+      // widget line: rev 100 * (1 - 0.1) = 90, cost 10 * 2 = 20 -> 70
+      (10L, 1L, 1L, 100.0, 0.1, 2.0),
+      // rod line filtered out by the name predicate
+      (11L, 2L, 1L, 500.0, 0.0, 1.0))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity")
+    val out = Relational.productProfit(li, orders, supplier, part, nation, "widget")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(out == Seq(("N1", 1996, 70.0)))
+  }
 }

@@ -290,4 +290,60 @@ class TextAnalysisSpec extends SparkSpec {
     val got12 = byDoc(1L).head._3
     assert(math.abs(got12 - exp12) < 5e-4, s"got $got12 expected ~$exp12")
   }
+
+  test("blocklist filter: per-doc hits, distinct blocked terms, C4 drop verdict") {
+    val docs = Seq(
+      (1L, "src0", "clean text only here"),
+      (2L, "src0", "a dup and a dup and one big thing"),
+      (3L, "src1", "slow"),
+      (4L, "src1", ""))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.blocklistFilter(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSeq
+    assert(out == Seq(
+      (1L, 4L, 0L, 0L, "kept"),
+      (2L, 9L, 3L, 2L, "dropped"),   // dup x2 + big x1; distinct {dup, big}
+      (3L, 1L, 1L, 1L, "dropped"),
+      (4L, 0L, 0L, 0L, "kept")))
+  }
+
+  test("ngram novelty: fraction of trigrams unseen in the reference slice") {
+    val docs = Seq(
+      (1L, "src0", "a b c d"),       // ref universe: {a b c, b c d}
+      (2L, "src1", "a b c x"),       // {a b c seen, b c x novel} -> 0.5
+      (3L, "src1", "p q r s"),       // both novel -> 1.0
+      (4L, "src1", "z z"))           // too short -> NULL novelty
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.ngramNovelty(docs, "src0", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(out == Seq(
+      (2L, 2L, 1L, Some(0.5)),
+      (3L, 2L, 2L, Some(1.0)),
+      (4L, 0L, 0L, None)))
+  }
+
+  test("span corruption: spans replay the md5 coin and merge maximal islands") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def masked(doc: Long, pos: Int): Boolean =
+      java.lang.Long.parseLong(md5hex(s"$doc:$pos:17").substring(0, 8), 16) % 100 < 15
+    val nTok = 120
+    val docs = Seq((7L, (0 until nTok).map(i => "w" + i).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.spanCorruptionPlan(docs, 15, 17L)
+      .collect().map(r => (r.getInt(2), r.getInt(3), r.getLong(4)))
+    // plain-Scala islands replay
+    val m = (0 until nTok).filter(masked(7L, _))
+    val islands = m.foldLeft(List.empty[(Int, Int)]) {
+      case ((s, e) :: rest, p) if p == e + 1 => (s, p) :: rest
+      case (acc, p) => (p, p) :: acc
+    }.reverse.map { case (s, e) => (s, e, (e - s + 1).toLong) }
+    assert(m.nonEmpty && out.toSeq == islands)
+    // spans are maximal: no two adjacent spans touch
+    out.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(1)._1 > w(0)._2 + 1) }
+  }
 }
