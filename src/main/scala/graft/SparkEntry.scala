@@ -96,6 +96,10 @@ object SparkEntry {
     // |terms|*m, scores exact for every surviving doc
     "bm25_champion" -> ((s, dir) =>
       BM25.searchChampions(s, table(s, dir, "documents"), FlagshipQuery, 10)),
+    // WAND/MaxScore-style bound-then-verify: EXACT top-10 (oracle = the
+    // plain exact chain) with the scoring tail run on pruned candidates
+    "bm25_wand" -> ((s, dir) =>
+      BM25.searchWand(s, table(s, dir, "documents"), "hash merge stream")),
     // Batch multi-query form: many queries, one tf build, windowed top-k.
     "bm25_multi" -> ((s, dir) => {
       import s.implicits._
@@ -776,6 +780,18 @@ object SparkEntry {
     // blocklist as an array literal (codegen membership, zero joins)
     "text_blocklist_filter" -> ((s, dir) =>
       TextAnalysis.blocklistFilter(table(s, dir, "documents"))),
+    // length-bucketed batch layout with per-batch padding waste; windows
+    // bounded per (bucket, shard), deterministic md5 shuffle
+    "text_batch_plan" -> ((s, dir) =>
+      TextAnalysis.batchPlan(table(s, dir, "documents"))),
+    // windowed PMI collocations (Church-Hanks'90): top-30 pairs within
+    // 3 positions above a count floor
+    "text_pmi_pairs" -> ((s, dir) =>
+      TextAnalysis.pmiPairs(table(s, dir, "documents"))),
+    // reliability diagram for the trained logistic classifier: per score
+    // bin, mean predicted probability vs observed positive rate
+    "text_classifier_calibration" -> ((s, dir) =>
+      TextAnalysis.classifierCalibration(table(s, dir, "documents"))),
     // novelty vs the src0 reference slice: fraction of each doc's distinct
     // trigrams unseen in the reference n-gram universe
     "text_ngram_novelty" -> ((s, dir) =>
@@ -998,6 +1014,9 @@ object SparkEntry {
         |SELECT count(*) AS doc_n, CAST(sum(doc_length) AS BIGINT) AS total_doc_length,
         |       round(avg(doc_length), 4) AS avg_doc_length FROM dl""".stripMargin,
     "bm25_search" -> bm25OracleSql("('spark','join','window')"),
+    // the WAND form is exact by construction: its oracle is the SAME
+    // unpruned BM25 chain — the pruning must be invisible in the result
+    "bm25_wand" -> bm25OracleSql("('hash','merge','stream')"),
     "bm25_oov" -> bm25OracleSql("('zzzznotaword','qqqqnotaword')"),
     "idx_champion_lists" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
@@ -2653,39 +2672,21 @@ object SparkEntry {
     // decimal-exact gradient sums and the identical round(…,12) update;
     // the sigmoid literal 1.0 is exactly representable so DuckDB's
     // decimal-literal parsing cannot diverge from the double tree.
-    "text_quality_classifier" -> {
-      val iters = TextAnalysis.ClassifierIters
-      val markers = TextAnalysis.LangMarkers("en")
-        .map(m => s"'$m'").mkString(", ")
-      val sig = (w: String) =>
-        s"1.0/(1.0+exp(-($w.w0 + $w.w1*x1 + $w.w2*x2)))"
-      val rounds = (1 to iters).map { t =>
-        val prev = s"ww${t - 1}"
-        s"""gg$t AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-           |  CAST(sum(CAST((${sig(prev)} - y) AS DECIMAL(28,18))) AS DOUBLE) AS g0,
-           |  CAST(sum(CAST((${sig(prev)} - y) * x1 AS DECIMAL(28,18))) AS DOUBLE) AS g1,
-           |  CAST(sum(CAST((${sig(prev)} - y) * x2 AS DECIMAL(28,18))) AS DOUBLE) AS g2
-           |  FROM f CROSS JOIN $prev),
-           |ww$t AS (SELECT round($prev.w0 - 1.0 * (g0 / n), 12) AS w0,
-           |  round($prev.w1 - 1.0 * (g1 / n), 12) AS w1,
-           |  round($prev.w2 - 1.0 * (g2 / n), 12) AS w2
-           |  FROM gg$t CROSS JOIN $prev)""".stripMargin
-      }.mkString(",\n")
-      val wf = s"ww$iters"
-      s"""WITH f AS (SELECT doc_id,
-         |    CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y,
-         |    CASE WHEN len(tk) = 0 THEN CAST(0 AS DOUBLE)
-         |         ELSE CAST(len(list_filter(tk, t -> t IN ($markers))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) END AS x1,
-         |    CASE WHEN len(tk) = 0 THEN CAST(0 AS DOUBLE)
-         |         ELSE CAST(len(array_to_string(tk, '')) AS DOUBLE) / CAST(len(tk) AS DOUBLE) END AS x2
-         |  FROM (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents)),
-         |ww0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1, CAST(0 AS DOUBLE) AS w2),
-         |$rounds
-         |SELECT doc_id, CAST(y AS INT) AS label,
-         |  round(${sig(wf)}, 4) AS score,
-         |  CASE WHEN round(${sig(wf)}, 4) >= 0.5 THEN 1 ELSE 0 END AS pred
-         |FROM f CROSS JOIN $wf ORDER BY doc_id""".stripMargin
-    },
+    "text_quality_classifier" -> (classifierScoredSql + "\nORDER BY doc_id"),
+    // the classifier chain verbatim as a subquery, then the reliability
+    // binning: DECIMAL(18,4) sums of the round(4) scores (order-
+    // independent), one division + round per reported column
+    "text_classifier_calibration" ->
+      s"""WITH scored AS (
+         |${classifierScoredSql}
+         |)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(CAST(sum(CAST(score AS DECIMAL(18,4))) AS DOUBLE)/count(*), 4) AS mean_score,
+         |  round(CAST(sum(label) AS DOUBLE)/count(*), 4) AS frac_positive,
+         |  round(abs(CAST(sum(CAST(score AS DECIMAL(18,4))) AS DOUBLE)/count(*)
+         |    - CAST(sum(label) AS DOUBLE)/count(*)), 4) AS gap
+         |FROM (SELECT least(CAST(floor(score*10) AS INT), 9) AS bin, score, label FROM scored)
+         |GROUP BY bin ORDER BY bin""".stripMargin,
     "text_chunk_seqs" ->
       """WITH t AS (SELECT lang AS shard, doc_id,
         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS n
@@ -2738,6 +2739,41 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(er, '\+[0-9][0-9()\- ]+[0-9]')) AS BIGINT) AS n_phones,
         |  md5(regexp_replace(er, '\+[0-9][0-9()\- ]+[0-9]', '<PHONE>', 'g')) AS redacted_hash
         |FROM r ORDER BY doc_id""".stripMargin,
+    // same md5(:7) shuffle key, (n-1)//16 length bands, shard from the
+    // hex8Int contract % 4, row_number batches of 8
+    "text_batch_plan" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR) || ':7') AS k
+        |  FROM documents),
+        |nz AS (SELECT doc_id, n_tokens, k,
+        |    CAST((n_tokens - 1) // 16 AS INT) AS bucket,
+        |    CAST(('0x' || substring(k, 1, 8))::BIGINT % 4 AS INT) AS shard
+        |  FROM t WHERE n_tokens > 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY bucket, shard ORDER BY k, doc_id) AS rn FROM nz),
+        |b AS (SELECT bucket, shard, CAST((rn - 1) // 8 AS BIGINT) AS batch_id, n_tokens FROM r)
+        |SELECT bucket, shard, batch_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+        |  round(1.0 - CAST(sum(n_tokens) AS DOUBLE)/CAST(count(*)*max(n_tokens) AS DOUBLE), 4) AS pad_frac
+        |FROM b GROUP BY 1, 2, 3 ORDER BY bucket, shard, batch_id""".stripMargin,
+    // three offset arms (the engine's zip_with slices) unioned, canonical
+    // (least, greatest) pairs, corpus totals as 1-row sides
+    "text_pmi_pairs" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+        |arm AS (SELECT least(p[1], p[2]) AS a, greatest(p[1], p[2]) AS b FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(tk)-o), i -> [tk[i], tk[i+o]])) AS p
+        |    FROM t, (SELECT unnest([1, 2, 3]) AS o) offs WHERE len(tk) > o)),
+        |pc AS (SELECT a, b, count(*) AS c_ab FROM arm GROUP BY 1, 2),
+        |tc AS (SELECT tt, count(*) AS c_t FROM (SELECT unnest(tk) AS tt FROM t) GROUP BY 1),
+        |tp AS (SELECT CAST(sum(c_ab) AS BIGINT) AS tot_pairs FROM pc),
+        |tn AS (SELECT CAST(sum(c_t) AS BIGINT) AS tot_toks FROM tc)
+        |SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+        |  round(ln((CAST(c_ab AS DOUBLE)/tot_pairs) /
+        |    ((CAST(ca.c_t AS DOUBLE)/tot_toks) * (CAST(cb.c_t AS DOUBLE)/tot_toks))), 4) AS pmi
+        |FROM pc JOIN tc ca ON ca.tt = pc.a JOIN tc cb ON cb.tt = pc.b
+        |  CROSS JOIN tp CROSS JOIN tn
+        |WHERE c_ab >= 5
+        |ORDER BY pmi DESC, a, b LIMIT 30""".stripMargin,
     // C4 bad-words replay: same tokenize, same ['dup','slow','big'] list,
     // membership via list_filter/list_intersect
     "text_blocklist_filter" ->
@@ -3437,6 +3473,44 @@ object SparkEntry {
        |  GROUP BY tf.doc_id)
        |SELECT doc_id, round(score, 4) AS doc_rank FROM scored
        |ORDER BY doc_rank DESC, doc_id LIMIT 10""".stripMargin
+
+  /** The trained-classifier replay (GD rounds unrolled CTE-by-CTE),
+    * WITHOUT a final ORDER BY so it serves both as the declared
+    * text_quality_classifier oracle (order appended) and as the scored
+    * subquery of the calibration report. */
+  private lazy val classifierScoredSql: String = {
+    val iters = TextAnalysis.ClassifierIters
+    val markers = TextAnalysis.LangMarkers("en")
+      .map(m => s"'$m'").mkString(", ")
+    val sig = (w: String) =>
+      s"1.0/(1.0+exp(-($w.w0 + $w.w1*x1 + $w.w2*x2)))"
+    val rounds = (1 to iters).map { t =>
+      val prev = s"ww${t - 1}"
+      s"""gg$t AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+         |  CAST(sum(CAST((${sig(prev)} - y) AS DECIMAL(28,18))) AS DOUBLE) AS g0,
+         |  CAST(sum(CAST((${sig(prev)} - y) * x1 AS DECIMAL(28,18))) AS DOUBLE) AS g1,
+         |  CAST(sum(CAST((${sig(prev)} - y) * x2 AS DECIMAL(28,18))) AS DOUBLE) AS g2
+         |  FROM f CROSS JOIN $prev),
+         |ww$t AS (SELECT round($prev.w0 - 1.0 * (g0 / n), 12) AS w0,
+         |  round($prev.w1 - 1.0 * (g1 / n), 12) AS w1,
+         |  round($prev.w2 - 1.0 * (g2 / n), 12) AS w2
+         |  FROM gg$t CROSS JOIN $prev)""".stripMargin
+    }.mkString(",\n")
+    val wf = s"ww$iters"
+    s"""WITH f AS (SELECT doc_id,
+       |    CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y,
+       |    CASE WHEN len(tk) = 0 THEN CAST(0 AS DOUBLE)
+       |         ELSE CAST(len(list_filter(tk, t -> t IN ($markers))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) END AS x1,
+       |    CASE WHEN len(tk) = 0 THEN CAST(0 AS DOUBLE)
+       |         ELSE CAST(len(array_to_string(tk, '')) AS DOUBLE) / CAST(len(tk) AS DOUBLE) END AS x2
+       |  FROM (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents)),
+       |ww0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1, CAST(0 AS DOUBLE) AS w2),
+       |$rounds
+       |SELECT doc_id, CAST(y AS INT) AS label,
+       |  round(${sig(wf)}, 4) AS score,
+       |  CASE WHEN round(${sig(wf)}, 4) >= 0.5 THEN 1 ELSE 0 END AS pred
+       |FROM f CROSS JOIN $wf""".stripMargin
+  }
 
   private def bm25OracleSql(termsInList: String): String =
     s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),

@@ -73,6 +73,64 @@ object BM25 {
     rank(qtf, qdf, dl, stats, k1, b, topK)
   }
 
+  /** EXACT top-k with WAND/MaxScore-style candidate pruning (Broder'03 /
+    * Turtle-Flood'95, re-expressed as a batch plan): a cheap bound pass
+    * shrinks the doc set the full scoring chain runs on, and the result
+    * is PROVABLY identical to `search` — the declared oracle is the plain
+    * exact BM25 chain.
+    *
+    * Two phases. (1) Bounds: each term's score is capped by
+    * idf·(k1+1) (the tf→∞ limit of A7, monotone in tf with the dl term
+    * at its floor), so a doc's score is capped by the sum of caps of the
+    * query terms it CONTAINS — computable from postings alone, before
+    * the dl/stats joins and float chain. The pruning threshold θ is the
+    * k-th exact score of the champion-list candidates (a subset, so its
+    * k-th best is ≤ the true k-th best; one topK-row driver read, the
+    * kmeansFit scalar discipline). (2) Verify: docs with cap-sum ≥
+    * θ − margin run the exact J1/J2 scoring tail; every champion doc
+    * passes its own bound, so the candidate set always covers top-k.
+    * The margin (1e-3) guards the final round(4)+doc_id tie-break: a doc
+    * whose unrounded score sits within rounding distance of θ can still
+    * win a tie, so it must not be pruned.
+    *
+    * Scale notes (100 TB): the bound pass touches ONLY the query-term
+    * postings joined to a |terms|-row broadcast of caps — no doc-length
+    * join, no corpus stats, no transcendentals — and at serving scale the
+    * stored-index form prunes the same way off the postings buckets. The
+    * tf frame is localCheckpoint'ed once for its three consumers
+    * (champions, bounds, final scoring). */
+  def searchWand(spark: SparkSession, docs: DataFrame, query: String,
+                 k1: Double = 1.0, b: Double = 0.75,
+                 topK: Int = 10): DataFrame = {
+    import spark.implicits._
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+    val qTerms = terms.toSeq.toDF("term")
+    val tfAll = InvertedIndex.termFrequency(docs)
+    val tf = tfAll.join(broadcast(qTerms), Seq("term")).localCheckpoint(true)
+    val qdf = InvertedIndex.docFrequencyFromTf(tf)
+    val dl = InvertedIndex.docLengthFromTf(tfAll)
+    val stats = InvertedIndex.corpusInfo(docs)
+    // phase-1a: θ from the champions' EXACT scores (unrounded)
+    val champ = InvertedIndex.championListsFromTf(tf, topK)
+      .select("term", "doc_id", "term_frequency")
+    val champTop = scoreAll(champ, qdf, dl, stats, k1, b)
+      .orderBy(desc("score")).limit(topK).collect()
+    val theta =
+      if (champTop.length < topK) Double.NegativeInfinity
+      else champTop.last.getAs[Double]("score")
+    // phase-1b: per-term cap idf*(k1+1); candidate docs by cap-sum
+    val caps = qdf.crossJoin(broadcast(stats))
+      .select(col("term"),
+        (log(col("doc_n").cast("double") / col("doc_frequency")) *
+          lit(k1 + 1)).as("__cap"))
+    val cand = tf.join(broadcast(caps), Seq("term"))
+      .groupBy("doc_id").agg(sum("__cap").as("__cap_sum"))
+      .filter(col("__cap_sum") >= lit(theta - 1e-3))
+      .select("doc_id")
+    // phase-2: exact scoring on the pruned doc set only
+    rank(tf.join(cand, Seq("doc_id"), "leftsemi"), qdf, dl, stats, k1, b, topK)
+  }
+
   /** BM25 search served from a persisted IndexStore — no recompute; the
     * term predicate partition-prunes the postings scan to the query terms'
     * hash buckets (the Cassandra-token-routing equivalent). The bucket

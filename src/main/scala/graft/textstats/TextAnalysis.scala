@@ -856,6 +856,118 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Length-bucketed training-batch plan — the padding-efficiency layout
+    * pass: docs bucket by token-length band, deterministically shuffle
+    * within (bucket, shard) by seeded md5 (the hashSplit discipline), and
+    * group into fixed-size batches; per batch the plan reports the padded
+    * width and the padding waste a dataloader would pay. Bucketing by
+    * length is what makes the waste small; the report quantifies it.
+    *
+    * Scale notes (100 TB): ONE tokenize scan builds the narrow frame; the
+    * only window is a row_number per (bucket, shard) — the shard key
+    * bounds every window partition at corpus/shards like chunkSequences,
+    * never a global sort. Batch membership is a pure function of
+    * (doc_id, seed, bands): stable under repartition and appends within
+    * a shard. */
+  def batchPlan(docs: DataFrame, bucketTokens: Int = 16, batchDocs: Int = 8,
+                shards: Int = 4, seed: Long = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frame = docs
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        md5(concat(col("doc_id").cast("string"), lit(s":$seed"))).as("__k"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("bucket",
+        floor((col("n_tokens") - 1) / bucketTokens).cast("int"))
+      .withColumn("shard",
+        (graft.sources.Sampling.hex8Int(col("__k")) % shards).cast("int"))
+    val win = Window.partitionBy("bucket", "shard").orderBy("__k", "doc_id")
+    frame
+      .withColumn("batch_id",
+        floor((row_number().over(win) - 1) / batchDocs).cast("long"))
+      .groupBy("bucket", "shard", "batch_id")
+      .agg(count(lit(1)).as("n_docs"), max("n_tokens").as("max_tokens"),
+        sum("n_tokens").as("sum_tokens"))
+      .select(col("bucket"), col("shard"), col("batch_id"), col("n_docs"),
+        col("max_tokens"),
+        round(lit(1.0) - col("sum_tokens").cast("double") /
+          (col("n_docs") * col("max_tokens")).cast("double"), 4)
+          .as("pad_frac"))
+      .orderBy("bucket", "shard", "batch_id")
+  }
+
+  /** Windowed PMI collocation mining (Church-Hanks'90): pointwise mutual
+    * information of unordered token pairs co-occurring within `window`
+    * positions, the classic multi-word-expression/phrase-vocabulary
+    * detector a tokenizer-training pipeline runs beside BPE. Pair
+    * generation is `window` array slices zipped per doc — O(window·tokens)
+    * rows, never a per-doc position cross product; pairs are canonical
+    * (least, greatest). PMI = ln((c_ab/T)/((c_a/N)·(c_b/N))) over corpus
+    * totals, reported for the top-k pairs by (rounded PMI, pair) above a
+    * count floor.
+    *
+    * Scale notes (100 TB): one exchange keyed by pair for the pair
+    * counts, one keyed by token for the unigram counts; T and N are
+    * 1-row broadcast sides and the top-k is TakeOrderedAndProject. */
+  def pmiPairs(docs: DataFrame, window: Int = 3, minCount: Long = 5,
+               k: Int = 30): DataFrame = {
+    val tk = toks
+    val pairArms = (1 to window).map { off =>
+      docs.select(explode(zip_with(
+        slice(tk, lit(1), greatest(size(tk) - off, lit(0))),
+        slice(tk, lit(off + 1), greatest(size(tk) - off, lit(0))),
+        (a, b) => struct(least(a, b).as("a"), greatest(a, b).as("b"))))
+        .as("p"))
+    }
+    val pairs = pairArms.reduce(_ unionByName _)
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val pc = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val tc = docs.select(explode(tk).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c_t"))
+    val totPairs = pc.agg(sum("c_ab").as("__T"))
+    val totToks = tc.agg(sum("c_t").as("__N"))
+    pc.filter(col("c_ab") >= minCount)
+      .join(tc.select(col("t").as("a"), col("c_t").as("c_a")), Seq("a"))
+      .join(tc.select(col("t").as("b"), col("c_t").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(totPairs)).crossJoin(broadcast(totToks))
+      .select(col("a"), col("b"), col("c_ab"),
+        round(log((col("c_ab").cast("double") / col("__T")) /
+          ((col("c_a").cast("double") / col("__N")) *
+            (col("c_b").cast("double") / col("__N")))), 4).as("pmi"))
+      .orderBy(desc("pmi"), col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** Calibration report for the trained quality classifier — the
+    * reliability diagram behind "can we trust the scores as
+    * probabilities": scores bucketed into 10 bins, each bin's mean
+    * predicted probability vs its observed positive rate, and the gap
+    * (the per-bin ECE contribution). Bin means accumulate the round(4)
+    * scores as DECIMAL so the sums are partition-order-independent
+    * (the kmeansFit discipline); the single division and final round are
+    * one IEEE op each on both engines.
+    *
+    * Scale notes (100 TB): scoring is the classifier's scan with literal
+    * weights; the report is one partial+final aggregate to ≤ 10 rows. */
+  def classifierCalibration(docs: DataFrame,
+                            targetLang: String = "en"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(18, 4)
+    logisticQualityScores(docs, targetLang)
+      .withColumn("bin", least(floor(col("score") * 10).cast("int"), lit(9)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("score").cast(dec)).as("__ssum"),
+        sum(col("label").cast("long")).as("__pos"))
+      .select(col("bin"), col("n_docs"),
+        round(col("__ssum").cast("double") / col("n_docs"), 4)
+          .as("mean_score"),
+        round(col("__pos").cast("double") / col("n_docs"), 4)
+          .as("frac_positive"),
+        round(abs(col("__ssum").cast("double") / col("n_docs") -
+          col("__pos").cast("double") / col("n_docs")), 4).as("gap"))
+      .orderBy("bin")
+  }
+
   /** C4-style blocklist filter (Raffel'20 §2.2 removes any page containing
     * a "bad words" list hit). Per doc: total tokens, blocked-token
     * occurrences, distinct blocked terms, and the drop/keep verdict (C4

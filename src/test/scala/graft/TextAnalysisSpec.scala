@@ -346,4 +346,60 @@ class TextAnalysisSpec extends SparkSpec {
     out.sliding(2).foreach { w =>
       if (w.length == 2) assert(w(1)._1 > w(0)._2 + 1) }
   }
+
+  test("batch plan: buckets by length band, batches in md5 order, exact pad waste") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // 5 docs in band 0 (<=16 tokens), batchDocs=2, one shard -> batches of
+    // sizes 2,2,1 in hash order; one long doc lands alone in band 1
+    val docs = (Seq((10L, 20), (1L, 3), (2L, 5), (3L, 7), (4L, 9), (5L, 11)))
+      .map { case (id, n) => (id, Seq.fill(n)("w").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.batchPlan(docs, 16, 2, 1, 7L)
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val order = Seq(1L, 2L, 3L, 4L, 5L).sortBy(i => (md5hex(s"$i:7"), i))
+    val lens = Map(1L -> 3L, 2L -> 5L, 3L -> 7L, 4L -> 9L, 5L -> 11L)
+    val expected = order.grouped(2).zipWithIndex.map { case (g, bi) =>
+      val ls = g.map(lens)
+      (0, bi.toLong, g.size.toLong, ls.max,
+        BigDecimal(1.0 - ls.sum.toDouble / (g.size * ls.max))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq :+ ((1, 0L, 1L, 20L, 0.0))
+    assert(out.toSeq == expected)
+  }
+
+  test("PMI: the planted collocation outranks independent fillers") {
+    // 'new york' always adjacent (perfect collocation); 'aa'/'bb' appear
+    // often but never within the window of each other more than chance
+    val docs = (1L to 10L).map(i =>
+      (i, s"new york f$i g$i h$i aa k$i l$i m$i bb"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.pmiPairs(docs, 3, 5, 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.head._1 == "new" && out.head._2 == "york" && out.head._3 == 10L)
+    // every reported pair hit the count floor
+    assert(out.forall(_._3 >= 5L))
+    // replay the top PMI by hand: c_ab=10, T=total pair slots, N=tokens
+    val T = 10L * (9 + 8 + 7)   // 10 docs x (len-1 + len-2 + len-3), len=10
+    val N = 100L
+    val exp = math.log((10.0 / T) / ((10.0 / N) * (10.0 / N)))
+    val expR = BigDecimal(exp).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.head._4 == expR)
+  }
+
+  test("classifier calibration: bins partition the corpus, gap = |mean - frac|") {
+    val docs = table(spark, "/root/testdata/sf0.001", "documents")
+    val out = TextAnalysis.classifierCalibration(docs)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.map(_._2).sum == 500L)
+    out.foreach { case (bin, _, mean, frac, gap) =>
+      assert(bin >= 0 && bin <= 9)
+      assert(mean >= 0.0 && mean <= 1.0 && frac >= 0.0 && frac <= 1.0)
+      assert(math.abs(gap - math.abs(mean - frac)) <= 1e-3)
+    }
+  }
 }

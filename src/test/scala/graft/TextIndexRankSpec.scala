@@ -214,4 +214,27 @@ class TextIndexRankSpec extends SparkSpec {
       (1L, Some(1), Some(3), rrf(Seq(1, 3))),
       (3L, None, Some(2), rrf(Seq(2)))))
   }
+
+  test("WAND search equals the exact unpruned search on the real corpus") {
+    val docs = table(spark, "/root/testdata/sf0.001", "documents")
+    for (q <- Seq("spark join window", "hash merge stream", "the", "dup big"))
+      assert(
+        graft.rank.BM25.searchWand(spark, docs, q).collect().toSeq ==
+          graft.rank.BM25.search(spark, docs, q).collect().toSeq, s"query: $q")
+  }
+
+  test("WAND pruning is lossless when the bound pass can drop most docs") {
+    // 30 docs mention only 'filler'; 3 docs carry the query terms with
+    // distinct tf -> theta from champions prunes every filler doc (their
+    // cap-sum is 0 < theta), and the result still equals exact search
+    val docs = ((1L to 30L).map(i => (i, "filler " * 5)) ++ Seq(
+      (31L, "alpha beta alpha filler"),
+      (32L, "alpha filler filler filler"),
+      (33L, "beta beta filler"))).toDF("doc_id", "text")
+    val wand = graft.rank.BM25.searchWand(spark, docs, "alpha beta", topK = 2)
+      .collect().toSeq
+    val exact = graft.rank.BM25.search(spark, docs, "alpha beta", topK = 2)
+      .collect().toSeq
+    assert(wand == exact && wand.nonEmpty)
+  }
 }
