@@ -669,6 +669,15 @@ object SparkEntry {
       Similarity.kmeansFitReport(table(s, dir, "embeddings"))),
     // dedup-family member of the trained partition: within-cell cosine
     // pairs — learned buckets instead of random hyperplanes
+    // SemDeDup-family prototype pruning: per trained cell, the keepK
+    // most-central vectors stay; assignment is the broadcast-fold argmax
+    "sim_cell_prune" -> ((s, dir) =>
+      Similarity.cellPrune(table(s, dir, "embeddings"))),
+    // banding-curve calibration: observed banded-LSH catch rate per
+    // cosine bucket vs the 1-(1-p^r)^b theory (evaluation op: the brute
+    // arm is ground truth, the annRecallAtK standing)
+    "sim_lsh_calibration" -> ((s, dir) =>
+      Similarity.lshCalibration(table(s, dir, "embeddings"))),
     "dedup_semantic_pairs" -> ((s, dir) =>
       Similarity.semanticDedupPairs(table(s, dir, "embeddings"))),
     // IVF-PQ composition (round-5): trained coarse cells + residual PQ,
@@ -800,6 +809,10 @@ object SparkEntry {
     // from an md5 coin per (doc, pos) at 15%
     "text_span_corruption" -> ((s, dir) =>
       TextAnalysis.spanCorruptionPlan(table(s, dir, "documents"), 15, 17L)),
+    // checksum-gated PII: 16-digit runs validated by Luhn (planted
+    // valid/invalid fixture — the corpus has no digit runs)
+    "text_luhn_pii" -> ((s, dir) =>
+      TextAnalysis.luhnCardScan(table(s, dir, "documents"))),
     "text_chunks" -> ((s, dir) =>
       TextAnalysis.chunkDocuments(table(s, dir, "documents"), 64, 16)),
     "text_pack_bins" -> ((s, dir) =>
@@ -2303,20 +2316,7 @@ object SparkEntry {
     // by the identical x/sqrt(dot) tree Spark uses; empty cells keep the
     // previous centroid via the LEFT JOIN + COALESCE.
     "sim_kmeans_fit" -> {
-      val rounds = (1 to 3).map { t =>
-        val prev = if (t == 1) "ct0" else s"ct${t - 1}"
-        s"""a$t AS (SELECT vec_id, u, cell_id FROM (
-           |  SELECT e.vec_id, e.u, c.cell_id,
-           |         row_number() OVER (PARTITION BY e.vec_id
-           |           ORDER BY list_dot_product(e.u, c.cu) DESC, c.cell_id) AS rn
-           |  FROM e CROSS JOIN $prev c) WHERE rn = 1),
-           |s$t AS (SELECT cell_id, d, CAST(sum(CAST(u[d] AS DECIMAL(28,18))) AS DOUBLE) AS sd
-           |        FROM a$t, generate_series(1, 64) g(d) GROUP BY cell_id, d),
-           |m$t AS (SELECT cell_id, list(sd ORDER BY d) AS m FROM s$t GROUP BY cell_id),
-           |ct$t AS (SELECT p.cell_id,
-           |           COALESCE(list_transform(m$t.m, x -> x / sqrt(list_dot_product(m$t.m, m$t.m))), p.cu) AS cu
-           |         FROM $prev p LEFT JOIN m$t USING (cell_id))""".stripMargin
-      }.mkString(",\n")
+      val rounds = kmeansRoundsSql
       s"""WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |e1 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),
          |e AS (SELECT vec_id, list_transform(v, x -> x/nrm) AS u FROM e1),
@@ -2358,21 +2358,58 @@ object SparkEntry {
     },
     // same unrolled 3-iteration kmeans as sim_kmeans_fit, plus a final
     // assignment against the trained ct3 and a within-cell self-join
+    // the shared kmeans unroll + final assignment, centroid cosine from
+    // ct3, row_number per cell (cos DESC, vec_id) at keepK=20
+    "sim_cell_prune" -> {
+      val rounds = kmeansRoundsSql
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |e1 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),
+         |e AS (SELECT vec_id, list_transform(v, x -> x/nrm) AS u FROM e1),
+         |c0s AS (SELECT vec_id, u, md5(CAST(vec_id AS VARCHAR) || ':7') AS ck FROM e ORDER BY ck, vec_id LIMIT 16),
+         |ct0 AS (SELECT CAST(row_number() OVER (ORDER BY ck, vec_id) AS INT) AS cell_id, u AS cu FROM c0s),
+         |$rounds,
+         |a4 AS (SELECT vec_id, u, cell_id FROM (
+         |  SELECT e.vec_id, e.u, c.cell_id,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY list_dot_product(e.u, c.cu) DESC, c.cell_id) AS rn
+         |  FROM e CROSS JOIN ct3 c) WHERE rn = 1),
+         |ranked AS (SELECT a4.vec_id, a4.cell_id,
+         |    list_dot_product(a4.u, c.cu) AS cs,
+         |    row_number() OVER (PARTITION BY a4.cell_id
+         |      ORDER BY list_dot_product(a4.u, c.cu) DESC, a4.vec_id) AS rk
+         |  FROM a4 JOIN ct3 c USING (cell_id))
+         |SELECT vec_id, cell_id, round(cs, 4) AS centroid_cos,
+         |  CASE WHEN rk <= 20 THEN 'kept' ELSE 'pruned' END AS verdict
+         |FROM ranked ORDER BY vec_id""".stripMargin
+    },
+    // brute all-pairs cosine (ground truth) vs the 4x8 banded buckets;
+    // theory term = 1-(1-(1-acos(mid)/pi)^8)^4 at the bucket center
+    "sim_lsh_calibration" ->
+      """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |bands AS (SELECT unnest(generate_series(0, 3)) AS band),
+        |bk AS (SELECT vec_id, band,
+        |  list_sum(list_transform(generate_series(0, 7), jj ->
+        |    CASE WHEN list_sum(list_transform(generate_series(1, 64), d ->
+        |      v[d] * CAST((((band*8 + jj)*31 + (d-1)*17) % 7) - 3 AS DOUBLE))) >= 0
+        |    THEN 1 << jj ELSE 0 END)) AS bucket
+        |  FROM e0 CROSS JOIN bands),
+        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |e1 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),
+        |e AS (SELECT vec_id, list_transform(v, x -> x/nrm) AS u FROM e1),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, list_dot_product(a.u, b.u) AS cs
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        |g AS (SELECT CAST(floor(cs*10) AS INT) AS cos_bucket,
+        |    count(*) AS n_pairs,
+        |    sum(CASE WHEN cand.vec_a IS NOT NULL THEN 1 ELSE 0 END) AS n_caught
+        |  FROM p LEFT JOIN cand USING (vec_a, vec_b) GROUP BY 1)
+        |SELECT cos_bucket, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(n_caught AS BIGINT) AS n_caught,
+        |  round(CAST(n_caught AS DOUBLE)/n_pairs, 4) AS observed,
+        |  round(1.0 - power(1.0 - power(1.0 - acos(least(greatest((CAST(cos_bucket AS DOUBLE)+0.5)/10.0, -1.0), 1.0))/pi(), 8), 4), 4) AS theoretical
+        |FROM g ORDER BY cos_bucket""".stripMargin,
     "dedup_semantic_pairs" -> {
-      val rounds = (1 to 3).map { t =>
-        val prev = if (t == 1) "ct0" else s"ct${t - 1}"
-        s"""a$t AS (SELECT vec_id, u, cell_id FROM (
-           |  SELECT e.vec_id, e.u, c.cell_id,
-           |         row_number() OVER (PARTITION BY e.vec_id
-           |           ORDER BY list_dot_product(e.u, c.cu) DESC, c.cell_id) AS rn
-           |  FROM e CROSS JOIN $prev c) WHERE rn = 1),
-           |s$t AS (SELECT cell_id, d, CAST(sum(CAST(u[d] AS DECIMAL(28,18))) AS DOUBLE) AS sd
-           |        FROM a$t, generate_series(1, 64) g(d) GROUP BY cell_id, d),
-           |m$t AS (SELECT cell_id, list(sd ORDER BY d) AS m FROM s$t GROUP BY cell_id),
-           |ct$t AS (SELECT p.cell_id,
-           |           COALESCE(list_transform(m$t.m, x -> x / sqrt(list_dot_product(m$t.m, m$t.m))), p.cu) AS cu
-           |         FROM $prev p LEFT JOIN m$t USING (cell_id))""".stripMargin
-      }.mkString(",\n")
+      val rounds = kmeansRoundsSql
       s"""WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |e1 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),
          |e AS (SELECT vec_id, list_transform(v, x -> x/nrm) AS u FROM e1),
@@ -2396,20 +2433,7 @@ object SparkEntry {
     // argmin with (d2, code_id) tie-break, and qc + ordered list_sum —
     // every stage of the composed index recomputed independently in SQL.
     "sim_ann_ivfpq" -> {
-      val rounds = (1 to 3).map { t =>
-        val prev = if (t == 1) "ct0" else s"ct${t - 1}"
-        s"""a$t AS (SELECT vec_id, u, cell_id FROM (
-           |  SELECT e.vec_id, e.u, c.cell_id,
-           |         row_number() OVER (PARTITION BY e.vec_id
-           |           ORDER BY list_dot_product(e.u, c.cu) DESC, c.cell_id) AS rn
-           |  FROM e CROSS JOIN $prev c) WHERE rn = 1),
-           |s$t AS (SELECT cell_id, d, CAST(sum(CAST(u[d] AS DECIMAL(28,18))) AS DOUBLE) AS sd
-           |        FROM a$t, generate_series(1, 64) g(d) GROUP BY cell_id, d),
-           |m$t AS (SELECT cell_id, list(sd ORDER BY d) AS m FROM s$t GROUP BY cell_id),
-           |ct$t AS (SELECT p.cell_id,
-           |           COALESCE(list_transform(m$t.m, x -> x / sqrt(list_dot_product(m$t.m, m$t.m))), p.cu) AS cu
-           |         FROM $prev p LEFT JOIN m$t USING (cell_id))""".stripMargin
-      }.mkString(",\n")
+      val rounds = kmeansRoundsSql
       s"""WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |e1 AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),
          |e AS (SELECT vec_id, label, list_transform(v, x -> x/nrm) AS u FROM e1),
@@ -2801,6 +2825,37 @@ object SparkEntry {
         |    THEN round(CAST(n_novel AS DOUBLE)/n_ngrams, 4) END AS novelty
         |FROM t LEFT JOIN per USING (doc_id) WHERE t.source <> 'src0'
         |ORDER BY doc_id""".stripMargin,
+    // same planted-card arithmetic (hash base, computed Luhn check,
+    // off-by-one invalid), then the same 16-digit extraction + checksum
+    "text_luhn_pii" ->
+      """WITH base AS (SELECT doc_id, text,
+        |    '4' || lpad(CAST((doc_id * 2654435761) % 100000000000000 AS VARCHAR), 14, '0') AS b
+        |  FROM documents),
+        |gen AS (SELECT doc_id, text, b,
+        |    list_sum(list_transform(generate_series(0, 14), j ->
+        |      CASE WHEN j % 2 = 0 THEN
+        |        CASE WHEN CAST(substring(b, 15-j, 1) AS INT)*2 > 9
+        |          THEN CAST(substring(b, 15-j, 1) AS INT)*2 - 9
+        |          ELSE CAST(substring(b, 15-j, 1) AS INT)*2 END
+        |      ELSE CAST(substring(b, 15-j, 1) AS INT) END)) AS s
+        |  FROM base),
+        |planted AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 0 THEN text || ' card ' || b || CAST((10 - s % 10) % 10 AS VARCHAR)
+        |         WHEN doc_id % 9 = 1 THEN text || ' card ' || b || CAST(((10 - s % 10) % 10 + 1) % 10 AS VARCHAR)
+        |         ELSE text END AS text
+        |  FROM gen),
+        |c AS (SELECT doc_id, unnest(regexp_extract_all(text, '[0-9]{16}')) AS cand FROM planted),
+        |v AS (SELECT doc_id,
+        |    CASE WHEN list_sum(list_transform(generate_series(0, 15), i ->
+        |      CASE WHEN i % 2 = 1 THEN
+        |        CASE WHEN CAST(substring(cand, 16-i, 1) AS INT)*2 > 9
+        |          THEN CAST(substring(cand, 16-i, 1) AS INT)*2 - 9
+        |          ELSE CAST(substring(cand, 16-i, 1) AS INT)*2 END
+        |      ELSE CAST(substring(cand, 16-i, 1) AS INT) END)) % 10 = 0 THEN 1 ELSE 0 END AS ok
+        |  FROM c)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates,
+        |  CAST(sum(ok) AS BIGINT) AS n_valid
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // T5 denoising-plan replay: the hex8Int md5 coin per (doc, pos, seed
     // 17) at rate 15, then the same gaps-and-islands span merge
     "text_span_corruption" ->
@@ -3473,6 +3528,25 @@ object SparkEntry {
        |  GROUP BY tf.doc_id)
        |SELECT doc_id, round(score, 4) AS doc_rank FROM scored
        |ORDER BY doc_rank DESC, doc_id LIMIT 10""".stripMargin
+
+  /** The 3 unrolled Lloyd rounds every kmeans-backed oracle replays
+    * (assignment rank-1, per-dim decimal sums, renormalized centroids
+    * with empty-cell carry) — ONE spelling shared by semantic dedup,
+    * IVF-PQ, and cell pruning so the replays cannot drift. */
+  private lazy val kmeansRoundsSql: String = (1 to 3).map { t =>
+    val prev = if (t == 1) "ct0" else s"ct${t - 1}"
+    s"""a$t AS (SELECT vec_id, u, cell_id FROM (
+       |  SELECT e.vec_id, e.u, c.cell_id,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY list_dot_product(e.u, c.cu) DESC, c.cell_id) AS rn
+       |  FROM e CROSS JOIN $prev c) WHERE rn = 1),
+       |s$t AS (SELECT cell_id, d, CAST(sum(CAST(u[d] AS DECIMAL(28,18))) AS DOUBLE) AS sd
+       |        FROM a$t, generate_series(1, 64) g(d) GROUP BY cell_id, d),
+       |m$t AS (SELECT cell_id, list(sd ORDER BY d) AS m FROM s$t GROUP BY cell_id),
+       |ct$t AS (SELECT p.cell_id,
+       |           COALESCE(list_transform(m$t.m, x -> x / sqrt(list_dot_product(m$t.m, m$t.m))), p.cu) AS cu
+       |         FROM $prev p LEFT JOIN m$t USING (cell_id))""".stripMargin
+  }.mkString(",\n")
 
   /** The trained-classifier replay (GD rounds unrolled CTE-by-CTE),
     * WITHOUT a final ORDER BY so it serves both as the declared

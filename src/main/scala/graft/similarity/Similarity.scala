@@ -490,6 +490,90 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Prototype selection per trained cell (the SemDeDup-family pruning
+    * pass, Abbas'23: semantic redundancy is removed cell-by-cell): every
+    * vector is assigned to its trained k-means cell and ranked by cosine
+    * to the cell centroid; the `keepK` most prototypical stay, the rest
+    * are marked pruned. Ranking DESC keeps prototypes (the dedup-
+    * leaning dial); ASC would keep the diverse tail — one sort-order
+    * constant apart, same plan.
+    *
+    * Scale notes (100 TB): assignment is the shuffle-free broadcast-fold
+    * argmax; the centroid re-join is an nCells-row broadcast; the only
+    * exchange is the per-cell rank window, whose partitions are bounded
+    * by nCells sizing (grow nCells with the corpus, the IVF argument) —
+    * an over-dense cell is a plain skewed window partition, visible and
+    * salvageable, never a pair explosion. */
+  def cellPrune(embeddings: DataFrame, keepK: Int = 20, nCells: Int = 16,
+                iters: Int = 3, seed: Long = 7L, dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
+    val e = unitVecs(embeddings)
+    val fit = kmeansFit(embeddings, nCells, iters, seed, dims)
+      .localCheckpoint(true)
+    val cells = fit
+      .agg(array_sort(collect_list(struct(col("cell_id"), col("cu"))))
+        .as("cells"))
+    val win = Window.partitionBy("cell_id")
+      .orderBy(desc("__cos"), asc("vec_id"))
+    ivfAssign(e, cells)
+      .join(broadcast(fit.select(col("cell_id"), col("cu"))), Seq("cell_id"))
+      .withColumn("__cos", dot(col("u"), col("cu")))
+      .withColumn("__rk", row_number().over(win))
+      .select(col("vec_id"), col("cell_id"),
+        round(col("__cos"), 4).as("centroid_cos"),
+        when(col("__rk") <= keepK, "kept").otherwise("pruned").as("verdict"))
+      .orderBy("vec_id")
+  }
+
+  /** LSH banding-curve calibration — the tuning report for every banded
+    * sign-LSH consumer here (embedding near-dup, the contamination gate):
+    * per cosine bucket, the observed fraction of pairs the banded buckets
+    * catch vs the theoretical 1-(1-p^r)^b at the bucket center
+    * (p = 1 - θ/π per plane). This is an EVALUATION operator: the brute
+    * all-pairs arm is the definition of ground truth, same standing as
+    * annRecallAtK's exact arm — the declared near-dup queries never pay
+    * it. acos/pow carry 1-ulp engine noise; round(4) absorbs it (the
+    * bigramLm ln precedent). */
+  def lshCalibration(embeddings: DataFrame, dims: Int = 64,
+                     nPlanes: Int = 8, bands: Int = 4): DataFrame = {
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
+    val e = withUnitVec(
+      embeddings.select(col("vec_id"),
+        toDoubleVec(col("embedding")).as("v")), "v")
+      .select(col("vec_id"), col("v"), col("u"))
+    val banded = e.select(col("vec_id"), posexplode(
+      array((0 until bands).map(b =>
+        lshBucket(col("v"), dims, nPlanes, b * nPlanes)): _*))
+      .as(Seq("band", "bucket")))
+    val caught = banded.select(col("vec_id").as("vec_a"), col("band"), col("bucket"))
+      .join(banded.select(col("vec_id").as("vec_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+      .withColumn("__hit", lit(1L))
+    val pairs = e.select(col("vec_id").as("vec_a"), col("u").as("__ua"))
+      .crossJoin(e.select(col("vec_id").as("vec_b"), col("u").as("__ub")))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        dot(col("__ua"), col("__ub")).as("__cos"))
+    // clamp the bucket center into acos's domain: bucket 10 (exact dups)
+    // has center 1.05, which must read as angle 0, not NaN
+    val mid = least(greatest(
+      (col("cos_bucket").cast("double") + 0.5) / 10.0, lit(-1.0)), lit(1.0))
+    val pBand = pow(lit(1.0) - acos(mid) / lit(math.Pi), nPlanes)
+    pairs.join(caught, Seq("vec_a", "vec_b"), "left")
+      .withColumn("cos_bucket", floor(col("__cos") * 10).cast("int"))
+      .groupBy("cos_bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_caught"))
+      .select(col("cos_bucket"), col("n_pairs"), col("n_caught"),
+        round(col("n_caught").cast("double") / col("n_pairs"), 4)
+          .as("observed"),
+        round(lit(1.0) - pow(lit(1.0) - pBand, bands), 4).as("theoretical"))
+      .orderBy("cos_bucket")
+  }
+
   /** Int8 scalar quantization fidelity report: each vector is symmetrically
     * quantized to [-127, 127] (per-vector scale = 127 / max |x|, round-half-up
     * via floor(x*s + 0.5) — spelled identically in the oracle so the

@@ -856,6 +856,65 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Luhn doubling step: 2d, minus 9 when it overflows a digit. */
+  private def luhnDoubled(d: Column): Column =
+    when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+
+  /** Deterministic credit-card fixture: the corpus has no digit runs, so
+    * the PII scan plants its own — docs with doc_id % 9 == 0 get a VALID
+    * 16-digit card (4 + 14 hash digits + computed Luhn check), docs with
+    * doc_id % 9 == 1 get the same number with the check digit off by one
+    * (a 16-digit run that MUST fail validation). Pure column ops; the
+    * oracle replants with identical arithmetic (the withSyntheticExcerpts
+    * pattern). */
+  private[graft] def withSyntheticCards(docs: DataFrame): DataFrame = {
+    val base = concat(lit("4"), lpad(
+      pmod(col("doc_id") * lit(2654435761L), lit(100000000000000L))
+        .cast("string"), 14, "0"))
+    // base digit j-from-right (0-based) sits at final position j+2, so it
+    // doubles when j is even (Luhn doubles every 2nd digit from the right)
+    val sBase = aggregate(sequence(lit(0), lit(14)), lit(0), (acc, j) => {
+      val d = base.substr(lit(15) - j, lit(1)).cast("int")
+      acc + when(j % 2 === 0, luhnDoubled(d)).otherwise(d)
+    })
+    val check = pmod(lit(10) - pmod(sBase, lit(10)), lit(10))
+    docs.withColumn("text",
+      when(col("doc_id") % 9 === 0,
+        concat(col("text"), lit(" card "), base, check.cast("string")))
+        .when(col("doc_id") % 9 === 1,
+          concat(col("text"), lit(" card "), base,
+            pmod(check + 1, lit(10)).cast("string")))
+        .otherwise(col("text")))
+  }
+
+  /** Credit-card PII scan with Luhn validation — the checksum-gated PII
+    * class the regex-only redactPii family can't express: 16-digit runs
+    * are candidates, and only those whose Luhn checksum verifies count as
+    * card numbers (the false-positive filter every real PII pipeline
+    * applies to digit runs). Both the extraction and the checksum are one
+    * codegen projection (regexp_extract_all + an aggregate fold over the
+    * 16 digits); no joins, no shuffle before the output sort.
+    *
+    * Emits docs with at least one candidate run: (doc_id, n_candidates,
+    * n_valid) — on the planted fixture every %9==0 doc validates and
+    * every %9==1 doc does not. */
+  def luhnCardScan(docs: DataFrame): DataFrame = {
+    val withCards = withSyntheticCards(docs)
+    val cands = regexp_extract_all(col("text"), lit("[0-9]{16}"), lit(0))
+    val valid = filter(cands, c => {
+      val s = aggregate(sequence(lit(0), lit(15)), lit(0), (acc, i) => {
+        val d = c.substr(lit(16) - i, lit(1)).cast("int")
+        acc + when(i % 2 === 1, luhnDoubled(d)).otherwise(d)
+      })
+      pmod(s, lit(10)) === 0
+    })
+    withCards.select(col("doc_id"),
+        size(cands).cast("long").as("n_candidates"),
+        size(valid).cast("long").as("n_valid"))
+      .filter(col("n_candidates") > 0)
+      .orderBy("doc_id")
+  }
+
   /** Length-bucketed training-batch plan — the padding-efficiency layout
     * pass: docs bucket by token-length band, deterministically shuffle
     * within (bucket, shard) by seeded md5 (the hashSplit discipline), and

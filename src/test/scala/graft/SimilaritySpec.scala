@@ -502,4 +502,43 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq((1, 0.6, 62.5), (2, 0.8, 62.5),
       (3, 0.0, 62.5), (4, 0.0, 62.5)))
   }
+
+  test("cell prune: keepK most-central per cell, everything else pruned") {
+    val rows = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(64)(d => math.sin(i * 64 + d).toFloat), i % 5)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.cellPrune(emb, keepK = 2, nCells = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getString(3)))
+    assert(out.map(_._1).toSeq == (0L until 40L).toSeq)   // covers every vector
+    out.groupBy(_._2).foreach { case (cell, members) =>
+      val kept = members.filter(_._4 == "kept")
+      assert(kept.length == math.min(2, members.length), s"cell $cell")
+      // every kept row outranks (or ties at round-4 with) every pruned row
+      val minKept = kept.map(_._3).min
+      val maxPruned = members.filter(_._4 == "pruned")
+        .map(_._3).foldLeft(Double.NegativeInfinity)(math.max)
+      assert(minKept >= maxPruned - 1e-4, s"cell $cell")
+    }
+  }
+
+  test("LSH calibration: identical vectors are always caught, counts are exact") {
+    // 3 copies of one direction + 3 of an orthogonal one: 6 within-pairs
+    // at cosine 1.0 (identical sign buckets in every band -> observed 1.0),
+    // 9 cross-pairs at cosine 0.0
+    val a = Array.tabulate(64)(d => math.sin(d + 1).toFloat)
+    val b = Array.tabulate(64)(d =>
+      (if (d % 2 == 0) a(d + 1) else -a(d - 1)))
+    val emb = (0 until 3).map(i => (i.toLong, a)) ++
+      (3 until 6).map(i => (i.toLong, b))
+    val out = Similarity.lshCalibration(emb.toDF("vec_id", "embedding"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val top = out(10)                      // cos 1.0 -> floor(10.0) = 10
+    assert(top._1 == 6L && top._2 == 6L && top._3 == 1.0)
+    assert(out(0)._1 == 9L)               // orthogonal pairs land in [0, 0.1)
+    // theory is monotone in the bucket center
+    assert(out(10)._4 >= out(0)._4)
+  }
 }

@@ -402,4 +402,18 @@ class TextAnalysisSpec extends SparkSpec {
       assert(math.abs(gap - math.abs(mean - frac)) <= 1e-3)
     }
   }
+
+  test("Luhn scan: planted valid cards verify, off-by-one checks fail, known card detected") {
+    // doc 0 -> planted valid; doc 1 -> planted invalid; doc 2 carries the
+    // canonical test card in its own text (no planting at doc_id % 9 == 2)
+    val docs = Seq(
+      (0L, "some text"),
+      (1L, "other text"),
+      (2L, "pay with 4111111111111111 today"),
+      (3L, "no digits here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.luhnCardScan(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((0L, 1L, 1L), (1L, 1L, 0L), (2L, 1L, 1L)))
+  }
 }
