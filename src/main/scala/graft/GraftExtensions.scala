@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{BigramsExpr, DotProductExpr, ImageDimsExpr, ImageFunctions, ShinglesExpr, TextFunctions, UnitVectorExpr, VectorFunctions}
+import graft.functions.{AudioMetaExpr, BigramsExpr, DotProductExpr, ImageDimsExpr, ImageFunctions, MediaFunctions, ShinglesExpr, TextFunctions, UnitVectorExpr, VectorFunctions, VideoMetaExpr}
 
 /** Library packaging for the native functions: sessions built with
   * `spark.sql.extensions=graft.GraftExtensions` (or
@@ -33,6 +33,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(ImageFunctions.DimsName),
       new ExpressionInfo(classOf[ImageDimsExpr].getName, ImageFunctions.DimsName),
       ImageFunctions.dimsBuilder))
+    ext.injectFunction((
+      FunctionIdentifier(MediaFunctions.AudioName),
+      new ExpressionInfo(classOf[AudioMetaExpr].getName, MediaFunctions.AudioName),
+      MediaFunctions.audioBuilder))
+    ext.injectFunction((
+      FunctionIdentifier(MediaFunctions.VideoName),
+      new ExpressionInfo(classOf[VideoMetaExpr].getName, MediaFunctions.VideoName),
+      MediaFunctions.videoBuilder))
     // optimizer rewrite: |a-b| <= tol inequality joins -> banded equi-joins
     ext.injectOptimizerRule(_ => graft.plans.BandedRangeJoinRule)
     // planner strategy: AsOfJoinNode -> AsOfJoinExec (sort-merge as-of)

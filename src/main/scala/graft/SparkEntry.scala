@@ -863,6 +863,22 @@ object SparkEntry {
     "mm_image_meta" -> ((s, dir) =>
       Multimodal.imageMeta(
         Multimodal.syntheticImageCorpus(table(s, dir, "documents")))),
+    // REAL audio decode: header-valid WAV binaries (RIFF envelope, a
+    // variable-length LIST chunk with the odd-size pad rule, PCM fmt,
+    // data) assembled from doc fields, then the codegen graft_audio_meta
+    // expression walks the chunk list and recovers the PCM params +
+    // duration from the BYTES. The oracle re-assembles the same hex and
+    // walks it independently (recursive-CTE chunk walk, LE reads).
+    "mm_audio_meta" -> ((s, dir) =>
+      Multimodal.audioMeta(
+        Multimodal.syntheticAudioCorpus(table(s, dir, "documents")))),
+    // REAL video decode: structure-valid MP4 binaries (ftyp, a free box
+    // that uses a 64-bit largesize on every 5th row, moov with mvhd v0/v1
+    // + 1..3 trak stubs), parsed back by the codegen graft_video_meta box
+    // walk. The oracle walks the same bytes with recursive CTEs.
+    "mm_video_meta" -> ((s, dir) =>
+      Multimodal.videoMeta(
+        Multimodal.syntheticVideoCorpus(table(s, dir, "documents")))),
 
     // ---- corpus sampling + stored-index serving (round-2 additions) ----
     // S3 replacement: seeded deterministic sample — stable under partition
@@ -3166,6 +3182,141 @@ object SparkEntry {
         |SELECT media_id, format, width, height, bit_depth
         |FROM (SELECT * FROM png UNION ALL SELECT * FROM jpeg)
         |ORDER BY media_id""".stripMargin,
+    // independent byte-level parse: re-assemble the same WAV hex, then a
+    // recursive-CTE RIFF chunk walk (advance = 8 + size + size%2 — the
+    // even-boundary pad rule) locates `fmt ` and `data`; all multi-byte
+    // fields are LITTLE-endian, read as positional byte sums. Durations
+    // are exact integer divisions on both engines.
+    "mm_audio_meta" -> {
+      // LE u{16,32} read at byte offset `pos` of the hex string `hx`
+      def le(pos: String, n: Int): String =
+        (0 until n).map(i =>
+          s"${1L << (8 * i)} * CAST('0x' || substring(hx, CAST(2*(($pos) + $i) + 1 AS INT), 2) AS BIGINT)")
+          .mkString("(", " + ", ")")
+      // LE hex encoding of value `v` over n bytes (assembly side)
+      def leh(v: String, n: Int): String =
+        (0 until n).map(i =>
+          s"lpad(to_hex((($v) // ${1L << (8 * i)}) % 256), 2, '0')")
+          .mkString(" || ")
+      s"""WITH RECURSIVE base AS (
+         |  SELECT doc_id AS media_id,
+         |    CAST(doc_id % 2 + 1 AS BIGINT) AS ch,
+         |    CAST((doc_id % 3 + 1) * 8 AS BIGINT) AS bits,
+         |    CAST(8000 + (doc_id % 5) * 11025 AS BIGINT) AS rate,
+         |    CAST(doc_id % 7 AS BIGINT) AS k,
+         |    CAST(doc_id % 9 + 1 AS BIGINT) AS ns,
+         |    CAST((doc_id % 2 + 1) * (doc_id % 3 + 1) AS BIGINT) AS blk
+         |  FROM documents),
+         |hb AS (
+         |  SELECT media_id,
+         |    upper('52494646' || ${leh("4 + (8 + k + k % 2) + 24 + 8 + blk * ns", 4)} || '57415645' ||
+         |    '4C495354' || ${leh("k", 4)} ||
+         |    substring('41414141414141', 1, CAST(2*k AS INT)) ||
+         |    CASE WHEN k % 2 = 1 THEN '00' ELSE '' END ||
+         |    '666D7420' || ${leh("16", 4)} || ${leh("1", 2)} || ${leh("ch", 2)} ||
+         |    ${leh("rate", 4)} || ${leh("rate * blk", 4)} || ${leh("blk", 2)} || ${leh("bits", 2)} ||
+         |    '64617461' || ${leh("blk * ns", 4)} || repeat('00', CAST(blk * ns AS INT))) AS hx
+         |  FROM base),
+         |walk AS (
+         |  SELECT media_id, hx, CAST(12 AS BIGINT) AS pos FROM hb
+         |  WHERE substring(hx, 1, 8) = '52494646' AND substring(hx, 17, 8) = '57415645'
+         |  UNION ALL
+         |  SELECT media_id, hx, pos + 8 + sz + (sz % 2)
+         |  FROM (SELECT media_id, hx, pos, ${le("pos + 4", 4)} AS sz FROM walk) s
+         |  WHERE 2*(pos + 8) <= length(hx)),
+         |fmtc AS (
+         |  SELECT media_id,
+         |    CAST(${le("pos + 8", 2)} AS INT) AS audio_format,
+         |    CAST(${le("pos + 10", 2)} AS INT) AS channels,
+         |    ${le("pos + 12", 4)} AS rate,
+         |    ${le("pos + 20", 2)} AS blk,
+         |    CAST(${le("pos + 22", 2)} AS INT) AS bits_per_sample
+         |  FROM walk
+         |  WHERE 2*(pos + 8) <= length(hx)
+         |    AND substring(hx, CAST(2*pos + 1 AS INT), 8) = '666D7420'),
+         |datac AS (
+         |  SELECT media_id, ${le("pos + 4", 4)} AS data_size FROM walk
+         |  WHERE 2*(pos + 8) <= length(hx)
+         |    AND substring(hx, CAST(2*pos + 1 AS INT), 8) = '64617461')
+         |SELECT media_id, 'wav' AS format, audio_format, channels,
+         |  CAST(rate AS INT) AS sample_rate, bits_per_sample,
+         |  CAST(data_size // blk AS BIGINT) AS n_samples,
+         |  CAST((data_size // blk) * 1000 // rate AS BIGINT) AS duration_ms
+         |FROM fmtc JOIN datac USING (media_id)
+         |ORDER BY media_id""".stripMargin
+    },
+    // independent byte-level parse: re-assemble the same MP4 hex, walk the
+    // top-level box list with a recursive CTE (64-bit largesize honored
+    // when size == 1), then walk moov's children for mvhd (v0/v1 field
+    // layouts) and the trak count. All reads are big-endian '0x' casts.
+    "mm_video_meta" -> {
+      def be(pos: String, nBytes: Int): String =
+        s"CAST('0x' || substring(hx, CAST(2*($pos) + 1 AS INT), ${2 * nBytes}) AS BIGINT)"
+      s"""WITH RECURSIVE base AS (
+         |  SELECT doc_id AS media_id, doc_id % 3 = 0 AS v1,
+         |    CAST(600 + (doc_id % 4) * 400 AS BIGINT) AS tsc,
+         |    CAST((600 + (doc_id % 4) * 400) * (doc_id % 20 + 1) + doc_id % 37 AS BIGINT) AS dur,
+         |    CAST(doc_id % 3 + 1 AS BIGINT) AS ntrk,
+         |    CAST(doc_id % 13 AS BIGINT) AS f,
+         |    doc_id % 5 = 0 AS lg
+         |  FROM documents),
+         |hb AS (
+         |  SELECT media_id,
+         |    upper('0000001066747970' || '69736F6D' || '00000000' ||
+         |    CASE WHEN lg THEN '00000001' || '66726565' || lpad(to_hex(f + 16), 16, '0')
+         |         ELSE lpad(to_hex(f + 8), 8, '0') || '66726565' END ||
+         |    substring('414141414141414141414141', 1, CAST(2*f AS INT)) ||
+         |    lpad(to_hex(CASE WHEN v1 THEN 128 ELSE 116 END + ntrk * 20), 8, '0') || '6D6F6F76' ||
+         |    CASE WHEN v1 THEN '00000078' || '6D766864' || '01000000' || repeat('00', 16) ||
+         |                      lpad(to_hex(tsc), 8, '0') || lpad(to_hex(dur), 16, '0')
+         |         ELSE '0000006C' || '6D766864' || '00000000' || repeat('00', 8) ||
+         |              lpad(to_hex(tsc), 8, '0') || lpad(to_hex(dur), 8, '0') END ||
+         |    repeat('00', 80) ||
+         |    repeat('000000147472616B0000000C6672656500000000', CAST(ntrk AS INT))) AS hx
+         |  FROM base),
+         |twalk AS (
+         |  SELECT media_id, hx, CAST(0 AS BIGINT) AS pos FROM hb
+         |  UNION ALL
+         |  SELECT media_id, hx, pos + CASE WHEN s32 = 1 THEN s64 ELSE s32 END
+         |  FROM (SELECT media_id, hx, pos, ${be("pos", 4)} AS s32,
+         |          COALESCE(TRY_CAST('0x' || substring(hx, CAST(2*pos + 17 AS INT), 16) AS BIGINT), 0) AS s64
+         |        FROM twalk) s
+         |  WHERE 2*(pos + 8) <= length(hx)
+         |    AND substring(hx, CAST(2*pos + 9 AS INT), 8) <> '6D6F6F76'),
+         |moov AS (
+         |  SELECT media_id, hx, pos, ${be("pos", 4)} AS msize FROM twalk
+         |  WHERE 2*(pos + 8) <= length(hx)
+         |    AND substring(hx, CAST(2*pos + 9 AS INT), 8) = '6D6F6F76'),
+         |mwalk AS (
+         |  SELECT media_id, hx, pos + 8 AS pos, pos + msize AS endp FROM moov
+         |  UNION ALL
+         |  SELECT media_id, hx, pos + ${be("pos", 4)}, endp
+         |  FROM mwalk WHERE pos + 8 <= endp AND ${be("pos", 4)} >= 8),
+         |children AS (
+         |  SELECT media_id, hx, pos,
+         |         substring(hx, CAST(2*pos + 9 AS INT), 8) AS btype
+         |  FROM mwalk WHERE pos + 8 <= endp),
+         |mvhd AS (
+         |  SELECT media_id,
+         |    CAST(${be("pos + 8", 1)} AS INT) AS mvhd_version,
+         |    CASE WHEN ${be("pos + 8", 1)} = 1 THEN ${be("pos + 28", 4)}
+         |         ELSE ${be("pos + 20", 4)} END AS timescale,
+         |    CASE WHEN ${be("pos + 8", 1)} = 1 THEN ${be("pos + 32", 8)}
+         |         ELSE ${be("pos + 24", 4)} END AS duration
+         |  FROM children WHERE btype = '6D766864'),
+         |trakc AS (
+         |  SELECT media_id, CAST(count(*) FILTER (WHERE btype = '7472616B') AS INT) AS n_tracks
+         |  FROM children GROUP BY media_id),
+         |brand AS (
+         |  SELECT media_id,
+         |    CASE WHEN substring(hx, 17, 8) = '69736F6D' THEN 'isom' END AS brand
+         |  FROM hb)
+         |SELECT media_id, 'mp4' AS format, brand, mvhd_version,
+         |  timescale, duration,
+         |  CAST(duration * 1000 // timescale AS BIGINT) AS duration_ms, n_tracks
+         |FROM mvhd JOIN trakc USING (media_id) JOIN brand USING (media_id)
+         |ORDER BY media_id""".stripMargin
+    },
     "samp_seeded" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS sample_key
         |FROM documents ORDER BY sample_key, doc_id LIMIT 100""".stripMargin,

@@ -109,6 +109,108 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** A corpus of REAL (header-valid) WAV binaries derived from the
+    * documents table: RIFF envelope, a variable-length LIST chunk ahead of
+    * `fmt ` (odd sizes exercise the RIFF even-boundary pad rule — a
+    * fixed-offset "parser" would desync), PCM fmt fields from per-doc
+    * formulas, and a data chunk whose size encodes the sample count. Pure
+    * column ops (hex assembly + one unhex) — fixture generation is itself
+    * a distributed plan. */
+  def syntheticAudioCorpus(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    def leHex(c: Column, nBytes: Int): Column =
+      concat((0 until nBytes).map(i =>
+        lpad(hex(shiftright(c, 8 * i).bitwiseAND(lit(255L))), 2, "0")): _*)
+    val id = col("doc_id").cast("long")
+    val ch = id % 2 + 1
+    val bits = (id % 3 + 1) * 8
+    val rate = lit(8000L) + (id % 5) * 11025
+    val k = id % 7 // LIST payload bytes (odd k exercises the pad rule)
+    val ns = id % 9 + 1 // sample frames
+    val block = ch * (id % 3 + 1) // channels * bytes-per-sample
+    val dataSize = block * ns
+    val listTotal = lit(8L) + k + (k % 2)
+    val riffSize = lit(4L) + listTotal + 24 + 8 + dataSize
+    val wavHex = concat(
+      lit("52494646"), leHex(riffSize, 4), lit("57415645"),
+      lit("4C495354"), leHex(k, 4),
+      lit("41414141414141").substr(lit(1), (k * 2).cast("int")),
+      lit("00").substr(lit(1), ((k % 2) * 2).cast("int")),
+      lit("666D7420"), leHex(lit(16L), 4), leHex(lit(1L), 2), leHex(ch, 2),
+      leHex(rate, 4), leHex(rate * block, 4), leHex(block, 2), leHex(bits, 2),
+      lit("64617461"), leHex(dataSize, 4),
+      lit("00" * 54).substr(lit(1), (dataSize * 2).cast("int")))
+    docs.select(col("doc_id").as("media_id"), lit("wav").as("modality"),
+      unhex(wavHex).as("payload"))
+  }
+
+  /** REAL audio decode: walk the RIFF chunk list in the payload bytes with
+    * the codegen `graft_audio_meta` expression (LE reads, pad-aware skip
+    * of unknown chunks) and recover PCM params + duration. */
+  def audioMeta(media: DataFrame): DataFrame = {
+    graft.functions.MediaFunctions.ensureRegistered(media.sparkSession)
+    media.select(col("media_id"),
+        graft.functions.MediaFunctions.audioMeta(col("payload")).as("m"))
+      .select(col("media_id"), col("m.format").as("format"),
+        col("m.audio_format").as("audio_format"),
+        col("m.channels").as("channels"),
+        col("m.sample_rate").as("sample_rate"),
+        col("m.bits_per_sample").as("bits_per_sample"),
+        col("m.n_samples").as("n_samples"),
+        col("m.duration_ms").as("duration_ms"))
+      .orderBy("media_id")
+  }
+
+  /** A corpus of REAL (structure-valid) MP4 binaries: ftyp, then a
+    * variable-length `free` box — emitted with a 64-bit `largesize` on
+    * every 5th row so the decoder's large-box path is exercised — then
+    * moov with an mvhd (version 1 with 64-bit times on every 3rd row) and
+    * 1..3 trak stubs. Pure column ops. */
+  def syntheticVideoCorpus(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    def be32(c: Column): Column = lpad(hex(c), 8, "0")
+    def be64(c: Column): Column = lpad(hex(c), 16, "0")
+    val id = col("doc_id").cast("long")
+    val v1 = id % 3 === 0
+    val tsc = lit(600L) + (id % 4) * 400
+    val dur = tsc * (id % 20 + 1) + id % 37
+    val ntrk = id % 3 + 1
+    val f = id % 13 // free-box payload bytes
+    val useLarge = id % 5 === 0
+    val trakHex = "000000147472616B0000000C6672656500000000" // trak{free}
+    val mp4Hex = concat(
+      lit("0000001066747970" + "69736F6D" + "00000000"),
+      when(useLarge, concat(lit("00000001" + "66726565"), be64(f + 16)))
+        .otherwise(concat(be32(f + 8), lit("66726565"))),
+      lit("41" * 12).substr(lit(1), (f * 2).cast("int")),
+      be32(when(v1, 128L).otherwise(116L) + ntrk * 20), lit("6D6F6F76"),
+      when(v1, concat(lit("00000078" + "6D766864" + "01000000" + "00" * 16),
+          be32(tsc), be64(dur)))
+        .otherwise(concat(lit("0000006C" + "6D766864" + "00000000" + "00" * 8),
+          be32(tsc), be32(dur))),
+      lit("00" * 80),
+      lit(trakHex * 3).substr(lit(1), (ntrk * 40).cast("int")))
+    docs.select(col("doc_id").as("media_id"), lit("mp4").as("modality"),
+      unhex(mp4Hex).as("payload"))
+  }
+
+  /** REAL video decode: walk the ISO-BMFF box tree in the payload bytes
+    * with the codegen `graft_video_meta` expression (largesize-aware
+    * top-level walk, moov child walk for mvhd v0/v1 + trak count). */
+  def videoMeta(media: DataFrame): DataFrame = {
+    graft.functions.MediaFunctions.ensureRegistered(media.sparkSession)
+    media.select(col("media_id"),
+        graft.functions.MediaFunctions.videoMeta(col("payload")).as("m"))
+      .select(col("media_id"), col("m.format").as("format"),
+        col("m.brand").as("brand"),
+        col("m.mvhd_version").as("mvhd_version"),
+        col("m.timescale").as("timescale"),
+        col("m.duration").as("duration"),
+        col("m.duration_ms").as("duration_ms"),
+        col("m.n_tracks").as("n_tracks"))
+      .orderBy("media_id")
+  }
+
   /** Deterministic "resize" stub (image-style): sample `outBytes` evenly-
     * strided bytes across the payload, emitted as one hex string — the
     * fixed-size thumbnail shape a real image resize produces, computable

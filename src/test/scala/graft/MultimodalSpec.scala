@@ -124,4 +124,115 @@ class MultimodalSpec extends SparkSpec {
       (6L, "png", (6 % 509 + 16), (6 * 7 % 389 + 16), 8),
       (7L, "jpeg", (7 % 509 + 16), (7 * 7 % 389 + 16), 8)))
   }
+
+  test("audioMeta parses a hand-built PCM WAV with an odd-sized LIST chunk") {
+    // RIFF(56) WAVE; LIST body 3 bytes -> ONE pad byte (the even-boundary
+    // rule: a walk that forgets the pad lands mid-chunk and desyncs);
+    // fmt: PCM, 2 ch, 44100 Hz, block 4, 16-bit; data: 8 bytes = 2 frames
+    val wav = unhex(
+      "52494646 38000000 57415645" +
+        "4C495354 03000000 414243 00" +
+        "666D7420 10000000 0100 0200 44AC0000 10B10200 0400 1000" +
+        "64617461 08000000 0000000000000000")
+    val out = Multimodal.audioMeta(
+      Seq((1L, "wav", wav)).toDF("media_id", "modality", "payload"))
+      .as[(Long, String, Int, Int, Int, Int, Long, Long)].collect()
+    // n_samples = 8/4 = 2; duration_ms = 2*1000/44100 = 0 (integer)
+    assert(out.toSeq == Seq((1L, "wav", 1, 2, 44100, 16, 2L, 0L)))
+  }
+
+  test("audioMeta: duration arithmetic on a 1-second mono file") {
+    // 8000 Hz, 1 ch, 8-bit (block 1), data = 8000 bytes claimed; body
+    // bytes are absent past the header but the walk never needs them
+    // for the LAST chunk (size-driven duration, like real demuxers
+    // reading only the header of a streamed file)
+    val hdr = unhex(
+      "52494646 44000000 57415645" +
+        "666D7420 10000000 0100 0100 401F0000 401F0000 0100 0800" +
+        "64617461 401F0000")
+    // (riffSize header field: unvalidated by design — streamed files lie)
+    val out = Multimodal.audioMeta(
+      Seq((1L, "wav", hdr)).toDF("media_id", "modality", "payload"))
+      .as[(Long, String, Int, Int, Int, Int, Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, "wav", 1, 1, 8000, 8, 8000L, 1000L)))
+  }
+
+  test("audioMeta yields null rows on garbage, truncation, zero block_align") {
+    val bad = Seq[(Long, String, Array[Byte])](
+      (1L, "bin", unhex("DEADBEEF")),                     // not RIFF
+      (2L, "bin", unhex("52494646 04000000 57415645")),   // no chunks
+      (3L, "bin", unhex("52494646 10000000 57415645 666D742003000000")), // fmt too short
+      // block_align 0 would divide by zero: must null, not throw
+      (4L, "bin", unhex("52494646 28000000 57415645" +
+        "666D7420 10000000 0100 0100 401F0000 401F0000 0000 0800" +
+        "64617461 04000000 00000000")),
+      (5L, "bin", Array.emptyByteArray),
+    ).toDF("media_id", "modality", "payload")
+    val out = Multimodal.audioMeta(bad).collect()
+    assert(out.length == 5 && out.forall(_.isNullAt(1)))
+  }
+
+  test("videoMeta parses a v0 moov and counts trak children") {
+    // ftyp(isom) + moov{ mvhd v0 (timescale 600, duration 1234), 2x trak }
+    val mvhd = "0000006C 6D766864 00000000 00000000 00000000" +
+      "00000258 000004D2" + "00" * 80
+    val trak = "00000014 7472616B 0000000C 66726565 00000000"
+    val mp4 = unhex(
+      "00000010 66747970 69736F6D 00000000" +
+        "0000009C 6D6F6F76" + mvhd + trak + trak)
+    val out = Multimodal.videoMeta(
+      Seq((1L, "mp4", mp4)).toDF("media_id", "modality", "payload"))
+      .as[(Long, String, String, Int, Long, Long, Long, Int)].collect()
+    // duration_ms = 1234*1000/600 = 2056 (integer division)
+    assert(out.toSeq == Seq((1L, "mp4", "isom", 0, 600L, 1234L, 2056L, 2)))
+  }
+
+  test("videoMeta handles 64-bit largesize boxes and mvhd v1") {
+    // a free box declared via size==1 + largesize(17) (16 hdr + 1 byte),
+    // then moov{ mvhd v1: 64-bit ctime/mtime, timescale 1000, 64-bit
+    // duration 90061 } -> 90061 ms exactly
+    val mvhdV1 = "00000078 6D766864 01000000" + "00" * 16 +
+      "000003E8" + "0000000000015FCD" + "00" * 80
+    val mp4 = unhex(
+      "00000010 66747970 69736F6D 00000000" +
+        "00000001 66726565 0000000000000011 AA" +
+        "00000080 6D6F6F76" + mvhdV1)
+    val out = Multimodal.videoMeta(
+      Seq((1L, "mp4", mp4)).toDF("media_id", "modality", "payload"))
+      .as[(Long, String, String, Int, Long, Long, Long, Int)].collect()
+    assert(out.toSeq == Seq((1L, "mp4", "isom", 1, 1000L, 90061L, 90061L, 0)))
+  }
+
+  test("videoMeta yields null rows on garbage and structural corruption") {
+    val bad = Seq[(Long, String, Array[Byte])](
+      (1L, "bin", unhex("DEADBEEFDEADBEEFDEADBEEFDEADBEEF")), // not ftyp
+      (2L, "bin", unhex("0000001066747970 69736F6D 00000000")), // no moov
+      // moov whose declared size runs past the payload end
+      (3L, "bin", unhex("0000001066747970 69736F6D 00000000" +
+        "000000FF 6D6F6F76")),
+      (4L, "bin", Array.emptyByteArray),
+    ).toDF("media_id", "modality", "payload")
+    val out = Multimodal.videoMeta(bad).collect()
+    assert(out.length == 4 && out.forall(_.isNullAt(1)))
+  }
+
+  test("synthetic audio/video corpora round-trip: decode inverts assembly") {
+    val corpus = Seq((0L, "a"), (5L, "b"), (9L, "c")).toDF("doc_id", "text")
+    val wav = Multimodal.audioMeta(Multimodal.syntheticAudioCorpus(corpus))
+      .as[(Long, String, Int, Int, Int, Int, Long, Long)].collect().toSeq
+    assert(wav == Seq(0L, 5L, 9L).map { id =>
+      val rate = 8000 + (id % 5).toInt * 11025
+      val ns = id % 9 + 1
+      (id, "wav", 1, (id % 2).toInt + 1, rate, ((id % 3).toInt + 1) * 8,
+        ns, ns * 1000 / rate)
+    })
+    val mp4 = Multimodal.videoMeta(Multimodal.syntheticVideoCorpus(corpus))
+      .as[(Long, String, String, Int, Long, Long, Long, Int)].collect().toSeq
+    assert(mp4 == Seq(0L, 5L, 9L).map { id =>
+      val tsc = 600 + (id % 4) * 400
+      val dur = tsc * (id % 20 + 1) + id % 37
+      (id, "mp4", "isom", if (id % 3 == 0) 1 else 0, tsc, dur,
+        dur * 1000 / tsc, (id % 3).toInt + 1)
+    })
+  }
 }
