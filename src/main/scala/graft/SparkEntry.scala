@@ -363,6 +363,11 @@ object SparkEntry {
       Events.typeByDayPivot(table(s, dir, "events"))),
     "ev_transitions" -> ((s, dir) =>
       Events.typeTransitions(table(s, dir, "events"))),
+    // SCD Type-2 dimension build from the CDC feed: no-op collapse ->
+    // version numbers -> [valid_from, valid_to) intervals, one exchange
+    // by user_id shared by all three window passes
+    "ev_scd2" -> ((s, dir) =>
+      Events.scdType2(table(s, dir, "events"))),
     "ev_cohort_retention" -> ((s, dir) =>
       Events.cohortRetention(table(s, dir, "events"))),
     // time-RANGE window frame: trailing-hour per-user activity
@@ -464,6 +469,13 @@ object SparkEntry {
     // ranks template hubs that a flat cluster id can't
     "dedup_pagerank" -> ((s, dir) =>
       Dedup.similarityPageRank(table(s, dir, "documents"), 0.05,
+        maxShingleDf = 100)),
+    // graph-shape diagnostic over the same near-dup graph: per-doc
+    // triangle count + local clustering coefficient via degree-ordered
+    // wedges (each triangle materialized once at its lowest-rank vertex;
+    // out-degrees bounded O(sqrt(2m)), so hubs never explode deg^2)
+    "dedup_triangles" -> ((s, dir) =>
+      Dedup.triangleStats(table(s, dir, "documents"), 0.05,
         maxShingleDf = 100)),
     // Flagship 100 TB dedup: LSH band buckets generate candidates, exact
     // Jaccard verifies. The bands are xxhash64 (not oracle-able) but the
@@ -1755,6 +1767,24 @@ object SparkEntry {
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
         | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
         |ORDER BY id_a, id_b""".stripMargin,
+    // SCD-2 replay: same change feed, same lag-collapse of no-op updates,
+    // same row_number/lead interval build; floor(value/50.0) is one
+    // double division both engines evaluate on identical parquet doubles
+    "ev_scd2" ->
+      """WITH c AS (SELECT user_id, ts, event_id,
+        |    CAST(floor(value / 50.0) AS BIGINT) AS tier
+        |  FROM events WHERE event_type = 'purchase'),
+        |d AS (SELECT *, lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM c),
+        |k AS (SELECT user_id, ts, event_id, tier FROM d WHERE prev IS NULL OR tier <> prev),
+        |v AS (SELECT user_id, tier, ts,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM k)
+        |SELECT user_id, version, tier,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |  strftime(nxt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+        |  nxt IS NULL AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
     "ev_transitions" ->
       """WITH e AS (SELECT event_type AS from_type,
         |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type FROM events)
@@ -1832,6 +1862,37 @@ object SparkEntry {
          |SELECT node AS doc_id, round(pr, 6) AS pagerank
          |FROM p3 ORDER BY doc_id""".stripMargin
     },
+    // degree-ordered triangle replay: orient each 0.05-Jaccard edge
+    // low-(deg,id) -> high, wedge-join oriented out-edges, close against
+    // the canonical pair set; coefficient = one double division of exact
+    // integers (identical IEEE tree), deg<2 -> NULL
+    "dedup_triangles" ->
+      s"""WITH $shingleCtes,
+         |pairs AS (SELECT doc_a, doc_b
+         |  FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.05),
+         |deg AS (SELECT node, count(*) AS deg FROM
+         |  (SELECT doc_a AS node FROM pairs UNION ALL SELECT doc_b FROM pairs)
+         |  GROUP BY node),
+         |ori AS (SELECT
+         |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND doc_a < doc_b)
+         |         THEN doc_a ELSE doc_b END AS src,
+         |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND doc_a < doc_b)
+         |         THEN doc_b ELSE doc_a END AS dst
+         |  FROM pairs JOIN deg da ON da.node = doc_a JOIN deg db ON db.node = doc_b),
+         |wed AS (SELECT e1.src AS center, e1.dst AS wa, e2.dst AS wb
+         |  FROM ori e1 JOIN ori e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+         |tri AS (SELECT center, wa, wb FROM wed JOIN pairs
+         |  ON least(wa, wb) = doc_a AND greatest(wa, wb) = doc_b),
+         |pern AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+         |  FROM (SELECT unnest([center, wa, wb]) AS node FROM tri) GROUP BY node)
+         |SELECT deg.node AS doc_id, CAST(deg.deg AS BIGINT) AS degree,
+         |  COALESCE(pern.n_triangles, 0) AS n_triangles,
+         |  CASE WHEN deg.deg >= 2 THEN
+         |    round((CAST(2 AS DOUBLE) * COALESCE(pern.n_triangles, 0))
+         |          / (deg.deg * (deg.deg - 1)), 4) END AS clustering
+         |FROM deg LEFT JOIN pern USING (node)
+         |ORDER BY doc_id""".stripMargin,
     // LSH candidates + exact verify: the oracle is the full exact-Jaccard
     // computation at the same threshold/cap (see the query declaration for
     // why LSH recall == 1 here).

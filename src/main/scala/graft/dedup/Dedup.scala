@@ -1049,6 +1049,70 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Triangle count + local clustering coefficient per document over the
+    * near-dup graph — the graph-SHAPE diagnostic that separates template
+    * neighborhoods (high clustering: everyone resembles everyone, one
+    * representative suffices) from chain-shaped drift (low clustering:
+    * A~B~C but A!~C — transitive dedup would over-delete), which degree
+    * and PageRank alone cannot distinguish.
+    *
+    * Scale shape (the node-iterator++ algorithm): each undirected edge is
+    * ORIENTED from its lower-(degree, id) endpoint to the higher, so
+    * every out-degree is O(sqrt(2m)) and the wedge join generates
+    * sum(d_out^2) = O(m^1.5) candidates worst-case — never a hub's
+    * deg^2 explosion (a boilerplate hub with 10^5 neighbors stays a
+    * wedge SOURCE of bounded width because its edges orient INTO it).
+    * Each triangle materializes exactly once (at its lowest-rank vertex,
+    * which holds out-edges to both others); closure is one equi-join of
+    * wedges against the canonical pair set. Pair generation is
+    * checkpointed once and feeds degrees, orientation, and closure (the
+    * clusterRepresentatives discipline). The coefficient is one double
+    * division of exact integers, so both engines evaluate the identical
+    * IEEE tree; degree-<2 nodes report NULL (undefined), never 0. */
+  def triangleStats(docs: DataFrame, minJaccard: Double = 0.05,
+                    maxShingleDf: Int = DefaultMaxShingleDf): DataFrame =
+    triangleStatsFromPairs(jaccardPairs(docs, 3, minJaccard, maxShingleDf)
+      .select("doc_a", "doc_b"))
+
+  /** triangleStats over an already-built canonical (doc_a < doc_b) pair
+    * frame — the spec entry point, and the shape shared with
+    * pageRankFromPairs for callers that reuse one pair generation. */
+  def triangleStatsFromPairs(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.localCheckpoint(true)
+    val deg = pairs.select(col("doc_a").as("node"))
+      .unionByName(pairs.select(col("doc_b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val lower = col("da") < col("db") ||
+      (col("da") === col("db") && col("doc_a") < col("doc_b"))
+    val oriented = pairs
+      .join(deg.select(col("node").as("doc_a"), col("deg").as("da")), Seq("doc_a"))
+      .join(deg.select(col("node").as("doc_b"), col("deg").as("db")), Seq("doc_b"))
+      .select(when(lower, col("doc_a")).otherwise(col("doc_b")).as("src"),
+        when(lower, col("doc_b")).otherwise(col("doc_a")).as("dst"))
+      .localCheckpoint(true)
+    val wedges = oriented.alias("e1")
+      .join(oriented.alias("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("center"), col("e1.dst").as("wa"),
+        col("e2.dst").as("wb"))
+    val tri = wedges.join(pairs,
+        least(col("wa"), col("wb")) === col("doc_a") &&
+          greatest(col("wa"), col("wb")) === col("doc_b"))
+      .select("center", "wa", "wb")
+    val perNode = tri
+      .select(explode(array(col("center"), col("wa"), col("wb"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node").as("doc_id"),
+        col("deg").cast("long").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("deg") * (col("deg") - lit(1L))), 4)).as("clustering"))
+      .orderBy("doc_id")
+  }
+
   /** Canonical representative per duplicate cluster: the member with the
     * highest duplication centrality — the "which copy do we keep"
     * decision a curation pipeline makes once per near-dup group, made

@@ -139,6 +139,43 @@ object Events {
       .orderBy("from_type", "to_type")
   }
 
+  /** Slowly-changing-dimension TYPE-2 build from a CDC change feed — the
+    * warehouse-maintenance op that turns an event log into a versioned
+    * dimension with validity intervals. `changeType` events set the
+    * user's attribute (here: the `value` band); the build
+    *
+    *   1. collapses NO-OP updates (same band as the user's previous
+    *      change — CDC feeds are full-row images, most carry no change),
+    *   2. assigns version numbers per user,
+    *   3. derives [valid_from, valid_to) from each change's timestamp and
+    *      its successor's (lead), with the open current version flagged.
+    *
+    * Scale shape: ONE exchange by user_id; the no-op-collapse lag, the
+    * version row_number, and the interval lead all share that partitioning
+    * and sort (Spark plans one Sort under three Window ops), and per-user
+    * width is the user's change count — never corpus-proportional. The
+    * band is floor(value / band): a single double division both engines
+    * evaluate identically on the same parquet doubles. */
+  def scdType2(events: DataFrame, changeType: String = "purchase",
+               band: Double = 50.0): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val changes = events.filter(col("event_type") === changeType)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") / band).cast("long").as("tier"))
+    val dedup = changes
+      .withColumn("__prev", lag(col("tier"), 1).over(w))
+      .filter(col("__prev").isNull || col("tier") =!= col("__prev"))
+      .drop("__prev")
+    dedup
+      .withColumn("version", row_number().over(w))
+      .withColumn("__next", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"), col("tier"),
+        fmtTs(col("ts")).as("valid_from"),
+        fmtTs(col("__next")).as("valid_to"), // null on the open version
+        col("__next").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   /** JSON prop extraction: sum of props.k per event type. */
   def propsKSumByType(events: DataFrame): DataFrame =
     events.groupBy("event_type")

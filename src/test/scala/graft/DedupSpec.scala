@@ -538,4 +538,44 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(out.toSeq == Seq((1L, 0L, 1.0)))
   }
+
+  test("triangles: 4-clique is fully clustered, each vertex in 3 triangles") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.triangleStatsFromPairs(pairs)
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    assert(out == (1L to 4L).map(id => (id, 3L, 3L, Some(1.0))))
+  }
+
+  test("triangles: path has zero triangles; deg-1 clustering is NULL not 0") {
+    // 1-2-3 path: node 2 has deg 2 and no triangle -> coefficient 0.0;
+    // leaves have deg 1 -> undefined (NULL)
+    val out = Dedup.triangleStatsFromPairs(
+      Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b"))
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    assert(out == Seq((1L, 1L, 0L, None), (2L, 2L, 0L, Some(0.0)),
+      (3L, 1L, 0L, None)))
+  }
+
+  test("triangles: hub orientation — star plus one closing edge") {
+    // star center 10 with spokes 1,2,3 plus edge (1,2): one triangle
+    // {10,1,2}. The hub (deg 3) receives oriented edges, so wedge width
+    // stays bounded; coefficients: hub 2*1/(3*2)=0.3333, nodes 1,2
+    // (deg 2) = 1.0, node 3 (deg 1) NULL.
+    val pairs = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 2L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.triangleStatsFromPairs(pairs)
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    assert(out == Seq((1L, 2L, 1L, Some(1.0)), (2L, 2L, 1L, Some(1.0)),
+      (3L, 1L, 0L, None), (10L, 3L, 1L, Some(0.3333))))
+  }
+
+  test("triangles: near-dup corpus — the 1~2~3 dup group closes one triangle") {
+    // corpus: docs 1,2,3 mutually near-dup (>=0.05 jaccard), 4 isolated
+    // (not in the graph at all)
+    val out = Dedup.triangleStats(corpus, 0.05, maxShingleDf = 100)
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    assert(out == Seq((1L, 2L, 1L, Some(1.0)), (2L, 2L, 1L, Some(1.0)),
+      (3L, 2L, 1L, Some(1.0))))
+  }
 }

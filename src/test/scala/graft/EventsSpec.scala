@@ -107,4 +107,38 @@ class EventsSpec extends SparkSpec {
     // melt(pivot(long)) == original long counts plus explicit zeros
     assert(rows.map(_._3).sum == 3L)
   }
+
+  test("SCD-2 collapses no-op updates and closes intervals at the successor") {
+    val ev = Seq(
+      // user 1: tier 0 -> (no-op tier 0, collapsed) -> tier 2
+      (1L, 1L, ts("2024-01-01 10:00:00"), "purchase", 10.0),
+      (2L, 1L, ts("2024-01-02 10:00:00"), "purchase", 20.0),
+      (3L, 1L, ts("2024-01-03 10:00:00"), "purchase", 120.0),
+      // user 2: one change; a click must not open a version
+      (4L, 2L, ts("2024-01-01 12:00:00"), "purchase", 60.0),
+      (5L, 2L, ts("2024-01-04 12:00:00"), "click", 999.0),
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val rows = Events.scdType2(ev)
+      .as[(Long, Int, Long, String, Option[String], Boolean)].collect().toSeq
+    assert(rows == Seq(
+      (1L, 1, 0L, "2024-01-01 10:00:00.000000",
+        Some("2024-01-03 10:00:00.000000"), false),
+      (1L, 2, 2L, "2024-01-03 10:00:00.000000", None, true),
+      (2L, 1, 1L, "2024-01-01 12:00:00.000000", None, true)))
+  }
+
+  test("SCD-2: a reverted attribute re-opens a NEW version (type 2, not 1)") {
+    // tier 0 -> tier 1 -> tier 0 again: three versions, history preserved
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), "purchase", 10.0),
+      (2L, 1L, ts("2024-01-02 00:00:00"), "purchase", 60.0),
+      (3L, 1L, ts("2024-01-03 00:00:00"), "purchase", 20.0),
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val rows = Events.scdType2(ev)
+      .as[(Long, Int, Long, String, Option[String], Boolean)].collect().toSeq
+    assert(rows.map(r => (r._2, r._3, r._6)) ==
+      Seq((1, 0L, false), (2, 1L, false), (3, 0L, true)))
+    // intervals tile: each valid_to equals the next valid_from
+    assert(rows.init.map(_._5.get) == rows.tail.map(_._4))
+  }
 }
