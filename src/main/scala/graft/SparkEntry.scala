@@ -635,6 +635,11 @@ object SparkEntry {
       Similarity.annCosineIvf(table(s, dir, "embeddings"), 0L, 10)),
     "sim_norms_by_label" -> ((s, dir) =>
       Similarity.normStatsByLabel(table(s, dir, "embeddings"))),
+    // feature-redundancy diagnostic: Pearson corr over the first 8 dims —
+    // pair generation is in-row (no self-join), moment sums are
+    // DECIMAL(28,18)-exact, one fixed double tree after aggregation
+    "sim_corr_matrix" -> ((s, dir) =>
+      Similarity.dimCorrelationMatrix(table(s, dir, "embeddings"))),
     // int8 quantization fidelity: the 4x-storage-shrink safety report
     // PQ sibling of the int8 report: 4-bit-per-subspace codebook encoding
     "sim_pq_error" -> ((s, dir) =>
@@ -2266,6 +2271,32 @@ object SparkEntry {
       """WITH e AS (SELECT label, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm FROM embeddings)
         |SELECT label, count(*) AS n, round(min(norm), 4) AS min_norm, round(max(norm), 4) AS max_norm
         |FROM e GROUP BY label ORDER BY label""".stripMargin,
+    // five DECIMAL(28,18)-exact moment sums per (i,j) with i<=j (products
+    // double-multiplied BEFORE the decimal cast, mirroring Spark), then
+    // the identical (n*sxy - sx*sy)/(sqrt(...)*sqrt(...)) double tree
+    "sim_corr_matrix" ->
+      """WITH p AS (
+        |  SELECT r1.range AS i, r2.range AS j,
+        |    CAST(embedding[CAST(r1.range + 1 AS INT)] AS DOUBLE) AS xi,
+        |    CAST(embedding[CAST(r2.range + 1 AS INT)] AS DOUBLE) AS xj
+        |  FROM embeddings CROSS JOIN range(0, 8) r1 CROSS JOIN range(0, 8) r2
+        |  WHERE r1.range <= r2.range),
+        |a AS (
+        |  SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(xi AS DECIMAL(28,18))) AS sx,
+        |    sum(CAST(xj AS DECIMAL(28,18))) AS sy,
+        |    sum(CAST(xi * xj AS DECIMAL(28,18))) AS sxy,
+        |    sum(CAST(xi * xi AS DECIMAL(28,18))) AS sxx,
+        |    sum(CAST(xj * xj AS DECIMAL(28,18))) AS syy
+        |  FROM p GROUP BY i, j)
+        |SELECT CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j, n,
+        |  CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        |  THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  END AS corr
+        |FROM a ORDER BY dim_i, dim_j""".stripMargin,
     // same round-half-up quantize/dequantize spelling as the Spark plan;
     // list_dot_product is the same left-to-right fold as graft_dot, so the
     // per-vector mse is bit-identical before the rounded aggregate

@@ -1071,6 +1071,49 @@ object Similarity {
       .orderBy("d")
   }
 
+  /** Pearson correlation matrix over the first `nDims` embedding
+    * dimensions — the feature-redundancy diagnostic run before dimension
+    * pruning / whitening (a |corr| ~ 1 pair means one dim is free to
+    * drop; PQ subspace splits want DEcorrelated groups).
+    *
+    * Scale shape: pair generation is IN-ROW (one flatten/transform
+    * expression over the embedding array — no self-join, no second scan;
+    * the corpus crosses one exchange of nDims(nDims+1)/2 rows per
+    * vector into a nDims^2-group aggregate). All five moment sums
+    * accumulate as DECIMAL(28,18) — exact and order-independent (the
+    * kmeansFit discipline) — and the correlation is computed from them
+    * in one fixed post-aggregation double tree both engines evaluate
+    * identically. Products are double-multiplied BEFORE the decimal cast
+    * (IEEE product of the same parquet floats, deterministic), then
+    * accumulate exactly. */
+  def dimCorrelationMatrix(embeddings: DataFrame, nDims: Int = 8): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 18)
+    val pairGen = expr(
+      s"""flatten(transform(sequence(0, ${nDims - 1}), i ->
+         |  transform(sequence(i, ${nDims - 1}), j -> struct(
+         |    i AS i, j AS j,
+         |    CAST(embedding[i] AS DOUBLE) AS xi,
+         |    CAST(embedding[j] AS DOUBLE) AS xj))))""".stripMargin)
+    val agg = embeddings
+      .select(explode(pairGen).as("p")).select(col("p.*"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xi").cast(dec)).as("sx"),
+        sum(col("xj").cast(dec)).as("sy"),
+        sum((col("xi") * col("xj")).cast(dec)).as("sxy"),
+        sum((col("xi") * col("xi")).cast(dec)).as("sxx"),
+        sum((col("xj") * col("xj")).cast(dec)).as("syy"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = nD * d("sxy") - d("sx") * d("sy")
+    val den = sqrt(nD * d("sxx") - d("sx") * d("sx")) *
+      sqrt(nD * d("syy") - d("sy") * d("sy"))
+    agg.select(col("i").cast("int").as("dim_i"),
+        col("j").cast("int").as("dim_j"), col("n"),
+        when(den > 0, round(num / den, 6)).as("corr"))
+      .orderBy("dim_i", "dim_j")
+  }
+
   /** Per-label embedding stats (norm is exact-order sequential). */
   def normStatsByLabel(embeddings: DataFrame): DataFrame = {
     VectorFunctions.ensureRegistered(embeddings.sparkSession)

@@ -541,4 +541,45 @@ class SimilaritySpec extends SparkSpec {
     // theory is monotone in the bucket center
     assert(out(10)._4 >= out(0)._4)
   }
+
+  test("corr matrix: identical +1, negated -1, constant dim NULL, mixed exact") {
+    // d1 = d0, d2 = -d0, d3 constant (zero variance -> undefined)
+    val e = Seq(
+      (0L, Array(1.0f, 1.0f, -1.0f, 5.0f), 0),
+      (1L, Array(2.0f, 2.0f, -2.0f, 5.0f), 0),
+      (2L, Array(3.0f, 3.0f, -3.0f, 5.0f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.dimCorrelationMatrix(e, 4)
+      .as[(Int, Int, Long, Option[Double])].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) ==
+      (for (i <- 0 to 3; j <- i to 3) yield (i, j)).toSeq)
+    assert(out.forall(_._3 == 3L))
+    val m = out.map(r => (r._1, r._2) -> r._4).toMap
+    assert(m((0, 0)) == Some(1.0) && m((1, 1)) == Some(1.0))
+    assert(m((0, 1)) == Some(1.0))   // identical dims
+    assert(m((0, 2)) == Some(-1.0))  // exact negation
+    assert(m((1, 2)) == Some(-1.0))
+    // zero-variance dim: every pairing (and its own diagonal) is NULL
+    assert(Seq((0, 3), (1, 3), (2, 3), (3, 3)).forall(p => m(p).isEmpty))
+  }
+
+  test("corr matrix matches a plain-Scala replay on a non-degenerate pair") {
+    val e = Seq(
+      (0L, Array(1.0f, 5.0f), 0),
+      (1L, Array(2.0f, 1.0f), 0),
+      (2L, Array(3.0f, 4.0f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.dimCorrelationMatrix(e, 2)
+      .as[(Int, Int, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    val (x, y) = (Seq(1.0, 2.0, 3.0), Seq(5.0, 1.0, 4.0))
+    val n = 3.0
+    val (sx, sy) = (x.sum, y.sum)
+    val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+    val (sxx, syy) = (x.map(a => a * a).sum, y.map(a => a * a).sum)
+    val expect = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(out((0, 1)) ==
+      Some(BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
 }
