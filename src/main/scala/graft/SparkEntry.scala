@@ -565,6 +565,11 @@ object SparkEntry {
     // windows that occur in any other doc ("how much of this doc is copy")
     "dedup_shared_ngrams" -> ((s, dir) =>
       Dedup.sharedNgramStats(table(s, dir, "documents"), 8)),
+    // provenance-grain contamination: distinct-trigram Jaccard +
+    // containment between every SOURCE pair (per-shingle buckets bounded
+    // by the source count, output S^2-bounded at any corpus size)
+    "dedup_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlapMatrix(table(s, dir, "documents"))),
     // the actual cut-list: maximal token spans covered by 8-token windows
     // repeated verbatim in >= 2 distinct docs (round-5 verdict item #3)
     "dedup_span_pairs" -> ((s, dir) =>
@@ -773,6 +778,10 @@ object SparkEntry {
       TextAnalysis.langGuessConfusion(table(s, dir, "documents"))),
     // corpus mix report: the per-(source, lang) table that sets domain
     // mixing weights before training
+    // robust length outliers: median/MAD per source (means would be
+    // dragged by the outliers themselves); MAD=0 degrades to any-dev
+    "text_mad_outliers" -> ((s, dir) =>
+      TextAnalysis.madOutlierStats(table(s, dir, "documents"))),
     "text_source_stats" -> ((s, dir) =>
       TextAnalysis.sourceStats(table(s, dir, "documents"))),
     // vocabulary richness: hapax share / type-token ratio per source
@@ -2630,6 +2639,37 @@ object SparkEntry {
     "text_top_terms" ->
       """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents)
         |SELECT term, count(*) AS n FROM tok GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+    // both medians over DOUBLE-cast integer lengths (identical
+    // interpolation type); dev and 3*mad are exact IEEE on int-or-half
+    // values, so the outlier CASE can never disagree across engines
+    "text_mad_outliers" ->
+      """WITH l AS (SELECT source,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS DOUBLE) AS len
+        |  FROM documents),
+        |m AS (SELECT source, median(len) AS med FROM l GROUP BY source),
+        |d AS (SELECT l.source, abs(len - med) AS dev, med FROM l JOIN m USING (source)),
+        |md AS (SELECT source, median(dev) AS mad FROM d GROUP BY source)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  max(d.med) AS median_len, max(md.mad) AS mad,
+        |  CAST(sum(CASE WHEN (CASE WHEN md.mad > 0 THEN dev > 3.0 * md.mad
+        |                           ELSE dev > 0 END) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN md USING (source) GROUP BY source ORDER BY source""".stripMargin,
+    // distinct (source, shingle) reduction, then per-shingle source-pair
+    // counting (buckets bounded by the source count); zero-overlap pairs
+    // absent via inner join on both engines
+    "dedup_source_overlap" ->
+      """WITH t AS (SELECT source, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+        |g AS (SELECT source, CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) ELSE [] END AS shl FROM t),
+        |s AS (SELECT DISTINCT source, shingle FROM (SELECT source, unnest(shl) AS shingle FROM g)),
+        |sz AS (SELECT source, count(*) AS sz FROM s GROUP BY source),
+        |io AS (SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS inter
+        |  FROM s a JOIN s b ON a.shingle = b.shingle AND a.source < b.source GROUP BY 1, 2)
+        |SELECT source_a, source_b, inter,
+        |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard,
+        |  round(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment
+        |FROM io JOIN sz sa ON sa.source = source_a JOIN sz sb ON sb.source = source_b
+        |ORDER BY source_a, source_b""".stripMargin,
     // mean_chars unrounded: exact-long sum / count is one identical
     // double division in both engines
     "text_source_stats" ->

@@ -1049,6 +1049,42 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-SOURCE n-gram overlap matrix: distinct-trigram Jaccard and
+    * containment between every pair of corpus sources — the
+    * provenance-level contamination report ("which feeds syndicate which")
+    * that doc-pair dedup cannot see because the shared mass is spread
+    * across thousands of individually-below-threshold pairs.
+    *
+    * Scale shape: the corpus reduces to DISTINCT (source, shingle) rows
+    * in one exchange; per-shingle source buckets are bounded by the
+    * SOURCE COUNT S (tiny — feeds, not docs), so the pair explode is at
+    * most S(S-1)/2 per shingle and needs no df-cap; output is S^2-bounded
+    * however large the corpus. Pairs with zero overlap are absent (inner
+    * join) on both engines. */
+  def sourceOverlapMatrix(docs: DataFrame, n: Int = 3): DataFrame = {
+    val srcSh = shingles(docs.select("doc_id", "text"), n)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .select("source", "shingle").distinct()
+    val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("sz"))
+    val inter = srcSh.groupBy("shingle")
+      .agg(collect_list(col("source")).as("ss"))
+      .select(explode(col("ss")).as("source_a"), col("ss"))
+      .select(col("source_a"), explode(col("ss")).as("source_b"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("source").as("source_a"), col("sz").as("sza")),
+        Seq("source_a"))
+      .join(sizes.select(col("source").as("source_b"), col("sz").as("szb")),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")), 6).as("jaccard"),
+        round(col("inter").cast("double") /
+          least(col("sza"), col("szb")), 6).as("containment"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Triangle count + local clustering coefficient per document over the
     * near-dup graph — the graph-SHAPE diagnostic that separates template
     * neighborhoods (high clustering: everyone resembles everyone, one

@@ -35,6 +35,39 @@ object TextAnalysis {
         (sum(col("n_chars")).cast("double") / count(lit(1))).as("mean_chars"))
       .orderBy("source", "lang")
 
+  /** Robust per-source length-outlier report: median + MAD (median
+    * absolute deviation) over token counts, and how many docs sit more
+    * than `k` MADs from their source's median — the outlier detector a
+    * curation run uses where mean/stddev would be dragged by the very
+    * outliers it hunts (one 10M-token doc shifts a mean; it cannot shift
+    * a median).
+    *
+    * Scale shape: the corpus reduces to one (source, len) row per doc in
+    * a single tokenize scan; both medians are exact interpolated
+    * percentiles over that narrow frame, and the per-source median/MAD
+    * tables are broadcast back (sources are feeds — tiny). Lengths are
+    * cast to DOUBLE before median so both engines interpolate in the
+    * same type; every derived value (dev, k*mad) is exact IEEE on
+    * integer-or-half values. MAD = 0 (over half the source identical)
+    * degrades to "any deviation is an outlier" — the documented contract,
+    * same CASE on both engines. */
+  def madOutlierStats(docs: DataFrame, k: Double = 3.0): DataFrame = {
+    val lens = docs.select(col("source"),
+      size(toks).cast("double").as("len"))
+    val med = lens.groupBy("source").agg(median(col("len")).as("med"))
+    val withMed = lens.join(broadcast(med), Seq("source"))
+      .withColumn("dev", abs(col("len") - col("med")))
+    val mad = withMed.groupBy("source").agg(median(col("dev")).as("mad"))
+    withMed.join(broadcast(mad), Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("median_len"), // constant within the group
+        max(col("mad")).as("mad"),
+        sum(when(when(col("mad") > 0, col("dev") > lit(k) * col("mad"))
+          .otherwise(col("dev") > 0), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("source")
+  }
+
   /** Vocabulary-richness profile per source: token/type totals, hapax
     * legomena (terms occurring exactly once), type-token ratio and hapax
     * share — the Zipf-tail diagnostics a curation run uses to spot

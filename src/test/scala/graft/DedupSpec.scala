@@ -539,6 +539,21 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 0L, 1.0)))
   }
 
+  test("source overlap: syndicated trigrams score between feed pairs") {
+    // feeds a/b share one doc verbatim; c is disjoint (absent from output)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "a"),
+      (2L, "alpha beta gamma delta", "b"),
+      (3L, "epsilon zeta eta theta", "b"),
+      (4L, "iota kappa lambda mu nu", "c"),
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlapMatrix(docs)
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    // a: {abg, bgd} (2); b: {abg, bgd, ezh, zht} (4); inter = 2
+    // jaccard = 2/(2+4-2) = 0.5; containment = 2/min(2,4) = 1.0
+    assert(out == Seq(("a", "b", 2L, 0.5, 1.0)))
+  }
+
   test("triangles: 4-clique is fully clustered, each vertex in 3 triangles") {
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
       .toDF("doc_a", "doc_b")

@@ -416,4 +416,31 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(out == Seq((0L, 1L, 1L), (1L, 1L, 0L), (2L, 1L, 1L)))
   }
+
+  test("MAD outliers: hand-computed median/MAD; the 100-token doc flagged") {
+    // source s: lengths 1,2,3,4,100 -> med 3, devs {2,1,0,1,97} -> mad 1,
+    // outliers = dev > 3*1 = {100-token doc} -> 1
+    val docs = Seq(
+      (1L, "s", "a"), (2L, "s", "a b"), (3L, "s", "a b c"),
+      (4L, "s", "a b c d"), (5L, "s", ("w " * 100).trim),
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.madOutlierStats(docs)
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    assert(out == Seq(("s", 5L, 3.0, 1.0, 1L)))
+  }
+
+  test("MAD outliers: even-count interpolation and the MAD=0 contract") {
+    // source t: lengths 2,4 -> med 3.0 (interpolated), devs {1,1} -> mad 1,
+    // no dev exceeds 3 -> 0 outliers
+    // source u: lengths 5,5,5,9 -> med 5, devs {0,0,0,4} -> mad 0:
+    // contract degrades to "any deviation" -> the 9-token doc flags
+    val docs = Seq(
+      (1L, "t", "a b"), (2L, "t", "a b c d"),
+      (3L, "u", "a b c d e"), (4L, "u", "a b c d e"),
+      (5L, "u", "a b c d e"), (6L, "u", "a b c d e f g h i"),
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.madOutlierStats(docs)
+      .as[(String, Long, Double, Double, Long)].collect().toSeq
+    assert(out == Seq(("t", 2L, 3.0, 1.0, 0L), ("u", 4L, 5.0, 0.0, 1L)))
+  }
 }
