@@ -33,6 +33,24 @@ object Sources {
   def writeTsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("sep", "\t").csv(path)
 
+  /** Write a corpus as JSON-Lines — the interchange format LLM data
+    * pipelines actually exchange (one JSON object per line, newline
+    * delimited, splittable when compressed per-file). Spark's native json
+    * sink is distributed, schema'd, and codec-parameterized; one file per
+    * partition, so upstream partitioning controls shard count. */
+  def writeJsonl(df: DataFrame, path: String,
+                 compression: String = "none"): Unit =
+    df.write.mode("overwrite").option("compression", compression).json(path)
+
+  /** Read a JSON-Lines corpus with an ENFORCED schema (never inference:
+    * schema inference is a full extra pass over 100 TB, and a single
+    * malformed shard would silently widen column types for every reader).
+    * Malformed lines drop (PERMISSIVE would null-fill, and a downstream
+    * count would disagree with the writer's). */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("mode", "DROPMALFORMED").schema(schema).json(path)
+
   /** Parse raw text lines into the corpus shape (T4: split(\t, 3) with the
     * <3-fields guard) — for sources that arrive as unsplit lines. */
   def parseCorpusLines(lines: DataFrame, col_ : String = "value"): DataFrame = {
@@ -67,5 +85,5 @@ object Sources {
 
   /** JSONL corpus reader (modern pipelines): one JSON doc per line. */
   def readCorpusJsonl(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(CorpusSchema).json(path)
+    readJsonl(spark, path, CorpusSchema)
 }

@@ -42,6 +42,25 @@ class SourcesSpec extends SparkSpec {
     assert(back == Set((1L, "A", "hello world"), (2L, "B", "again")))
   }
 
+  test("JSONL round-trip: write then schema'd read; malformed lines drop") {
+    val dir = Files.createTempDirectory("graft-jsonl-rt").toString
+    val docs = Seq(
+      (1L, "A", "tab\tand \"quote\" survive json escaping"),
+      (2L, "B", "newline\\n-literal and unicode é"),
+    ).toDF("doc_id", "doc_title", "text")
+    Sources.writeJsonl(docs, s"$dir/out")
+    val back = Sources.readCorpusJsonl(spark, s"$dir/out")
+      .as[(Long, String, String)].collect().toSet
+    assert(back == docs.as[(Long, String, String)].collect().toSet)
+    // a corrupted shard line must DROP, not null-fill (count parity with
+    // the writer matters more than salvaging a broken row)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/out/zz-corrupt.json"),
+      "{\"doc_id\": oops not json\n")
+    val again = Sources.readCorpusJsonl(spark, s"$dir/out")
+      .as[(Long, String, String)].collect().toSet
+    assert(again.size == 2)
+  }
+
   test("graft.table normalizes every events.ts writer spelling to micros") {
     import org.apache.spark.sql.functions._
     // 2024-01-01 00:00:11.172425 UTC, with a truncated-away 938ns tail in
