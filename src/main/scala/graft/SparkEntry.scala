@@ -157,6 +157,11 @@ object SparkEntry {
     "rel_small_qty_revenue" -> ((s, dir) =>
       Relational.smallQuantityRevenue(table(s, dir, "lineitem"),
         table(s, dir, "part"), "Brand#1")),
+    // TPC-H Q18 shape: HAVING-IN subquery decorrelated into one
+    // restrict-and-carry per-order aggregate before any dim join
+    "rel_big_orders" -> ((s, dir) =>
+      Relational.largeOrders(table(s, dir, "lineitem"),
+        table(s, dir, "orders"), table(s, dir, "customer"))),
     "rel_topk" -> ((s, dir) =>
       Relational.topOrders(table(s, dir, "orders"), 10)),
     "rel_window_rank" -> ((s, dir) =>
@@ -1370,6 +1375,16 @@ object SparkEntry {
     "rel_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    // Q18: the textbook HAVING-IN spelling — the engine's decorrelated
+    // aggregate must coincide with it exactly
+    "rel_big_orders" ->
+      """WITH big AS (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice, total_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
     "rel_window_rank" ->
       """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
         |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)

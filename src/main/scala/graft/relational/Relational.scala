@@ -390,6 +390,28 @@ object Relational {
     * lineitems ever shuffle. The threshold compare is EXACT:
     * `qty * 5 * cnt < sum_qty` over DECIMAL — never a float-divided avg
     * whose 1-ulp cross-engine drift could flip a boundary row. */
+  /** TPC-H Q18 shape (large-volume orders): the `o_orderkey IN (SELECT
+    * l_orderkey ... HAVING sum(qty) > t)` subquery decorrelates into ONE
+    * per-order aggregate that both restricts and carries the total — the
+    * fact table is reduced to one row per qualifying order BEFORE any
+    * dimension join, so lineitem crosses exactly one exchange and the
+    * customer dim broadcasts. Quantities are integer-valued doubles in
+    * this corpus; summed as exact longs so the threshold cut is
+    * order-independent. Rank by o_totalprice DESC with the o_orderkey
+    * tie-break (equal-price orders would otherwise be engine-ordered). */
+  def largeOrders(lineitem: DataFrame, orders: DataFrame,
+                  customer: DataFrame, minQty: Long = 250L): DataFrame = {
+    val big = lineitem.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    big.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  }
+
   def smallQuantityRevenue(lineitem: DataFrame, part: DataFrame,
                            brand: String): DataFrame = {
     val parts = part.filter(col("p_brand") === brand).select("p_partkey")

@@ -239,4 +239,24 @@ class ReportQueriesSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq
     assert(out == Seq(("N1", 1996, 70.0)))
   }
+
+  test("Q18 large orders: strict threshold, carried total, price-desc rank") {
+    import java.sql.Timestamp
+    val li = Seq(
+      (100L, 200.0), (100L, 60.0),  // order 100: 260 > 250 qualifies
+      (101L, 250.0),                // exactly at threshold: strict > drops
+      (102L, 300.0),                // qualifies, cheaper order
+    ).toDF("l_orderkey", "l_quantity")
+    val orders = Seq(
+      (100L, 1L, Timestamp.valueOf("1995-03-05 00:00:00"), 900.0),
+      (101L, 1L, Timestamp.valueOf("1995-03-06 00:00:00"), 999.0),
+      (102L, 2L, Timestamp.valueOf("1995-03-07 00:00:00"), 500.0),
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val customer = Seq((1L, "Alice"), (2L, "Bob")).toDF("c_custkey", "c_name")
+    val out = Relational.largeOrders(li, orders, customer)
+      .as[(Long, String, Long, String, Double, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "Alice", 100L, "1995-03-05", 900.0, 260L),
+      (2L, "Bob", 102L, "1995-03-07", 500.0, 300L)))
+  }
 }
