@@ -787,6 +787,14 @@ object SparkEntry {
     // dragged by the outliers themselves); MAD=0 degrades to any-dev
     "text_mad_outliers" -> ((s, dir) =>
       TextAnalysis.madOutlierStats(table(s, dir, "documents"))),
+    // per-doc source-vs-global percentile gap, ranks from the aggregated
+    // length histogram (support-bounded windows, never a per-doc sort)
+    "text_percentile_calib" -> ((s, dir) =>
+      TextAnalysis.percentileCalibration(table(s, dir, "documents"))),
+    // ingest-stage normalization: control chars -> space, whitespace
+    // collapse, trim; emitted as the cleaned hash + length delta
+    "text_normalize" -> ((s, dir) =>
+      TextAnalysis.normalizeText(table(s, dir, "documents"))),
     "text_source_stats" -> ((s, dir) =>
       TextAnalysis.sourceStats(table(s, dir, "documents"))),
     // vocabulary richness: hapax share / type-token ratio per source
@@ -2654,6 +2662,39 @@ object SparkEntry {
     "text_top_terms" ->
       """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents)
         |SELECT term, count(*) AS n FROM tok GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+    // rank tables replayed from the same length histogram; every ratio is
+    // an exact-integer division, gaps computed from UNROUNDED pcts
+    "text_percentile_calib" ->
+      """WITH l AS (SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS len
+        |  FROM documents),
+        |s AS (SELECT source, len, count(*) AS c FROM l GROUP BY 1, 2),
+        |sr AS (SELECT source, len,
+        |    COALESCE(sum(c) OVER (PARTITION BY source ORDER BY len
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_lt,
+        |    sum(c) OVER (PARTITION BY source) AS n_src
+        |  FROM s),
+        |a AS (SELECT len, count(*) AS ca FROM l GROUP BY 1),
+        |ar AS (SELECT len,
+        |    COALESCE(sum(ca) OVER (ORDER BY len
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_all,
+        |    sum(ca) OVER () AS n_all
+        |  FROM a)
+        |SELECT doc_id, l.source, l.len,
+        |  round(CASE WHEN n_src > 1 THEN CAST(cum_lt AS DOUBLE)/(n_src - 1) ELSE 0.0 END, 6) AS pct_src,
+        |  round(CASE WHEN n_all > 1 THEN CAST(cum_all AS DOUBLE)/(n_all - 1) ELSE 0.0 END, 6) AS pct_all,
+        |  round(CASE WHEN n_src > 1 THEN CAST(cum_lt AS DOUBLE)/(n_src - 1) ELSE 0.0 END
+        |      - CASE WHEN n_all > 1 THEN CAST(cum_all AS DOUBLE)/(n_all - 1) ELSE 0.0 END, 6) AS calibration_gap
+        |FROM l JOIN sr ON sr.source = l.source AND sr.len = l.len
+        |  JOIN ar ON ar.len = l.len
+        |ORDER BY doc_id""".stripMargin,
+    // same two regexp passes + trim; md5 compares the cleaned text
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(text, '[\x00-\x1F\x7F]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+        |  n_chars AS chars_before,
+        |  CAST(length(trim(regexp_replace(regexp_replace(text, '[\x00-\x1F\x7F]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS chars_after
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // both medians over DOUBLE-cast integer lengths (identical
     // interpolation type); dev and 3*mad are exact IEEE on int-or-half
     // values, so the outlier CASE can never disagree across engines

@@ -2,6 +2,7 @@ package graft.textstats
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.text.Tokenize
 
 /** Text-analysis ops a training-data pipeline runs at corpus scale:
@@ -67,6 +68,64 @@ object TextAnalysis {
           .otherwise(col("dev") > 0), 1L).otherwise(0L)).as("n_outliers"))
       .orderBy("source")
   }
+
+  /** Per-doc percentile calibration across sources — the APPLY side of
+    * the drift monitors (ksLengthDrift says "source X's length
+    * distribution is shifted"; this says "THIS doc is p93 within its
+    * source but p41 globally", the gap a mixing recipe corrects when it
+    * thresholds a quality score per-source instead of globally).
+    *
+    * percent_rank = (rank - 1)/(n - 1) = (#docs with a smaller length) /
+    * (n - 1), ties sharing a rank. Computed WITHOUT any per-doc window:
+    * both rank tables derive from the aggregated length HISTOGRAM, whose
+    * cumulative windows are bounded by the length support (the ksLengthDrift
+    * argument) — a naive global percent_rank() would single-partition-sort
+    * every doc. Docs then join the two support-sized tables (broadcast) on
+    * their integer length. All ratios are exact-integer divisions.
+    * Single-doc sources report 0 (the rank definition), same CASE on both
+    * engines. */
+  def percentileCalibration(docs: DataFrame): DataFrame = {
+    val lens = docs.select(col("doc_id"), col("source"),
+      size(toks).cast("long").as("len"))
+    val wS = Window.partitionBy("source").orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val srcRank = lens.groupBy("source", "len").agg(count(lit(1)).as("c"))
+      .withColumn("cum_lt", coalesce(sum("c").over(wS), lit(0L)))
+      .withColumn("n_src", sum("c").over(Window.partitionBy("source")))
+    val wA = Window.orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val allRank = lens.groupBy("len").agg(count(lit(1)).as("ca"))
+      .withColumn("cum_all", coalesce(sum("ca").over(wA), lit(0L)))
+      .withColumn("n_all", sum("ca").over(Window.partitionBy(lit(1))))
+    val pSrc = when(col("n_src") > 1,
+      col("cum_lt").cast("double") / (col("n_src") - 1)).otherwise(lit(0.0))
+    val pAll = when(col("n_all") > 1,
+      col("cum_all").cast("double") / (col("n_all") - 1)).otherwise(lit(0.0))
+    lens
+      .join(broadcast(srcRank.select("source", "len", "cum_lt", "n_src")),
+        Seq("source", "len"))
+      .join(broadcast(allRank.select("len", "cum_all", "n_all")), Seq("len"))
+      .select(col("doc_id"), col("source"), col("len"),
+        round(pSrc, 6).as("pct_src"),
+        round(pAll, 6).as("pct_all"),
+        round(pSrc - pAll, 6).as("calibration_gap"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic text normalization — the first stage every ingest
+    * pipeline runs before hashing/dedup (two byte-identical-after-cleanup
+    * docs must collide): control characters strike to spaces, whitespace
+    * runs collapse, edges trim. Emitted as the cleaned hash + length
+    * deltas (the cleaned TEXT would dominate the result set; the hash is
+    * what dedup consumes anyway). Pure per-row column ops in one codegen
+    * stage — no shuffle at all until the output sort. */
+  def normalizeText(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("n_chars").as("chars_before"),
+        trim(regexp_replace(regexp_replace(col("text"),
+          "[\\x00-\\x1F\\x7F]", " "), " +", " ")).as("__t"))
+      .select(col("doc_id"), md5(col("__t")).as("norm_hash"),
+        col("chars_before"), length(col("__t")).cast("long").as("chars_after"))
+      .orderBy("doc_id")
 
   /** Vocabulary-richness profile per source: token/type totals, hapax
     * legomena (terms occurring exactly once), type-token ratio and hapax

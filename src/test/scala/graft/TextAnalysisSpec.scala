@@ -417,6 +417,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq((0L, 1L, 1L), (1L, 1L, 0L), (2L, 1L, 1L)))
   }
 
+  test("percentile calibration: hand ranks, tie sharing, single-doc source") {
+    // source s lens {1,2,3}; source t len {2}; global [1,2,2,3]
+    val docs = Seq(
+      (1L, "s", "a"), (2L, "s", "a b"), (3L, "s", "a b c"), (4L, "t", "x y"),
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.percentileCalibration(docs)
+      .as[(Long, String, Long, Double, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, "s", 1L, 0.0, 0.0, 0.0),
+      (2L, "s", 2L, 0.5, 0.333333, 0.166667),
+      (3L, "s", 3L, 1.0, 1.0, 0.0),
+      (4L, "t", 2L, 0.0, 0.333333, -0.333333))) // single-doc source -> 0
+  }
+
+  test("normalize: control chars + whitespace runs collapse to one form") {
+    val docs = Seq(
+      (1L, "a\tb c", 5L), (2L, "a b  c\n", 7L), (3L, "distinct", 8L),
+    ).toDF("doc_id", "text", "n_chars")
+    val out = TextAnalysis.normalizeText(docs)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out(0)._2 == out(1)._2) // both normalize to "a b c" -> collide
+    assert(out(0)._4 == 5L && out(1)._4 == 5L)
+    assert(out(2)._2 != out(0)._2)
+    assert(out.map(_._3) == Seq(5L, 7L, 8L)) // before-lengths pass through
+  }
+
   test("MAD outliers: hand-computed median/MAD; the 100-token doc flagged") {
     // source s: lengths 1,2,3,4,100 -> med 3, devs {2,1,0,1,97} -> mad 1,
     // outliers = dev > 3*1 = {100-token doc} -> 1
