@@ -795,6 +795,10 @@ object SparkEntry {
     // collapse, trim; emitted as the cleaned hash + length delta
     "text_normalize" -> ((s, dir) =>
       TextAnalysis.normalizeText(table(s, dir, "documents"))),
+    // embedding-training data prep: skip-gram pairs + hashSplit-style
+    // deterministic negatives (slot table in seeded-md5 vocab order)
+    "text_skipgram_pairs" -> ((s, dir) =>
+      TextAnalysis.skipgramPairs(table(s, dir, "documents"))),
     "text_source_stats" -> ((s, dir) =>
       TextAnalysis.sourceStats(table(s, dir, "documents"))),
     // vocabulary richness: hapax share / type-token ratio per source
@@ -2688,6 +2692,25 @@ object SparkEntry {
         |FROM l JOIN sr ON sr.source = l.source AND sr.len = l.len
         |  JOIN ar ON ar.len = l.len
         |ORDER BY doc_id""".stripMargin,
+    // position self-join |d| in [1, window] == the zip_with arms; slot
+    // table + hex8Int negative draw replayed with the same md5 strings
+    "text_skipgram_pairs" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+        |p AS (SELECT doc_id, unnest(tk) AS w, unnest(generate_series(1, len(tk))) AS pos FROM tok),
+        |pos AS (SELECT a.w AS center, b.w AS context, CAST(count(*) AS BIGINT) AS n_cooc
+        |  FROM p a JOIN p b ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) BETWEEN 1 AND 2
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |v AS (SELECT DISTINCT w FROM p),
+        |nt AS (SELECT w AS negative,
+        |    CAST(row_number() OVER (ORDER BY md5(w || ':' || '42'), w) - 1 AS BIGINT) AS slot
+        |  FROM v),
+        |vc AS (SELECT count(*) AS vv FROM nt),
+        |ex AS (SELECT center, context, n_cooc, r.range AS i,
+        |    CAST('0x' || substring(md5(center || ':' || context || ':' || CAST(r.range AS VARCHAR) || ':' || '42'), 1, 8) AS BIGINT) % vv AS slot
+        |  FROM pos CROSS JOIN range(0, 2) r CROSS JOIN vc)
+        |SELECT center, context, n_cooc, CAST(i AS INT) AS neg_idx, negative
+        |FROM ex JOIN nt USING (slot)
+        |ORDER BY center, context, neg_idx""".stripMargin,
     // same two regexp passes + trim; md5 compares the cleaned text
     "text_normalize" ->
       """SELECT doc_id,

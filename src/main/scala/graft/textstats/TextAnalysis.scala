@@ -127,6 +127,58 @@ object TextAnalysis {
         col("chars_before"), length(col("__t")).cast("long").as("chars_after"))
       .orderBy("doc_id")
 
+  /** Skip-gram training-pair generation with DETERMINISTIC negative
+    * sampling — the embedding-training data prep (word2vec family): every
+    * directed (center, context) co-occurrence within ±`window`, aggregated
+    * with a min-count cut, plus `negK` negatives per surviving pair.
+    *
+    * Negative sampling is made reproducible (and engine-checkable) the
+    * hashSplit way: the vocabulary is laid out once into SLOTS in
+    * seeded-md5 order (one row_number window over the Heaps-law-bounded
+    * vocab — support-sized, never corpus-sized), and pair i's negative is
+    * the slot at hex8Int(md5(center:context:i:seed)) mod V — a pure
+    * function of the pair, stable under repartition and appends, replacing
+    * word2vec's stateful unigram-table draws with something a 1000-executor
+    * run can re-derive identically.
+    *
+    * Scale shape: pair generation is 2·window zip_with arms per doc
+    * (linear in tokens, never per-doc quadratic — the pmiPairs argument);
+    * the negative join exchanges pairs·negK rows hashed by slot against
+    * the vocab-sized slot table. */
+  def skipgramPairs(docs: DataFrame, window: Int = 2, minCount: Long = 5,
+                    negK: Int = 2, seed: Long = 42L): DataFrame = {
+    val tk = toks
+    val arms = (1 to window).flatMap { off =>
+      val l = slice(tk, lit(1), greatest(size(tk) - off, lit(0)))
+      val r = slice(tk, lit(off + 1), greatest(size(tk) - off, lit(0)))
+      Seq(
+        docs.select(explode(zip_with(l, r,
+          (a, b) => struct(a.as("center"), b.as("context")))).as("p")),
+        docs.select(explode(zip_with(l, r,
+          (a, b) => struct(b.as("center"), a.as("context")))).as("p")))
+    }
+    val pos = arms.reduce(_ unionByName _)
+      .select(col("p.center").as("center"), col("p.context").as("context"))
+      .groupBy("center", "context").agg(count(lit(1)).as("n_cooc"))
+      .filter(col("n_cooc") >= minCount)
+    val slotW = Window.orderBy(
+      md5(concat_ws(":", col("term"), lit(seed))), col("term"))
+    val negTable = docs.select(explode(tk).as("term")).distinct()
+      .select(col("term").as("negative"),
+        (row_number().over(slotW) - 1).cast("long").as("slot"))
+    val vSize = negTable.agg(count(lit(1)).as("__v"))
+    pos
+      .select(col("center"), col("context"), col("n_cooc"),
+        explode(sequence(lit(0), lit(negK - 1))).as("neg_idx"))
+      .crossJoin(broadcast(vSize))
+      .withColumn("slot", graft.sources.Sampling.hex8Int(md5(concat_ws(":",
+        col("center"), col("context"), col("neg_idx"), lit(seed)))) % col("__v"))
+      .join(negTable, Seq("slot"))
+      .select(col("center"), col("context"), col("n_cooc"),
+        col("neg_idx"), col("negative"))
+      .orderBy("center", "context", "neg_idx")
+  }
+
   /** Vocabulary-richness profile per source: token/type totals, hapax
     * legomena (terms occurring exactly once), type-token ratio and hapax
     * share — the Zipf-tail diagnostics a curation run uses to spot

@@ -443,6 +443,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_._3) == Seq(5L, 7L, 8L)) // before-lengths pass through
   }
 
+  test("skipgram pairs: hand co-occurrence counts + full negative replay") {
+    // "x y z x y": directed pairs |d|<=2 -> (x,y)/(y,x) 3x, the other
+    // four directed pairs 2x; negatives replayed with MessageDigest
+    val docs = Seq((1L, "s", "x y z x y")).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.skipgramPairs(docs, 2, 2, 2, 42L)
+      .as[(String, String, Long, Int, String)].collect().toSeq
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val vocab = Seq("x", "y", "z").sortBy(t => (md5hex(t + ":42"), t))
+    def neg(c: String, t: String, i: Int) = vocab(
+      (java.lang.Long.parseLong(md5hex(s"$c:$t:$i:42").take(8), 16) % 3).toInt)
+    val counts = Seq(("x", "y", 3L), ("x", "z", 2L), ("y", "x", 3L),
+      ("y", "z", 2L), ("z", "x", 2L), ("z", "y", 2L))
+    val expect = counts.flatMap { case (c, t, n) =>
+      Seq((c, t, n, 0, neg(c, t, 0)), (c, t, n, 1, neg(c, t, 1))) }
+    assert(out == expect)
+  }
+
   test("MAD outliers: hand-computed median/MAD; the 100-token doc flagged") {
     // source s: lengths 1,2,3,4,100 -> med 3, devs {2,1,0,1,97} -> mad 1,
     // outliers = dev > 3*1 = {100-token doc} -> 1
