@@ -799,6 +799,9 @@ object SparkEntry {
     // deterministic negatives (slot table in seeded-md5 vocab order)
     "text_skipgram_pairs" -> ((s, dir) =>
       TextAnalysis.skipgramPairs(table(s, dir, "documents"))),
+    // tokenizer budgeting: bytes-per-char + non-ASCII share per language
+    "text_utf8_stats" -> ((s, dir) =>
+      TextAnalysis.utf8Stats(table(s, dir, "documents"))),
     "text_source_stats" -> ((s, dir) =>
       TextAnalysis.sourceStats(table(s, dir, "documents"))),
     // vocabulary richness: hapax share / type-token ratio per source
@@ -2692,6 +2695,20 @@ object SparkEntry {
         |FROM l JOIN sr ON sr.source = l.source AND sr.len = l.len
         |  JOIN ar ON ar.len = l.len
         |ORDER BY doc_id""".stripMargin,
+    // length() = chars / strlen() = bytes on DuckDB; ratios are one
+    // double division of exact long sums on both engines
+    "text_utf8_stats" ->
+      """WITH c AS (SELECT lang,
+        |    CAST(length(text) AS BIGINT) AS chars,
+        |    CAST(strlen(text) AS BIGINT) AS bytes,
+        |    CAST(length(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) AS BIGINT) AS ascii_chars
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |  round(CAST(sum(bytes) AS DOUBLE) / CAST(sum(chars) AS BIGINT), 6) AS bytes_per_char,
+        |  round(CAST(sum(chars) - sum(ascii_chars) AS DOUBLE) / CAST(sum(chars) AS BIGINT), 6) AS non_ascii_share
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
     // position self-join |d| in [1, window] == the zip_with arms; slot
     // table + hex8Int negative draw replayed with the same md5 strings
     "text_skipgram_pairs" ->

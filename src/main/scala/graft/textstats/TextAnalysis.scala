@@ -127,6 +127,27 @@ object TextAnalysis {
         col("chars_before"), length(col("__t")).cast("long").as("chars_after"))
       .orderBy("doc_id")
 
+  /** UTF-8 byte-economics per language — the tokenizer-budgeting input
+    * (byte-level tokenizers pay bytes_per_char; a BPE trained on English
+    * pays the non-ASCII share in byte-fallback tokens). One codegen scan:
+    * chars vs encoded bytes vs ASCII-only chars, aggregated per lang.
+    * All ratios are exact-long divisions performed once, after the sums. */
+  def utf8Stats(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        length(col("text")).cast("long").as("chars"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("bytes"),
+        length(regexp_replace(col("text"), "[^\\x00-\\x7F]", ""))
+          .cast("long").as("ascii_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("chars").as("total_chars"),
+        sum("bytes").as("total_bytes"),
+        round(sum("bytes").cast("double") / sum("chars"), 6)
+          .as("bytes_per_char"),
+        round((sum("chars") - sum("ascii_chars")).cast("double") /
+          sum("chars"), 6).as("non_ascii_share"))
+      .orderBy("lang")
+
   /** Skip-gram training-pair generation with DETERMINISTIC negative
     * sampling — the embedding-training data prep (word2vec family): every
     * directed (center, context) co-occurrence within ±`window`, aggregated

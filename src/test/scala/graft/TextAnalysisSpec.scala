@@ -443,6 +443,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_._3) == Seq(5L, 7L, 8L)) // before-lengths pass through
   }
 
+  test("utf8 stats: multi-byte chars raise bytes_per_char and non-ascii share") {
+    val docs = Seq(
+      (1L, "en", "abcd"),     // 4 chars, 4 bytes, all ascii
+      (2L, "de", "abéé"), // 4 chars, 6 bytes (2x 2-byte e-acute)
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.utf8Stats(docs)
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      ("de", 1L, 4L, 6L, 1.5, 0.5),
+      ("en", 1L, 4L, 4L, 1.0, 0.0)))
+  }
+
   test("skipgram pairs: hand co-occurrence counts + full negative replay") {
     // "x y z x y": directed pairs |d|<=2 -> (x,y)/(y,x) 3x, the other
     // four directed pairs 2x; negatives replayed with MessageDigest
