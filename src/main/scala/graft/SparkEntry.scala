@@ -614,6 +614,9 @@ object SparkEntry {
     // path as dedup_jaccard_pairs but on ~1/3 the rows with long keys
     "dedup_winnow_pairs" -> ((s, dir) =>
       Dedup.winnowPairs(table(s, dir, "documents"))),
+    // the one-row dataset card: volume + provenance breadth + integrity
+    "curate_dataset_card" -> ((s, dir) =>
+      graft.curate.Curation.datasetCard(table(s, dir, "documents"))),
     // temperature-scaled domain mixing: per-source token share ->
     // alpha-flattened sampling weight + resample factor
     "curate_source_mix" -> ((s, dir) =>
@@ -2172,6 +2175,16 @@ object SparkEntry {
         |        ELSE CAST(coalesce(nd.n_dup, 0) AS DOUBLE)/np.n_paras END, 4) AS dup_frac
         |FROM documents d LEFT JOIN np USING (doc_id) LEFT JOIN nd USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    "curate_dataset_card" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9_'']+'))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+        |  round(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6) AS dup_frac,
+        |  round(CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9_'']+'))) AS DOUBLE) / count(*), 6) AS mean_doc_tokens
+        |FROM documents""".stripMargin,
     "curate_source_mix" ->
       """WITH per AS (SELECT source, count(*) AS n_docs,
         |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9_'']+'))) AS BIGINT) AS n_tokens

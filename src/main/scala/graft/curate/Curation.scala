@@ -119,6 +119,29 @@ object Curation {
       .withColumn("__mix", col("__w") / col("__wtot"))
   }
 
+  /** The DATASET CARD — the one-row manifest a published corpus ships
+    * with: volume (docs/tokens/chars), provenance breadth (sources,
+    * languages), and integrity (exact-duplicate fraction). One scan into
+    * a single aggregate; the count-distincts plan as Spark's
+    * partial-preserving distinct expand (the rel_supplier_variety
+    * argument), and the dup fraction needs no pair generation — it is
+    * n_docs minus distinct content hashes. */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val tk = graft.text.Tokenize.tokens(col("text"))
+    docs.select(col("source"), col("lang"), col("n_chars"),
+        size(tk).cast("long").as("tokens"), md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("tokens").as("n_tokens"),
+        sum("n_chars").as("n_chars"),
+        countDistinct("source").as("n_sources"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("h").as("n_unique"),
+        round((count(lit(1)) - countDistinct("h")).cast("double") /
+          count(lit(1)), 6).as("dup_frac"),
+        round(sum("tokens").cast("double") / count(lit(1)), 6)
+          .as("mean_doc_tokens"))
+  }
+
   def sourceMixWeights(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
     val per = docs
       .select(col("source"),
