@@ -375,6 +375,19 @@ object SparkEntry {
       Events.scdType2(table(s, dir, "events"))),
     "ev_cohort_retention" -> ((s, dir) =>
       Events.cohortRetention(table(s, dir, "events"))),
+    // watermark dry-run: replay arrival order (event_id) per shard and
+    // count what a 10-min watermark would drop — the audit behind every
+    // streaming watermark choice; parallelism = shard count, state = one
+    // running max per shard (exactly the streaming engine's own state)
+    "ev_watermark_late" -> ((s, dir) =>
+      Events.watermarkLateAudit(table(s, dir, "events"))),
+    // multi-touch attribution: last-touch + linear credit per channel in
+    // one report — ONE user-keyed window pass for last-touch, one
+    // lookback-bounded user join for linear; per-(conversion, channel)
+    // credit rounds a single double expression then sums as DECIMAL so
+    // partition order can never move the totals
+    "ev_attribution" -> ((s, dir) =>
+      Events.attribution(table(s, dir, "events"))),
     // time-RANGE window frame: trailing-hour per-user activity
     "ev_rolling_value" -> ((s, dir) =>
       Events.rollingUserValue(table(s, dir, "events"))),
@@ -475,6 +488,13 @@ object SparkEntry {
     "dedup_pagerank" -> ((s, dir) =>
       Dedup.similarityPageRank(table(s, dir, "documents"), 0.05,
         maxShingleDf = 100)),
+    // dense interior of the near-dup graph: iterative k-core peel (drop
+    // nodes with < 2 surviving neighbors until stable) — separates
+    // clique-like template farms from weak-tie stars that pairwise
+    // thresholds and PageRank both smear; per-round localCheckpoint,
+    // early-stop at the idempotent fixed point
+    "dedup_kcore" -> ((s, dir) =>
+      Dedup.kCore(table(s, dir, "documents"), 2, 0.5, maxShingleDf = 100)),
     // graph-shape diagnostic over the same near-dup graph: per-doc
     // triangle count + local clustering coefficient via degree-ordered
     // wedges (each triangle materialized once at its lowest-rank vertex;
@@ -542,6 +562,15 @@ object SparkEntry {
     // near-dup keep, reported as docs dropped per stage
     "curate_funnel" -> ((s, dir) =>
       graft.curate.Curation.curationFunnel(table(s, dir, "documents"))),
+    // per-source dedup accounting: docs/tokens kept vs removed by the
+    // near-dup keep-list (the provenance impact report published with
+    // every dedup run); one tokenize scan + one ids-only join
+    "curate_dedup_impact" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.curate.Curation.dedupImpact(docs,
+        Dedup.keepList(docs, Dedup.duplicateClusters(
+          Dedup.jaccardPairs(docs, 3, 0.5, maxShingleDf = 100))))
+    }),
     // snapshot diff: old = ids not divisible by 3, new = ids not divisible
     // by 7 with %5==0 texts amended — all four statuses appear (added:
     // %3==0 ∧ %7≠0; removed: %7==0 ∧ %3≠0; changed: %5==0 in both)
@@ -1847,6 +1876,64 @@ object SparkEntry {
         |       (SELECT count(*) FROM s1) AS n_stage1,
         |       (SELECT count(*) FROM s2) AS n_stage2""".stripMargin,
 
+    // identical per-shard running-max replay in arrival (event_id) order
+    "ev_watermark_late" ->
+      """WITH b AS (SELECT event_id, user_id % 16 AS shard, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT shard, us,
+        |    max(us) OVER (PARTITION BY shard ORDER BY event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+        |  FROM b),
+        |f AS (SELECT shard,
+        |    CASE WHEN wm IS NOT NULL AND us < wm - 600000000 THEN 1 ELSE 0 END AS late,
+        |    CASE WHEN wm IS NOT NULL AND us < wm - 600000000 THEN wm - 600000000 - us
+        |         ELSE 0 END AS late_us
+        |  FROM m)
+        |SELECT shard, count(*) AS n_events, CAST(sum(late) AS BIGINT) AS n_late,
+        |  round(CAST(sum(late) AS DOUBLE) / count(*), 4) AS late_frac,
+        |  CAST(max(late_us) AS BIGINT) AS max_late_us
+        |FROM f GROUP BY shard ORDER BY shard""".stripMargin,
+    // same (ts, event_id)-lexicographic "preceding" + lookback on both
+    // models; linear credit replays the identical round-then-DECIMAL-sum
+    "ev_attribution" ->
+      """WITH base AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE event_type IN ('click','view','purchase')),
+        |lt AS (SELECT *,
+        |    last_value(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+        |      OVER w AS lt_type,
+        |    last_value(CASE WHEN event_type IN ('click','view') THEN us END IGNORE NULLS)
+        |      OVER w AS lt_us
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |lastagg AS (SELECT
+        |    CASE WHEN lt_us IS NOT NULL AND lt_us >= us - 7200000000 THEN lt_type
+        |         ELSE 'direct' END AS channel,
+        |    count(*) AS n_conv, CAST(sum(v) AS DOUBLE) AS value_last
+        |  FROM lt WHERE event_type = 'purchase' GROUP BY 1),
+        |conv AS (SELECT event_id AS cid, user_id, us AS cus, v FROM base
+        |         WHERE event_type = 'purchase'),
+        |touch AS (SELECT event_id AS tid, user_id, event_type AS channel, us AS tus
+        |          FROM base WHERE event_type IN ('click','view')),
+        |hits AS (SELECT cid, v, channel, tid FROM conv JOIN touch USING (user_id)
+        |  WHERE tus >= cus - 7200000000
+        |    AND (tus < cus OR (tus = cus AND tid < cid))),
+        |pc AS (SELECT cid, v, channel, count(*) AS n_c FROM hits GROUP BY 1, 2, 3),
+        |pck AS (SELECT *, sum(n_c) OVER (PARTITION BY cid) AS k FROM pc),
+        |lin AS (SELECT channel,
+        |    CAST(round(CAST(v AS DOUBLE) * n_c / k, 6) AS DECIMAL(18,6)) AS credit
+        |  FROM pck
+        |  UNION ALL
+        |  SELECT 'direct', CAST(v AS DECIMAL(18,6)) FROM conv
+        |  WHERE cid NOT IN (SELECT cid FROM hits)),
+        |linagg AS (SELECT channel, CAST(sum(credit) AS DOUBLE) AS value_linear
+        |           FROM lin GROUP BY 1)
+        |SELECT coalesce(l.channel, n.channel) AS channel,
+        |  CAST(coalesce(l.n_conv, 0) AS BIGINT) AS n_conv_last,
+        |  coalesce(l.value_last, 0.0) AS value_last,
+        |  coalesce(n.value_linear, 0.0) AS value_linear
+        |FROM lastagg l FULL OUTER JOIN linagg n ON l.channel = n.channel
+        |ORDER BY channel""".stripMargin,
     "ev_rolling_value" ->
       """SELECT event_id, user_id,
         |  count(*) OVER w AS n_trailing,
@@ -1908,6 +1995,30 @@ object SparkEntry {
          |$rounds
          |SELECT node AS doc_id, round(pr, 6) AS pagerank
          |FROM p3 ORDER BY doc_id""".stripMargin
+    },
+    // 8 unrolled peels (monotone => idempotent past the fixed point, so
+    // the Spark loop's early-stop and the full unroll agree); final
+    // degree recomputed among survivors. Each round references the
+    // previous TWICE (both join sides), so the rounds are MATERIALIZED —
+    // DuckDB would otherwise re-inline the whole prefix per reference
+    // and the plan doubles per round (measured: 0.2 s vs minutes).
+    "dedup_kcore" -> {
+      val peels = (1 to 8).map { t =>
+        s"""a$t AS MATERIALIZED (SELECT e.src AS node FROM edges e
+           |  JOIN a${t - 1} x ON e.src = x.node JOIN a${t - 1} y ON e.dst = y.node
+           |  GROUP BY e.src HAVING count(*) >= 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $shingleCtes,
+         |pairs AS (SELECT doc_a, doc_b
+         |  FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.5),
+         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+         |$peels
+         |SELECT e.src AS doc_id, count(*) AS core_deg FROM edges e
+         |JOIN a8 x ON e.src = x.node JOIN a8 y ON e.dst = y.node
+         |GROUP BY e.src ORDER BY doc_id""".stripMargin
     },
     // degree-ordered triangle replay: orient each 0.05-Jaccard edge
     // low-(deg,id) -> high, wedge-join oriented out-edges, close against
@@ -2033,6 +2144,23 @@ object SparkEntry {
         |SELECT vec_id, eval_id, round(cos, 4) AS cosine
         |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
+    // the keep-list CTEs + one tokenize scan, re-aggregated per source
+    "curate_dedup_impact" ->
+      s"""WITH RECURSIVE $clusterCtes,
+         |keep AS (SELECT doc_id FROM documents
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE cluster_id != doc_id)),
+         |per AS (SELECT d.doc_id, d.source,
+         |    len(regexp_extract_all(lower(d.text), '[a-z0-9_'']+')) AS nt,
+         |    CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS kept
+         |  FROM documents d LEFT JOIN keep k ON d.doc_id = k.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(kept) AS BIGINT) AS n_kept,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN kept = 1 THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept,
+         |  round(CASE WHEN sum(nt) = 0 THEN 0.0
+         |    ELSE CAST(sum(nt) - sum(CASE WHEN kept = 1 THEN nt ELSE 0 END) AS DOUBLE)
+         |         / sum(nt) END, 4) AS removed_token_frac
+         |FROM per GROUP BY source ORDER BY source""".stripMargin,
     "curate_corpus_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS oh FROM documents WHERE doc_id % 3 <> 0),
         |n AS (SELECT doc_id,

@@ -267,6 +267,37 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Dedup impact accounting: what the near-dup keep-list actually costs
+    * each source, in documents and tokens — the per-provenance report a
+    * pipeline publishes alongside its dedup run (heavy removal from one
+    * source is either a quality win or a recall bug, and this table is
+    * how you tell). `keep` is any (doc_id) frame, normally
+    * `Dedup.keepList`.
+    *
+    * Scale notes (100 TB): one tokenize scan reduces the corpus to
+    * (doc_id, source, n_tok); the keep flag arrives by one doc_id-keyed
+    * left join of an ids-only frame (broadcastable when the keep list is
+    * stored as its own table; hash-join correct regardless); the output
+    * aggregate is source-cardinality. */
+  def dedupImpact(docs: DataFrame, keep: DataFrame): DataFrame = {
+    val perDoc = docs.select(col("doc_id"), col("source"),
+      size(graft.text.Tokenize.tokens(col("text"))).cast("long").as("__nt"))
+    perDoc
+      .join(keep.select(col("doc_id"), lit(1L).as("__k")), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__k"), lit(0L))).as("n_kept"),
+        sum(col("__nt")).as("n_tokens"),
+        sum(when(col("__k").isNotNull, col("__nt")).otherwise(0L))
+          .as("tokens_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"), col("n_tokens"),
+        col("tokens_kept"),
+        round(when(col("n_tokens") === 0, 0.0)
+          .otherwise((col("n_tokens") - col("tokens_kept")).cast("double") /
+            col("n_tokens")), 4).as("removed_token_frac"))
+      .orderBy("source")
+  }
+
   /** The curated corpus: every surviving doc, whole rows. */
   def curatedDocs(docs: DataFrame, minTokens: Long = 5,
                   maxDupTrigramFrac: Double = 0.2, n: Int = 3,

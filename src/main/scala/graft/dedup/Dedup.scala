@@ -1049,6 +1049,63 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Fixed-k core of the near-dup graph by iterative peeling: repeatedly
+    * drop nodes with fewer than `k` surviving neighbors; what remains is
+    * the dense interior — template farms and mass-duplication hubs that
+    * pairwise thresholds and PageRank both smear (a node with 100
+    * weak-tie neighbors outranks a 5-clique member on PageRank, but only
+    * the clique survives a 2-core peel). Output: surviving docs with
+    * their within-core degree.
+    *
+    * Peeling is monotone (the active set only shrinks), so the fixed
+    * point is idempotent: the loop early-stops when a round removes
+    * nothing, while the oracle unrolls all `rounds` — extra unrolled
+    * rounds are identity, so the two agree whenever the loop converges,
+    * and when it does NOT converge in `rounds` both sides have executed
+    * exactly the same `rounds` peels. (A path graph peels one node per
+    * round from each end — real near-dup components are clique-like and
+    * converge in 1-2 rounds, which `rounds = 8` covers with margin.)
+    *
+    * Scale notes (100 TB): each round is one (active-filtered) degree
+    * aggregate — two hash semi-joins of an ids-only frame against the
+    * once-materialized edge list, exchange keyed by node id; per-round
+    * localCheckpoint keeps lineage flat (the kmeansFit discipline). No
+    * driver-side data beyond the per-round convergence count. */
+  def kCoreFromPairs(pairs: DataFrame, k: Int = 2, rounds: Int = 8): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"),
+        col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    def degrees(active: DataFrame): DataFrame = edges
+      .join(active.select(col("node").as("src")), Seq("src"))
+      .join(active.select(col("node").as("dst")), Seq("dst"))
+      .groupBy("src").agg(count(lit(1)).as("deg"))
+    var active = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    var nActive = active.count()
+    var i = 0
+    var stable = false
+    while (i < rounds && !stable) {
+      val next = degrees(active).filter(col("deg") >= k)
+        .select(col("src").as("node"))
+        .localCheckpoint(true)
+      val n = next.count()
+      stable = n == nActive
+      active = next
+      nActive = n
+      i += 1
+    }
+    degrees(active)
+      .select(col("src").as("doc_id"), col("deg").as("core_deg"))
+      .orderBy("doc_id")
+  }
+
+  /** 2-core of the trigram-Jaccard near-dup graph (the declared-query
+    * composition: same pair generation as duplicateClusters). */
+  def kCore(docs: DataFrame, k: Int = 2, minJaccard: Double = 0.5,
+            maxShingleDf: Int = DefaultMaxShingleDf): DataFrame =
+    kCoreFromPairs(jaccardPairs(docs, 3, minJaccard, maxShingleDf), k)
+
   /** Cross-SOURCE n-gram overlap matrix: distinct-trigram Jaccard and
     * containment between every pair of corpus sources — the
     * provenance-level contamination report ("which feeds syndicate which")

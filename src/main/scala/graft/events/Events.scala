@@ -239,6 +239,124 @@ object Events {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Watermark lateness audit: replay the event log in ARRIVAL order
+    * (event_id — the append sequence) per shard and measure how many
+    * events a streaming watermark of `delayMinutes` would have dropped,
+    * and by how much — the batch dry-run you do before picking a
+    * watermark for the Structured Streaming jobs (graft.streaming), where
+    * the same policy silently discards late rows.
+    *
+    * Per shard the watermark before event e is max(event time) over
+    * earlier-ARRIVED events minus the delay; e is late iff its event time
+    * is below that. The first arrival in a shard is never late.
+    *
+    * Scale notes (100 TB): the running max is inherently sequential per
+    * shard — exactly as in the streaming engine it models — so
+    * parallelism equals shard count, which in production is the log's
+    * physical partition count (Kafka: thousands). One window pass, state
+    * is a single long per shard, and the output is shard-cardinality. */
+  def watermarkLateAudit(events: DataFrame, delayMinutes: Int = 10,
+                         shards: Int = 16): DataFrame = {
+    val delayUs = delayMinutes * 60L * 1000000L
+    val w = Window.partitionBy("shard").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isLate = col("wm").isNotNull && col("us") < col("wm") - delayUs
+    events
+      .select(col("event_id"), (col("user_id") % shards).as("shard"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("wm", max("us").over(w))
+      .select(col("shard"), isLate.cast("long").as("late"),
+        when(isLate, col("wm") - delayUs - col("us")).otherwise(0L).as("late_us"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_events"), sum("late").as("n_late"),
+        round(sum("late").cast("double") / count(lit(1)), 4).as("late_frac"),
+        max("late_us").as("max_late_us"))
+      .orderBy("shard")
+  }
+
+  /** Multi-touch attribution: credit each conversion's value back to the
+    * touch events (marketing channels) that preceded it within a lookback
+    * window — the revenue-accounting join every event pipeline ships.
+    * Reports BOTH standard models side by side, one row per channel:
+    *
+    *   - last-touch: the full value goes to the most recent qualifying
+    *     touch's type ("direct" when none exists in the lookback);
+    *   - linear: the value splits evenly across ALL qualifying touches,
+    *     so a channel earns value * (its touches / all touches) per
+    *     conversion.
+    *
+    * "Preceding" is lexicographic (ts, event_id) — same-microsecond
+    * touches count as before a later-id conversion — and "qualifying"
+    * adds ts >= conversion ts - lookback. The two models share that
+    * definition, so a conversion is "direct" in both or neither.
+    *
+    * Determinism: per-(conversion, channel) linear credit is one double
+    * expression (value * n_c / k) rounded to 6 decimals, then summed as
+    * DECIMAL(18,6) — order-independent across partitions and engines;
+    * last-touch sums accumulate as DECIMAL(18,2). Both surface as DOUBLE.
+    *
+    * Scale notes (100 TB): the last-touch pass is ONE window over the
+    * (touch|conversion) subset keyed by user_id — no join. The linear
+    * pass joins conversions to touches on user_id (AQE skew-splits hot
+    * users); the lookback bounds per-conversion fan-out by the user's
+    * touch rate, never by history length. Final aggregates are
+    * channel-cardinality — broadcast-sized. */
+  def attribution(events: DataFrame,
+                  touchTypes: Seq[String] = Seq("click", "view"),
+                  convType: String = "purchase",
+                  lookbackMinutes: Int = 120): DataFrame = {
+    val lookUs = lookbackMinutes * 60L * 1000000L
+    val base = events
+      .filter(col("event_type").isin(touchTypes :+ convType: _*))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), money(col("value")).as("v"))
+    // last-touch: carry the latest preceding touch forward per user
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin(touchTypes: _*)
+    val lastTouch = base
+      .withColumn("lt_type",
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("lt_us",
+        last(when(isTouch, col("us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === convType)
+      .select(col("v"),
+        when(col("lt_us").isNotNull && col("lt_us") >= col("us") - lookUs,
+          col("lt_type")).otherwise(lit("direct")).as("channel"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_conv"),
+        sum(col("v")).cast("double").as("value_last"))
+    // linear: per-conversion touch counts by channel within the lookback
+    val conv = base.filter(col("event_type") === convType)
+      .select(col("event_id").as("cid"), col("user_id"),
+        col("us").as("cus"), col("v"))
+    val touch = base.filter(isTouch)
+      .select(col("event_id").as("tid"), col("user_id"),
+        col("event_type").as("channel"), col("us").as("tus"))
+    val hits = conv.join(touch, Seq("user_id"))
+      .filter(col("tus") >= col("cus") - lookUs &&
+        (col("tus") < col("cus") ||
+          (col("tus") === col("cus") && col("tid") < col("cid"))))
+    val perConv = hits.groupBy("cid", "v", "channel")
+      .agg(count(lit(1)).as("n_c"))
+      .withColumn("k", sum("n_c").over(Window.partitionBy("cid")))
+    val linear = perConv
+      .select(col("channel"),
+        round(col("v").cast("double") * col("n_c") / col("k"), 6)
+          .cast(DecimalType(18, 6)).as("credit"))
+      .union(conv.join(hits.select("cid").distinct(), Seq("cid"), "left_anti")
+        .select(lit("direct").as("channel"),
+          col("v").cast(DecimalType(18, 6)).as("credit")))
+      .groupBy("channel")
+      .agg(sum("credit").cast("double").as("value_linear"))
+    lastTouch.join(linear, Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("n_conv"), lit(0L)).as("n_conv_last"),
+        coalesce(col("value_last"), lit(0.0)).as("value_last"),
+        coalesce(col("value_linear"), lit(0.0)).as("value_linear"))
+      .orderBy("channel")
+  }
+
   /** Ordered funnel: users who progressed signup -> click -> purchase, each
     * stage strictly after the previous one. Three min-aggregations and two
     * joins — no per-user collect, no window over the full event stream.

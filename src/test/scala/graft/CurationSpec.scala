@@ -180,4 +180,19 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(got.map { case (d, n) => n * 10L }.sum - 150L) <= 10L)
     assert(math.abs(small.map { case (d, n) => n * 10L }.sum - 35L) <= 10L)
   }
+
+  test("dedup impact: per-source doc/token accounting against a keep list") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "web"),   // 4 tokens, kept
+      (2L, "alpha beta gamma delta", "web"),   // 4 tokens, removed (dup of 1)
+      (3L, "one two three", "books"),          // 3 tokens, kept
+      (4L, "", "books"),                       // 0 tokens, kept
+    ).toDF("doc_id", "text", "source")
+    val keep = Seq(1L, 3L, 4L).toDF("doc_id")
+    val out = Curation.dedupImpact(docs, keep)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("books", 2L, 2L, 3L, 3L, 0.0),
+      ("web", 2L, 1L, 8L, 4L, 0.5)))
+  }
 }

@@ -593,4 +593,22 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 1L, Some(1.0)), (2L, 2L, 1L, Some(1.0)),
       (3L, 2L, 1L, Some(1.0))))
   }
+
+  test("k-core peel: cliques and cycles survive, stars and paths peel away") {
+    // clique {1,2,3}; path 4-5; star 6-{7,8}; 4-cycle {10,11,12,13}.
+    // 2-core: the clique (deg 2 each) and the cycle (deg 2 each) — the
+    // star peels in TWO rounds (leaves 7,8 first, then the stranded hub
+    // 6), which is exactly the multi-round case the loop must handle.
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L),
+      (6L, 7L), (6L, 8L), (10L, 11L), (11L, 12L), (12L, 13L), (10L, 13L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.kCoreFromPairs(pairs, 2).as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (2L, 2L), (3L, 2L), (10L, 2L), (11L, 2L),
+      (12L, 2L), (13L, 2L)))
+  }
+
+  test("k-core: k=3 empties a graph whose densest piece is a 3-clique") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
+    assert(Dedup.kCoreFromPairs(pairs, 3).count() == 0L)
+  }
 }

@@ -38,6 +38,59 @@ class EventsSpec extends SparkSpec {
       ("2024-01-02", 0L, 1L)))
   }
 
+  test("watermark audit: late iff event time below running max - delay") {
+    // one shard (user 0): arrivals by event_id; delay 10 min
+    val ev = Seq(
+      (1L, 0L, ts("2024-01-01 10:00:00")), // first arrival: never late
+      (2L, 0L, ts("2024-01-01 09:55:00")), // wm 10:00 - 10m = 09:50 -> on time
+      (3L, 0L, ts("2024-01-01 09:45:00")), // wm 09:50 -> late by 5 min
+      (4L, 0L, ts("2024-01-01 11:00:00")), // advances wm
+      (5L, 0L, ts("2024-01-01 10:49:00")), // wm 10:50 -> late by 60 s
+      (6L, 1L, ts("2024-01-01 08:00:00")), // other shard, single event
+    ).toDF("event_id", "user_id", "ts")
+    val out = Events.watermarkLateAudit(ev, 10, 16)
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 5L, 2L, 0.4, 300000000L),
+      (1L, 1L, 0L, 0.0, 0L)))
+  }
+
+  test("attribution: last-touch vs linear credit, lookback + direct cases") {
+    // user 1: click 10:00, view 11:00, purchase 12:00 (100.0)
+    //   -> last-touch: view; linear: click 50 / view 50
+    // user 2: click 08:00, purchase 12:00 (60.0) -> outside 120 min lookback
+    //   -> direct in both models
+    // user 3: purchase 12:00 (40.0), no touches -> direct
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "click", 0.0),
+      (2L, 1L, ts("2024-01-01 11:00:00"), "view", 0.0),
+      (3L, 1L, ts("2024-01-01 12:00:00"), "purchase", 100.0),
+      (4L, 2L, ts("2024-01-01 08:00:00"), "click", 0.0),
+      (5L, 2L, ts("2024-01-01 12:00:00"), "purchase", 60.0),
+      (6L, 3L, ts("2024-01-01 12:00:00"), "purchase", 40.0),
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val rows = Events.attribution(ev)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(rows == Seq(
+      ("click", 0L, 0.0, 50.0),
+      ("direct", 2L, 100.0, 100.0),
+      ("view", 1L, 100.0, 50.0)))
+  }
+
+  test("attribution: same-microsecond touch counts as before a later-id conversion") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "click", 0.0), // same ts, lower id
+      (2L, 1L, ts("2024-01-01 10:00:00"), "purchase", 30.0),
+      (4L, 2L, ts("2024-01-01 10:00:00"), "purchase", 20.0),
+      (5L, 2L, ts("2024-01-01 10:00:00"), "click", 0.0), // same ts, HIGHER id
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val rows = Events.attribution(ev)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(rows == Seq(
+      ("click", 1L, 30.0, 30.0),
+      ("direct", 1L, 20.0, 20.0)))
+  }
+
   test("funnel requires strict stage ordering") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00"), "signup", 1L),
