@@ -375,6 +375,22 @@ object SparkEntry {
       Events.scdType2(table(s, dir, "events"))),
     "ev_cohort_retention" -> ((s, dir) =>
       Events.cohortRetention(table(s, dir, "events"))),
+    // CDC changelog apply: latest-wins per user with 'error' tombstones —
+    // the compacted-topic materialization; one user-keyed window pass
+    "ev_cdc_apply" -> ((s, dir) =>
+      Events.cdcApply(table(s, dir, "events"))),
+    // grid-bucketed spatial radius self-join over the md5-derived integer
+    // point cloud: ONE exchange by cell, 9x neighborhood on one side only,
+    // each unordered pair produced exactly once — never all-pairs
+    "ev_geo_pairs" -> ((s, dir) =>
+      graft.spatial.Spatial.radiusPairs(
+        graft.spatial.Spatial.hashPoints(table(s, dir, "events"), "user_id"),
+        "user_id", radius = 48, cell = 64)),
+    // radius-bounded kNN from the same grid join: 3 nearest per point
+    "ev_geo_knn" -> ((s, dir) =>
+      graft.spatial.Spatial.gridKnn(
+        graft.spatial.Spatial.hashPoints(table(s, dir, "events"), "user_id"),
+        "user_id", k = 3, radius = 48, cell = 64)),
     // watermark dry-run: replay arrival order (event_id) per shard and
     // count what a 10-min watermark would drop — the audit behind every
     // streaming watermark choice; parallelism = shard count, state = one
@@ -663,6 +679,10 @@ object SparkEntry {
     // + a seeded-hash partial epoch)
     "curate_epoch_plan" -> ((s, dir) =>
       graft.curate.Curation.epochPlan(table(s, dir, "documents"), 200000L)),
+    // DoReMi-style Group-DRO reweighting: 3 mirror-ascent rounds on
+    // per-source excess loss, starting from the token-share reference
+    "curate_doremi_weights" -> ((s, dir) =>
+      graft.curate.Curation.doremiWeights(table(s, dir, "documents"))),
 
     // ---- similarity search (north star) ----
     "sim_cosine_topk" -> ((s, dir) =>
@@ -982,6 +1002,12 @@ object SparkEntry {
     "samp_weighted" -> ((s, dir) =>
       Sampling.weightedSample(table(s, dir, "documents"), "doc_id", "n_chars", 50, 42)
         .select("doc_id", "n_chars").orderBy("doc_id")),
+    // per-group weighted reservoir (A-Res): 5 length-weighted docs per
+    // language — the set-compare discipline of samp_weighted, per group
+    "samp_reservoir" -> ((s, dir) =>
+      Sampling.groupedWeightedSample(table(s, dir, "documents"), "lang",
+          "doc_id", "n_chars", 5, 42)
+        .select("lang", "doc_id", "n_chars").orderBy("lang", "doc_id")),
     // The serving path: build the bucketed parquet index, then search it
     // with partition pruning to the query terms' buckets. The oracle
     // recomputes the same statistics from raw text — stored-vs-recompute
@@ -1861,6 +1887,51 @@ object SparkEntry {
         |  strftime(nxt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
         |  nxt IS NULL AS is_current
         |FROM v ORDER BY user_id, version""".stripMargin,
+    // latest-wins CDC apply with 'error' tombstones: one windowed replay
+    "ev_cdc_apply" ->
+      """WITH r AS (SELECT user_id, event_id, event_type, value, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events)
+        |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS updated_at,
+        |  CAST(n AS BIGINT) AS n_changes
+        |FROM r WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""".stripMargin,
+    // grid spatial join replay: same md5-integer points, same 3x3 cell
+    // candidates, exact integer distances (no FP anywhere)
+    "ev_geo_pairs" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |p AS (SELECT user_id,
+        |    ('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':17'), 1, 8))::BIGINT % 1024 AS x,
+        |    ('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':23'), 1, 8))::BIGINT % 1024 AS y
+        |  FROM u),
+        |c AS (SELECT user_id, x, y, x // 64 AS cx, y // 64 AS cy FROM p),
+        |n AS (SELECT user_id, x, y, cx + dx.d AS ncx, cy + dy.d AS ncy
+        |  FROM c, (SELECT unnest([-1, 0, 1]) AS d) dx, (SELECT unnest([-1, 0, 1]) AS d) dy)
+        |SELECT a.user_id AS id_a, b.user_id AS id_b,
+        |  CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS dist2
+        |FROM n a JOIN c b ON a.ncx = b.cx AND a.ncy = b.cy AND a.user_id < b.user_id
+        |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 2304
+        |ORDER BY id_a, id_b""".stripMargin,
+    "ev_geo_knn" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |p AS (SELECT user_id,
+        |    ('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':17'), 1, 8))::BIGINT % 1024 AS x,
+        |    ('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':23'), 1, 8))::BIGINT % 1024 AS y
+        |  FROM u),
+        |c AS (SELECT user_id, x, y, x // 64 AS cx, y // 64 AS cy FROM p),
+        |n AS (SELECT user_id, x, y, cx + dx.d AS ncx, cy + dy.d AS ncy
+        |  FROM c, (SELECT unnest([-1, 0, 1]) AS d) dx, (SELECT unnest([-1, 0, 1]) AS d) dy),
+        |cand AS (SELECT a.user_id AS id, b.user_id AS neighbor_id,
+        |    (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist2
+        |  FROM n a JOIN c b ON a.ncx = b.cx AND a.ncy = b.cy AND a.user_id <> b.user_id
+        |  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 2304),
+        |r AS (SELECT id, neighbor_id, dist2,
+        |    row_number() OVER (PARTITION BY id ORDER BY dist2, neighbor_id) AS rnk
+        |  FROM cand)
+        |SELECT id, neighbor_id, CAST(dist2 AS BIGINT) AS dist2, CAST(rnk AS INT) AS "rank"
+        |FROM r WHERE rnk <= 3 ORDER BY id, rnk""".stripMargin,
     "ev_transitions" ->
       """WITH e AS (SELECT event_type AS from_type,
         |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type FROM events)
@@ -2391,6 +2462,33 @@ object SparkEntry {
         |per AS (SELECT doc_id, count(*) AS nf, round(sum(lp), 4) AS log_ratio FROM sc GROUP BY doc_id)
         |SELECT d.doc_id, CAST(coalesce(nf, 0) AS BIGINT) AS n_feats, log_ratio
         |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // DoReMi mirror-ascent unrolled round-by-round: every weighted sum is
+    // an exact DECIMAL(28,18) accumulation of IEEE products and weights
+    // re-anchor at round(6) per round — the kmeansFit oracle discipline
+    "curate_doremi_weights" -> {
+      val rounds = (1 to 3).map { t =>
+        val prev = s"w${t - 1}"
+        s"""b$t AS (SELECT round(CAST(sum(CAST(w * loss AS DECIMAL(28,18))) AS DOUBLE), 6) AS b FROM $prev),
+           |r$t AS (SELECT source, n_tokens, loss, w * exp(2.0 * greatest(loss - b, 0.0)) AS raw
+           |  FROM $prev CROSS JOIN b$t),
+           |z$t AS (SELECT CAST(sum(CAST(raw AS DECIMAL(28,18))) AS DOUBLE) AS z FROM r$t),
+           |w$t AS (SELECT source, n_tokens, loss, round(raw / z, 6) AS w FROM r$t CROSS JOIN z$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH per0 AS (SELECT source,
+         |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9_'']+'))) AS BIGINT) AS n_tokens,
+         |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |  FROM documents GROUP BY source),
+         |per AS (SELECT source, n_tokens,
+         |    round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS loss
+         |  FROM per0 WHERE n_tokens > 0),
+         |tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM per),
+         |w0 AS (SELECT source, n_tokens, loss,
+         |    round(CAST(n_tokens AS DOUBLE) / t, 6) AS w FROM per CROSS JOIN tot),
+         |$rounds
+         |SELECT w3.source, w3.n_tokens, w3.loss, w0.w AS ref_weight,
+         |  w3.w AS doremi_weight, round(w3.w / w0.w, 6) AS reweight_factor
+         |FROM w3 JOIN w0 USING (source) ORDER BY w3.source""".stripMargin
+    },
     "dedup_embedding_lsh" ->
       """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |bk AS (SELECT vec_id, v,
@@ -3713,6 +3811,18 @@ object SparkEntry {
         |  FROM documents WHERE n_chars > 0),
         |s AS (SELECT doc_id, n_chars FROM k ORDER BY aes_key DESC, doc_id LIMIT 50)
         |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM s ORDER BY doc_id""".stripMargin,
+    // grouped A-Res: the same ln-monotone key ranked PER LANGUAGE; the
+    // declared set-compare (no key, no rank) is the samp_weighted argument
+    "samp_reservoir" ->
+      """WITH k AS (SELECT lang, doc_id, n_chars,
+        |  ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))::BIGINT + 1.0) / 4294967296.0)
+        |    / CAST(n_chars AS DOUBLE) AS aes_key
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY aes_key DESC, doc_id) AS rn
+        |  FROM k)
+        |SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM r WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin,
     "bm25_stored" -> bm25OracleSql("('spark','join','window')"),
     "bm25_multi_stored" -> bm25MultiOracleSql,
     // BM25 over the phrase terms (same CTEs as bm25OracleSql) left-joined

@@ -327,6 +327,77 @@ object Curation {
     * occurrence frame hash-joins them without moving, then one exchange
     * keys by doc for the sum. The `crossLmScores` shape with a
     * fixed-size model instead of a vocabulary-sized one. */
+  /** DoReMi-style domain reweighting (arXiv:2305.10429, data-only
+    * analogue): multiplicative-weights ascent on per-domain EXCESS LOSS.
+    * One corpus scan computes each source's proxy loss (here:
+    * chars-per-token — a deterministic stand-in for the proxy-model loss
+    * the paper trains); `rounds` mirror-ascent steps then shift weight
+    * toward domains whose loss exceeds the current weighted baseline,
+    * exactly the Group-DRO update DoReMi runs between proxy epochs:
+    * baseline_t = Σ_s w_s·loss_s, w_s ← w_s·exp(eta·max(0, loss_s −
+    * baseline_t)) / Z. Starts from the reference distribution (token
+    * share), like the paper.
+    *
+    * Determinism / oracle parity: per-source sums are exact (longs);
+    * every weighted sum in the loop accumulates as DECIMAL(28,18) of
+    * IEEE double products (the kmeansFit discipline — order-independent,
+    * engine-exact) and weights re-anchor at round(6) every step, so exp's
+    * 1-ulp cross-engine wobble never compounds.
+    *
+    * Scale notes (100 TB): the heavy work is ONE tokenize scan into a
+    * per-source partial+final agg; the mirror-ascent loop runs on the
+    * driver over S scalars, where S = number of domains — inherently
+    * small (a corpus has tens of domains, not millions), the same
+    * driver-scalar budget as kmeansFit's convergence reads. */
+  def doremiWeights(docs: DataFrame, eta: Double = 2.0,
+                    rounds: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // CAST(d AS DECIMAL(28,18)) exactly as both engines spell it: the
+    // EXACT binary double (not its shortest string form) rounded to 18
+    // fractional digits — so the decimal-exact sums below are the same
+    // numbers the oracle's CAST(SUM(CAST(..))) chain produces
+    def dec18(d: Double): java.math.BigDecimal =
+      new java.math.BigDecimal(d).setScale(18, java.math.RoundingMode.HALF_UP)
+    val per = docs.select(col("source"),
+        size(graft.text.Tokenize.tokens(col("text"))).cast("long").as("__nt"),
+        col("n_chars"))
+      .groupBy("source")
+      .agg(sum("__nt").as("n_tokens"), sum("n_chars").as("n_chars"))
+      .filter(col("n_tokens") > 0)
+      .select(col("source"), col("n_tokens"),
+        round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("loss"))
+      .orderBy("source")
+      .collect()
+    val sources = per.map(_.getString(0))
+    val nTokens = per.map(_.getLong(1))
+    val loss = per.map(_.getDouble(2))
+    val tot = nTokens.sum.toDouble
+    val w0 = nTokens.map(t => r6(t.toDouble / tot))
+    var w = w0.clone()
+    var t = 0
+    while (t < rounds) {
+      // exact decimal sum of IEEE products — order-independent, and the
+      // same arithmetic the oracle spells CAST(SUM(CAST(.. AS DECIMAL)))
+      val baseline = r6(w.indices
+        .map(i => dec18(w(i) * loss(i)))
+        .reduce(_.add(_)).doubleValue)
+      val raw = w.indices.map(i =>
+        w(i) * math.exp(eta * math.max(0.0, loss(i) - baseline))).toArray
+      val z = raw.map(dec18).reduce(_.add(_)).doubleValue
+      w = raw.map(x => r6(x / z))
+      t += 1
+    }
+    sources.indices.map(i =>
+        (sources(i), nTokens(i), loss(i), w0(i), w(i), r6(w(i) / w0(i))))
+      .toDF("source", "n_tokens", "loss", "ref_weight", "doremi_weight",
+        "reweight_factor")
+      .orderBy("source")
+  }
+
   def dsirWeights(docs: DataFrame, targetSource: String,
                   buckets: Int = 1024): DataFrame = {
     graft.functions.TextFunctions.ensureRegistered(docs.sparkSession)

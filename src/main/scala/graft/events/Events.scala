@@ -176,6 +176,34 @@ object Events {
       .orderBy("user_id", "version")
   }
 
+  /** CDC changelog apply (latest-wins with tombstones): materialize the
+    * current per-key state from an append-only change stream — the
+    * MERGE-free equivalent of a Delta/Hudi snapshot read, and the op an
+    * ingestion pipeline runs to turn a Kafka-compacted topic into a
+    * queryable table. Each event upserts its (event_type, value) for its
+    * user; `tombstoneType` events delete the key. Change order is total:
+    * (ts, event_id) — a replayed or reordered feed converges to the same
+    * state.
+    *
+    * Scale notes (100 TB): ONE exchange by key for the latest-wins
+    * window — no self-join, no driver state; at 10^10 keys the window is
+    * a per-partition sort within the hash exchange. This beats the
+    * naive groupBy(max(ts))+join-back plan (two exchanges + a join) and
+    * is what a compacted-topic materialization must look like at scale. */
+  def cdcApply(changes: DataFrame, tombstoneType: String = "error"): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    changes
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("user_id")))
+      .filter(col("__rn") === 1 && col("event_type") =!= tombstoneType)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"),
+        money(col("value")).cast("double").as("last_value"),
+        fmtTs(col("ts")).as("updated_at"), col("__n").as("n_changes"))
+      .orderBy("user_id")
+  }
+
   /** JSON prop extraction: sum of props.k per event type. */
   def propsKSumByType(events: DataFrame): DataFrame =
     events.groupBy("event_type")

@@ -114,6 +114,39 @@ object Sampling {
       .drop("__aes_key")
   }
 
+  /** Per-group weighted reservoir (Efraimidis–Spirakis A-Res, grouped):
+    * within each group, rank rows by the same ln(u)/w key as
+    * `weightedSample` and keep the top `nPerGroup` — the "k docs per
+    * language/domain, length-weighted" primitive corpus balancing runs
+    * after mixing weights are chosen. Selection odds within a group are
+    * proportional to weight; membership is a pure function of
+    * (id, weight, seed), so appends to OTHER groups never disturb a
+    * group's reservoir.
+    *
+    * Determinism: same contract (and same cross-engine ln caveat) as
+    * `weightedSample` — the declared query emits the selected SET per
+    * group, never the key, so only rank-boundary order can matter and
+    * adjacent-key gaps (~1/groupSize) dwarf 1-ulp ln noise.
+    *
+    * Scale notes (100 TB): ONE exchange by group for the ranking window;
+    * the key is computed in the scan projection. Group count is
+    * unbounded (this is the per-group form of the TakeOrderedAndProject
+    * plan, which cannot express "top n PER group" without a window). */
+  def groupedWeightedSample(df: DataFrame, groupCol: String, idCol: String,
+                            weightCol: String, nPerGroup: Int,
+                            seed: Long): DataFrame = {
+    val v = hex8Int(sampleKey(col(idCol), seed))
+    val u = (v.cast("double") + 1.0) / 4294967296.0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(desc("__aes_key"), col(idCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("__aes_key", log(u) / col(weightCol).cast("double"))
+      .withColumn("__aes_rank", row_number().over(w))
+      .filter(col("__aes_rank") <= nPerGroup)
+      .drop("__aes_key", "__aes_rank")
+  }
+
   /** The two hex-pair range bounds for hashSplit, shared with the oracle
     * SQL generator. Threshold 256 means "above every hex pair": "g" > any
     * [0-9a-f]{2} string lexicographically, so comparisons stay plain

@@ -1,0 +1,111 @@
+package graft.spatial
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Grid-bucketed spatial joins — the 2-D analogue of the engine's banded
+  * 1-D range join (`Events.rangePairs`), and the standard way to run
+  * radius / nearest-neighbor queries at cluster scale without an R-tree:
+  * hash points into fixed-size grid cells, exchange BY CELL, and join
+  * each point's 3x3 cell neighborhood against candidate home cells so
+  * only near-colocated points ever meet. Nothing here is all-pairs.
+  *
+  * Coordinates are INTEGER (derived, like every other synthetic fixture
+  * in this engine, from seeded md5 over real table keys — pure column
+  * ops both engines replay bit-identically), so every distance is exact
+  * integer arithmetic and the oracle compare is hash-exact with no FP
+  * epsilon anywhere.
+  *
+  * Scale notes (100 TB): candidate generation is ONE exchange keyed by
+  * (cell_x, cell_y); the 9x neighborhood explosion is applied to one
+  * side only, and each unordered pair is produced exactly once (matched
+  * at the right row's unique home cell, ordered by id), so there is no
+  * post-join dedup. Per-task work is bounded by the densest cell
+  * (sum over cells of n_cell * n_neighborhood), the spatial analogue of
+  * the dedup family's df-cap argument; a hot cell (urban skew) salts
+  * like any hot join key. Radius must not exceed the cell size — that
+  * invariant is what makes the 3x3 neighborhood complete, and it is
+  * `require`d rather than commented.
+  */
+object Spatial {
+
+  /** Deterministic integer point cloud over the distinct keys of `df`:
+    * x,y in [0, size) from seeded md5 of the key (engine-portable — the
+    * same '0x'||hex8 parse the sampling family pins). */
+  def hashPoints(df: DataFrame, idCol: String, size: Int = 1024,
+                 seedX: Long = 17L, seedY: Long = 23L): DataFrame = {
+    import graft.sources.Sampling.{hex8Int, sampleKey}
+    df.select(col(idCol)).distinct()
+      .select(col(idCol),
+        (hex8Int(sampleKey(col(idCol), seedX)) % size).as("x"),
+        (hex8Int(sampleKey(col(idCol), seedY)) % size).as("y"))
+  }
+
+  private def withCells(points: DataFrame, idCol: String, cell: Int): DataFrame =
+    points.select(col(idCol), col("x"), col("y"),
+      floor(col("x") / cell).cast("long").as("cx"),
+      floor(col("y") / cell).cast("long").as("cy"))
+
+  private def neighborhood(pts: DataFrame, idCol: String): DataFrame = {
+    val deltas = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")))): _*)
+    pts.select(col(idCol), col("x"), col("y"), col("cx"), col("cy"),
+        explode(deltas).as("d"))
+      .select(col(idCol), col("x"), col("y"),
+        (col("cx") + col("d.dx")).as("ncx"), (col("cy") + col("d.dy")).as("ncy"))
+  }
+
+  private def dist2(ax: Column, ay: Column, bx: Column, by: Column): Column =
+    (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+
+  /** All unordered point pairs within `radius`: grid join, never
+    * all-pairs. Output (id_a, id_b, dist2) with id_a < id_b, exact. */
+  def radiusPairs(points: DataFrame, idCol: String, radius: Int,
+                  cell: Int): DataFrame = {
+    require(radius <= cell,
+      s"radius ($radius) must be <= cell ($cell): the 3x3 neighborhood is " +
+        "only complete when a radius never spans more than one cell boundary")
+    val pts = withCells(points, idCol, cell)
+    val lhs = neighborhood(pts.select(col(idCol), col("x"), col("y"),
+      col("cx"), col("cy")), idCol)
+      .select(col(idCol).as("id_a"), col("x").as("ax"), col("y").as("ay"),
+        col("ncx"), col("ncy"))
+    val rhs = pts.select(col(idCol).as("id_b"), col("x").as("bx"),
+      col("y").as("by"), col("cx"), col("cy"))
+    lhs.join(rhs,
+        col("ncx") === col("cx") && col("ncy") === col("cy") &&
+          col("id_a") < col("id_b"))
+      .withColumn("dist2", dist2(col("ax"), col("ay"), col("bx"), col("by")))
+      .filter(col("dist2") <= radius.toLong * radius)
+      .select(col("id_a"), col("id_b"), col("dist2"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Bounded k-nearest-neighbors: for each point, the k nearest OTHER
+    * points within `radius` (ties broken by neighbor id) — the
+    * radius-bounded kNN every geo feature pipeline runs (an unbounded
+    * kNN cannot be cell-local; the radius bound is what keeps the scan
+    * one grid join). Output (id, neighbor_id, dist2, rank). */
+  def gridKnn(points: DataFrame, idCol: String, k: Int, radius: Int,
+              cell: Int): DataFrame = {
+    require(radius <= cell, "radius must be <= cell (3x3 completeness)")
+    val pts = withCells(points, idCol, cell)
+    val lhs = neighborhood(pts, idCol)
+      .select(col(idCol).as("id"), col("x").as("ax"), col("y").as("ay"),
+        col("ncx"), col("ncy"))
+    val rhs = pts.select(col(idCol).as("neighbor_id"), col("x").as("bx"),
+      col("y").as("by"), col("cx"), col("cy"))
+    val w = Window.partitionBy("id").orderBy(col("dist2"), col("neighbor_id"))
+    lhs.join(rhs,
+        col("ncx") === col("cx") && col("ncy") === col("cy") &&
+          col("id") =!= col("neighbor_id"))
+      .withColumn("dist2", dist2(col("ax"), col("ay"), col("bx"), col("by")))
+      .filter(col("dist2") <= radius.toLong * radius)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("neighbor_id"), col("dist2"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("id", "rank")
+  }
+}
