@@ -1,6 +1,7 @@
 package graft
 
 import graft.curate.Curation
+import org.apache.spark.sql.functions._
 
 /** Planted docs exercising every curation stage; the declared
   * curate_funnel query carries the full DuckDB oracle. */
@@ -194,5 +195,31 @@ class CurationSpec extends SparkSpec {
     assert(out == Seq(
       ("books", 2L, 2L, 3L, 3L, 0.0),
       ("web", 2L, 1L, 8L, 4L, 0.5)))
+  }
+
+  test("DoReMi: weight moves to the high-loss domain, stays a distribution") {
+    // 'terse' has short tokens (low chars/token), 'florid' long ones
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg hh", "terse"),
+      (2L, "ab cd ef gh ij kl mn op", "terse"),
+      (3L, "wonderful extraordinary magnificent", "florid"),
+      (4L, "preposterous unbelievable spectacular", "florid"),
+    ).toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")))
+    // mild eta: the default 2.0 saturates this 2-domain toy at w≈1 by
+    // round 3, which would flatten the rounds-monotonicity check below
+    val out = Curation.doremiWeights(docs, eta = 0.1)
+      .select("source", "ref_weight", "doremi_weight")
+      .as[(String, Double, Double)].collect()
+      .map { case (s, r, d) => s -> ((r, d)) }.toMap
+    val (florid, terse) = (out("florid"), out("terse"))
+    // ascent direction: the lossy domain GAINS weight vs its reference share
+    assert(florid._2 > florid._1 && terse._2 < terse._1)
+    // still a distribution after round-6 re-anchoring
+    assert(math.abs(florid._2 + terse._2 - 1.0) < 1e-5)
+    // more rounds push further in the same direction
+    val more = Curation.doremiWeights(docs, eta = 0.1, rounds = 6)
+      .select("source", "doremi_weight").as[(String, Double)].collect().toMap
+    assert(more("florid") > florid._2)
   }
 }

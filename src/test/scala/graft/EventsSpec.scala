@@ -194,4 +194,32 @@ class EventsSpec extends SparkSpec {
     // intervals tile: each valid_to equals the next valid_from
     assert(rows.init.map(_._5.get) == rows.tail.map(_._4))
   }
+
+  test("CDC apply: latest wins, tombstone deletes, replay converges") {
+    val ev = Seq(
+      // user 1: two upserts — the later one wins
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view", 1.0),
+      (2L, 1L, ts("2024-01-02 10:00:00"), "purchase", 42.5),
+      // user 2: upsert then tombstone — absent from the state
+      (3L, 2L, ts("2024-01-01 10:00:00"), "purchase", 10.0),
+      (4L, 2L, ts("2024-01-02 10:00:00"), "error", 0.0),
+      // user 3: tombstone then a LATER upsert — resurrected
+      (5L, 3L, ts("2024-01-01 10:00:00"), "error", 0.0),
+      (6L, 3L, ts("2024-01-02 10:00:00"), "click", 7.0),
+      // user 4: same ts — event_id breaks the tie (higher id wins)
+      (7L, 4L, ts("2024-01-01 10:00:00"), "view", 1.0),
+      (8L, 4L, ts("2024-01-01 10:00:00"), "purchase", 2.0),
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    def state(df: org.apache.spark.sql.DataFrame) =
+      Events.cdcApply(df).select("user_id", "last_event_id", "last_type",
+        "last_value", "n_changes")
+        .as[(Long, Long, String, Double, Long)].collect().toSeq
+    val s = state(ev)
+    assert(s == Seq(
+      (1L, 2L, "purchase", 42.5, 2L),
+      (3L, 6L, "click", 7.0, 2L),
+      (4L, 8L, "purchase", 2.0, 2L)))
+    // replay in shuffled arrival order converges to the same state
+    assert(state(ev.orderBy(org.apache.spark.sql.functions.rand(7))) == s)
+  }
 }

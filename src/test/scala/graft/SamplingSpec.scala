@@ -128,4 +128,36 @@ class SamplingSpec extends SparkSpec {
       .select("split").distinct().as[String].collect().toSet
     assert(noTest == Set("train", "val"))
   }
+
+  test("grouped reservoir: per-group caps, layout invariance, group isolation") {
+    val d = docs
+    val got = Sampling.groupedWeightedSample(d, "lang", "doc_id", "n_chars", 5, 42)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSeq
+    val re = Sampling.groupedWeightedSample(d.repartition(13), "lang",
+        "doc_id", "n_chars", 5, 42)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSeq
+    assert(got.toSet == re.toSet)
+    val perGroup = got.groupBy(_._1).view.mapValues(_.size)
+    assert(perGroup.values.forall(_ <= 5) && perGroup.values.exists(_ == 5))
+    // group isolation: dropping one group's rows never changes another's pick
+    val langs = d.select("lang").distinct().as[String].collect().sorted
+    val dropped = Sampling.groupedWeightedSample(
+        d.filter(col("lang") =!= langs.head), "lang", "doc_id", "n_chars", 5, 42)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    assert(dropped == got.filter(_._1 != langs.head).toSet)
+    // within a group, selection follows the A-Res key exactly
+    val keyOrder = d.filter(col("lang") === langs.head)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)].collect()
+      .map { case (id, w) =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$id:42".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        val u = (java.lang.Long.parseLong(hex, 16) + 1.0) / 4294967296.0
+        (id, math.log(u) / w)
+      }
+      .sortBy { case (id, k) => (-k, id) }.take(5).map(_._1).toSet
+    assert(got.filter(_._1 == langs.head).map(_._2).toSet == keyOrder)
+  }
 }

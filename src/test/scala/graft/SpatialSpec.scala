@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.spatial.Spatial
+
+/** Grid-bucketed spatial joins: the cell-join must be EXACTLY the
+  * all-pairs result (completeness is the whole claim — a grid join that
+  * drops cross-cell neighbors is wrong, not approximate), and the
+  * radius<=cell precondition must be enforced, not commented. */
+class SpatialSpec extends SparkSpec {
+  import spark.implicits._
+
+  // sf0.01 (150 users): sf0.001's ~15 points are too sparse for any
+  // radius-48 pair to exist, which would make the equality vacuous
+  private def events = spark.read
+    .parquet("/root/testdata/sf0.01/events.parquet")
+
+  private def pts = Spatial.hashPoints(events, "user_id")
+
+  test("radiusPairs equals brute-force all-pairs at the same radius") {
+    val grid = Spatial.radiusPairs(pts, "user_id", radius = 48, cell = 64)
+      .select("id_a", "id_b", "dist2").as[(Long, Long, Long)]
+      .collect().toSet
+    val p = pts.select("user_id", "x", "y").as[(Long, Long, Long)].collect()
+    val brute = (for {
+      (a, ax, ay) <- p; (b, bx, by) <- p
+      if a < b
+      d2 = (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+      if d2 <= 48L * 48L
+    } yield (a, b, d2)).toSet
+    assert(grid == brute)
+    assert(brute.nonEmpty) // density sanity: the fixture must exercise it
+  }
+
+  test("gridKnn equals brute-force bounded kNN with the same tie-break") {
+    val grid = Spatial.gridKnn(pts, "user_id", k = 3, radius = 48, cell = 64)
+      .select("id", "neighbor_id", "dist2", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val p = pts.select("user_id", "x", "y").as[(Long, Long, Long)].collect()
+    val brute = p.flatMap { case (a, ax, ay) =>
+      p.filter(_._1 != a)
+        .map { case (b, bx, by) =>
+          (b, (ax - bx) * (ax - bx) + (ay - by) * (ay - by)) }
+        .filter(_._2 <= 48L * 48L)
+        .sortBy { case (b, d2) => (d2, b) }
+        .take(3).zipWithIndex
+        .map { case ((b, d2), i) => (a, b, d2, i + 1) }
+    }.toSet
+    assert(grid == brute)
+  }
+
+  test("every pair is emitted exactly once (no neighborhood double-count)") {
+    val rows = Spatial.radiusPairs(pts, "user_id", radius = 64, cell = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(rows.length == rows.toSet.size)
+    assert(rows.forall { case (a, b) => a < b })
+  }
+
+  test("radius > cell is rejected (3x3 neighborhood would be incomplete)") {
+    val e = intercept[IllegalArgumentException] {
+      Spatial.radiusPairs(pts, "user_id", radius = 65, cell = 64)
+    }
+    assert(e.getMessage.contains("radius"))
+  }
+
+  test("point cloud is deterministic and in-range") {
+    val a = pts.orderBy("user_id").collect().toSeq
+    val b = Spatial.hashPoints(events.repartition(7), "user_id")
+      .orderBy("user_id").collect().toSeq
+    assert(a == b)
+    assert(a.forall { r =>
+      val (x, y) = (r.getLong(1), r.getLong(2))
+      x >= 0 && x < 1024 && y >= 0 && y < 1024
+    })
+  }
+}
