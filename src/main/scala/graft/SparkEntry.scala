@@ -345,6 +345,12 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spent"))
         .orderBy("c_custkey")
     }),
+    // blocked fuzzy record linkage: md5-perturbed listing feed matched
+    // back to the catalog by the Jaro-Winkler codegen kernel — block,
+    // score, argmax; candidates bounded by (first token, brand), the
+    // feed side broadcast so the catalog never shuffles to be scored
+    "rel_fuzzy_link" -> ((s, dir) =>
+      graft.relational.EntityResolution.fuzzyLink(table(s, dir, "part"))),
 
     // ---- event-time surface (SURVEY §7.3 step 3, batch form) ----
     // aggregate-then-window: trailing-24h z-score over one row per hour
@@ -1758,6 +1764,31 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    // full ER replay: same md5 char-drop perturbation, same (first token,
+    // brand) blocking, DuckDB's own jaro_winkler_similarity (the expression
+    // is pinned to its semantics), same round(6)+argmax resolution
+    "rel_fuzzy_link" ->
+      """WITH c AS (SELECT p_partkey, p_brand,
+        |    p_name || ' ' || p_brand || ' ' || p_type AS t FROM part),
+        |cl AS (SELECT p_partkey, p_brand, t AS clean_title,
+        |    split_part(t, ' ', 1) AS block_tok FROM c),
+        |d0 AS (SELECT p_partkey AS dirty_id, p_brand, t,
+        |    CAST(('0x' || substring(md5(CAST(p_partkey AS VARCHAR) || ':fz'), 1, 8))::BIGINT % length(t) + 1 AS INT) AS pos
+        |  FROM c WHERE p_partkey % 29 = 0),
+        |d AS (SELECT dirty_id, p_brand,
+        |    substr(t, 1, pos - 1) || substr(t, pos + 1, length(t)) AS dirty_title
+        |  FROM d0),
+        |cand AS (SELECT d.dirty_id, cl.p_partkey, d.dirty_title, cl.clean_title,
+        |    round(jaro_winkler_similarity(d.dirty_title, cl.clean_title), 6) AS jw
+        |  FROM d JOIN cl ON split_part(d.dirty_title, ' ', 1) = cl.block_tok
+        |               AND d.p_brand = cl.p_brand
+        |  WHERE round(jaro_winkler_similarity(d.dirty_title, cl.clean_title), 6) >= 0.85),
+        |r AS (SELECT dirty_id, p_partkey, jw,
+        |    row_number() OVER (PARTITION BY dirty_id ORDER BY jw DESC, p_partkey) AS rk
+        |  FROM cand)
+        |SELECT dirty_id, p_partkey AS matched_partkey, jw,
+        |  p_partkey = dirty_id AS exact_self
+        |FROM r WHERE rk = 1 ORDER BY dirty_id""".stripMargin,
     "rel_date_parts" ->
       """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
         |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,

@@ -1,0 +1,73 @@
+package graft.relational
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Blocked fuzzy record linkage (entity resolution) — match a "dirty"
+  * feed of product listings back to the clean catalog by Jaro–Winkler
+  * title similarity. The classic ER pipeline shape: BLOCK (cheap exact
+  * keys bound the candidate set) → SCORE (the JW codegen kernel) →
+  * RESOLVE (deterministic argmax per dirty record).
+  *
+  * The dirty feed is derived from the catalog itself by a deterministic
+  * md5-driven single-character deletion (the same derived-fixture
+  * discipline as the multimodal corpora), so the oracle replays
+  * perturbation, blocking, scoring, and resolution end-to-end and every
+  * emitted match is hash-checked.
+  *
+  * Scale notes (100 TB catalog): candidates are bounded by the block
+  * key (title's first token x brand) — never catalog x feed; the feed
+  * side (1/modulus of the catalog) is broadcast, so the catalog is
+  * scored in ONE scan with no exchange, and only the surviving
+  * (candidate-pair) rows cross the wire into the per-dirty-record
+  * argmax window. A drop that hits the first token makes the record
+  * unmatchable by design — blocking recall loss is a property of ER,
+  * not a defect, and the oracle agrees on exactly which records miss.
+  */
+object EntityResolution {
+
+  /** partkey-derived listing title: name + brand + type. */
+  private def title = concat_ws(" ", col("p_name"), col("p_brand"), col("p_type"))
+
+  /** The dirty feed: every `modulus`-th part's title with ONE char
+    * dropped at an md5-derived position. */
+  def dirtyFeed(part: DataFrame, modulus: Int = 29, seed: String = "fz"): DataFrame = {
+    import graft.sources.Sampling.hex8Int
+    val t = title
+    val pos = (hex8Int(md5(concat(col("p_partkey").cast("string"),
+      lit(s":$seed")))) % length(t) + 1).cast("int")
+    part.filter(col("p_partkey") % modulus === 0)
+      .select(col("p_partkey").as("dirty_id"), col("p_brand"),
+        concat(t.substr(lit(1), pos - 1),
+          t.substr(pos + 1, length(t))).as("dirty_title"))
+  }
+
+  /** Link the dirty feed to the clean catalog: block on (first title
+    * token, brand), score with the JW codegen expression, keep scores
+    * >= minJw after the round(6) re-anchor, resolve to the best match
+    * per dirty record (score DESC, partkey ASC — catalogs contain
+    * identical titles under different keys, so ties are real). */
+  def fuzzyLink(part: DataFrame, modulus: Int = 29,
+                minJw: Double = 0.85): DataFrame = {
+    val spark = part.sparkSession
+    graft.functions.StringDistanceFunctions.ensureRegistered(spark)
+    val jw = graft.functions.StringDistanceFunctions.jaroWinkler _
+    val clean = part.select(col("p_partkey"), title.as("clean_title"),
+      split(title, " ").getItem(0).as("block_tok"), col("p_brand"))
+    val dirty = dirtyFeed(part, modulus)
+      .select(col("dirty_id"), col("dirty_title"),
+        split(col("dirty_title"), " ").getItem(0).as("block_tok"),
+        col("p_brand"))
+    val w = Window.partitionBy("dirty_id")
+      .orderBy(col("jw").desc, col("p_partkey"))
+    clean.join(broadcast(dirty), Seq("block_tok", "p_brand"))
+      .withColumn("jw", round(jw(col("dirty_title"), col("clean_title")), 6))
+      .filter(col("jw") >= minJw)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("dirty_id"), col("p_partkey").as("matched_partkey"),
+        col("jw"), (col("p_partkey") === col("dirty_id")).as("exact_self"))
+      .orderBy("dirty_id")
+  }
+}
