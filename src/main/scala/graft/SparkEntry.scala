@@ -773,6 +773,10 @@ object SparkEntry {
     // rounds with decimal-exact sums; never materializes the covariance
     "sim_power_iteration" -> ((s, dir) =>
       Similarity.powerIterationPc(table(s, dir, "embeddings"))),
+    // top-2 PCA: the same chain plus a Hotelling-deflated second chain —
+    // covariance never materialized, 2*iters+3 scans total
+    "sim_pca_top2" -> ((s, dir) =>
+      Similarity.pcaTop2(table(s, dir, "embeddings"))),
     // rank-aware index-quality eval: nDCG@10 of the IVF ranking vs the
     // exact ranking, graded relevance from the exact arm itself
     "sim_ndcg_eval" -> ((s, dir) =>
@@ -2772,6 +2776,54 @@ object SparkEntry {
          |SELECT CAST(d AS INT) AS d, vv[d] AS loading, lambda
          |FROM v3 CROSS JOIN lam, generate_series(1, 64) g(d)
          |ORDER BY d""".stripMargin
+    },
+    // the sim_power_iteration chain verbatim for component 1, then the
+    // deflated second chain: each round's matvec has its v1 projection
+    // removed (v1 as the literal final rounded vector) before the round(6)
+    // unit re-anchor — replaying pcaTop2's driver arithmetic exactly
+    "sim_pca_top2" -> {
+      val r1 = (1 to 3).map { t =>
+        val prev = if (t == 1) "v0" else s"v${t - 1}"
+        s"""s$t AS (SELECT vec_id, list_dot_product(x, vv) AS s FROM xc CROSS JOIN $prev),
+           |w$t AS (SELECT d, CAST(sum(CAST(s$t.s * x[d] AS DECIMAL(28,18))) AS DOUBLE) AS wd
+           |  FROM xc JOIN s$t USING (vec_id), generate_series(1, 64) g(d) GROUP BY d),
+           |wl$t AS (SELECT list(wd ORDER BY d) AS wl FROM w$t),
+           |v$t AS (SELECT list_transform(wl, c -> round(c / sqrt(list_dot_product(wl, wl)), 6)) AS vv FROM wl$t)""".stripMargin
+      }.mkString(",\n")
+      val r2 = (1 to 3).map { t =>
+        val prev = if (t == 1) "u0" else s"u${t - 1}"
+        s"""t$t AS (SELECT vec_id, list_dot_product(x, vv) AS s FROM xc CROSS JOIN $prev),
+           |y$t AS (SELECT d, CAST(sum(CAST(t$t.s * x[d] AS DECIMAL(28,18))) AS DOUBLE) AS wd
+           |  FROM xc JOIN t$t USING (vec_id), generate_series(1, 64) g(d) GROUP BY d),
+           |yl$t AS (SELECT list(wd ORDER BY d) AS wl FROM y$t),
+           |df$t AS (SELECT list_transform(generate_series(1, 64),
+           |    d -> wl[d] - list_dot_product(wl, v1l) * v1l[d]) AS wl
+           |  FROM yl$t CROSS JOIN pc1),
+           |u$t AS (SELECT list_transform(wl, c -> round(c / sqrt(list_dot_product(wl, wl)), 6)) AS vv FROM df$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS nl FROM e),
+         |mu0 AS (SELECT d, CAST(sum(CAST(v[d] AS DECIMAL(28,18))) AS DOUBLE) AS sd
+         |  FROM e, generate_series(1, 64) g(d) GROUP BY d),
+         |mu AS (SELECT list(sd / CAST(nl AS DOUBLE) ORDER BY d) AS mu FROM mu0 CROSS JOIN nn),
+         |xc AS (SELECT vec_id, list_transform(generate_series(1, 64), d -> v[d] - mu[d]) AS x FROM e CROSS JOIN mu),
+         |v0 AS (SELECT list_transform(generate_series(1, 64), d -> CAST(0.125 AS DOUBLE)) AS vv),
+         |$r1,
+         |pc1 AS (SELECT vv AS v1l FROM v3),
+         |sf1 AS (SELECT vec_id, list_dot_product(x, v1l) AS s FROM xc CROSS JOIN pc1),
+         |l1s AS (SELECT CAST(sum(CAST(s * s AS DECIMAL(28,18))) AS DOUBLE) AS s2 FROM sf1),
+         |lam1 AS (SELECT round(s2 / CAST(nl AS DOUBLE), 4) AS lambda FROM l1s CROSS JOIN nn),
+         |u0 AS (SELECT list_transform(generate_series(1, 64),
+         |    d -> CASE WHEN d % 2 = 1 THEN CAST(0.125 AS DOUBLE) ELSE CAST(-0.125 AS DOUBLE) END) AS vv),
+         |$r2,
+         |sf2 AS (SELECT vec_id, list_dot_product(x, vv) AS s FROM xc CROSS JOIN u3),
+         |l2s AS (SELECT CAST(sum(CAST(s * s AS DECIMAL(28,18))) AS DOUBLE) AS s2 FROM sf2),
+         |lam2 AS (SELECT round(s2 / CAST(nl AS DOUBLE), 4) AS lambda FROM l2s CROSS JOIN nn),
+         |c1 AS (SELECT 1 AS component, CAST(d AS INT) AS d, vv[d] AS loading, lambda
+         |  FROM v3 CROSS JOIN lam1, generate_series(1, 64) g(d)),
+         |c2 AS (SELECT 2 AS component, CAST(d AS INT) AS d, vv[d] AS loading, lambda
+         |  FROM u3 CROSS JOIN lam2, generate_series(1, 64) g(d))
+         |SELECT * FROM c1 UNION ALL SELECT * FROM c2 ORDER BY component, d""".stripMargin
     },
     // same unrolled 3-iteration kmeans as sim_kmeans_fit, plus a final
     // assignment against the trained ct3 and a within-cell self-join

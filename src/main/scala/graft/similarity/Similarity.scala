@@ -1026,49 +1026,116 @@ object Similarity {
   def powerIterationPc(embeddings: DataFrame, dims: Int = 64,
                        iters: Int = 3): DataFrame = {
     val spark = embeddings.sparkSession
-    VectorFunctions.ensureRegistered(spark)
-    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 18)
-    def r(v: Double, s: Int): Double =
-      BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val x = embeddings.select(col("vec_id"),
-      toDoubleVec(col("embedding")).as("v"))
-    // per-dim mean: exact decimal sums, one driver row of d values
-    val muRow = x.agg(count(lit(1)).as("n"),
-      (1 to dims).map(d =>
-        sum(element_at(col("v"), d).cast(dec)).as(s"m$d")): _*).head()
-    val n = muRow.getLong(0).toDouble
-    val mu = Array.tabulate(dims)(i => muRow.getDecimal(i + 1).doubleValue / n)
-    val muLit = array(mu.map(lit): _*)
-    def centered = zip_with(col("v"), muLit, (a, b) => a - b)
-    var v = Array.fill(dims)(0.125)
-    var it = 0
-    while (it < iters) {
-      val sC = VectorFunctions.dot(centered, array(v.map(lit): _*))
-      val frame = x.select(centered.as("xc"), sC.as("s"))
-      val row = frame.agg(
-        sum((col("s") * element_at(col("xc"), 1)).cast(dec)).as("w1"),
-        (2 to dims).map(d =>
-          sum((col("s") * element_at(col("xc"), d)).cast(dec)).as(s"w$d"))
-          : _*).head()
-      val w = Array.tabulate(dims)(i => row.getDecimal(i).doubleValue)
-      // sequential left-to-right self-dot: the graft_dot/list_dot_product
-      // fold order, so both engines normalize by the identical double
-      var ss = 0.0
-      var i = 0
-      while (i < dims) { ss += w(i) * w(i); i += 1 }
-      val nrm = math.sqrt(ss)
-      v = w.map(c => r(c / nrm, 6))
-      it += 1
-    }
-    val sF = VectorFunctions.dot(centered, array(v.map(lit): _*))
-    val lamRow = x.select(sF.as("s"))
-      .agg(sum((col("s") * col("s")).cast(dec)).as("l2")).head()
-    val lambda = r(lamRow.getDecimal(0).doubleValue / n, 4)
+    val (x, centered, n) = centeredFrame(embeddings, dims)
+    val v = powerLoop(x, centered, dims, iters, Array.fill(dims)(0.125), None)
+    val lambda = rayleigh(x, centered, v, n)
     spark.range(1)
       .select(posexplode(array(v.map(lit): _*)).as(Seq("p", "loading")))
       .select((col("p") + 1).cast("int").as("d"), col("loading"),
         lit(lambda).as("lambda"))
       .orderBy("d")
+  }
+
+  private val Dec2818 =
+    org.apache.spark.sql.types.DataTypes.createDecimalType(28, 18)
+
+  private def r6or(v: Double, s: Int): Double =
+    BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Mean-centering shared by the power-iteration family: per-dim mean
+    * from exact decimal sums, one driver row of d values. */
+  private def centeredFrame(embeddings: DataFrame,
+                            dims: Int): (DataFrame, Column, Double) = {
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
+    val x = embeddings.select(col("vec_id"),
+      toDoubleVec(col("embedding")).as("v"))
+    val muRow = x.agg(count(lit(1)).as("n"),
+      (1 to dims).map(d =>
+        sum(element_at(col("v"), d).cast(Dec2818)).as(s"m$d")): _*).head()
+    val n = muRow.getLong(0).toDouble
+    val mu = Array.tabulate(dims)(i => muRow.getDecimal(i + 1).doubleValue / n)
+    val muLit = array(mu.map(lit): _*)
+    (x, zip_with(col("v"), muLit, (a, b) => a - b), n)
+  }
+
+  /** One power-iteration chain: `iters` rounds of v ← unit(Σᵢ x'ᵢ(x'ᵢ·v)),
+    * components re-anchored at round(6) per round. With `deflateAgainst`
+    * set, each round's matvec result is first projected off that (unit)
+    * vector — Hotelling deflation, which turns the same loop into the
+    * SECOND principal component without ever forming the covariance. All
+    * driver arithmetic (projection, self-dot, normalize) is sequential
+    * left-to-right — the graft_dot/list_dot_product fold order — so both
+    * engines see identical doubles. */
+  private def powerLoop(x: DataFrame, centered: Column, dims: Int, iters: Int,
+                        v0: Array[Double],
+                        deflateAgainst: Option[Array[Double]]): Array[Double] = {
+    var v = v0
+    var it = 0
+    while (it < iters) {
+      val sC = VectorFunctions.dot(centered, array(v.map(lit): _*))
+      val frame = x.select(centered.as("xc"), sC.as("s"))
+      val row = frame.agg(
+        sum((col("s") * element_at(col("xc"), 1)).cast(Dec2818)).as("w1"),
+        (2 to dims).map(d =>
+          sum((col("s") * element_at(col("xc"), d)).cast(Dec2818)).as(s"w$d"))
+          : _*).head()
+      val w = Array.tabulate(dims)(i => row.getDecimal(i).doubleValue)
+      deflateAgainst.foreach { v1 =>
+        var dp = 0.0
+        var i = 0
+        while (i < dims) { dp += w(i) * v1(i); i += 1 }
+        i = 0
+        while (i < dims) { w(i) = w(i) - dp * v1(i); i += 1 }
+      }
+      var ss = 0.0
+      var i = 0
+      while (i < dims) { ss += w(i) * w(i); i += 1 }
+      val nrm = math.sqrt(ss)
+      v = w.map(c => r6or(c / nrm, 6))
+      it += 1
+    }
+    v
+  }
+
+  /** Rayleigh quotient λ = Σ (x'·v)² / n of a trained direction. */
+  private def rayleigh(x: DataFrame, centered: Column, v: Array[Double],
+                       n: Double): Double = {
+    val sF = VectorFunctions.dot(centered, array(v.map(lit): _*))
+    val lamRow = x.select(sF.as("s"))
+      .agg(sum((col("s") * col("s")).cast(Dec2818)).as("l2")).head()
+    r6or(lamRow.getDecimal(0).doubleValue / n, 4)
+  }
+
+  /** Top TWO principal components by power iteration + Hotelling
+    * deflation — the next step after powerIterationPc toward the PCA/OPQ
+    * rotation an embedding pipeline fits: component 1 is the identical
+    * chain, component 2 re-runs it while projecting each round's matvec
+    * off the FINAL rounded v1 (so the oracle can replay both chains with
+    * v1 as a literal list). The second chain starts from the exactly-
+    * representable alternating ±1/8 vector — a start near-parallel to v1
+    * would leave the deflated residual at noise scale, which round(6)
+    * could not re-anchor identically across engines.
+    *
+    * Scale notes (100 TB): identical to powerIterationPc — 2·iters+3
+    * corpus scans, each one broadcast-literal matvec with d decimal
+    * sums; the d×d covariance is never materialized and the driver holds
+    * 2d doubles. */
+  def pcaTop2(embeddings: DataFrame, dims: Int = 64,
+              iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    val (x, centered, n) = centeredFrame(embeddings, dims)
+    val v1 = powerLoop(x, centered, dims, iters, Array.fill(dims)(0.125), None)
+    val lam1 = rayleigh(x, centered, v1, n)
+    val u0 = Array.tabulate(dims)(i => if (i % 2 == 0) 0.125 else -0.125)
+    val v2 = powerLoop(x, centered, dims, iters, u0, Some(v1))
+    val lam2 = rayleigh(x, centered, v2, n)
+    val one = spark.range(1)
+    def comp(c: Int, v: Array[Double], lam: Double) = one
+      .select(posexplode(array(v.map(lit): _*)).as(Seq("p", "loading")))
+      .select(lit(c).as("component"), (col("p") + 1).cast("int").as("d"),
+        col("loading"), lit(lam).as("lambda"))
+    comp(1, v1, lam1).unionAll(comp(2, v2, lam2))
+      .orderBy("component", "d")
   }
 
   /** Pearson correlation matrix over the first `nDims` embedding

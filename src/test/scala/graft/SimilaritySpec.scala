@@ -503,6 +503,31 @@ class SimilaritySpec extends SparkSpec {
       (3, 0.0, 62.5), (4, 0.0, 62.5)))
   }
 
+  test("pca top-2: deflation finds the orthogonal second direction") {
+    import spark.implicits._
+    // variance 62.5 along (0.6, 0.8), variance 8 along (-0.8, 0.6):
+    // two exactly-known planted directions
+    val base = Seq(
+      (1L, Array(3f, 4f, 0f, 0f)), (2L, Array(-3f, -4f, 0f, 0f)),
+      (3L, Array(6f, 8f, 0f, 0f)), (4L, Array(-6f, -8f, 0f, 0f)),
+      (5L, Array(-3.2f, 2.4f, 0f, 0f)), (6L, Array(3.2f, -2.4f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.pcaTop2(base, dims = 4).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    val c1 = rows.filter(_._1 == 1)
+    val c2 = rows.filter(_._1 == 2)
+    assert(c1.map(_._2).toSeq == (1 to 4) && c2.map(_._2).toSeq == (1 to 4))
+    val (v1, v2) = (c1.map(_._3), c2.map(_._3))
+    val (l1, l2) = (c1.head._4, c2.head._4)
+    assert(l1 > l2 && l2 > 0.0)
+    // directions recovered up to sign, orthogonal to round-6 tolerance
+    assert(math.abs(math.abs(v1(0)) - 0.6) < 1e-3 &&
+      math.abs(math.abs(v1(1)) - 0.8) < 1e-3)
+    assert(math.abs(math.abs(v2(0)) - 0.8) < 1e-3 &&
+      math.abs(math.abs(v2(1)) - 0.6) < 1e-3)
+    assert(math.abs(v1.zip(v2).map { case (a, b) => a * b }.sum) < 1e-3)
+  }
+
   test("cell prune: keepK most-central per cell, everything else pruned") {
     val rows = (0 until 40).map { i =>
       (i.toLong, Array.tabulate(64)(d => math.sin(i * 64 + d).toFloat), i % 5)
