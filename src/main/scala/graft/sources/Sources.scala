@@ -86,4 +86,19 @@ object Sources {
   /** JSONL corpus reader (modern pipelines): one JSON doc per line. */
   def readCorpusJsonl(spark: SparkSession, path: String): DataFrame =
     readJsonl(spark, path, CorpusSchema)
+
+  /** ORC round-trip — the OTHER columnar interchange format a warehouse
+    * hands us (Hive/Trino shops). Same contract as the parquet path:
+    * columnar, splittable, predicate/pushdown-capable (the spec pins
+    * that an id filter reaches the ORC scan as a pushed filter, so a
+    * selective read over 100 TB of ORC prunes stripes, not rows). */
+  def writeOrc(df: DataFrame, path: String,
+               compression: String = "zstd"): Unit =
+    df.write.mode("overwrite").option("compression", compression).orc(path)
+
+  /** Read ORC with an ENFORCED schema (same rationale as readJsonl:
+    * never pay an inference pass, never let one shard widen a type). */
+  def readOrc(spark: SparkSession, path: String,
+              schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

@@ -88,4 +88,22 @@ class SourcesSpec extends SparkSpec {
     }
     assert(read.forall(_ == Seq(micros)), read.toString)
   }
+
+  test("ORC round-trip preserves rows and pushes filters to the scan") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    Sources.writeOrc(docs, dir)
+    val back = Sources.readOrc(spark, dir, docs.schema)
+    assert(back.count() == docs.count())
+    assert(back.orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+    // selective reads must prune at the stripe level: the id predicate
+    // has to reach the ORC scan as a pushed filter, not a post-scan Filter
+    val plan = back.filter(col("doc_id") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s", "").contains("IsNotNull(doc_id),EqualTo(doc_id,7)"),
+      plan)
+  }
 }
