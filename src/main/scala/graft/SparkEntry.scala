@@ -536,6 +536,11 @@ object SparkEntry {
     "dedup_minhash_lsh_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(table(s, dir, "documents"), 32, 16, 3, 0.5,
         maxShingleDf = 100)),
+    // density-aware communities over the same near-dup graph: 3 rounds
+    // of synchronous label propagation with a deterministic modal-label
+    // tie-break — weak bridges lose the vote that CC would follow
+    "dedup_communities" -> ((s, dir) =>
+      Dedup.communities(table(s, dir, "documents"), 0.5, maxShingleDf = 100)),
     // pairwise near-dups -> connected components -> keep/drop decision:
     // the step that makes dedup actionable for a training corpus.
     "dedup_clusters" -> ((s, dir) =>
@@ -2108,6 +2113,27 @@ object SparkEntry {
     // previous TWICE (both join sides), so the rounds are MATERIALIZED —
     // DuckDB would otherwise re-inline the whole prefix per reference
     // and the plan doubles per round (measured: 0.2 s vs minutes).
+    // 3 LPA rounds unrolled: per-round neighbor-label counts and the
+    // (count DESC, label ASC) argmax, from label=id over the same
+    // df-capped 0.5-Jaccard edge set
+    "dedup_communities" -> {
+      val rounds = (1 to 3).map { t =>
+        s"""f$t AS (SELECT e.src AS v, l.lab, count(*) AS c
+           |  FROM edges e JOIN l${t - 1} l ON e.dst = l.v GROUP BY 1, 2),
+           |l$t AS (SELECT v, lab FROM (SELECT v, lab,
+           |    row_number() OVER (PARTITION BY v ORDER BY c DESC, lab) AS rn
+           |  FROM f$t) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $shingleCtes,
+         |pairs AS (SELECT doc_a, doc_b
+         |  FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= 0.5),
+         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS v, src AS lab FROM edges),
+         |$rounds
+         |SELECT v AS doc_id, lab AS community FROM l3 ORDER BY doc_id""".stripMargin
+    },
     "dedup_kcore" -> {
       val peels = (1 to 8).map { t =>
         s"""a$t AS MATERIALIZED (SELECT e.src AS node FROM edges e

@@ -1106,6 +1106,63 @@ object Dedup {
             maxShingleDf: Int = DefaultMaxShingleDf): DataFrame =
     kCoreFromPairs(jaccardPairs(docs, 3, minJaccard, maxShingleDf), k)
 
+  /** Label-propagation COMMUNITIES over the near-dup graph — the
+    * density-aware complement to duplicateClusters' connected
+    * components: CC merges everything reachable (one weak bridge fuses
+    * two template farms), LPA lets each node adopt its neighborhood's
+    * MODAL label, so bridges lose the vote and dense regions keep
+    * distinct communities. Fixed `rounds` synchronous updates from
+    * label=id with a fully deterministic tie-break (highest count, then
+    * lowest label) — no RNG, no partition-order dependence, so the
+    * oracle unrolls the rounds CTE-by-CTE like pageRankFromPairs.
+    *
+    * Scale notes (100 TB): each round is one exchange — edges join the
+    * label frame on dst, then a (node, label) count-aggregate and a
+    * per-node argmax window; work is O(|E|) per round with no
+    * all-pairs step anywhere (edges come from the df-capped pair
+    * lineage). Per-round localCheckpoint keeps lineage flat, same
+    * discipline (and same cluster caveat) as duplicateClusters. */
+  def lpaCommunities(pairs: DataFrame, rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = pairs.select(col("doc_a"), col("doc_b")).persist()
+    p.count()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().persist()
+    try {
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id")).localCheckpoint(true)
+      var t = 0
+      while (t < rounds) {
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("__c").desc, col("__nl"))
+        val next = edges
+          .join(labels.select(col("doc_id").as("dst"), col("label").as("__nl")),
+            Seq("dst"))
+          .groupBy(col("src").as("doc_id"), col("__nl"))
+          .agg(count(lit(1)).as("__c"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("doc_id"), col("__nl").as("label"))
+          .localCheckpoint(true)
+        labels = next
+        t += 1
+      }
+      labels.select(col("doc_id"), col("label").as("community"))
+        .orderBy("doc_id")
+    } finally {
+      edges.unpersist()
+      p.unpersist()
+    }
+  }
+
+  /** LPA communities from the trigram-Jaccard pair lineage (the
+    * declared-query composition, mirroring kCore). */
+  def communities(docs: DataFrame, minJaccard: Double = 0.5,
+                  maxShingleDf: Int = DefaultMaxShingleDf,
+                  rounds: Int = 3): DataFrame =
+    lpaCommunities(jaccardPairs(docs, 3, minJaccard, maxShingleDf), rounds)
+
   /** Cross-SOURCE n-gram overlap matrix: distinct-trigram Jaccard and
     * containment between every pair of corpus sources — the
     * provenance-level contamination report ("which feeds syndicate which")

@@ -611,4 +611,23 @@ class DedupSpec extends SparkSpec {
     val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
     assert(Dedup.kCoreFromPairs(pairs, 3).count() == 0L)
   }
+
+  test("LPA keeps two bridged triangles distinct where CC merges them") {
+    // triangles {1,2,3} and {4,5,6} joined by the single bridge 3-4:
+    // the modal-label vote isolates the bridge, min-label CC follows it
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val lpa = Dedup.lpaCommunities(pairs)
+      .as[(Long, Long)].collect().toMap
+    // hand-unrolled 3 rounds (count DESC, label ASC tie-break)
+    assert(lpa == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    val cc = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet.size == 1) // the contrast: CC fuses via the bridge
+    // layout invariance
+    val re = Dedup.lpaCommunities(pairs.repartition(5))
+      .as[(Long, Long)].collect().toMap
+    assert(re == lpa)
+  }
 }
