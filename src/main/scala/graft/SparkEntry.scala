@@ -812,6 +812,10 @@ object SparkEntry {
       TextAnalysis.tokenCounts(table(s, dir, "documents"))),
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScores(table(s, dir, "documents"))),
+    // C4/Gopher sentence rules: [.!?]+ segments, blank-dropped — count,
+    // tokens per sentence, terminal-punctuation ending
+    "text_sentence_stats" -> ((s, dir) =>
+      TextAnalysis.sentenceStats(table(s, dir, "documents"))),
     // closed-form least-squares probe: stopword count ~ a + b*tokens over
     // the corpus, per-source deviation from the line (outlier-source
     // detector). All floating math post-aggregation over exact long sums.
@@ -2983,6 +2987,15 @@ object SparkEntry {
         |  round(CASE WHEN len(tk) = 0 THEN 0.0 ELSE list_sum(list_transform(tk, x -> CAST(length(x) AS DOUBLE)))/len(tk) END, 4) AS avg_token_len,
         |  round(CASE WHEN len(tk) = 0 THEN 0.0 ELSE CAST(len(list_distinct(tk)) AS DOUBLE)/len(tk) END, 4) AS type_token_ratio,
         |  round(CASE WHEN len(tk) = 0 THEN 0.0 ELSE CAST(len(list_intersect(list_distinct(tk), ['the','a','of','and','is'])) AS DOUBLE)/len(tk) END, 4) AS stopword_type_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_sentence_stats" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    len(list_filter(regexp_split_to_array(text, '[.!?]+'), s -> length(trim(s)) > 0)) AS ns,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS nt
+        |  FROM documents)
+        |SELECT doc_id, CAST(ns AS BIGINT) AS n_sentences,
+        |  round(CASE WHEN ns = 0 THEN 0.0 ELSE CAST(nt AS DOUBLE) / ns END, 4) AS tokens_per_sentence,
+        |  regexp_matches(text, '[.!?]\s*$') AS ends_terminal
         |FROM t ORDER BY doc_id""".stripMargin,
     "text_quality_regression" -> qualityRegressionOracleSql,
     "text_repetition" ->

@@ -280,6 +280,25 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Sentence-level quality stats — the C4/Gopher sentence rules the
+    * doc-level quality family cannot see: sentence count (C4 drops docs
+    * under 3 sentences), tokens-per-sentence (wall-of-text vs listicle
+    * shape), and whether the doc ends in terminal punctuation (C4's
+    * terminal-punctuation rule). Sentences are [.!?]+-delimited segments
+    * with blank segments dropped, so both engines agree on boundaries
+    * without a linguistic sentence model. One scan, pure column ops. */
+  def sentenceStats(docs: DataFrame): DataFrame = {
+    val segs = filter(split(col("text"), "[.!?]+"),
+      s => length(trim(s)) > 0)
+    val ns = size(segs).cast("long")
+    docs.select(col("doc_id"), ns.as("n_sentences"),
+        round(when(ns === 0, 0.0)
+          .otherwise(size(toks).cast("double") / ns), 4)
+          .as("tokens_per_sentence"),
+        col("text").rlike("[.!?]\\s*$").as("ends_terminal"))
+      .orderBy("doc_id")
+  }
+
   /** Linear quality probe, fit CLOSED-FORM: least-squares
     * stopword_occurrences ~ a + b * token_count over the whole corpus,
     * then each source's deviation from the corpus line — the

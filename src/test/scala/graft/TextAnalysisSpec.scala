@@ -499,4 +499,22 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, Long, Double, Double, Long)].collect().toSeq
     assert(out == Seq(("t", 2L, 3.0, 1.0, 0L), ("u", 4L, 5.0, 0.0, 1L)))
   }
+
+  test("sentence stats: boundaries, blank segments, terminal rule") {
+    val docs = Seq(
+      (1L, "One two. Three four! Five?"),      // 3 sentences, 5 tokens
+      (2L, "no terminal punctuation here"),    // 1 sentence, not terminal
+      (3L, "Trailing spaces end. "),           // terminal despite spaces
+      (4L, "Ellipsis... counts once. Yes."),   // ... opens a new segment
+      (5L, ""),                                // zero sentences
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.sentenceStats(docs)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 1.6667, true),
+      (2L, 1L, 4.0, false),
+      (3L, 1L, 3.0, true),
+      (4L, 3L, 1.3333, true),
+      (5L, 0L, 0.0, false)))
+  }
 }
