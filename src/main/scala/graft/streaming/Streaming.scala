@@ -600,4 +600,74 @@ object Streaming {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Update())
   }
+
+  /** The retained latest-wins state per key (CdcProcessor). */
+  case class CdcState(tsUs: Long, eventId: Long, tpe: String, value: Double,
+                      n: Long)
+
+  /** One materialized snapshot per key per batch (cdcMaterializerTws
+    * output). `live` = false means the key's current state is a
+    * tombstone — emitted, not suppressed, so a downstream sink can
+    * DELETE the key (the changelog contract compacted-topic consumers
+    * expect). */
+  case class CdcSnapshot(userId: Long, lastEventId: Long, lastType: String,
+                         lastValue: Double, lastTsUs: Long, nChanges: Long,
+                         live: Boolean)
+
+  /** Streaming form of `Events.cdcApply`: continuous latest-wins
+    * materialization of a changelog with tombstones, on
+    * `transformWithState`. The per-key ValueState holds exactly the row
+    * the batch window's rn=1 would select, ordered by the same total
+    * (ts, event_id) key — so ANY arrival order (late data, replays,
+    * inter-batch splits) converges to the batch answer, which the
+    * equivalence spec drives over the real events fixture. n is the
+    * lifetime change count (monotone — the spec uses it to identify the
+    * final snapshot).
+    *
+    * Scale notes: state is one fixed-size tuple per key, sharded by the
+    * groupByKey exchange like every tws processor here; no buffering of
+    * past events (latest-wins needs only the current winner — contrast
+    * FunnelProcessor, whose exact out-of-order semantics force a
+    * buffer). */
+  class CdcProcessor(tombstoneType: String)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, String, Double), CdcSnapshot] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[CdcState] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[CdcState]("last",
+        org.apache.spark.sql.Encoders.product[CdcState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long, rows: Iterator[(Long, Long, Long, String, Double)],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[CdcSnapshot] = {
+      var cur = if (st.exists()) st.get() else null
+      rows.foreach { case (_, tsUs, eventId, tpe, value) =>
+        cur =
+          if (cur == null) CdcState(tsUs, eventId, tpe, value, 1L)
+          else if (tsUs > cur.tsUs ||
+            (tsUs == cur.tsUs && eventId > cur.eventId))
+            CdcState(tsUs, eventId, tpe, value, cur.n + 1)
+          else cur.copy(n = cur.n + 1)
+      }
+      if (cur == null) Iterator.empty // empty row iterator: nothing to say
+      else {
+        st.update(cur)
+        Iterator.single(CdcSnapshot(key, cur.eventId, cur.tpe, cur.value,
+          cur.tsUs, cur.n, cur.tpe != tombstoneType))
+      }
+    }
+  }
+
+  /** Input: (user_id, ts_micros, event_id, event_type, value). */
+  def cdcMaterializerTws(changes: Dataset[(Long, Long, Long, String, Double)],
+                         tombstoneType: String = "error"): Dataset[CdcSnapshot] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_._1)
+      .transformWithState(new CdcProcessor(tombstoneType),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }

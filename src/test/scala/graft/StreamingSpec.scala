@@ -624,4 +624,56 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("tws CDC materializer converges to the batch cdcApply state " +
+    "under out-of-order split batches") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val events = graft.table(spark, "/root/testdata/sf0.001", "events")
+    // deterministic md5 shuffle: the stream must see a DIFFERENT order
+    // than (ts, event_id) or convergence would be untested
+    val feed = events.select(col("user_id"), unix_micros(col("ts")),
+        col("event_id"), col("event_type"), col("value"))
+      .withColumn("__k", md5(concat(col("event_id").cast("string"), lit(":s"))))
+      .orderBy("__k").drop("__k")
+      .as[(Long, Long, Long, String, Double)].collect()
+    val (b1, b2) = feed.splitAt(feed.length / 2)
+    val input = MemoryStream[(Long, Long, Long, String, Double)]
+    val q = Streaming.cdcMaterializerTws(input.toDS())
+      .writeStream.format("memory").queryName("cdcmat")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      // n is monotone: the max-n snapshot per user is the final state
+      val snaps = spark.table("cdcmat").as[Streaming.CdcSnapshot].collect()
+        .groupBy(_.userId).map { case (_, rows) => rows.maxBy(_.nChanges) }
+      def r2(v: Double) =
+        BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val streamState = snaps.filter(_.live)
+        .map(s => (s.userId, s.lastEventId, s.lastType, r2(s.lastValue),
+          s.nChanges)).toSet
+      val batchState = graft.events.Events.cdcApply(events)
+        .select("user_id", "last_event_id", "last_type", "last_value",
+          "n_changes")
+        .as[(Long, Long, String, Double, Long)].collect().toSet
+      assert(streamState == batchState)
+      // tombstoned users are emitted as dead snapshots, not silently lost
+      val dead = snaps.filterNot(_.live).map(_.userId).toSet
+      val allUsers = feed.map(_._1).toSet
+      assert(dead == allUsers -- batchState.map(_._1))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
