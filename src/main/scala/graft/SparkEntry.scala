@@ -782,6 +782,11 @@ object SparkEntry {
     // covariance never materialized, 2*iters+3 scans total
     "sim_pca_top2" -> ((s, dir) =>
       Similarity.pcaTop2(table(s, dir, "embeddings"))),
+    // contrastive-training negatives: per anchor, the 3 most-similar
+    // DIFFERENTLY-labeled vectors from its LSH bucket — one bucket join
+    // for the whole anchor workload
+    "sim_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(table(s, dir, "embeddings"))),
     // rank-aware index-quality eval: nDCG@10 of the IVF ranking vs the
     // exact ranking, graded relevance from the exact arm itself
     "sim_ndcg_eval" -> ((s, dir) =>
@@ -2588,6 +2593,25 @@ object SparkEntry {
         |  round(list_dot_product(v, qv)/(sqrt(list_dot_product(v, v))*sqrt(list_dot_product(qv, qv))), 4) AS cosine
         |FROM b, q WHERE b.bucket = q.qbucket AND b.vec_id != 0
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    // same bucket/cosine CTEs, anchors = vec_id % 37, label-mismatch
+    // filter, per-anchor (cosine DESC, id) top-3
+    "sim_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |b AS (SELECT vec_id, label, v,
+        |  list_sum(list_transform(generate_series(0, 7), j ->
+        |    CASE WHEN list_sum(list_transform(generate_series(1, 64), d ->
+        |      v[d] * CAST(((j*31 + (d-1)*17) % 7) - 3 AS DOUBLE))) >= 0
+        |    THEN 1 << j ELSE 0 END)) AS bucket FROM e),
+        |a AS (SELECT vec_id AS anchor_id, label AS anchor_label, v AS av, bucket
+        |  FROM b WHERE vec_id % 37 = 0),
+        |cand AS (SELECT a.anchor_id, a.anchor_label, b.vec_id AS negative_id,
+        |    b.label AS negative_label,
+        |    round(list_dot_product(v, av)/(sqrt(list_dot_product(v, v))*sqrt(list_dot_product(av, av))), 4) AS cosine
+        |  FROM b JOIN a USING (bucket) WHERE b.label <> a.anchor_label),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
+        |    ORDER BY cosine DESC, negative_id) AS INT) AS "rank" FROM cand)
+        |SELECT anchor_id, anchor_label, negative_id, negative_label, cosine, "rank"
+        |FROM r WHERE "rank" <= 3 ORDER BY anchor_id, "rank"""".stripMargin,
     // multi-probe: neighbors of the base bucket by flipping the 3 planes
     // with the smallest |query·plane| margin (ties by plane index) —
     // identical margin arithmetic, so both engines probe the same buckets

@@ -262,6 +262,42 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** HARD-NEGATIVE MINING — the contrastive-training workload: for every
+    * anchor (a deterministic id-mod sample), the k most-similar vectors
+    * with a DIFFERENT label. "Similar but differently labeled" is exactly
+    * what a contrastive/retrieval loss needs as negatives; random
+    * negatives are too easy and same-label neighbors are positives.
+    * Candidates come from the anchor's LSH bucket (the approximate form
+    * real pipelines run — mining against the full corpus per anchor is
+    * the brute path this engine reserves for recall evaluation), so the
+    * whole anchor workload is ONE bucket-equi-join over the corpus scan,
+    * the annCosineLshMany shape with a label-mismatch predicate.
+    *
+    * Scale notes (100 TB): corpus bucketed in the scan projection,
+    * anchors (1/anchorMod of the corpus) broadcast; per-task work is
+    * bucket-bounded, and the per-anchor argmax window only sees
+    * surviving candidate rows. */
+  def hardNegatives(embeddings: DataFrame, k: Int = 3, anchorMod: Long = 37,
+                    dims: Int = 64, nPlanes: Int = 8): DataFrame = {
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"), col("label"),
+      toDoubleVec(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), dims, nPlanes))
+    val anchors = e.filter(col("vec_id") % anchorMod === 0)
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+        col("v").as("av"), col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("anchor_id").orderBy(desc("cosine"), asc("negative_id"))
+    e.join(broadcast(anchors), Seq("bucket"))
+      .filter(col("label") =!= col("anchor_label"))
+      .select(col("anchor_id"), col("anchor_label"),
+        col("vec_id").as("negative_id"), col("label").as("negative_label"),
+        round(cosine(col("v"), col("av")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .orderBy("anchor_id", "rank")
+  }
+
   /** Batch IVF serving — the many-queries form of annCosineIvf, symmetric
     * to annCosineLshMany: the corpus is assigned to cells ONCE (the same
     * shuffle-free broadcast-fold scan), every query's nProbe cells come

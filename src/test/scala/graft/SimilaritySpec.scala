@@ -528,6 +528,24 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(v1.zip(v2).map { case (a, b) => a * b }.sum) < 1e-3)
   }
 
+  test("hard negatives: differently-labeled, rank-contiguous, layout-stable") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val out = Similarity.hardNegatives(e)
+      .as[(Long, Int, Long, Int, Double, Int)].collect().toSeq
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, al, _, nl, _, _) => al != nl })
+    val byAnchor = out.groupBy(_._1)
+    byAnchor.foreach { case (a, rows) =>
+      assert(rows.map(_._6).sorted == (1 to rows.size), s"ranks for $a")
+      val cs = rows.sortBy(_._6).map(_._5)
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y }, s"order for $a")
+    }
+    val re = Similarity.hardNegatives(e.repartition(9))
+      .as[(Long, Int, Long, Int, Double, Int)].collect().toSeq
+    assert(re == out)
+  }
+
   test("cell prune: keepK most-central per cell, everything else pruned") {
     val rows = (0 until 40).map { i =>
       (i.toLong, Array.tabulate(64)(d => math.sin(i * 64 + d).toFloat), i % 5)
