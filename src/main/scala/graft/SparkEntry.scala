@@ -351,6 +351,10 @@ object SparkEntry {
     // feed side broadcast so the catalog never shuffles to be scored
     "rel_fuzzy_link" -> ((s, dir) =>
       graft.relational.EntityResolution.fuzzyLink(table(s, dir, "part"))),
+    // association mining: within-order part pairs (basket-size-bounded),
+    // support filter BEFORE the stats joins, lift from exact counts
+    "rel_basket_lift" -> ((s, dir) =>
+      Relational.basketLift(table(s, dir, "lineitem"))),
 
     // ---- event-time surface (SURVEY §7.3 step 3, batch form) ----
     // aggregate-then-window: trailing-24h z-score over one row per hour
@@ -385,6 +389,10 @@ object SparkEntry {
     // the compacted-topic materialization; one user-keyed window pass
     "ev_cdc_apply" -> ((s, dir) =>
       Events.cdcApply(table(s, dir, "events"))),
+    // calendar densification + LOCF: per-user daily purchase series over
+    // the full day spine, carry-group fill (no IGNORE NULLS dependence)
+    "ev_gap_fill" -> ((s, dir) =>
+      Events.gapFillDaily(table(s, dir, "events"))),
     // grid-bucketed spatial radius self-join over the md5-derived integer
     // point cloud: ONE exchange by cell, 9x neighborhood on one side only,
     // each unordered pair produced exactly once — never all-pairs
@@ -1936,6 +1944,36 @@ object SparkEntry {
         |  strftime(nxt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
         |  nxt IS NULL AS is_current
         |FROM v ORDER BY user_id, version""".stripMargin,
+    // basket pairs from the within-order self-join, support >= 2, lift
+    // from exact counts in one fixed double tree
+    "rel_basket_lift" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem),
+        |totals AS (SELECT part, count(*) AS cnt FROM b GROUP BY part),
+        |n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM b),
+        |pairs AS (SELECT a.part AS part_a, bb.part AS part_b, count(*) AS support
+        |  FROM b a JOIN b bb ON a.okey = bb.okey AND a.part < bb.part
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+        |  CAST(ta.cnt AS BIGINT) AS cnt_a, CAST(tb.cnt AS BIGINT) AS cnt_b,
+        |  round(CAST(support AS DOUBLE) * CAST(n_orders AS DOUBLE) /
+        |    (CAST(ta.cnt AS DOUBLE) * CAST(tb.cnt AS DOUBLE)), 4) AS lift
+        |FROM pairs JOIN totals ta ON ta.part = part_a
+        |JOIN totals tb ON tb.part = part_b CROSS JOIN n
+        |ORDER BY part_a, part_b""".stripMargin,
+    // spine + carry-group LOCF replay: count-of-observed as group key,
+    // max within (user, group), decimal daily sums cast once at the edge
+    "ev_gap_fill" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS obs
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        |spine AS (SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+        |j AS (SELECT s.user_id, s.day, d.obs FROM spine s LEFT JOIN daily d USING (user_id, day)),
+        |g AS (SELECT *, count(obs) OVER (PARTITION BY user_id ORDER BY day) AS grp FROM j)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(max(obs) OVER (PARTITION BY user_id, grp) AS DOUBLE) AS value,
+        |  obs IS NOT NULL AS observed
+        |FROM g ORDER BY user_id, day""".stripMargin,
     // latest-wins CDC apply with 'error' tombstones: one windowed replay
     "ev_cdc_apply" ->
       """WITH r AS (SELECT user_id, event_id, event_type, value, ts,

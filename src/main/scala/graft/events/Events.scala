@@ -204,6 +204,37 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Calendar densification with LOCF (last observation carried
+    * forward): each user's daily purchase total, filled over the full
+    * [first, last] day spine — the gap-fill every downstream time-series
+    * consumer (forecasting, retention models) needs, since "no row" and
+    * "no purchases" are different facts. Fill is the portable
+    * carry-group formulation (count-of-observed as the group key, max
+    * within group) rather than IGNORE NULLS, so both engines express it
+    * identically.
+    *
+    * Scale notes (100 TB): the spine explodes per user-day — bounded by
+    * span length, not event count — and both window passes share the
+    * one exchange by user; the raw event table is touched once by the
+    * daily pre-aggregation (map-side combined). */
+  def gapFillDaily(events: DataFrame, changeType: String = "purchase"): DataFrame = {
+    val daily = events.filter(col("event_type") === changeType)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(money(col("value"))).as("__obs"))
+    val spine = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val wOrd = Window.partitionBy("user_id").orderBy("day")
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("__grp", count(col("__obs")).over(wOrd))
+      .withColumn("value",
+        max(col("__obs")).over(Window.partitionBy("user_id", "__grp"))
+          .cast("double"))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("value"), col("__obs").isNotNull.as("observed"))
+      .orderBy("user_id", "day")
+  }
+
   /** JSON prop extraction: sum of props.k per event type. */
   def propsKSumByType(events: DataFrame): DataFrame =
     events.groupBy("event_type")

@@ -902,4 +902,44 @@ object Relational {
         .cast("double").as("profit"))
       .orderBy(col("nation"), col("o_year").desc)
   }
+
+  /** Market-basket co-occurrence with LIFT — the association-mining
+    * report (which parts sell together beyond chance): per-pair support
+    * from a within-order self-join, lift = P(a,b) / (P(a)·P(b)) over
+    * order frequencies. Pairs below `minSupport` are noise and dropped
+    * BEFORE the stats joins, so the output (and the joins feeding it)
+    * stay support-bounded.
+    *
+    * Scale notes (100 TB): the pair explosion is bounded by basket size
+    * (≤ max-lines-per-order per side, squared per order — baskets are
+    * small by nature), shuffled by orderkey once; per-part totals are a
+    * dimension-sized frame (broadcast here; at a truly wide part
+    * dimension Spark's planner may shuffle it instead — either plan
+    * keeps the fact table to one pass). All counts are exact longs; the
+    * single double division happens once, post-aggregation. */
+  def basketLift(lineitem: DataFrame, minSupport: Long = 2): DataFrame = {
+    val b = lineitem
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
+      .distinct()
+    val totals = b.groupBy("part").agg(count(lit(1)).as("cnt"))
+    val n = b.agg(countDistinct("okey").as("n_orders"))
+    val pairs = b.as("a")
+      .join(b.as("bb"),
+        col("a.okey") === col("bb.okey") && col("a.part") < col("bb.part"))
+      .groupBy(col("a.part").as("part_a"), col("bb.part").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    pairs
+      .join(broadcast(totals.select(col("part").as("part_a"),
+        col("cnt").as("cnt_a"))), Seq("part_a"))
+      .join(broadcast(totals.select(col("part").as("part_b"),
+        col("cnt").as("cnt_b"))), Seq("part_b"))
+      .crossJoin(broadcast(n))
+      .select(col("part_a"), col("part_b"), col("support"),
+        col("cnt_a"), col("cnt_b"),
+        round(col("support").cast("double") * col("n_orders").cast("double") /
+          (col("cnt_a").cast("double") * col("cnt_b").cast("double")), 4)
+          .as("lift"))
+      .orderBy("part_a", "part_b")
+  }
 }

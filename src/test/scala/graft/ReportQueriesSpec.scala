@@ -259,4 +259,40 @@ class ReportQueriesSpec extends SparkSpec {
       (1L, "Alice", 100L, "1995-03-05", 900.0, 260L),
       (2L, "Bob", 102L, "1995-03-07", 500.0, 300L)))
   }
+
+  test("basket lift: support floor, duplicate-line dedup, exact lift") {
+    import spark.implicits._
+    // orders: {A,B} x3, {A,C} x1 (A-C under the support floor), the last
+    // order carries a duplicate B line that must not inflate support
+    val li = Seq(
+      (1L, 10L), (1L, 20L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 30L),
+      (4L, 10L), (4L, 20L), (4L, 20L),
+    ).toDF("l_orderkey", "l_partkey")
+    val out = Relational.basketLift(li)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // support(10,20)=3 of 4 orders; cnt(10)=4, cnt(20)=3 -> lift=3*4/12=1
+    assert(out == Seq((10L, 20L, 3L, 4L, 3L, 1.0)))
+  }
+
+  test("gap fill: spine covers every day, LOCF carries, flags observed") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val ev = Seq(
+      (1L, 1L, Timestamp.valueOf("2024-01-01 10:00:00"), "purchase", 10.0),
+      (2L, 1L, Timestamp.valueOf("2024-01-01 12:00:00"), "purchase", 5.0),
+      (3L, 1L, Timestamp.valueOf("2024-01-04 10:00:00"), "purchase", 7.0),
+      (4L, 1L, Timestamp.valueOf("2024-01-03 10:00:00"), "click", 99.0),
+      (5L, 2L, Timestamp.valueOf("2024-01-02 10:00:00"), "purchase", 3.0),
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = graft.events.Events.gapFillDaily(ev)
+      .as[(Long, String, Double, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, "2024-01-01", 15.0, true),   // same-day purchases sum
+      (1L, "2024-01-02", 15.0, false),  // carried
+      (1L, "2024-01-03", 15.0, false),  // click never opens a day
+      (1L, "2024-01-04", 7.0, true),
+      (2L, "2024-01-02", 3.0, true)))   // single-day span, no fill
+  }
 }
