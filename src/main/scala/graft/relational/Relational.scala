@@ -918,9 +918,15 @@ object Relational {
     * keeps the fact table to one pass). All counts are exact longs; the
     * single double division happens once, post-aggregation. */
   def basketLift(lineitem: DataFrame, minSupport: Long = 2): DataFrame = {
+    // the basket frame feeds FOUR consumers (pair self-join x2, per-part
+    // totals, the order count); without materialization each one re-scans
+    // the fact table and re-pays the distinct exchange — the plan audit
+    // caught 5 lineitem scans. One eager checkpoint = one scan, one
+    // exchange, shared by all.
     val b = lineitem
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("part"))
       .distinct()
+      .localCheckpoint(true)
     val totals = b.groupBy("part").agg(count(lit(1)).as("cnt"))
     val n = b.agg(countDistinct("okey").as("n_orders"))
     val pairs = b.as("a")

@@ -71,6 +71,16 @@ class BenchInvariantsSpec extends SparkSpec {
     ("dedup_semantic_pairs", 2, 60L),
     ("text_cross_lm", 7, 5000L),
     ("rel_excess_share", 4, 28000L),
+    // round-5 additions: the ER pipeline's headline claim is that the
+    // CATALOG never shuffles to be scored — only surviving candidate
+    // pairs cross into the argmax window (partial WindowGroupLimit keeps
+    // the exchange at <= 1 row per dirty record per partition)
+    ("rel_fuzzy_link", 2, 500L),
+    // basket frame checkpointed ONCE: every exchange after it carries
+    // baskets/aggregates, never a fact-table re-scan
+    ("rel_basket_lift", 5, 280000L),
+    // grid join: cells exchange only the distinct point cloud
+    ("ev_geo_pairs", 3, 1000L),
   )
 
   pins.foreach { case (name, nShuffles, maxRecords) =>
