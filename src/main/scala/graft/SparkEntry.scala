@@ -1791,23 +1791,27 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     // full ER replay: same md5 char-drop perturbation, same (first token,
-    // brand) blocking, DuckDB's own jaro_winkler_similarity (the expression
-    // is pinned to its semantics), same round(6)+argmax resolution
+    // brand, type) blocking with the same hot-block drop, DuckDB's own
+    // jaro_winkler_similarity (the expression is pinned to its
+    // semantics), same round(6)+argmax resolution
     "rel_fuzzy_link" ->
-      """WITH c AS (SELECT p_partkey, p_brand,
+      """WITH c AS (SELECT p_partkey, p_brand, p_type,
         |    p_name || ' ' || p_brand || ' ' || p_type AS t FROM part),
-        |cl AS (SELECT p_partkey, p_brand, t AS clean_title,
+        |cl0 AS (SELECT p_partkey, p_brand, p_type, t AS clean_title,
         |    split_part(t, ' ', 1) AS block_tok FROM c),
-        |d0 AS (SELECT p_partkey AS dirty_id, p_brand, t,
+        |hot AS (SELECT block_tok, p_brand, p_type FROM cl0
+        |  GROUP BY 1, 2, 3 HAVING count(*) > 500),
+        |cl AS (SELECT * FROM cl0 ANTI JOIN hot USING (block_tok, p_brand, p_type)),
+        |d0 AS (SELECT p_partkey AS dirty_id, p_brand, p_type, t,
         |    CAST(('0x' || substring(md5(CAST(p_partkey AS VARCHAR) || ':fz'), 1, 8))::BIGINT % length(t) + 1 AS INT) AS pos
         |  FROM c WHERE p_partkey % 29 = 0),
-        |d AS (SELECT dirty_id, p_brand,
+        |d AS (SELECT dirty_id, p_brand, p_type,
         |    substr(t, 1, pos - 1) || substr(t, pos + 1, length(t)) AS dirty_title
         |  FROM d0),
         |cand AS (SELECT d.dirty_id, cl.p_partkey, d.dirty_title, cl.clean_title,
         |    round(jaro_winkler_similarity(d.dirty_title, cl.clean_title), 6) AS jw
         |  FROM d JOIN cl ON split_part(d.dirty_title, ' ', 1) = cl.block_tok
-        |               AND d.p_brand = cl.p_brand
+        |               AND d.p_brand = cl.p_brand AND d.p_type = cl.p_type
         |  WHERE round(jaro_winkler_similarity(d.dirty_title, cl.clean_title), 6) >= 0.85),
         |r AS (SELECT dirty_id, p_partkey, jw,
         |    row_number() OVER (PARTITION BY dirty_id ORDER BY jw DESC, p_partkey) AS rk

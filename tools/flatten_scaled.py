@@ -25,8 +25,17 @@ def main() -> None:
     for t in tables:
         sel = f"SELECT * FROM read_parquet('{src}/{t}.parquet/*.parquet')"
         if t == "events":
-            sel = ("SELECT * REPLACE (CAST(make_timestamp(ts // 1000) "
-                   "AS TIMESTAMP_NS) AS ts) "
+            # MakeScaled historically wrote ts as raw INT64 nanos (legacy
+            # nanos read); since graft.table normalizes writer spellings it
+            # emits a real timestamp — branch on the actual type
+            desc = con.execute(
+                "DESCRIBE SELECT * FROM read_parquet("
+                f"'{src}/{t}.parquet/*.parquet')").fetchall()
+            ts_type = next(row[1] for row in desc if row[0] == "ts")
+            repl = ("CAST(make_timestamp(ts // 1000) AS TIMESTAMP_NS)"
+                    if ts_type == "BIGINT"
+                    else "CAST(ts AS TIMESTAMP_NS)")
+            sel = (f"SELECT * REPLACE ({repl} AS ts) "
                    f"FROM read_parquet('{src}/{t}.parquet/*.parquet')")
         con.execute(f"COPY ({sel}) TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
         n = con.execute(
