@@ -393,6 +393,10 @@ object SparkEntry {
     // the full day spine, carry-group fill (no IGNORE NULLS dependence)
     "ev_gap_fill" -> ((s, dir) =>
       Events.gapFillDaily(table(s, dir, "events"))),
+    // growth accounting: DAU / new / returning / cumulative per day —
+    // the final cumulative window runs over calendar-bounded rows
+    "ev_growth_accounting" -> ((s, dir) =>
+      Events.growthAccounting(table(s, dir, "events"))),
     // grid-bucketed spatial radius self-join over the md5-derived integer
     // point cloud: ONE exchange by cell, 9x neighborhood on one side only,
     // each unordered pair produced exactly once — never all-pairs
@@ -829,6 +833,14 @@ object SparkEntry {
     // tokens per sentence, terminal-punctuation ending
     "text_sentence_stats" -> ((s, dir) =>
       TextAnalysis.sentenceStats(table(s, dir, "documents"))),
+    // Fightin' Words keyness: per-source log-odds vs rest-of-corpus with
+    // an informative Dirichlet prior, z-scored, top-5 per source
+    "text_keyness" -> ((s, dir) =>
+      TextAnalysis.sourceKeyness(table(s, dir, "documents"))),
+    // code-switching detector: per-doc marker mass per language, dominant
+    // share, mixture entropy — one scan, fixed 4-language tree
+    "text_lang_mixture" -> ((s, dir) =>
+      TextAnalysis.langMixture(table(s, dir, "documents"))),
     // closed-form least-squares probe: stopword count ~ a + b*tokens over
     // the corpus, per-source deviation from the line (outlier-source
     // detector). All floating math post-aggregation over exact long sums.
@@ -1978,6 +1990,18 @@ object SparkEntry {
         |  CAST(max(obs) OVER (PARTITION BY user_id, grp) AS DOUBLE) AS value,
         |  obs IS NOT NULL AS observed
         |FROM g ORDER BY user_id, day""".stripMargin,
+    // distinct (user, day) reduction, first-seen by min, calendar-bounded
+    // cumulative window
+    "ev_growth_accounting" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS fd FROM d GROUP BY user_id),
+        |p AS (SELECT day, count(*) AS dau,
+        |    CAST(sum(CASE WHEN day = fd THEN 1 ELSE 0 END) AS BIGINT) AS new_users
+        |  FROM d JOIN f USING (user_id) GROUP BY day)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, CAST(dau AS BIGINT) AS dau,
+        |  new_users, CAST(dau - new_users AS BIGINT) AS returning_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM p ORDER BY day""".stripMargin,
     // latest-wins CDC apply with 'error' tombstones: one windowed replay
     "ev_cdc_apply" ->
       """WITH r AS (SELECT user_id, event_id, event_type, value, ts,
@@ -3063,6 +3087,55 @@ object SparkEntry {
         |  round(CASE WHEN ns = 0 THEN 0.0 ELSE CAST(nt AS DOUBLE) / ns END, 4) AS tokens_per_sentence,
         |  regexp_matches(text, '[.!?]\s*$') AS ends_terminal
         |FROM t ORDER BY doc_id""".stripMargin,
+    // same exact counts, same one fixed double tree (prior scaled to the
+    // corpus distribution), round(4) z, (z DESC, term) top-5 per source
+    "text_keyness" ->
+      """WITH occ AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+        |st AS (SELECT source, term, count(*) AS ysw FROM occ GROUP BY 1, 2),
+        |tot AS (SELECT term, CAST(sum(ysw) AS BIGINT) AS yw FROM st GROUP BY term),
+        |ps AS (SELECT source, CAST(sum(ysw) AS BIGINT) AS ns FROM st GROUP BY source),
+        |g AS (SELECT CAST(sum(ysw) AS BIGINT) AS n FROM st),
+        |z0 AS (SELECT st.source, st.term, st.ysw,
+        |    100.0 * CAST(yw AS DOUBLE) / CAST(n AS DOUBLE) AS aw,
+        |    CAST(st.ysw AS DOUBLE) AS ysd, CAST(yw AS DOUBLE) - CAST(st.ysw AS DOUBLE) AS yrd,
+        |    CAST(ns AS DOUBLE) AS nsd, CAST(n AS DOUBLE) - CAST(ns AS DOUBLE) AS nrd
+        |  FROM st JOIN tot USING (term) JOIN ps USING (source) CROSS JOIN g),
+        |zz AS (SELECT source, term, ysw,
+        |    round((ln((ysd + aw) / (nsd + 100.0 - ysd - aw)) - ln((yrd + aw) / (nrd + 100.0 - yrd - aw)))
+        |      / sqrt(1.0 / (ysd + aw) + 1.0 / (yrd + aw)), 4) AS z
+        |  FROM z0),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY z DESC, term) AS INT) AS rnk FROM zz)
+        |SELECT source, term, CAST(ysw AS BIGINT) AS n_occ, z, rnk AS "rank"
+        |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+    // per-language marker occurrence counts in alphabetical language
+    // order; dominant = first language at the max; entropy = the same
+    // fixed 4-term tree
+    "text_lang_mixture" -> {
+      val langs = graft.textstats.TextAnalysis.LangMarkers.toSeq.sortBy(_._1)
+      val hitDefs = langs.map { case (l, ms) =>
+        s"len(list_filter(tk, t -> t IN (${ms.map(m => s"'$m'").mkString(",")}))) AS h_$l"
+      }.mkString(", ")
+      val totEx = langs.map(l => s"h_${l._1}").mkString(" + ")
+      val topEx = langs.map(l => s"h_${l._1}")
+        .reduce((a, b) => s"greatest($a, $b)")
+      val nl = langs.map(l => s"CASE WHEN h_${l._1} > 0 THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val dom = langs.reverse.foldLeft("'und'") { case (acc, (l, _)) =>
+        s"CASE WHEN top > 0 AND h_$l = top THEN '$l' ELSE $acc END"
+      }
+      val ent = langs.map { case (l, _) =>
+        s"CASE WHEN h_$l > 0 THEN -(CAST(h_$l AS DOUBLE) / CAST(tot AS DOUBLE)) * ln(CAST(h_$l AS DOUBLE) / CAST(tot AS DOUBLE)) ELSE 0.0 END"
+      }.mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+         |h AS (SELECT doc_id, $hitDefs FROM t),
+         |k AS (SELECT *, $totEx AS tot, $topEx AS top FROM h)
+         |SELECT doc_id, CAST(tot AS BIGINT) AS n_marks,
+         |  CAST($nl AS INT) AS n_langs,
+         |  $dom AS dominant,
+         |  round(CASE WHEN tot > 0 THEN CAST(top AS DOUBLE) / CAST(tot AS DOUBLE) ELSE 0.0 END, 4) AS top_share,
+         |  round($ent, 4) AS mix_entropy
+         |FROM k ORDER BY doc_id""".stripMargin
+    },
     "text_quality_regression" -> qualityRegressionOracleSql,
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),

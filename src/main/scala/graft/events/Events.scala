@@ -235,6 +235,36 @@ object Events {
       .orderBy("user_id", "day")
   }
 
+  /** GROWTH ACCOUNTING — the product-analytics daily report: per day,
+    * active users (DAU), first-seen (new) users, returning users, and
+    * the cumulative user count. "New" is a pure function of each user's
+    * min day, so replays and backfills are idempotent.
+    *
+    * Scale notes (100 TB): events reduce to DISTINCT (user, day) in one
+    * map-side-combined pass; first-seen is a per-user min over that
+    * reduced frame (same exchange); the final frame is DAYS-cardinality
+    * — bounded by the calendar, not the corpus — so the unpartitioned
+    * cumulative window over it is a deliberate single-partition pass
+    * over a few thousand rows at most, never event-scale data. */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val first = daily.groupBy("user_id").agg(min("day").as("__first"))
+    val perDay = daily.join(first, Seq("user_id"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("dau"),
+        sum((col("day") === col("__first")).cast("long")).as("new_users"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay
+      .withColumn("returning_users", col("dau") - col("new_users"))
+      .withColumn("cum_users", sum("new_users").over(w))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("new_users"), col("returning_users"),
+        col("cum_users"))
+      .orderBy("day")
+  }
+
   /** JSON prop extraction: sum of props.k per event type. */
   def propsKSumByType(events: DataFrame): DataFrame =
     events.groupBy("event_type")

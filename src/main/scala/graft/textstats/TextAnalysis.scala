@@ -387,6 +387,51 @@ object TextAnalysis {
       .drop("best")
   }
 
+  /** Language-MIXTURE detection — the code-switching / boilerplate-splice
+    * signal the single-label guess (`languageGuess`) cannot express: a doc
+    * whose marker hits split across languages is usually concatenated
+    * boilerplate, machine-translation residue, or a scrape joining two
+    * pages, and pipelines route it to segmentation instead of a single
+    * language bucket. Per doc: marker OCCURRENCE counts per language
+    * (occurrences, not distinct — mixture is about mass), languages hit,
+    * the dominant language (ties alphabetical, zero hits → "und"), its
+    * share, and the Shannon entropy of the share vector (0 = pure,
+    * ln 4 ≈ 1.386 = perfectly mixed over the 4 marker sets).
+    *
+    * Determinism: counts are exact ints; share/entropy is one fixed
+    * double tree over the languages in alphabetical order, identical in
+    * both engines; round(4) at the edge. One scan, no shuffle but the
+    * output sort. */
+  def langMixture(docs: DataFrame): DataFrame = {
+    val langs = LangMarkers.toSeq.sortBy(_._1)
+    val hitCols = langs.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isInCollection(markers))).cast("long")
+    }
+    def h(l: String) = col(s"__h_$l")
+    val keyed = docs.select(col("doc_id") +:
+      hitCols.map { case (l, c) => c.as(s"__h_$l") }: _*)
+      .withColumn("__tot", langs.map(l => h(l._1)).reduce(_ + _))
+      .withColumn("__top",
+        langs.map(l => h(l._1)).reduce((a, b) => greatest(a, b)))
+    val dominant = langs.foldRight(lit("und")) { case ((lang, _), acc) =>
+      when(col("__top") > 0 && h(lang) === col("__top"), lit(lang))
+        .otherwise(acc)
+    }
+    val entropy = langs.map { case (lang, _) =>
+      val p = h(lang).cast("double") / col("__tot").cast("double")
+      when(h(lang) > 0, -p * log(p)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    keyed.select(col("doc_id"),
+        col("__tot").as("n_marks"),
+        langs.map(l => (h(l._1) > 0).cast("int")).reduce(_ + _).as("n_langs"),
+        dominant.as("dominant"),
+        round(when(col("__tot") > 0,
+          col("__top").cast("double") / col("__tot").cast("double"))
+          .otherwise(0.0), 4).as("top_share"),
+        round(entropy, 4).as("mix_entropy"))
+      .orderBy("doc_id")
+  }
+
   /** Canonical-form document fingerprint: md5 of the normalized token
     * stream. Whitespace/case/punctuation-insensitive exact dedup key. */
   def fingerprints(docs: DataFrame): DataFrame =
@@ -400,6 +445,51 @@ object TextAnalysis {
       .groupBy("term").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("term"))
       .limit(k)
+
+  /** Per-source KEYNESS (Monroe et al. "Fightin' Words": log-odds with an
+    * informative Dirichlet prior, z-scored): which terms characterize a
+    * source AGAINST the rest of the corpus — the provenance diagnostic
+    * curation runs before mixing ("what is this feed actually made of"),
+    * and exactly what raw frequency or PMI cannot answer (frequent
+    * everywhere ≠ distinctive here). Prior alpha_w = a0 · y_w / n (the
+    * corpus distribution scaled to a0 pseudo-counts) shrinks rare-term
+    * log-odds toward zero, so the top-k is not hapax noise.
+    *
+    * Determinism: every input to the z formula is an exact long count;
+    * the formula is one fixed double tree evaluated identically by both
+    * engines; z re-anchors at round(4) and ranks (z DESC, term ASC).
+    *
+    * Scale notes (100 TB): ONE tokenize scan into (source, term) counts
+    * (map-side combined); global term counts re-aggregate the
+    * vocabulary-sized count frame, not the corpus; per-source totals and
+    * the two grand totals are tiny broadcasts; top-k is a per-source
+    * WindowGroupLimit. Nothing joins at corpus cardinality. */
+  def sourceKeyness(docs: DataFrame, k: Int = 5, a0: Double = 100.0): DataFrame = {
+    val occ = Tokenize.termOccurrences(docs, idCol = "source")
+    val st = occ.groupBy("source", "term").agg(count(lit(1)).as("ysw"))
+      .localCheckpoint(true) // feeds global counts, source totals, and the join
+    val tot = st.groupBy("term").agg(sum("ysw").as("yw"))
+    val perSrc = st.groupBy("source").agg(sum("ysw").as("ns"))
+    val grand = st.agg(sum("ysw").as("n"), count(lit(1)).as("__v")).select("n")
+    val j = st.join(broadcast(tot), Seq("term"))
+      .join(broadcast(perSrc), Seq("source"))
+      .crossJoin(broadcast(grand))
+    def d(c: String) = col(c).cast("double")
+    val aw = lit(a0) * d("yw") / d("n")
+    val ysw = d("ysw"); val yrw = d("yw") - ysw
+    val ns = d("ns"); val nr = d("n") - ns
+    val delta = log((ysw + aw) / (ns + lit(a0) - ysw - aw)) -
+      log((yrw + aw) / (nr + lit(a0) - yrw - aw))
+    val z = delta / sqrt(lit(1.0) / (ysw + aw) + lit(1.0) / (yrw + aw))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("z").desc, col("term"))
+    j.withColumn("z", round(z, 4))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("source"), col("term"), col("ysw").as("n_occ"),
+        col("z"), col("__rk").cast("int").as("rank"))
+      .orderBy("source", "rank")
+  }
 
   /** Per-doc fluency score under a corpus-trained bigram language model —
     * the cheap LM-perplexity proxy a curation pipeline uses to rank docs

@@ -195,6 +195,21 @@ class EventsSpec extends SparkSpec {
     assert(rows.init.map(_._5.get) == rows.tail.map(_._4))
   }
 
+  test("growth accounting: new vs returning split, cumulative total") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00")), (2L, 2L, ts("2024-01-01 11:00:00")),
+      (3L, 1L, ts("2024-01-01 12:00:00")), // same user+day: one DAU
+      (4L, 1L, ts("2024-01-02 10:00:00")), (5L, 3L, ts("2024-01-02 11:00:00")),
+      (6L, 2L, ts("2024-01-04 10:00:00")),
+    ).toDF("event_id", "user_id", "ts")
+    val out = graft.events.Events.growthAccounting(ev)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("2024-01-01", 2L, 2L, 0L, 2L),
+      ("2024-01-02", 2L, 1L, 1L, 3L),
+      ("2024-01-04", 1L, 0L, 1L, 3L))) // gap days absent by design
+  }
+
   test("CDC apply: latest wins, tombstone deletes, replay converges") {
     val ev = Seq(
       // user 1: two upserts — the later one wins

@@ -500,6 +500,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq(("t", 2L, 3.0, 1.0, 0L), ("u", 4L, 5.0, 0.0, 1L)))
   }
 
+  test("keyness: the overused term tops its source, shared terms do not") {
+    // 'zebra' is 'webby'-only; 'common' is everywhere (no keyness)
+    val docs = Seq(
+      (1L, "common zebra zebra zebra common", "webby"),
+      (2L, "common zebra zebra common filler", "webby"),
+      (3L, "common plain words here common", "bookish"),
+      (4L, "common other plain text common", "bookish"),
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.sourceKeyness(docs, k = 2)
+      .select("source", "term", "rank").as[(String, String, Int)]
+      .collect().toSeq
+    assert(out.find(r => r._1 == "webby" && r._3 == 1).get._2 == "zebra")
+    // 'common' has identical shares on both sides: never a top-key term
+    assert(!out.exists(_._2 == "common"))
+    // z is anti-symmetric-ish: zebra must NOT rank for bookish
+    assert(!out.exists(r => r._1 == "bookish" && r._2 == "zebra"))
+  }
+
+  test("lang mixture: pure, mixed, and empty docs") {
+    val docs = Seq(
+      (1L, "the cat of the house is big"),       // pure en: 4 hits
+      (2L, "the der cat und dog"),               // en 1 + de 2 -> mixed
+      (3L, "xyzzy plugh"),                       // no markers
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langMixture(docs)
+      .as[(Long, Long, Int, String, Double, Double)].collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L) == ((1L, 4L, 1, "en", 1.0, 0.0)))
+    val (_, marks, nl, dom, share, ent) = byId(2L)
+    assert(marks == 3L && nl == 2 && dom == "de")
+    assert(math.abs(share - 0.6667) < 1e-9)
+    // H(1/3, 2/3) = ln3 - (2/3)ln2
+    assert(math.abs(ent - (math.log(3) - 2.0 / 3 * math.log(2))) < 1e-4)
+    assert(byId(3L) == ((3L, 0L, 0, "und", 0.0, 0.0)))
+  }
+
   test("sentence stats: boundaries, blank segments, terminal rule") {
     val docs = Seq(
       (1L, "One two. Three four! Five?"),      // 3 sentences, 5 tokens
