@@ -2016,28 +2016,14 @@ object SparkEntry {
     // grid spatial join replay: same md5-integer points, same 3x3 cell
     // candidates, exact integer distances (no FP anywhere)
     "ev_geo_pairs" ->
-      """WITH u AS (SELECT DISTINCT user_id FROM events),
-        |p AS (SELECT user_id,
-        |    ('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':17'), 1, 8))::BIGINT % 1024 AS x,
-        |    ('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':23'), 1, 8))::BIGINT % 1024 AS y
-        |  FROM u),
-        |c AS (SELECT user_id, x, y, x // 64 AS cx, y // 64 AS cy FROM p),
-        |n AS (SELECT user_id, x, y, cx + dx.d AS ncx, cy + dy.d AS ncy
-        |  FROM c, (SELECT unnest([-1, 0, 1]) AS d) dx, (SELECT unnest([-1, 0, 1]) AS d) dy)
+      s"""WITH $geoGridCtes
         |SELECT a.user_id AS id_a, b.user_id AS id_b,
         |  CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS dist2
         |FROM n a JOIN c b ON a.ncx = b.cx AND a.ncy = b.cy AND a.user_id < b.user_id
         |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 2304
         |ORDER BY id_a, id_b""".stripMargin,
     "ev_geo_knn" ->
-      """WITH u AS (SELECT DISTINCT user_id FROM events),
-        |p AS (SELECT user_id,
-        |    ('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':17'), 1, 8))::BIGINT % 1024 AS x,
-        |    ('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':23'), 1, 8))::BIGINT % 1024 AS y
-        |  FROM u),
-        |c AS (SELECT user_id, x, y, x // 64 AS cx, y // 64 AS cy FROM p),
-        |n AS (SELECT user_id, x, y, cx + dx.d AS ncx, cy + dy.d AS ncy
-        |  FROM c, (SELECT unnest([-1, 0, 1]) AS d) dx, (SELECT unnest([-1, 0, 1]) AS d) dy),
+      s"""WITH $geoGridCtes,
         |cand AS (SELECT a.user_id AS id, b.user_id AS neighbor_id,
         |    (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist2
         |  FROM n a JOIN c b ON a.ncx = b.cx AND a.ncy = b.cy AND a.user_id <> b.user_id
@@ -2971,10 +2957,16 @@ object SparkEntry {
          |  CASE WHEN rk <= 20 THEN 'kept' ELSE 'pruned' END AS verdict
          |FROM ranked ORDER BY vec_id""".stripMargin
     },
-    // brute all-pairs cosine (ground truth) vs the 4x8 banded buckets;
-    // theory term = 1-(1-(1-acos(mid)/pi)^8)^4 at the bucket center
+    // brute pairwise cosine (ground truth) vs the 4x8 banded buckets,
+    // both arms over the SAME 2048-vector seeded-md5 sample (constant
+    // cost at any corpus size — a pair's catch verdict depends only on
+    // its own two vectors); theory term =
+    // 1-(1-(1-acos(mid)/pi)^8)^4 at the bucket center
     "sim_lsh_calibration" ->
-      """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH eall AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |e0 AS (SELECT vec_id, v FROM (
+        |  SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR) || ':42') AS sk
+        |  FROM eall ORDER BY sk, vec_id LIMIT 2048)),
         |bands AS (SELECT unnest(generate_series(0, 3)) AS band),
         |bk AS (SELECT vec_id, band,
         |  list_sum(list_transform(generate_series(0, 7), jj ->
@@ -4165,6 +4157,20 @@ object SparkEntry {
        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
 
   private val shingleCtes: String = shingleCtesOver("documents")
+
+  /** Shared grid-spatial CTE prefix for ev_geo_pairs / ev_geo_knn: the
+    * md5-derived integer points, 64-wide cell assignment, and 3x3
+    * neighborhood expansion. One spelling so a seed or cell-size retune
+    * can't desynchronize the two oracles (round-5 advice). */
+  private val geoGridCtes: String =
+    """u AS (SELECT DISTINCT user_id FROM events),
+      |p AS (SELECT user_id,
+      |    ('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':17'), 1, 8))::BIGINT % 1024 AS x,
+      |    ('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':23'), 1, 8))::BIGINT % 1024 AS y
+      |  FROM u),
+      |c AS (SELECT user_id, x, y, x // 64 AS cx, y // 64 AS cy FROM p),
+      |n AS (SELECT user_id, x, y, cx + dx.d AS ncx, cy + dy.d AS ncy
+      |  FROM c, (SELECT unnest([-1, 0, 1]) AS d) dx, (SELECT unnest([-1, 0, 1]) AS d) dy)""".stripMargin
 
   /** Exact n-gram-Jaccard pair oracle over the capped shingle universe. */
   /** dedup_edit_pairs oracle, generated from the SAME constants as the

@@ -567,17 +567,33 @@ object Similarity {
     * per cosine bucket, the observed fraction of pairs the banded buckets
     * catch vs the theoretical 1-(1-p^r)^b at the bucket center
     * (p = 1 - θ/π per plane). This is an EVALUATION operator: the brute
-    * all-pairs arm is the definition of ground truth, same standing as
+    * pairs arm is the definition of ground truth, same standing as
     * annRecallAtK's exact arm — the declared near-dup queries never pay
     * it. acos/pow carry 1-ulp engine noise; round(4) absorbs it (the
-    * bigramLm ln precedent). */
+    * bigramLm ln precedent).
+    *
+    * The brute arm is bounded by a deterministic seeded sample of
+    * `sampleN` vectors (md5 order — the `deterministicSample` contract),
+    * so its cost is a CONSTANT ~sampleN²/2 pairs at any corpus size
+    * rather than O(n²) (round-5 verdict item #1: at sf1 the full
+    * cartesian was 203.7M shuffle rows / 45% of the 10x sweep). The
+    * observed-vs-theory curve over a uniform few-thousand-vector sample
+    * is statistically the same curve. Whether a pair is caught depends
+    * only on the two vectors' own band buckets — not on the rest of the
+    * corpus — so banding restricted to the sample gives bit-identical
+    * catch verdicts for every sampled pair. */
   def lshCalibration(embeddings: DataFrame, dims: Int = 64,
-                     nPlanes: Int = 8, bands: Int = 4): DataFrame = {
+                     nPlanes: Int = 8, bands: Int = 4,
+                     sampleN: Int = 2048, seed: Long = 42L): DataFrame = {
     VectorFunctions.ensureRegistered(embeddings.sparkSession)
-    val e = withUnitVec(
-      embeddings.select(col("vec_id"),
-        toDoubleVec(col("embedding")).as("v")), "v")
+    val sampled = embeddings
+      .select(col("vec_id"), toDoubleVec(col("embedding")).as("v"))
+      .withColumn("__sk", graft.sources.Sampling.sampleKey(col("vec_id"), seed))
+      .orderBy(col("__sk"), col("vec_id")).limit(sampleN)
+      .select("vec_id", "v")
+    val e = withUnitVec(sampled, "v")
       .select(col("vec_id"), col("v"), col("u"))
+      .localCheckpoint()
     val banded = e.select(col("vec_id"), posexplode(
       array((0 until bands).map(b =>
         lshBucket(col("v"), dims, nPlanes, b * nPlanes)): _*))
@@ -589,7 +605,7 @@ object Similarity {
       .select("vec_a", "vec_b").distinct()
       .withColumn("__hit", lit(1L))
     val pairs = e.select(col("vec_id").as("vec_a"), col("u").as("__ua"))
-      .crossJoin(e.select(col("vec_id").as("vec_b"), col("u").as("__ub")))
+      .crossJoin(broadcast(e.select(col("vec_id").as("vec_b"), col("u").as("__ub"))))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         dot(col("__ua"), col("__ub")).as("__cos"))

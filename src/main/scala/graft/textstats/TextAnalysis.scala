@@ -470,7 +470,7 @@ object TextAnalysis {
       .localCheckpoint(true) // feeds global counts, source totals, and the join
     val tot = st.groupBy("term").agg(sum("ysw").as("yw"))
     val perSrc = st.groupBy("source").agg(sum("ysw").as("ns"))
-    val grand = st.agg(sum("ysw").as("n"), count(lit(1)).as("__v")).select("n")
+    val grand = st.agg(sum("ysw").as("n"))
     val j = st.join(broadcast(tot), Seq("term"))
       .join(broadcast(perSrc), Seq("source"))
       .crossJoin(broadcast(grand))

@@ -68,6 +68,15 @@ object MakeScaled {
       if (uniq) uniqText else (d, _) => d)
   }
 
+  /** In-memory embeddings scale-up (same contract as `scaledDocuments`)
+    * for the ScalingInvariantsSpec sample-bound pins. */
+  def scaledEmbeddings(embeddings: DataFrame, copies: Int,
+                       uniq: Boolean): DataFrame = {
+    val stride = maxOf(embeddings, "vec_id") + 1
+    replicate(embeddings, copies, Map("vec_id" -> stride),
+      if (uniq) uniqVec else (d, _) => d)
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"

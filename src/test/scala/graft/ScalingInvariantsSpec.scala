@@ -87,4 +87,29 @@ class ScalingInvariantsSpec extends SparkSpec {
   pinLinear("jaccard_pairs", d => Dedup.jaccardPairs(d))
   pinLinear("minhash_lsh_pairs", d => Dedup.minhashLshPairs(d))
   pinLinear("duplicated_spans", d => Dedup.duplicatedSpans(d))
+
+  // Round-6 verdict item #1: the calibration's brute ground-truth arm is
+  // bounded by a 2048-vector seeded sample, so its pair count is a
+  // CONSTANT C(min(n, 2048), 2) — identical at 10x and at any larger
+  // scale — instead of O(n²). A dropped sample bound shows up as
+  // C(5000,2) ≈ 12.5M ≠ 2,096,128 and fails exactly.
+  test("lsh_calibration: brute-arm pairs constant at C(2048,2) once " +
+    "the corpus exceeds the sample") {
+    assume(new java.io.File(dir).isDirectory, s"testdata absent at $dir")
+    import graft.similarity.Similarity
+    val emb1 = graft.table(spark, dir, "embeddings").localCheckpoint()
+    val emb10 = MakeScaled.scaledEmbeddings(emb1, Copies, uniq = true)
+      .localCheckpoint()
+    val n1 = emb1.count() // 500 at sf0.01 -> sample takes all of it
+    val pairs1 = Similarity.lshCalibration(emb1)
+      .agg(org.apache.spark.sql.functions.sum("n_pairs")).head().getLong(0)
+    assert(pairs1 == n1 * (n1 - 1) / 2,
+      s"1x brute arm should be all C($n1,2) pairs, got $pairs1")
+    val pairs10 = Similarity.lshCalibration(emb10)
+      .agg(org.apache.spark.sql.functions.sum("n_pairs")).head().getLong(0)
+    val cap = 2048L * 2047L / 2L
+    assert(pairs10 == cap,
+      s"10x brute arm must be sample-bounded to C(2048,2)=$cap, got " +
+        s"$pairs10 — the O(n²) cartesian is back")
+  }
 }
