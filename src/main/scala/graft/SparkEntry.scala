@@ -100,6 +100,10 @@ object SparkEntry {
     // plain exact chain) with the scoring tail run on pruned candidates
     "bm25_wand" -> ((s, dir) =>
       BM25.searchWand(s, table(s, dir, "documents"), "hash merge stream")),
+    // Block-max WAND: per-(term, block) max-tf caps skip WHOLE postings
+    // blocks below θ; EXACT top-10 (oracle = the plain exact chain)
+    "bm25_block_max" -> ((s, dir) =>
+      BM25.searchBlockMax(s, table(s, dir, "documents"), "hash merge stream")),
     // Batch multi-query form: many queries, one tf build, windowed top-k.
     "bm25_multi" -> ((s, dir) => {
       import s.implicits._
@@ -1194,6 +1198,7 @@ object SparkEntry {
     // the WAND form is exact by construction: its oracle is the SAME
     // unpruned BM25 chain — the pruning must be invisible in the result
     "bm25_wand" -> bm25OracleSql("('hash','merge','stream')"),
+    "bm25_block_max" -> bm25OracleSql("('hash','merge','stream')"),
     "bm25_oov" -> bm25OracleSql("('zzzznotaword','qqqqnotaword')"),
     "idx_champion_lists" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),

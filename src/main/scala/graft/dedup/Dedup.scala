@@ -967,10 +967,16 @@ object Dedup {
       col("block"))
     val b = bounded.select(col("doc_id").as("id_b"), col("prefix").as("pref_b"),
       col("block"))
+    // threshold-banded early-exit kernel: exact for dist <= maxDist,
+    // maxDist+1 beyond — output-identical to full levenshtein under the
+    // <= maxDist filter (the oracle keeps DuckDB's plain levenshtein)
+    graft.functions.StringDistanceFunctions.ensureRegistered(docs.sparkSession)
     a.join(b, Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("pref_a"), col("pref_b")).cast("long").as("edit_dist"))
+        graft.functions.StringDistanceFunctions
+          .bandedLevenshtein(col("pref_a"), col("pref_b"), maxDist)
+          .cast("long").as("edit_dist"))
       .filter(col("edit_dist") <= maxDist)
       .orderBy("id_a", "id_b")
   }

@@ -131,6 +131,91 @@ object BM25 {
     rank(tf.join(cand, Seq("doc_id"), "leftsemi"), qdf, dl, stats, k1, b, topK)
   }
 
+  /** EXACT top-k with BLOCK-MAX WAND pruning (Ding-Suel'11, re-expressed
+    * as a batch plan) — `searchWand`'s bound pass composed with the
+    * postings BLOCK structure (`InvertedIndex.PostingsBlockWidth` doc-id
+    * blocks, the same layout `postingsCompression` encodes): per
+    * (term, block) the stored max tf caps that term's contribution at
+    * idf·(k1+1)·maxtf/(k1·(1−b)+maxtf) — the dl term at its floor, and
+    * the tf ratio monotone in tf — which is strictly tighter than plain
+    * WAND's tf→∞ cap idf·(k1+1). Pruning is two-stage: (1) WHOLE blocks
+    * whose cap-sum over the query terms can't reach θ are skipped before
+    * any per-doc work — the real serving win on stopword-heavy queries,
+    * where dense blocks of low-impact postings never reach the exchange;
+    * (2) surviving docs are bounded by their own per-(term, block)
+    * cap-sum. θ comes from the champions' exact scores (a subset, so its
+    * k-th best ≤ the true k-th best), and every pruned doc has true
+    * score ≤ cap-sum < θ − margin, so the result is PROVABLY identical
+    * to `search` — the declared oracle is the plain unpruned exact chain
+    * (the bm25_wand standing: pruning must be invisible).
+    *
+    * Scale notes (100 TB): block caps are one (term, block)-grain
+    * aggregate over the query terms' postings only — the serving-time
+    * equivalent reads them precomputed next to the compressed blocks,
+    * skipping without decoding (the absolute-block-head layout). The
+    * surviving-block semi-join prunes the postings BEFORE the per-doc
+    * cap aggregate, so θ-misses never shuffle. */
+  def searchBlockMax(spark: SparkSession, docs: DataFrame, query: String,
+                     k1: Double = 1.0, b: Double = 0.75,
+                     topK: Int = 10): DataFrame = {
+    import spark.implicits._
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+    val qTerms = terms.toSeq.toDF("term")
+    val tfAll = InvertedIndex.termFrequency(docs)
+    val tf = tfAll.join(broadcast(qTerms), Seq("term")).localCheckpoint(true)
+    val qdf = InvertedIndex.docFrequencyFromTf(tf)
+    val dl = InvertedIndex.docLengthFromTf(tfAll)
+    val stats = InvertedIndex.corpusInfo(docs)
+    val champ = InvertedIndex.championListsFromTf(tf, topK)
+      .select("term", "doc_id", "term_frequency")
+    val champTop = scoreAll(champ, qdf, dl, stats, k1, b)
+      .orderBy(desc("score")).limit(topK).collect()
+    val theta =
+      if (champTop.length < topK) Double.NegativeInfinity
+      else champTop.last.getAs[Double]("score")
+    val cand = blockMaxCandidates(tf, qdf, stats, k1, b, theta)
+    rank(tf.join(cand, Seq("doc_id"), "leftsemi"), qdf, dl, stats, k1, b, topK)
+  }
+
+  /** Per-(term, block) score caps from the block-local max tf — exposed
+    * (with [[blockMaxCandidates]]) for the planted whole-block-skip spec. */
+  private[graft] def blockMaxBlockCaps(tf: DataFrame, qdf: DataFrame,
+                                       stats: DataFrame, k1: Double,
+                                       b: Double): DataFrame = {
+    val idf = qdf.crossJoin(broadcast(stats))
+      .select(col("term"),
+        log(col("doc_n").cast("double") / col("doc_frequency")).as("__idf"))
+    tf.withColumn("block",
+        floor(col("doc_id") / lit(InvertedIndex.PostingsBlockWidth)).cast("long"))
+      .groupBy("term", "block")
+      .agg(max("term_frequency").as("__maxtf"))
+      .join(broadcast(idf), Seq("term"))
+      .select(col("term"), col("block"),
+        (col("__idf") * lit(k1 + 1) * col("__maxtf") /
+          (lit(k1 * (1 - b)) + col("__maxtf"))).as("__cap"))
+  }
+
+  /** Candidate docs that survive both block-max stages for threshold θ.
+    * The margin guards the final round(4)+doc_id tie-break, exactly as in
+    * `searchWand`. */
+  private[graft] def blockMaxCandidates(tf: DataFrame, qdf: DataFrame,
+                                        stats: DataFrame, k1: Double,
+                                        b: Double, theta: Double): DataFrame = {
+    // (term, block)-grain: bounded by |terms| * blocks-touched — tiny;
+    // checkpointed once for its two consumers (block skip, doc bound)
+    val caps = blockMaxBlockCaps(tf, qdf, stats, k1, b).localCheckpoint(true)
+    val liveBlocks = caps.groupBy("block").agg(sum("__cap").as("__bsum"))
+      .filter(col("__bsum") >= lit(theta - 1e-3))
+      .select("block")
+    tf.withColumn("block",
+        floor(col("doc_id") / lit(InvertedIndex.PostingsBlockWidth)).cast("long"))
+      .join(broadcast(liveBlocks), Seq("block"), "leftsemi")
+      .join(broadcast(caps), Seq("term", "block"))
+      .groupBy("doc_id").agg(sum("__cap").as("__cap_sum"))
+      .filter(col("__cap_sum") >= lit(theta - 1e-3))
+      .select("doc_id")
+  }
+
   /** BM25 search served from a persisted IndexStore — no recompute; the
     * term predicate partition-prunes the postings scan to the query terms'
     * hash buckets (the Cassandra-token-routing equivalent). The bucket

@@ -74,4 +74,64 @@ class StringDistanceSpec extends SparkSpec {
       .as[(Long, Long, Double, Boolean)].collect().toSeq
     assert(again == out)
   }
+
+  // reference full-matrix DP for the banded-kernel contract checks
+  private def fullLev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1) {
+      j => if (i == 0) j else if (j == 0) i else 0
+    })
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private def banded(a: String, b: String, k: Int): Int =
+    graft.functions.BandedLevenshteinExpr.distance(
+      UTF8String.fromString(a), UTF8String.fromString(b), k)
+
+  test("banded levenshtein: exact below threshold, k+1-capped above, " +
+    "on randomized and adversarial pairs") {
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcde" // small alphabet -> high collision/edit density
+    def randStr(n: Int) = (0 until n).map(_ => alpha(rnd.nextInt(5))).mkString
+    val cases = Seq.fill(300) {
+      val a = randStr(rnd.nextInt(70))
+      // half the cases: b is a k-ish mutation of a, not an independent draw
+      val b = if (rnd.nextBoolean()) randStr(rnd.nextInt(70))
+      else a.map(c => if (rnd.nextInt(10) == 0) alpha(rnd.nextInt(5)) else c)
+        .drop(rnd.nextInt(3)).mkString + randStr(rnd.nextInt(3))
+      (a, b)
+    } ++ Seq(("", ""), ("", "abc"), ("abc", ""), ("same", "same"),
+      ("aaaaaaaa", "bbbbbbbb"), ("kitten", "sitting"),
+      ("abcdefgh", "hgfedcba"))
+    for ((a, b) <- cases; k <- Seq(0, 1, 3, 8)) {
+      val full = fullLev(a, b)
+      val got = banded(a, b, k)
+      if (full <= k) assert(got == full, s"exact($a, $b, k=$k)")
+      else assert(got == k + 1, s"capped($a, $b, k=$k): full=$full got=$got")
+      assert(got == banded(b, a, k), s"symmetry($a, $b, k=$k)")
+    }
+  }
+
+  test("banded levenshtein column: parity with built-in levenshtein " +
+    "under the threshold filter, inside codegen") {
+    StringDistanceFunctions.ensureRegistered(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(substring(regexp_replace(lower(col("text")),
+        "[^\\x00-\\x7F]", ""), 1, 64).as("p"), col("doc_id"))
+    val pairs = docs.as("a").crossJoin(docs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id")).limit(2000)
+      .select(col("a.p").as("pa"), col("b.p").as("pb"))
+    val both = pairs.select(
+      StringDistanceFunctions.bandedLevenshtein(col("pa"), col("pb"), 8)
+        .as("banded"),
+      least(levenshtein(col("pa"), col("pb")), lit(9)).as("capped"))
+    assert(both.filter(col("banded") =!= col("capped")).count() == 0)
+    // null propagates, never throws
+    val n = Seq((Some("x"), None: Option[String])).toDF("a", "b")
+      .select(StringDistanceFunctions.bandedLevenshtein(col("a"), col("b"), 8))
+      .collect().head
+    assert(n.isNullAt(0))
+  }
 }

@@ -237,4 +237,46 @@ class TextIndexRankSpec extends SparkSpec {
       .collect().toSeq
     assert(wand == exact && wand.nonEmpty)
   }
+
+  test("block-max search equals the exact unpruned search on the real corpus") {
+    val docs = table(spark, "/root/testdata/sf0.001", "documents")
+    for (q <- Seq("spark join window", "hash merge stream", "the", "dup big"))
+      assert(
+        graft.rank.BM25.searchBlockMax(spark, docs, q).collect().toSeq ==
+          graft.rank.BM25.search(spark, docs, q).collect().toSeq, s"query: $q")
+  }
+
+  test("block-max skips WHOLE postings blocks whose cap-sum is below theta") {
+    // Two doc-id blocks (width 4096). Block 0: strong docs — query terms
+    // at high tf. Block 1: 50 weak docs — one 'alpha' drowned in filler,
+    // so the block's cap-sum stays below the champions' k-th score and
+    // the ENTIRE block is skipped before any per-doc work.
+    val w = graft.index.InvertedIndex.PostingsBlockWidth
+    val docs = (Seq(
+      (1L, "alpha beta alpha beta alpha"),
+      (2L, "alpha beta alpha alpha"),
+      (3L, "alpha beta beta")) ++
+      (0L until 50L).map(i => (w + i, "alpha " + ("filler " * 200)))
+      ).toDF("doc_id", "text")
+    import org.apache.spark.sql.functions.{broadcast => bc, _}
+    val spark2 = spark; import spark2.implicits._
+    val qTerms = Seq("alpha", "beta").toDF("term")
+    val tf = graft.index.InvertedIndex.termFrequency(docs)
+      .join(bc(qTerms), Seq("term"))
+    val qdf = graft.index.InvertedIndex.docFrequencyFromTf(tf)
+    val stats = graft.index.InvertedIndex.corpusInfo(docs)
+    // theta = exact 2nd-best score (topK = 2): block 0 docs all contain
+    // both terms; block 1's cap-sum is alpha-only at maxtf 1
+    val exact = graft.rank.BM25.search(spark, docs, "alpha beta", topK = 2)
+    val theta = exact.collect().last.getAs[Double]("doc_rank")
+    val cand = graft.rank.BM25
+      .blockMaxCandidates(tf, qdf, stats, 1.0, 0.75, theta)
+      .as[Long].collect().toSet
+    // the whole weak block is pruned; every strong doc survives
+    assert(cand.forall(_ < w), s"weak-block doc survived: $cand")
+    assert(Set(1L, 2L, 3L).subsetOf(cand))
+    // and the full pruned search is still exact
+    assert(graft.rank.BM25.searchBlockMax(spark, docs, "alpha beta", topK = 2)
+      .collect().toSeq == exact.collect().toSeq)
+  }
 }
