@@ -12,15 +12,32 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** Exact vs HLL++ distinct suppliers+parts per return flag. rsd=0.02. */
-  def distinctPartsPerFlag(lineitem: DataFrame): DataFrame =
-    lineitem.groupBy("l_returnflag")
-      .agg(
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        countDistinct(col("l_suppkey")).as("exact_supps"),
-        approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+  /** Exact vs HLL++ distinct suppliers+parts per return flag. rsd=0.02.
+    *
+    * The exact arms are deliberately split into distinct-then-count
+    * two-phase aggregates instead of `countDistinct` inside one agg:
+    * multiple distinct aggregates make Catalyst plan an Expand that
+    * replicates EVERY input row once per distinct column before the
+    * shuffle (35.7 GB of sf1 spill measured in round 5), while
+    * `.distinct()` partial-aggregates per partition so only UNIQUE
+    * (flag, key) pairs reach the exchange — the key-domain, not the
+    * row count, bounds the shuffle at any scale. The three per-flag
+    * frames (two exact, one sketched) then join at flag cardinality. */
+  def distinctPartsPerFlag(lineitem: DataFrame): DataFrame = {
+    val li = lineitem.select("l_returnflag", "l_partkey", "l_suppkey")
+    def exact(c: String, out: String) =
+      li.select(col("l_returnflag"), col(c)).distinct()
+        .groupBy("l_returnflag").agg(count(lit(1)).as(out))
+    val approx = li.groupBy("l_returnflag").agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+      approx_count_distinct(col("l_suppkey"), 0.02).as("approx_supps"))
+    exact("l_partkey", "exact_parts")
+      .join(exact("l_suppkey", "exact_supps"), Seq("l_returnflag"))
+      .join(approx, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("exact_parts"), col("approx_parts"),
+        col("exact_supps"), col("approx_supps"))
       .orderBy("l_returnflag")
+  }
 
   /** Sketch MERGEABILITY report — the property that makes sketches the
     * 100 TB cardinality path: shards/days sketch independently, and the
