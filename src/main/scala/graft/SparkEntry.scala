@@ -1120,13 +1120,13 @@ object SparkEntry {
   /** DuckDB-runnable oracle SQL, one per queries key, same column names. */
   def oracleSql: Map[String, String] = Map(
     "idx_term_frequency" ->
-      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents)
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS term FROM documents)
         |SELECT doc_id, term, count(*) AS term_frequency
         |FROM tok GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin,
     // zipped parallel unnests give (pos, term) pairs; 1-based pos vs the
     // Spark side's 0-based is invisible — only position DIFFERENCES matter
     "idx_phrase_match" ->
-      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+      """WITH t AS (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
         |p AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS pos, unnest(tk) AS term FROM t)
         |SELECT p0.doc_id AS doc_id, count(*) AS n_occurrences
         |FROM p p0
@@ -1137,7 +1137,7 @@ object SparkEntry {
     // DuckDB list slicing is 1-based inclusive [a:b]; Spark's slice takes
     // (start, LENGTH) — the spellings below pick the same window
     "idx_phrase_snippets" ->
-      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+      """WITH t AS (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
         |p AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS pos, unnest(tk) AS term FROM t),
         |starts AS (
         |  SELECT p0.doc_id AS doc_id, p0.pos AS pos
@@ -1152,7 +1152,7 @@ object SparkEntry {
         |ORDER BY t.doc_id""".stripMargin,
     // stored ≡ recompute, same oracle derivation as idx_proximity_match
     "idx_proximity_stored" ->
-      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+      """WITH t AS (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
         |p AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS pos, unnest(tk) AS term FROM t),
         |a AS (SELECT doc_id, pos FROM p WHERE term = 'spark'),
         |b AS (SELECT doc_id, pos FROM p WHERE term = 'join')
@@ -1163,7 +1163,7 @@ object SparkEntry {
     // the oracle joins raw positions directly — no banding — so the
     // band-bucketed candidate generation is what is being checked
     "idx_proximity_match" ->
-      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+      """WITH t AS (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
         |p AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS pos, unnest(tk) AS term FROM t),
         |a AS (SELECT doc_id, pos FROM p WHERE term = 'spark'),
         |b AS (SELECT doc_id, pos FROM p WHERE term = 'join')
@@ -1174,7 +1174,7 @@ object SparkEntry {
     // stored ≡ recompute: the oracle recomputes from raw text, the query
     // serves from the bucketed positional table
     "idx_phrase_stored" ->
-      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+      """WITH t AS (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
         |p AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS pos, unnest(tk) AS term FROM t)
         |SELECT p0.doc_id AS doc_id, count(*) AS n_occurrences
         |FROM p p0
@@ -1183,15 +1183,15 @@ object SparkEntry {
         |WHERE p0.term = 'row'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "idx_doc_frequency" ->
-      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS term FROM documents),
         |d AS (SELECT DISTINCT doc_id, term FROM tok)
         |SELECT term, count(*) AS doc_frequency FROM d GROUP BY term ORDER BY term""".stripMargin,
     "idx_postings_compressed" -> postingsCompressionOracleSql,
     "idx_doc_info" ->
-      """SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS doc_length
+      """SELECT doc_id, CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS BIGINT) AS doc_length
         |FROM documents ORDER BY doc_id""".stripMargin,
     "idx_corpus_info" ->
-      """WITH dl AS (SELECT CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS doc_length FROM documents)
+      """WITH dl AS (SELECT CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS BIGINT) AS doc_length FROM documents)
         |SELECT count(*) AS doc_n, CAST(sum(doc_length) AS BIGINT) AS total_doc_length,
         |       round(avg(doc_length), 4) AS avg_doc_length FROM dl""".stripMargin,
     "bm25_search" -> bm25OracleSql("('spark','join','window')"),
@@ -1201,7 +1201,7 @@ object SparkEntry {
     "bm25_block_max" -> bm25OracleSql("('hash','merge','stream')"),
     "bm25_oov" -> bm25OracleSql("('zzzznotaword','qqqqnotaword')"),
     "idx_champion_lists" ->
-      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
         |r AS (SELECT term, doc_id, tf,
         |        row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS impact_rank
@@ -1214,10 +1214,10 @@ object SparkEntry {
     // the same bm25 tree times the broadcast weight (qw * (...) — the
     // commuted product is bit-equal to Spark's (...) * qw).
     "bm25_expansion_terms" ->
-      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS term FROM documents),
         |tf0 AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
         |dfall AS (SELECT term, count(*) AS df FROM tf0 GROUP BY term),
-        |dl AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS dl FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS BIGINT) AS dl FROM documents),
         |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
         |scored AS (
         |  SELECT t.doc_id,
@@ -1235,10 +1235,10 @@ object SparkEntry {
         |SELECT term, expansion_weight FROM expw
         |ORDER BY expansion_weight DESC, term""".stripMargin,
     "bm25_rm3_expanded" ->
-      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS term FROM documents),
         |tf0 AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
         |dfall AS (SELECT term, count(*) AS df FROM tf0 GROUP BY term),
-        |dl AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS dl FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS BIGINT) AS dl FROM documents),
         |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
         |scored AS (
         |  SELECT t.doc_id,
@@ -1359,10 +1359,10 @@ object SparkEntry {
     // sim_cosine_topk chain at armK=20, each re-ranked over rounded
     // scores, fused by 1/(60+rank) with NULL-absorbing coalesce.
     "bm25_rrf_hybrid" ->
-      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term IN ('spark','join','window') GROUP BY doc_id, term),
         |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok WHERE term IN ('spark','join','window') GROUP BY term),
-        |dl AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS dl FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS BIGINT) AS dl FROM documents),
         |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
         |scored AS (
         |  SELECT tf.doc_id,
@@ -1386,7 +1386,7 @@ object SparkEntry {
         |SELECT doc_id, bm25_rank, ann_rank, rrf_score FROM fu
         |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
     "idx_incremental_merge" ->
-      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents)
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS term FROM documents)
         |SELECT doc_id, term, count(*) AS term_frequency
         |FROM tok GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin,
     "bm25_multi" -> bm25MultiOracleSql,
@@ -2348,7 +2348,7 @@ object SparkEntry {
          |keep AS (SELECT doc_id FROM documents
          |  WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE cluster_id != doc_id)),
          |per AS (SELECT d.doc_id, d.source,
-         |    len(regexp_extract_all(lower(d.text), '[a-z0-9_'']+')) AS nt,
+         |    len(regexp_extract_all(translate(d.text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS nt,
          |    CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS kept
          |  FROM documents d LEFT JOIN keep k ON d.doc_id = k.doc_id)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -2376,7 +2376,7 @@ object SparkEntry {
     // exact reps among quality survivors; near-dup clusters (df-cap 100,
     // jaccard >= 0.5, recursive closure) among exact survivors
     "curate_funnel" ->
-      """WITH RECURSIVE t0 AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+      """WITH RECURSIVE t0 AS (SELECT doc_id, text, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
         |ls AS (SELECT doc_id,
         |  len(list_intersect(list_distinct(tk), ['der','die','das','und','ist'])) AS s_de,
         |  len(list_intersect(list_distinct(tk), ['the','a','of','and','is'])) AS s_en,
@@ -2418,7 +2418,7 @@ object SparkEntry {
         |  FROM b LEFT JOIN ex USING (doc_id))
         |SELECT stage, count(*) AS n FROM tag GROUP BY stage ORDER BY stage""".stripMargin,
     "dedup_contamination" ->
-      """WITH t AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+      """WITH t AS (SELECT doc_id, source, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
         |g AS (SELECT doc_id, source, CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
         |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) ELSE [] END AS shl FROM t),
         |sh AS (SELECT doc_id, source, unnest(shl) AS shingle FROM g),
@@ -2429,7 +2429,7 @@ object SparkEntry {
     // 8-token windows, distinct per doc; df >= 2 marks a window shared
     // with at least one other doc
     "dedup_shared_ngrams" ->
-      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+      """WITH t AS (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
         |sh AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 8
         |    THEN list_distinct(list_transform(generate_series(1, len(tk)-7),
         |      i -> array_to_string(list_slice(tk, i, i+7), ' ')))
@@ -2447,7 +2447,7 @@ object SparkEntry {
     // distinct-doc window df >= 2, then SQL gaps-and-islands (lag + running
     // sum) merges [pos, pos+8) intervals exactly like the Spark window
     "dedup_span_pairs" ->
-      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+      """WITH t AS (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
         |w AS (SELECT doc_id, p - 1 AS pos, array_to_string(list_slice(tk, p, p+7), ' ') AS win
         |      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk)-7)) AS p
         |            FROM t WHERE len(tk) >= 8)),
@@ -2479,7 +2479,7 @@ object SparkEntry {
         |               FROM tk0)),
         |par AS (SELECT * FROM par0 WHERE length(trim(para)) > 0),
         |pk AS (SELECT doc_id, para_id, doc_id*1000000 + para_id AS pkey, para FROM par),
-        |t AS (SELECT pkey, regexp_extract_all(lower(para), '[a-z0-9_'']+') AS tk FROM pk),
+        |t AS (SELECT pkey, regexp_extract_all(translate(para, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM pk),
         |g AS (SELECT pkey, CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
         |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) ELSE [] END AS shl FROM t),
         |sh0 AS (SELECT pkey, unnest(shl) AS shingle FROM g),
@@ -2503,17 +2503,17 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
     "curate_dataset_card" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9_'']+'))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+'))) AS BIGINT) AS n_tokens,
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
         |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
         |  round(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6) AS dup_frac,
-        |  round(CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9_'']+'))) AS DOUBLE) / count(*), 6) AS mean_doc_tokens
+        |  round(CAST(sum(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+'))) AS DOUBLE) / count(*), 6) AS mean_doc_tokens
         |FROM documents""".stripMargin,
     "curate_source_mix" ->
       """WITH per AS (SELECT source, count(*) AS n_docs,
-        |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9_'']+'))) AS BIGINT) AS n_tokens
+        |    CAST(sum(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+'))) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY source),
         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM per),
         |sh AS (SELECT source, n_docs, n_tokens,
@@ -2530,7 +2530,7 @@ object SparkEntry {
     // budget, in md5(doc_id:42) order
     "curate_budget_sample" ->
       """WITH toks AS (SELECT source, doc_id,
-        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS BIGINT) AS n_tokens,
         |    md5(CAST(doc_id AS VARCHAR) || ':42') AS k
         |  FROM documents),
         |per AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS st FROM toks GROUP BY source),
@@ -2550,7 +2550,7 @@ object SparkEntry {
     // exact-cumsum-vs-double-threshold rule, budget 200000
     "curate_epoch_plan" ->
       """WITH toks AS (SELECT source, doc_id,
-        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS BIGINT) AS n_tokens,
         |    md5(CAST(doc_id AS VARCHAR) || ':42') AS k
         |  FROM documents),
         |per AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS st FROM toks GROUP BY source),
@@ -2573,7 +2573,7 @@ object SparkEntry {
     // probability tree; round(4) absorbs ln's per-term ulp noise over the
     // per-doc sum (values bounded by |lp| <= ln-ratio of the two tables).
     "curate_dsir_weights" ->
-      """WITH t AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+      """WITH t AS (SELECT doc_id, source, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
         |occ AS (SELECT doc_id, source, ('0x' || substring(md5(bigram), 1, 6))::BIGINT % 1024 AS b
         |  FROM (SELECT doc_id, source, unnest(CASE WHEN len(tk) >= 2
         |    THEN list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])
@@ -2602,7 +2602,7 @@ object SparkEntry {
            |w$t AS (SELECT source, n_tokens, loss, round(raw / z, 6) AS w FROM r$t CROSS JOIN z$t)""".stripMargin
       }.mkString(",\n")
       s"""WITH per0 AS (SELECT source,
-         |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9_'']+'))) AS BIGINT) AS n_tokens,
+         |    CAST(sum(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+'))) AS BIGINT) AS n_tokens,
          |    CAST(sum(n_chars) AS BIGINT) AS n_chars
          |  FROM documents GROUP BY source),
          |per AS (SELECT source, n_tokens,
@@ -3064,12 +3064,12 @@ object SparkEntry {
 
     "text_token_counts" ->
       """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS BIGINT) AS n_tokens,
         |  CASE WHEN len(trim(text)) = 0 THEN 0
         |       ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) END AS n_ws_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_quality" ->
-      """WITH t AS (SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents)
+      """WITH t AS (SELECT doc_id, text, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents)
         |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(len(tk) AS BIGINT) AS n_tokens,
         |  round(CASE WHEN len(tk) = 0 THEN 0.0 ELSE list_sum(list_transform(tk, x -> CAST(length(x) AS DOUBLE)))/len(tk) END, 4) AS avg_token_len,
         |  round(CASE WHEN len(tk) = 0 THEN 0.0 ELSE CAST(len(list_distinct(tk)) AS DOUBLE)/len(tk) END, 4) AS type_token_ratio,
@@ -3078,7 +3078,7 @@ object SparkEntry {
     "text_sentence_stats" ->
       """WITH t AS (SELECT doc_id, text,
         |    len(list_filter(regexp_split_to_array(text, '[.!?]+'), s -> length(trim(s)) > 0)) AS ns,
-        |    len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS nt
+        |    len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS nt
         |  FROM documents)
         |SELECT doc_id, CAST(ns AS BIGINT) AS n_sentences,
         |  round(CASE WHEN ns = 0 THEN 0.0 ELSE CAST(nt AS DOUBLE) / ns END, 4) AS tokens_per_sentence,
@@ -3087,7 +3087,7 @@ object SparkEntry {
     // same exact counts, same one fixed double tree (prior scaled to the
     // corpus distribution), round(4) z, (z DESC, term) top-5 per source
     "text_keyness" ->
-      """WITH occ AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+      """WITH occ AS (SELECT source, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS term FROM documents),
         |st AS (SELECT source, term, count(*) AS ysw FROM occ GROUP BY 1, 2),
         |tot AS (SELECT term, CAST(sum(ysw) AS BIGINT) AS yw FROM st GROUP BY term),
         |ps AS (SELECT source, CAST(sum(ysw) AS BIGINT) AS ns FROM st GROUP BY source),
@@ -3123,7 +3123,7 @@ object SparkEntry {
       val ent = langs.map { case (l, _) =>
         s"CASE WHEN h_$l > 0 THEN -(CAST(h_$l AS DOUBLE) / CAST(tot AS DOUBLE)) * ln(CAST(h_$l AS DOUBLE) / CAST(tot AS DOUBLE)) ELSE 0.0 END"
       }.mkString(" + ")
-      s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+      s"""WITH t AS (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
          |h AS (SELECT doc_id, $hitDefs FROM t),
          |k AS (SELECT *, $totEx AS tot, $topEx AS top FROM h)
          |SELECT doc_id, CAST(tot AS BIGINT) AS n_marks,
@@ -3135,7 +3135,7 @@ object SparkEntry {
     },
     "text_quality_regression" -> qualityRegressionOracleSql,
     "text_repetition" ->
-      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+      """WITH t AS (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
         |tri AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3 THEN list_transform(generate_series(1, len(tk)-2),
         |          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) ELSE [] END) AS g FROM t),
         |ta AS (SELECT doc_id, count(*) AS n_tri, count(DISTINCT g) AS n_tri_d FROM tri GROUP BY doc_id),
@@ -3149,7 +3149,7 @@ object SparkEntry {
         |FROM documents d LEFT JOIN ta USING (doc_id) LEFT JOIN ba USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "text_langid" ->
-      """WITH t AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS tk FROM documents),
+      """WITH t AS (SELECT doc_id, list_distinct(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS tk FROM documents),
         |s AS (SELECT doc_id,
         |  len(list_intersect(tk, ['der','die','das','und','ist'])) AS s_de,
         |  len(list_intersect(tk, ['the','a','of','and','is'])) AS s_en,
@@ -3160,17 +3160,20 @@ object SparkEntry {
         |  WHEN s_de = best THEN 'de' WHEN s_en = best THEN 'en'
         |  WHEN s_es = best THEN 'es' ELSE 'fr' END AS lang_guess
         |FROM g ORDER BY doc_id""".stripMargin,
+    // coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+    // array_join is '' — a zero-token doc must fingerprint md5('') in
+    // both engines (the edge-fixture `empty` corpus)
     "text_fingerprint" ->
-      """SELECT doc_id, md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9_'']+'), ' ')) AS fingerprint
+      """SELECT doc_id, md5(coalesce(array_to_string(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+'), ' '), '')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_top_terms" ->
-      """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents)
+      """WITH tok AS (SELECT unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS term FROM documents)
         |SELECT term, count(*) AS n FROM tok GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
     // rank tables replayed from the same length histogram; every ratio is
     // an exact-integer division, gaps computed from UNROUNDED pcts
     "text_percentile_calib" ->
       """WITH l AS (SELECT doc_id, source,
-        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS len
+        |    CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS BIGINT) AS len
         |  FROM documents),
         |s AS (SELECT source, len, count(*) AS c FROM l GROUP BY 1, 2),
         |sr AS (SELECT source, len,
@@ -3209,7 +3212,7 @@ object SparkEntry {
     // position self-join |d| in [1, window] == the zip_with arms; slot
     // table + hex8Int negative draw replayed with the same md5 strings
     "text_skipgram_pairs" ->
-      """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
         |p AS (SELECT doc_id, unnest(tk) AS w, unnest(generate_series(1, len(tk))) AS pos FROM tok),
         |pos AS (SELECT a.w AS center, b.w AS context, CAST(count(*) AS BIGINT) AS n_cooc
         |  FROM p a JOIN p b ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) BETWEEN 1 AND 2
@@ -3237,7 +3240,7 @@ object SparkEntry {
     // values, so the outlier CASE can never disagree across engines
     "text_mad_outliers" ->
       """WITH l AS (SELECT source,
-        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS DOUBLE) AS len
+        |    CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS DOUBLE) AS len
         |  FROM documents),
         |m AS (SELECT source, median(len) AS med FROM l GROUP BY source),
         |d AS (SELECT l.source, abs(len - med) AS dev, med FROM l JOIN m USING (source)),
@@ -3251,7 +3254,7 @@ object SparkEntry {
     // counting (buckets bounded by the source count); zero-overlap pairs
     // absent via inner join on both engines
     "dedup_source_overlap" ->
-      """WITH t AS (SELECT source, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+      """WITH t AS (SELECT source, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
         |g AS (SELECT source, CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
         |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) ELSE [] END AS shl FROM t),
         |s AS (SELECT DISTINCT source, shingle FROM (SELECT source, unnest(shl) AS shingle FROM g)),
@@ -3268,11 +3271,11 @@ object SparkEntry {
     "text_source_stats" ->
       """SELECT source, lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        |  CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9_'']+'))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+'))) AS BIGINT) AS total_tokens,
         |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars
         |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     "text_vocab_stats" ->
-      """WITH tok AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+      """WITH tok AS (SELECT source, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS term FROM documents),
         |tc AS (SELECT source, term, count(*) AS n FROM tok GROUP BY 1, 2)
         |SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens, count(*) AS n_types,
         |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
@@ -3305,7 +3308,7 @@ object SparkEntry {
     // cosine: df-capped term join, dot over <= m rounded weights, norms
     // over the full top-m vector, rank on the ROUNDED cosine
     "sim_sparse_topk" ->
-      """WITH t0 AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+      """WITH t0 AS (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
         |tok AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])) AS term
         |        FROM t0 WHERE len(tk) >= 2),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
@@ -3335,7 +3338,7 @@ object SparkEntry {
         |FROM rk WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
 
     "text_tfidf" ->
-      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
         |n AS (SELECT count(*) AS n FROM documents),
@@ -3350,7 +3353,7 @@ object SparkEntry {
     // sums c2 over bigrams with the same LEFT token (exact normalization);
     // docs with < 2 tokens carry NULL score
     "text_bigram_lm" ->
-      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+      """WITH t AS (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
         |occ AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
         |    THEN list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])
         |    ELSE [] END) AS bigram FROM t),
@@ -3363,7 +3366,7 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams, avg_logp
         |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
     "text_cross_lm" ->
-      """WITH t AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+      """WITH t AS (SELECT doc_id, source, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
         |occ AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
         |    THEN list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])
         |    ELSE [] END) AS bigram FROM t),
@@ -3393,7 +3396,7 @@ object SparkEntry {
     // otherwise fold 0.4*0.4 as exact DECIMAL and diverge from the
     // engine's IEEE product); round(4) absorbs ln's 1-ulp noise.
     "text_stupid_backoff" ->
-      """WITH t AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+      """WITH t AS (SELECT doc_id, source, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
         |occ AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
         |    THEN list_transform(generate_series(1, len(tk)-2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
         |    ELSE [] END) AS tri FROM t),
@@ -3454,7 +3457,7 @@ object SparkEntry {
          |GROUP BY bin ORDER BY bin""".stripMargin,
     "text_chunk_seqs" ->
       """WITH t AS (SELECT lang AS shard, doc_id,
-        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS n
+        |    CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS BIGINT) AS n
         |  FROM documents),
         |nz AS (SELECT * FROM t WHERE n > 0),
         |o AS (SELECT shard, doc_id, n,
@@ -3471,7 +3474,7 @@ object SparkEntry {
     // same integer-count derivation: dense source x support grid,
     // cumulative sums, KS gap as double division of exact integers
     "text_ks_drift" ->
-      """WITH t AS (SELECT source, CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS n FROM documents),
+      """WITH t AS (SELECT source, CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS BIGINT) AS n FROM documents),
         |per AS (SELECT source, n, count(*) AS c FROM t GROUP BY 1, 2),
         |support AS (SELECT DISTINCT n FROM per),
         |src AS (SELECT source, CAST(sum(c) AS BIGINT) AS src_total FROM per GROUP BY 1),
@@ -3490,15 +3493,15 @@ object SparkEntry {
         |    - CAST(cum_all - cum_src AS DOUBLE) / (grand - src_total))), 6) AS ks_stat
         |FROM cum GROUP BY source ORDER BY source""".stripMargin,
     "text_len_quantiles" ->
-      """WITH t AS (SELECT lang, CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS n_tokens FROM documents)
+      """WITH t AS (SELECT lang, CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS BIGINT) AS n_tokens FROM documents)
         |SELECT lang, count(*) AS n_docs,
         |  round(quantile_cont(n_tokens, 0.25), 4) AS p25,
         |  round(quantile_cont(n_tokens, 0.5), 4) AS p50,
         |  round(quantile_cont(n_tokens, 0.75), 4) AS p75
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "text_redact_pii" ->
-      """WITH r AS (SELECT doc_id, lower(text) AS lt,
-        |  regexp_replace(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+', '<EMAIL>', 'g') AS er FROM documents)
+      """WITH r AS (SELECT doc_id, translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS lt,
+        |  regexp_replace(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+', '<EMAIL>', 'g') AS er FROM documents)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(lt, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS BIGINT) AS n_emails,
         |  CAST(len(regexp_extract_all(er, '\+[0-9][0-9()\- ]+[0-9]')) AS BIGINT) AS n_phones,
@@ -3508,7 +3511,7 @@ object SparkEntry {
     // hex8Int contract % 4, row_number batches of 8
     "text_batch_plan" ->
       """WITH t AS (SELECT doc_id,
-        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS n_tokens,
+        |    CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS BIGINT) AS n_tokens,
         |    md5(CAST(doc_id AS VARCHAR) || ':7') AS k
         |  FROM documents),
         |nz AS (SELECT doc_id, n_tokens, k,
@@ -3524,7 +3527,7 @@ object SparkEntry {
     // three offset arms (the engine's zip_with slices) unioned, canonical
     // (least, greatest) pairs, corpus totals as 1-row sides
     "text_pmi_pairs" ->
-      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+      """WITH t AS (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
         |arm AS (SELECT least(p[1], p[2]) AS a, greatest(p[1], p[2]) AS b FROM (
         |    SELECT unnest(list_transform(generate_series(1, len(tk)-o), i -> [tk[i], tk[i+o]])) AS p
         |    FROM t, (SELECT unnest([1, 2, 3]) AS o) offs WHERE len(tk) > o)),
@@ -3542,7 +3545,7 @@ object SparkEntry {
     // C4 bad-words replay: same tokenize, same ['dup','slow','big'] list,
     // membership via list_filter/list_intersect
     "text_blocklist_filter" ->
-      """WITH t AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents)
+      """WITH t AS (SELECT doc_id, source, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents)
         |SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tokens,
         |  CAST(len(list_filter(tk, x -> list_contains(['dup','slow','big'], x))) AS BIGINT) AS n_hits,
         |  CAST(len(list_intersect(list_distinct(tk), ['dup','slow','big'])) AS BIGINT) AS n_blocked_terms,
@@ -3552,7 +3555,7 @@ object SparkEntry {
     // novelty vs src0: the dedup_contamination trigram CTEs, flipped to
     // count the UNSEEN side; NULL novelty when a doc has no trigram
     "text_ngram_novelty" ->
-      """WITH t AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+      """WITH t AS (SELECT doc_id, source, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
         |g AS (SELECT doc_id, source, CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
         |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) ELSE [] END AS shl FROM t),
         |sh AS (SELECT doc_id, source, unnest(shl) AS g1 FROM g),
@@ -3600,7 +3603,7 @@ object SparkEntry {
     // T5 denoising-plan replay: the hex8Int md5 coin per (doc, pos, seed
     // 17) at rate 15, then the same gaps-and-islands span merge
     "text_span_corruption" ->
-      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+      """WITH t AS (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
         |p AS (SELECT doc_id, unnest(generate_series(0, len(tk)-1)) AS pos FROM t WHERE len(tk) > 0),
         |m AS (SELECT doc_id, pos FROM p
         |  WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR) || ':17'), 1, 8))::BIGINT % 100 < 15),
@@ -3616,7 +3619,7 @@ object SparkEntry {
     // last chunk index floor((n-17)/48) for n>16 (a trailing chunk must add
     // >=1 new token); n_chunk_tokens from the slice bounds
     "text_chunks" ->
-      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+      """WITH t AS (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
         |b AS (SELECT doc_id, tk,
         |        CASE WHEN len(tk) <= 16 THEN 0 ELSE CAST(floor((len(tk)-17)/48.0) AS INT) END AS last_chunk
         |      FROM t WHERE len(tk) > 0),
@@ -3627,7 +3630,7 @@ object SparkEntry {
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "text_pack_bins" ->
       """WITH t AS (SELECT lang AS shard, doc_id,
-        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS n_tokens FROM documents),
+        |  CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS BIGINT) AS n_tokens FROM documents),
         |o AS (SELECT shard, doc_id, n_tokens,
         |  CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_offset FROM t)
@@ -3675,7 +3678,7 @@ object SparkEntry {
         |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     "text_bpe_tokens" ->
       """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(lower(text), '''[a-z]+|[a-z]+|[0-9]+|[^a-z0-9\s'']+')) AS BIGINT) AS n_bpe_tokens
+        |  CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '''[a-z]+|[a-z]+|[0-9]+|[^a-z0-9\s'']+')) AS BIGINT) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     // replays the full BPE training trajectory: same wrapped-symbol form
     // ('.h..e..y.'), same pair counting (zipped parallel unnests of the
@@ -3706,7 +3709,7 @@ object SparkEntry {
          |  SELECT '.' || array_to_string(list_transform(range(1, length(term)+1),
          |           i -> substring(term, CAST(i AS INT), 1)), '..') || '.' AS sym,
          |         CAST(count(*) AS BIGINT) AS freq
-         |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents)
+         |  FROM (SELECT unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS term FROM documents)
          |  GROUP BY 1),
          |$rounds
          |SELECT * FROM ($sel) ORDER BY merge_round""".stripMargin
@@ -3735,7 +3738,7 @@ object SparkEntry {
            |  SELECT term, replace(sym, '.' || lhs || '..' || rhs || '.', '.' || merged || '.') AS sym
            |  FROM v${r - 1}, m$r)"""
       }.mkString(",\n")
-      s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS term FROM documents),
          |w0 AS (
          |  SELECT '.' || array_to_string(list_transform(range(1, length(term)+1),
          |           i -> substring(term, CAST(i AS INT), 1)), '..') || '.' AS sym,
@@ -3756,12 +3759,12 @@ object SparkEntry {
     },
 
     "text_bigrams" ->
-      """WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+      """WITH t AS (SELECT regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
         |b AS (SELECT unnest(list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])) AS bigram
         |      FROM t WHERE len(tk) >= 2)
         |SELECT bigram, count(*) AS n FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
     "text_langid_confusion" ->
-      """WITH t AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS tk FROM documents),
+      """WITH t AS (SELECT doc_id, list_distinct(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS tk FROM documents),
         |s AS (SELECT doc_id,
         |  len(list_intersect(tk, ['der','die','das','und','ist'])) AS s_de,
         |  len(list_intersect(tk, ['the','a','of','and','is'])) AS s_en,
@@ -3777,23 +3780,33 @@ object SparkEntry {
 
     // ASCII corpus (verified): char positions == byte positions, so
     // DuckDB's VARCHAR substr mirrors Spark's BINARY substring.
+    // BYTE-true replay: the payload is encode(text) — UTF-8 BYTES, not
+    // chars (unicode text has more bytes than chars; the edge-fixture
+    // `unicode` gate). DuckDB can't substring a BLOB, so every byte slice
+    // is a slice of hex(encode(text)) at 2 hex chars per byte — md5(text)
+    // already hashes the UTF-8 bytes, matching Spark's md5(binary).
     "mm_meta" ->
-      """SELECT doc_id AS media_id, 'text' AS modality, CAST(length(text) AS BIGINT) AS n_bytes,
-        |  md5(text) AS content_hash, hex(encode(substr(text, 1, 8))) AS magic_prefix
-        |FROM documents ORDER BY media_id""".stripMargin,
-    // even-stride byte sampling: position i reads byte floor(i*len/32)+1;
-    // ASCII corpus => encode(substr) mirrors binary substring exactly
+      """WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS blen,
+        |  hex(encode(text)) AS h, text FROM documents)
+        |SELECT media_id, 'text' AS modality, CAST(blen AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_hash, substring(h, 1, 16) AS magic_prefix
+        |FROM m ORDER BY media_id""".stripMargin,
+    // even-stride byte sampling: position i reads byte floor(i*blen/32)+1
     "mm_resize" ->
-      """SELECT doc_id AS media_id, 'text' AS modality, CAST(length(text) AS BIGINT) AS n_bytes,
+      """WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS blen,
+        |  hex(encode(text)) AS h FROM documents)
+        |SELECT media_id, 'text' AS modality, CAST(blen AS BIGINT) AS n_bytes,
         |  array_to_string(list_transform(generate_series(0, 31),
-        |    i -> hex(encode(substr(text, CAST(floor(i*length(text)/32) AS INT) + 1, 1)))), '') AS resized_hex
-        |FROM documents ORDER BY media_id""".stripMargin,
+        |    i -> substring(h, 2*CAST(floor(i*blen/32) AS INT) + 1, 2)), '') AS resized_hex
+        |FROM m ORDER BY media_id""".stripMargin,
     "mm_frame_sample" ->
-      """WITH f AS (SELECT doc_id AS media_id,
-        |  unnest(generate_series(0, CAST(floor((length(text)-1)/64.0) AS INT))) AS frame_idx, text FROM documents)
+      """WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS blen,
+        |  hex(encode(text)) AS h FROM documents),
+        |f AS (SELECT media_id, blen, h,
+        |  unnest(generate_series(0, CAST(floor((blen-1)/64.0) AS INT))) AS frame_idx FROM m)
         |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
-        |  hex(encode(substr(text, frame_idx*64 + 1, 16))) AS frame,
-        |  CAST(length(substr(text, frame_idx*64 + 1, 16)) AS BIGINT) AS frame_bytes
+        |  substring(h, frame_idx*128 + 1, 32) AS frame,
+        |  CAST(length(substring(h, frame_idx*128 + 1, 32)) // 2 AS BIGINT) AS frame_bytes
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
     // independent byte-level replay: re-assemble the same image hex, cut
     // it into per-position bytes (unnest over range), group to the exact
@@ -4087,17 +4100,17 @@ object SparkEntry {
     // to the phrase-occurrence replay (same chain as idx_phrase_stored);
     // boost multiplies the UNROUNDED sum, then one final round(4)
     "bm25_phrase_boost" ->
-      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term IN ('row','column','sort') GROUP BY doc_id, term),
         |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok WHERE term IN ('row','column','sort') GROUP BY term),
-        |dl AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS dl FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS BIGINT) AS dl FROM documents),
         |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
         |scored AS (
         |  SELECT tf.doc_id,
         |         sum( ln(CAST(n AS DOUBLE)/df) * (2.0*tf) / (1.0*(0.25 + 0.75*dl/avgdl) + tf) ) AS score
         |  FROM tf JOIN dfq USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
         |  GROUP BY tf.doc_id),
-        |t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+        |t AS (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
         |p AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS pos, unnest(tk) AS term FROM t),
         |ph AS (SELECT p0.doc_id AS doc_id, count(*) AS n_occ
         |       FROM p p0
@@ -4118,7 +4131,7 @@ object SparkEntry {
   private def cmsOracleSql: String = {
     import graft.sketch.Sketches._
     val js = (0 until DefaultCmsDepth).mkString("[", ",", "]")
-    s"""WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+    s"""WITH tok AS (SELECT unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS term FROM documents),
        |tf AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
        |js AS (SELECT unnest($js) AS j),
        |tb AS (SELECT term, n, j,
@@ -4151,7 +4164,7 @@ object SparkEntry {
     * pair intersection counts — mirroring Dedup's capped lineage exactly
     * (the cap applies before intersections AND sizes). */
   private def shingleCtesOver(src: String): String =
-    s"""t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM $src),
+    s"""t AS (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM $src),
        |g AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
        |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) ELSE [] END AS shl FROM t),
        |sh0 AS (SELECT doc_id, unnest(shl) AS shingle FROM g),
@@ -4214,8 +4227,8 @@ object SparkEntry {
     val markers = graft.textstats.TextAnalysis.LangMarkers("en")
       .map(m => s"'$m'").mkString(", ")
     s"""WITH f AS (SELECT source,
-       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS x,
-       |    CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_'']+'), t -> t IN ($markers))) AS BIGINT) AS y
+       |    CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS BIGINT) AS x,
+       |    CAST(len(list_filter(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+'), t -> t IN ($markers))) AS BIGINT) AS y
        |  FROM documents),
        |tot AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
        |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy FROM f),
@@ -4239,7 +4252,7 @@ object SparkEntry {
     * block width interpolates from InvertedIndex.PostingsBlockWidth. */
   private def postingsCompressionOracleSql: String = {
     val bw = graft.index.InvertedIndex.PostingsBlockWidth
-    s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+    s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS term FROM documents),
        |d AS (SELECT DISTINCT doc_id, term FROM tok),
        |e AS (SELECT term, doc_id, doc_id // $bw AS block,
        |        coalesce(doc_id - lag(doc_id) OVER (PARTITION BY term, doc_id // $bw ORDER BY doc_id), doc_id) AS gap
@@ -4274,7 +4287,7 @@ object SparkEntry {
       s"(($acc)*$HashB + hs[p+$j]) % $HashM"
     }
     val pb = WinnowPosBase
-    s"""t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents),
+    s"""t AS (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
        |th AS (SELECT doc_id, list_transform(tk, x -> ('0x' || substring(md5(x), 1, 8))::BIGINT % $HashM) AS hs
        |       FROM t WHERE len(tk) >= $k),
        |wh AS (SELECT doc_id, p - 1 AS pos, $poly AS h
@@ -4394,10 +4407,10 @@ object SparkEntry {
     * stored (bm25_multi_stored) declarations: stored ≡ recompute. */
   private val bm25MultiOracleSql: String =
     """WITH q AS (SELECT * FROM (VALUES (1, 'spark'), (1, 'join'), (1, 'window'), (2, 'batch'), (2, 'stream')) AS t(query_id, term)),
-      |tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+      |tok AS (SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS term FROM documents),
       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term IN ('spark','join','window','batch','stream') GROUP BY doc_id, term),
       |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok WHERE term IN ('spark','join','window','batch','stream') GROUP BY term),
-      |dl AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS dl FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS BIGINT) AS dl FROM documents),
       |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
       |scored AS (
       |  SELECT q.query_id, tf.doc_id,
@@ -4414,14 +4427,14 @@ object SparkEntry {
     * keeps only each term's top-m postings by (tf desc, doc_id); df and
     * the doc/corpus stats stay TRUE corpus values, like the operator. */
   private def bm25ChampionOracleSql(termsInList: String, m: Int): String =
-    s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+    s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS term FROM documents),
        |tf0 AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term IN $termsInList GROUP BY doc_id, term),
        |tf AS (SELECT doc_id, term, tf FROM (
        |         SELECT doc_id, term, tf,
        |           row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS r
        |         FROM tf0) WHERE r <= $m),
        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok WHERE term IN $termsInList GROUP BY term),
-       |dl AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS dl FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS BIGINT) AS dl FROM documents),
        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
        |scored AS (
        |  SELECT tf.doc_id,
@@ -4479,7 +4492,7 @@ object SparkEntry {
        |         ELSE CAST(len(list_filter(tk, t -> t IN ($markers))) AS DOUBLE) / CAST(len(tk) AS DOUBLE) END AS x1,
        |    CASE WHEN len(tk) = 0 THEN CAST(0 AS DOUBLE)
        |         ELSE CAST(len(array_to_string(tk, '')) AS DOUBLE) / CAST(len(tk) AS DOUBLE) END AS x2
-       |  FROM (SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9_'']+') AS tk FROM documents)),
+       |  FROM (SELECT doc_id, lang, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents)),
        |ww0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1, CAST(0 AS DOUBLE) AS w2),
        |$rounds
        |SELECT doc_id, CAST(y AS INT) AS label,
@@ -4489,10 +4502,10 @@ object SparkEntry {
   }
 
   private def bm25OracleSql(termsInList: String): String =
-    s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS term FROM documents),
+    s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS term FROM documents),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term IN $termsInList GROUP BY doc_id, term),
        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok WHERE term IN $termsInList GROUP BY term),
-       |dl AS (SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9_'']+')) AS BIGINT) AS dl FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS BIGINT) AS dl FROM documents),
        |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
        |scored AS (
        |  SELECT tf.doc_id,

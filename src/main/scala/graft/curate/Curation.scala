@@ -110,13 +110,17 @@ object Curation {
     * (source, n_docs, n_tokens) per source; adds UNROUNDED `__share` and
     * normalized `__mix` — callers round(6) at their output edge. */
   private def alphaMix(perSource: DataFrame, alpha: Double): DataFrame = {
+    // try_divide, not /: a zero-token corpus makes both totals 0, and the
+    // share/mix must degrade to NULL in BOTH engines (DuckDB x/0 is NULL;
+    // ANSI Spark would throw — the edge-fixture gate's `empty` corpus)
     val tot = perSource.agg(sum("n_tokens").as("__tot"))
     val shared = perSource.crossJoin(broadcast(tot))
-      .withColumn("__share", col("n_tokens").cast("double") / col("__tot"))
+      .withColumn("__share",
+        try_divide(col("n_tokens").cast("double"), col("__tot")))
       .withColumn("__w", pow(col("__share"), lit(alpha)))
     val wtot = shared.agg(sum("__w").as("__wtot"))
     shared.crossJoin(broadcast(wtot))
-      .withColumn("__mix", col("__w") / col("__wtot"))
+      .withColumn("__mix", try_divide(col("__w"), col("__wtot")))
   }
 
   /** The DATASET CARD — the one-row manifest a published corpus ships
@@ -372,6 +376,12 @@ object Curation {
           .as("loss"))
       .orderBy("source")
       .collect()
+    // zero-token corpus: no surviving source rows — empty result with
+    // the schema intact rather than an empty-reduce throw below
+    if (per.isEmpty)
+      return Seq.empty[(String, Long, Double, Double, Double, Double)]
+        .toDF("source", "n_tokens", "loss", "ref_weight", "doremi_weight",
+          "reweight_factor")
     val sources = per.map(_.getString(0))
     val nTokens = per.map(_.getLong(1))
     val loss = per.map(_.getDouble(2))

@@ -1037,6 +1037,11 @@ object Dedup {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
     val nNodes = deg.count().toDouble
+    // zero-pair graph (e.g. an all-empty corpus): empty result with the
+    // schema intact, not a 1/0 ANSI throw inside the rank seed
+    if (nNodes == 0)
+      return deg.select(col("src").as("doc_id"),
+        round(lit(0.0), 6).as("pagerank"))
     var pr = deg.select(col("src").as("node"), (lit(1.0) / nNodes).as("pr"))
     var i = 0
     while (i < iters) {

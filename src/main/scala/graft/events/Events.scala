@@ -157,23 +157,38 @@ object Events {
     * band is floor(value / band): a single double division both engines
     * evaluate identically on the same parquet doubles. */
   def scdType2(events: DataFrame, changeType: String = "purchase",
-               band: Double = 50.0): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val changes = events.filter(col("event_type") === changeType)
+               band: Double = 50.0): DataFrame =
+    scdFromChanges(scdChanges(events, changeType, band))
+      .orderBy("user_id", "version")
+
+  /** The change extraction (filter + tier band) — shared with the
+    * streaming incremental maintainer so the two can't disagree on the
+    * banding. */
+  def scdChanges(events: DataFrame, changeType: String = "purchase",
+                 band: Double = 50.0): DataFrame =
+    events.filter(col("event_type") === changeType)
       .select(col("user_id"), col("ts"), col("event_id"),
         floor(col("value") / band).cast("long").as("tier"))
-    val dedup = changes
+
+  /** The ONE versioning formula over extracted (user_id, ts, event_id,
+    * tier) changes — consecutive-no-op collapse, version numbering,
+    * [valid_from, valid_to) intervals. Single source for the batch
+    * operator (above) and `Streaming.scdType2Writer`'s per-user
+    * recompute: if the two ever drifted, the streamed dimension would
+    * silently diverge from `ev_scd2`. UNordered output — batch callers
+    * add their own total ORDER BY; the incremental writer merges on key. */
+  def scdFromChanges(changes: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    changes
       .withColumn("__prev", lag(col("tier"), 1).over(w))
       .filter(col("__prev").isNull || col("tier") =!= col("__prev"))
       .drop("__prev")
-    dedup
       .withColumn("version", row_number().over(w))
       .withColumn("__next", lead(col("ts"), 1).over(w))
       .select(col("user_id"), col("version"), col("tier"),
         fmtTs(col("ts")).as("valid_from"),
         fmtTs(col("__next")).as("valid_to"), // null on the open version
         col("__next").isNull.as("is_current"))
-      .orderBy("user_id", "version")
   }
 
   /** CDC changelog apply (latest-wins with tombstones): materialize the

@@ -146,20 +146,43 @@ object IndexStore {
       throw new java.io.IOException(s"IndexStore: failed to delete $f")
   }
 
+  // Explicit read schemas: a ZERO-TOKEN corpus writes partitioned tables
+  // with no part files at all (partitionBy of an empty frame), and a
+  // schema-inferring read would throw UNABLE_TO_INFER_SCHEMA — an empty
+  // index must serve empty results with the schema intact (the S9
+  // standing), not crash the store readers. Spelled once per table,
+  // matching what writeTables emits bit-for-bit.
+  import org.apache.spark.sql.types._
+  private val postingsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("term", StringType),
+    StructField("term_frequency", LongType),
+    StructField("term_bucket", LongType)))
+  private val vocabularySchema = StructType(Seq(
+    StructField("term", StringType), StructField("doc_frequency", LongType),
+    StructField("term_bucket", LongType)))
+  private val positionalSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("pos", IntegerType),
+    StructField("term", StringType), StructField("term_bucket", LongType)))
+  private val docInfoSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("doc_length", LongType)))
+  private val corpusInfoSchema = StructType(Seq(
+    StructField("doc_n", LongType), StructField("total_doc_length", LongType),
+    StructField("avg_doc_length", DoubleType)))
+
   def postings(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/term_frequency_in_doc")
+    spark.read.schema(postingsSchema).parquet(s"$dir/term_frequency_in_doc")
 
   def vocabulary(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/doc_frequency_of_term")
+    spark.read.schema(vocabularySchema).parquet(s"$dir/doc_frequency_of_term")
 
   def positional(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/positional_postings")
+    spark.read.schema(positionalSchema).parquet(s"$dir/positional_postings")
 
   def docInfo(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/doc_info")
+    spark.read.schema(docInfoSchema).parquet(s"$dir/doc_info")
 
   def corpusInfo(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/corpus_info")
+    spark.read.schema(corpusInfoSchema).parquet(s"$dir/corpus_info")
 
   /** The bucket count a store was written with (index_meta). Eagerly read:
     * it becomes pruning literals in the serving plan. */

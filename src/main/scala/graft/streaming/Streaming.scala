@@ -306,6 +306,69 @@ object Streaming {
         ()
       }
 
+  /** Streaming incremental SCD-2 maintenance — `Events.scdType2`'s
+    * streaming twin (round-5 verdict item #6): each micro-batch merges
+    * its banded change rows into a persisted change store
+    * (replay-idempotent via the `mergeHourlyCounts` batch_id discipline)
+    * and maintains the versioned dimension INCREMENTALLY: only users
+    * touched by the batch have their version chains re-derived — through
+    * the SAME `Events.scdFromChanges` formula as the batch operator —
+    * and merge on key with the untouched rows of the stored dimension.
+    * Out-of-order and late changes converge because a touched user's
+    * whole chain recomputes from their full stored history: new versions
+    * insert, open versions RE-CLOSE, and collapsed no-op versions
+    * disappear, exactly as the batch recompute would.
+    *
+    * Crash-safety: the dimension and the change store are both
+    * write-then-swap; the batch output is a pure function of
+    * (committed-minus-this-batch store, batch), so a replay after a
+    * crash between the two promotes rewrites identical tables —
+    * converging, never torn (the `hourlyAnomalyWriter` discipline).
+    *
+    * Scale notes (100 TB): per batch, work is proportional to the
+    * TOUCHED users' change history, not the dimension — the semi/anti
+    * joins broadcast the batch's (small) key set, and the per-user
+    * window is the batch operator's own partitioning. The change store
+    * carries one row per (user, change) — the same floor a batch
+    * recompute would scan; a real deployment prunes closed history by
+    * retention the same way. */
+  def scdType2Writer(events: DataFrame, storeDir: String, outDir: String,
+                     changeType: String = "purchase", band: Double = 50.0):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val p = graft.sources.AtomicStore.paths(storeDir, "scd_changes")
+        val src = graft.sources.AtomicStore.live(p)
+        val bc = graft.events.Events.scdChanges(batch, changeType, band)
+          .withColumn("batch_id", lit(batchId))
+        val merged = src
+          .map(f => spark.read.parquet(f.getPath)
+            .filter(col("batch_id") =!= batchId) // replaced on replay
+            .unionByName(bc))
+          .getOrElse(bc)
+          .persist() // drives the dim delta AND the store swap
+        try {
+          val touched = merged.filter(col("batch_id") === batchId)
+            .select("user_id").distinct()
+          val delta = graft.events.Events.scdFromChanges(
+            merged.join(broadcast(touched), Seq("user_id"), "leftsemi")
+              .drop("batch_id"))
+          val dimP = graft.sources.AtomicStore.paths(outDir, "scd_dim")
+          val dimSrc = graft.sources.AtomicStore.live(dimP)
+          val dim = dimSrc
+            .map(f => spark.read.parquet(f.getPath)
+              .join(broadcast(touched), Seq("user_id"), "left_anti")
+              .unionByName(delta))
+            .getOrElse(delta)
+          dim.write.mode("overwrite").parquet(dimP.tmp.getPath)
+          merged.write.mode("overwrite").parquet(p.tmp.getPath)
+          graft.sources.AtomicStore.promote(dimP, dimSrc, "scdType2Writer")
+          graft.sources.AtomicStore.promote(p, src, "scdType2Writer")
+        } finally merged.unpersist()
+        ()
+      }
+
   /** STATELESS streaming ANN enrichment: each incoming query vector gets
     * its top-k sign-bit-LSH neighbors from a static embedding index — the
     * stream-time analog of Similarity.annCosineLshMany (analog, not twin:

@@ -142,10 +142,12 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         sum("chars").as("total_chars"),
         sum("bytes").as("total_bytes"),
-        round(sum("bytes").cast("double") / sum("chars"), 6)
+        // try_divide: an all-empty-text lang has 0 chars and the ratios
+        // must be NULL in both engines (DuckDB x/0), not an ANSI throw
+        round(try_divide(sum("bytes").cast("double"), sum("chars")), 6)
           .as("bytes_per_char"),
-        round((sum("chars") - sum("ascii_chars")).cast("double") /
-          sum("chars"), 6).as("non_ascii_share"))
+        round(try_divide((sum("chars") - sum("ascii_chars")).cast("double"),
+          sum("chars")), 6).as("non_ascii_share"))
       .orderBy("lang")
 
   /** Skip-gram training-pair generation with DETERMINISTIC negative
@@ -597,7 +599,7 @@ object TextAnalysis {
 
   def bpeTokenCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
+      size(regexp_extract_all(graft.text.Tokenize.asciiFold(col("text")), lit(BpePattern), lit(0)))
         .cast("long").as("n_bpe_tokens"))
       .orderBy("doc_id")
 
@@ -792,7 +794,11 @@ object TextAnalysis {
       .join(norms.withColumnRenamed("n2", "na"), Seq("doc_id"))
       .join(norms.select(col("doc_id").as("neighbor_id"),
         col("n2").as("nb")), Seq("neighbor_id"))
-      .withColumn("cosine", round(col("dot") / sqrt(col("na") * col("nb")), 4))
+      // try_divide: an all-identical corpus makes every tfidf (and so
+      // every norm) 0 — ln(n/df)=0 — and 0/0 must be NULL (dropped by
+      // the >0 filter) in both engines, not an ANSI throw
+      .withColumn("cosine",
+        round(try_divide(col("dot"), sqrt(col("na") * col("nb"))), 4))
       .filter(col("cosine") > 0)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -825,9 +831,10 @@ object TextAnalysis {
     // phones are counted on the email-redacted text so the counts equal
     // the substitutions actually made (an email like +1555@x.com would
     // otherwise be double-counted as a phone the replacement never sees)
-    val emailRedacted = regexp_replace(lower(col("text")), EmailPattern, "<EMAIL>")
+    val emailRedacted = regexp_replace(
+      graft.text.Tokenize.asciiFold(col("text")), EmailPattern, "<EMAIL>")
     docs.select(col("doc_id"),
-      size(regexp_extract_all(lower(col("text")), lit(EmailPattern), lit(0)))
+      size(regexp_extract_all(graft.text.Tokenize.asciiFold(col("text")), lit(EmailPattern), lit(0)))
         .cast("long").as("n_emails"),
       size(regexp_extract_all(emailRedacted, lit(PhonePattern), lit(0)))
         .cast("long").as("n_phones"),

@@ -1,0 +1,58 @@
+#!/usr/bin/env bash
+# Adversarial edge-fixture oracle gate (round-5 verdict item #4): run the
+# FULL declared surface + DuckDB oracle sweep over each hostile fixture
+# make_edge.py fabricates. The tokenizer class, LSH geometries, and
+# window specs are pinned on well-behaved testdata; this gate is where
+# empty/1-doc/all-identical/unicode/100k-token corpora must produce
+# IDENTICAL output in both engines.
+#
+# Known contract exceptions (documented, asserted as the ONLY failures):
+#   one_doc: text_ks_drift — the operator REQUIREs >= 2 sources by
+#            contract (round-4 advice fix); a 1-doc corpus has 1.
+#
+# Usage: tools/edge_gate.sh [src_sf_dir] [work_root]
+# Runs sbt — do not run concurrently with any other sbt invocation.
+# Writes EDGE_GATE.txt at the repo root (committed like BENCH_sf1.json).
+set -uo pipefail
+SRC=${1:-/root/testdata/sf0.001}
+WORK=${2:-/tmp/graft_edge}
+cd /root/repo
+
+python3 tools/make_edge.py "$SRC" "$WORK"
+
+: > EDGE_GATE.txt
+overall=0
+for fx in empty one_doc identical unicode long; do
+  echo "== edge fixture: $fx"
+  out=/tmp/verify_edge_$fx
+  SPARK_GRAFT_CPUS=8 sbt -batch \
+    "runMain graft.Verify $WORK/$fx $out" 2>/dev/null | tail -1
+  python3 tools/check_oracle.py "$WORK/$fx" "$out" > /tmp/edge_$fx.log 2>&1
+  # strip the documented contract exceptions before judging
+  grep "^FAIL" /tmp/edge_$fx.log | grep -v \
+    -e "^FAIL text_ks_drift.*" \
+    > /tmp/edge_${fx}_fails.log || true
+  nfail=$(grep -c . /tmp/edge_${fx}_fails.log || true)
+  nok=$(grep -c "^OK" /tmp/edge_$fx.log || true)
+  if [ "$fx" != "one_doc" ]; then
+    # the ks exception applies only to one_doc; elsewhere it must pass
+    if grep -q "^FAIL text_ks_drift" /tmp/edge_$fx.log; then
+      nfail=$((nfail + 1))
+      grep "^FAIL text_ks_drift" /tmp/edge_$fx.log >> /tmp/edge_${fx}_fails.log
+    fi
+  fi
+  {
+    echo "fixture=$fx ok=$nok fail=$nfail"
+    cat /tmp/edge_${fx}_fails.log
+  } >> EDGE_GATE.txt
+  if [ "$nfail" -ne 0 ]; then
+    overall=1
+    echo "  $nfail FAILURES (details in /tmp/edge_$fx.log)"
+    head -20 /tmp/edge_${fx}_fails.log
+  else
+    echo "  clean: $nok oracle-matched"
+  fi
+done
+echo "edge gate overall: $([ $overall -eq 0 ] && echo CLEAN || echo FAILING)" \
+  | tee -a EDGE_GATE.txt
+exit $overall
