@@ -355,6 +355,13 @@ object SparkEntry {
     // feed side broadcast so the catalog never shuffles to be scored
     "rel_fuzzy_link" -> ((s, dir) =>
       graft.relational.EntityResolution.fuzzyLink(table(s, dir, "part"))),
+    // sorted-neighborhood catalog self-dedup: rank by title within
+    // brand, compare only rank-adjacent records (O(n*window) candidates
+    // at ANY skew — the structural guarantee blocking lacks), score
+    // with the same JW kernel
+    "rel_sorted_neighborhood" -> ((s, dir) =>
+      graft.relational.EntityResolution.sortedNeighborhoodPairs(
+        table(s, dir, "part"))),
     // association mining: within-order part pairs (basket-size-bounded),
     // support filter BEFORE the stats joins, lift from exact counts
     "rel_basket_lift" -> ((s, dir) =>
@@ -686,6 +693,33 @@ object SparkEntry {
     // path as dedup_jaccard_pairs but on ~1/3 the rows with long keys
     "dedup_winnow_pairs" -> ((s, dir) =>
       Dedup.winnowPairs(table(s, dir, "documents"))),
+    // EXACT threshold-Jaccard pairs via prefix filtering (SSJoin/PPJoin):
+    // identical shingle sets collapse to a representative, then only the
+    // rarest-first sz-ceil(t*sz)+1 prefix of each set is ever bucketed —
+    // the lossless alternative to the df-cap, over the same excerpt
+    // fixture as containment (host-excerpt pairs straddle J = 0.5)
+    "dedup_prefix_jaccard" -> ((s, dir) =>
+      Dedup.prefixJaccardPairs(
+        Dedup.withSyntheticExcerpts(table(s, dir, "documents")))),
+    // content-defined chunking (LBFS/rsync family): rolling-hash
+    // boundary mask => shift-robust chunk table, scan-shaped
+    "text_cdc_chunks" -> ((s, dir) =>
+      Dedup.cdcChunks(table(s, dir, "documents"))),
+    // shared CDC chunks across docs over the excerpt fixture: the
+    // embedded copy re-derives the SAME boundaries for shared content at
+    // a different offset, so chunks align and match by md5 — the
+    // storage-dedup primitive fixed-size blocks cannot deliver
+    "dedup_cdc_shared" -> ((s, dir) =>
+      Dedup.cdcSharedChunks(
+        Dedup.withSyntheticExcerpts(table(s, dir, "documents")))),
+    // perceptual dHash near-dup over payload BYTES (8-band blocking +
+    // XOR verify): the planted one-byte-perturbed copies land at tiny
+    // Hamming distance while md5 content hashes flip completely; the
+    // oracle rebuilds every hash from hex bytes WITHOUT the banding, so
+    // the pruning is proven invisible
+    "mm_phash_pairs" -> ((s, dir) =>
+      Multimodal.phashPairs(Multimodal.fromDocuments(
+        Multimodal.withPerturbedCopies(table(s, dir, "documents"))))),
     // the one-row dataset card: volume + provenance breadth + integrity
     "curate_dataset_card" -> ((s, dir) =>
       graft.curate.Curation.datasetCard(table(s, dir, "documents"))),
@@ -841,6 +875,11 @@ object SparkEntry {
     // an informative Dirichlet prior, z-scored, top-5 per source
     "text_keyness" -> ((s, dir) =>
       TextAnalysis.sourceKeyness(table(s, dir, "documents"))),
+    // TextRank keywords: weighted PageRank over the adjacent-token
+    // co-occurrence graph — graph-centrality keywordness, decimal-exact
+    // power rounds over the vocabulary-sized edge list
+    "text_textrank" -> ((s, dir) =>
+      TextAnalysis.textRankKeywords(table(s, dir, "documents"))),
     // code-switching detector: per-doc marker mass per language, dominant
     // share, mixture entropy — one scan, fixed 4-language tree
     "text_lang_mixture" -> ((s, dir) =>
@@ -977,6 +1016,16 @@ object SparkEntry {
     // global distinct within bound — asserted as oracled booleans
     "sketch_hll_merge" -> ((s, dir) =>
       Sketches.hllMergeReport(table(s, dir, "lineitem"))),
+    // KMV bottom-k sketch: like CMS, md5-derived and therefore fully
+    // oracle-checkable — the one cardinality sketch DuckDB replays
+    // bit-for-bit (k smallest distinct hashes + one double division)
+    "sketch_kmv_vocab" -> ((s, dir) =>
+      Sketches.kmvVocabulary(table(s, dir, "documents"))),
+    // sketch SET ALGEBRA: pairwise source-vocabulary overlap estimated
+    // from the k-row sketches alone (union re-take + rho), with the
+    // exact intersection as the judged evaluation arm
+    "sketch_kmv_overlap" -> ((s, dir) =>
+      Sketches.kmvSourceOverlap(table(s, dir, "documents"))),
 
     // ---- multimodal binary-column plumbing (north star) ----
     "mm_meta" -> ((s, dir) =>
@@ -1836,6 +1885,55 @@ object SparkEntry {
         |SELECT dirty_id, p_partkey AS matched_partkey, jw,
         |  p_partkey = dirty_id AS exact_self
         |FROM r WHERE rk = 1 ORDER BY dirty_id""".stripMargin,
+    // sorted-neighborhood oracle: the band join is an implementation
+    // detail — the oracle spells the DEFINITION (all pairs with rank gap
+    // in [1, window)), so the banding must lose nothing
+    "rel_sorted_neighborhood" -> {
+      import graft.relational.EntityResolution.{DefaultSnmMinJw, DefaultSnmWindow}
+      s"""WITH c AS (SELECT p_partkey, p_brand,
+         |    p_name || ' ' || p_brand || ' ' || p_type AS t FROM part),
+         |r AS (SELECT p_partkey, p_brand, t,
+         |    row_number() OVER (PARTITION BY p_brand ORDER BY t, p_partkey) AS rk
+         |  FROM c)
+         |SELECT a.p_brand, a.p_partkey AS id_a, b.p_partkey AS id_b,
+         |  b.rk - a.rk AS rank_gap,
+         |  round(jaro_winkler_similarity(a.t, b.t), 6) AS jw
+         |FROM r a JOIN r b ON a.p_brand = b.p_brand
+         |  AND b.rk - a.rk BETWEEN 1 AND ${DefaultSnmWindow - 1}
+         |WHERE round(jaro_winkler_similarity(a.t, b.t), 6) >= $DefaultSnmMinJw
+         |ORDER BY a.p_brand, id_a, id_b""".stripMargin
+    },
+    // TextRank oracle: 3 unrolled weighted-PageRank rounds (the
+    // dedup_pagerank pattern) with DECIMAL(28,18) neighbor sums — the
+    // order-independence recipe that makes the rank doubles bit-equal
+    // across engines, so the top-k cut cannot straddle an ulp
+    "text_textrank" -> {
+      import graft.textstats.TextAnalysis.{DefaultTextRankDamping, DefaultTextRankTopK}
+      val d = DefaultTextRankDamping
+      val rounds = (1 to graft.textstats.TextAnalysis.DefaultTextRankIters).map { t =>
+        s"""p$t AS (SELECT e.dst AS node,
+           |    (CAST(1 AS DOUBLE) - CAST($d AS DOUBLE)) / nn.n
+           |      + CAST($d AS DOUBLE) *
+           |        CAST(sum(CAST((p.pr * e.w) / dg.wd AS DECIMAL(28,18))) AS DOUBLE) AS pr
+           |  FROM edges e JOIN p${t - 1} p ON p.node = e.src
+           |    JOIN wdeg dg ON dg.src = e.src, nn
+           |  GROUP BY e.dst, nn.n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tk0 AS (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
+         |e0 AS (SELECT tk[i] AS t, tk[i+1] AS u
+         |  FROM (SELECT tk, unnest(generate_series(1, len(tk)-1)) AS i FROM tk0 WHERE len(tk) >= 2)
+         |  WHERE tk[i] <> tk[i+1]),
+         |eu AS (SELECT t AS src, u AS dst FROM e0 UNION ALL SELECT u, t FROM e0),
+         |edges AS (SELECT src, dst, count(*) AS w FROM eu GROUP BY 1, 2),
+         |wdeg AS (SELECT src, sum(w) AS wd FROM edges GROUP BY src),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM wdeg),
+         |p0 AS (SELECT src AS node, CAST(1 AS DOUBLE) / nn.n AS pr FROM wdeg, nn),
+         |$rounds,
+         |rk AS (SELECT node, pr, row_number() OVER (ORDER BY pr DESC, node) AS rk
+         |  FROM p${graft.textstats.TextAnalysis.DefaultTextRankIters})
+         |SELECT node AS term, round(pr, 6) AS textrank, CAST(rk AS BIGINT) AS rk
+         |FROM rk WHERE rk <= $DefaultTextRankTopK ORDER BY rk""".stripMargin
+    },
     "rel_date_parts" ->
       """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
         |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
@@ -2256,6 +2354,14 @@ object SparkEntry {
     "dedup_containment_pairs" -> containmentOracleSql,
     "text_winnow_fingerprints" -> winnowFingerprintOracleSql,
     "dedup_winnow_pairs" -> winnowPairsOracleSql,
+    // prefix filter is lossless => the oracle is the plain definition
+    // (rep-collapsed exact threshold Jaccard), no prefix logic at all
+    "dedup_prefix_jaccard" -> prefixJaccardOracleSql,
+    "mm_phash_pairs" -> phashPairsOracleSql,
+    "text_cdc_chunks" -> cdcChunksOracleSql,
+    "dedup_cdc_shared" -> cdcSharedOracleSql,
+    "sketch_kmv_vocab" -> kmvVocabOracleSql,
+    "sketch_kmv_overlap" -> kmvOverlapOracleSql,
     "dedup_line_boilerplate" -> lineDedupOracleSql,
     "dedup_bloom_incremental" -> bloomOracleSql,
     "dedup_clusters" ->
@@ -2292,18 +2398,25 @@ object SparkEntry {
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE cluster_id != doc_id)
          |ORDER BY doc_id""".stripMargin,
-    // mirrors the banded generator exactly: per-band integer hyperplane
-    // sign buckets (plane index = band*8 + jj), distinct candidates across
-    // bands, then the same normalize-once + dot verify as the Spark plan
+    // mirrors the banded generator exactly: the np/nb CTEs replay the
+    // corpus-adaptive geometry search (smallest p >= 8 with 2^p * 32 >= n;
+    // bands scaled to keep the plane-bit budget) in pure integers, then
+    // per-band integer hyperplane sign buckets (plane index = band*p + jj),
+    // distinct candidates across bands, the same normalize-once + dot
+    // verify as the Spark plan. At the verify SF np = the pinned floor,
+    // so the replay is byte-identical to the fixed-width oracle.
     "dedup_embedding_pairs" ->
-      """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |bands AS (SELECT unnest(generate_series(0, 3)) AS band),
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |np AS (SELECT min(p) AS p FROM generate_series(8, 30) t(p)
+        |  WHERE (1::BIGINT << p) * ${graft.similarity.Similarity.LshTargetOccupancy} >= (SELECT count(*) FROM e0)),
+        |nb AS (SELECT (4 * np.p + 7) // 8 AS b FROM np),
+        |bands AS (SELECT unnest(generate_series(0, nb.b - 1)) AS band FROM nb),
         |bk AS (SELECT vec_id, band,
-        |  list_sum(list_transform(generate_series(0, 7), jj ->
+        |  list_sum(list_transform(generate_series(0, np.p - 1), jj ->
         |    CASE WHEN list_sum(list_transform(generate_series(1, 64), d ->
-        |      v[d] * CAST((((band*8 + jj)*31 + (d-1)*17) % 7) - 3 AS DOUBLE))) >= 0
-        |    THEN 1 << jj ELSE 0 END)) AS bucket
-        |  FROM e0 CROSS JOIN bands),
+        |      v[d] * CAST((('0x' || substring(md5(CAST(band*np.p + jj AS VARCHAR) || ':' || CAST(d-1 AS VARCHAR)), 1, 8))::BIGINT % 7) - 3 AS DOUBLE))) >= 0
+        |    THEN 1::BIGINT << jj ELSE 0::BIGINT END)) AS bucket
+        |  FROM e0 CROSS JOIN bands CROSS JOIN np),
         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
         |e1 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e0),
@@ -2319,14 +2432,17 @@ object SparkEntry {
     // corpus vector the closest eval neighbor (cos DESC, eval_id
     // tie-break) at cos >= 0.35
     "dedup_embedding_contamination" ->
-      """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |bands AS (SELECT unnest(generate_series(0, 7)) AS band),
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |np AS (SELECT min(p) AS p FROM generate_series(6, 30) t(p)
+        |  WHERE (1::BIGINT << p) * ${graft.similarity.Similarity.LshTargetOccupancy} >= (SELECT count(*) FROM e0)),
+        |nb AS (SELECT (8 * np.p + 5) // 6 AS b FROM np),
+        |bands AS (SELECT unnest(generate_series(0, nb.b - 1)) AS band FROM nb),
         |bk AS (SELECT vec_id, band,
-        |  list_sum(list_transform(generate_series(0, 5), jj ->
+        |  list_sum(list_transform(generate_series(0, np.p - 1), jj ->
         |    CASE WHEN list_sum(list_transform(generate_series(1, 64), d ->
-        |      v[d] * CAST((((band*6 + jj)*31 + (d-1)*17) % 7) - 3 AS DOUBLE))) >= 0
-        |    THEN 1 << jj ELSE 0 END)) AS bucket
-        |  FROM e0 CROSS JOIN bands),
+        |      v[d] * CAST((('0x' || substring(md5(CAST(band*np.p + jj AS VARCHAR) || ':' || CAST(d-1 AS VARCHAR)), 1, 8))::BIGINT % 7) - 3 AS DOUBLE))) >= 0
+        |    THEN 1::BIGINT << jj ELSE 0::BIGINT END)) AS bucket
+        |  FROM e0 CROSS JOIN bands CROSS JOIN np),
         |cand AS (SELECT DISTINCT c.vec_id AS vec_id, ev.vec_id AS eval_id
         |  FROM bk ev JOIN bk c ON ev.band = c.band AND ev.bucket = c.bucket
         |  WHERE ev.vec_id % 17 = 0 AND c.vec_id % 17 <> 0),
@@ -2617,12 +2733,14 @@ object SparkEntry {
          |FROM w3 JOIN w0 USING (source) ORDER BY w3.source""".stripMargin
     },
     "dedup_embedding_lsh" ->
-      """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |np AS (SELECT min(p) AS p FROM generate_series(8, 30) t(p)
+        |  WHERE (1::BIGINT << p) * ${graft.similarity.Similarity.LshTargetOccupancy} >= (SELECT count(*) FROM e0)),
         |bk AS (SELECT vec_id, v,
-        |  list_sum(list_transform(generate_series(0, 7), j ->
+        |  list_sum(list_transform(generate_series(0, np.p - 1), j ->
         |    CASE WHEN list_sum(list_transform(generate_series(1, 64), d ->
-        |      v[d] * CAST(((j*31 + (d-1)*17) % 7) - 3 AS DOUBLE))) >= 0
-        |    THEN 1 << j ELSE 0 END)) AS bucket FROM e0),
+        |      v[d] * CAST((('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || CAST(d-1 AS VARCHAR)), 1, 8))::BIGINT % 7) - 3 AS DOUBLE))) >= 0
+        |    THEN 1::BIGINT << j ELSE 0::BIGINT END)) AS bucket FROM e0 CROSS JOIN np),
         |e1 AS (SELECT vec_id, bucket, v, sqrt(list_dot_product(v, v)) AS nrm FROM bk),
         |e AS (SELECT vec_id, bucket, list_transform(v, x -> x/nrm) AS u FROM e1)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -2643,7 +2761,7 @@ object SparkEntry {
         |b AS (SELECT vec_id, label, v,
         |  list_sum(list_transform(generate_series(0, 7), j ->
         |    CASE WHEN list_sum(list_transform(generate_series(1, 64), d ->
-        |      v[d] * CAST(((j*31 + (d-1)*17) % 7) - 3 AS DOUBLE))) >= 0
+        |      v[d] * CAST((('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || CAST(d-1 AS VARCHAR)), 1, 8))::BIGINT % 7) - 3 AS DOUBLE))) >= 0
         |    THEN 1 << j ELSE 0 END)) AS bucket FROM e),
         |q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
         |SELECT b.vec_id, b.label,
@@ -2657,7 +2775,7 @@ object SparkEntry {
         |b AS (SELECT vec_id, label, v,
         |  list_sum(list_transform(generate_series(0, 7), j ->
         |    CASE WHEN list_sum(list_transform(generate_series(1, 64), d ->
-        |      v[d] * CAST(((j*31 + (d-1)*17) % 7) - 3 AS DOUBLE))) >= 0
+        |      v[d] * CAST((('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || CAST(d-1 AS VARCHAR)), 1, 8))::BIGINT % 7) - 3 AS DOUBLE))) >= 0
         |    THEN 1 << j ELSE 0 END)) AS bucket FROM e),
         |a AS (SELECT vec_id AS anchor_id, label AS anchor_label, v AS av, bucket
         |  FROM b WHERE vec_id % 37 = 0),
@@ -2677,12 +2795,12 @@ object SparkEntry {
         |b AS (SELECT vec_id, label, v,
         |  list_sum(list_transform(generate_series(0, 7), j ->
         |    CASE WHEN list_sum(list_transform(generate_series(1, 64), d ->
-        |      v[d] * CAST(((j*31 + (d-1)*17) % 7) - 3 AS DOUBLE))) >= 0
+        |      v[d] * CAST((('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || CAST(d-1 AS VARCHAR)), 1, 8))::BIGINT % 7) - 3 AS DOUBLE))) >= 0
         |    THEN 1 << j ELSE 0 END)) AS bucket FROM e),
         |q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0),
         |mg AS (SELECT qv, qbucket, j,
         |         abs(list_sum(list_transform(generate_series(1, 64), d ->
-        |           qv[d] * CAST(((j*31 + (d-1)*17) % 7) - 3 AS DOUBLE)))) AS m
+        |           qv[d] * CAST((('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || CAST(d-1 AS VARCHAR)), 1, 8))::BIGINT % 7) - 3 AS DOUBLE)))) AS m
         |       FROM q, generate_series(0, 7) g(j)),
         |fl AS (SELECT qv, xor(qbucket, 1 << j) AS bucket
         |       FROM mg ORDER BY m, j LIMIT 3),
@@ -2792,7 +2910,7 @@ object SparkEntry {
         |b AS (SELECT vec_id, label, v,
         |  list_sum(list_transform(generate_series(0, 7), j ->
         |    CASE WHEN list_sum(list_transform(generate_series(1, 64), d ->
-        |      v[d] * CAST(((j*31 + (d-1)*17) % 7) - 3 AS DOUBLE))) >= 0
+        |      v[d] * CAST((('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || CAST(d-1 AS VARCHAR)), 1, 8))::BIGINT % 7) - 3 AS DOUBLE))) >= 0
         |    THEN 1 << j ELSE 0 END)) AS bucket FROM e),
         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id IN (0, 1, 2, 3)),
         |s AS (SELECT q.query_id, b.vec_id, b.label,
@@ -2807,7 +2925,7 @@ object SparkEntry {
         |b AS (SELECT vec_id, v,
         |  list_sum(list_transform(generate_series(0, 7), j ->
         |    CASE WHEN list_sum(list_transform(generate_series(1, 64), d ->
-        |      v[d] * CAST(((j*31 + (d-1)*17) % 7) - 3 AS DOUBLE))) >= 0
+        |      v[d] * CAST((('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || CAST(d-1 AS VARCHAR)), 1, 8))::BIGINT % 7) - 3 AS DOUBLE))) >= 0
         |    THEN 1 << j ELSE 0 END)) AS bucket FROM e),
         |q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM b WHERE vec_id IN (0, 1, 2, 3)),
         |br AS (SELECT query_id, vec_id FROM (
@@ -2976,7 +3094,7 @@ object SparkEntry {
         |bk AS (SELECT vec_id, band,
         |  list_sum(list_transform(generate_series(0, 7), jj ->
         |    CASE WHEN list_sum(list_transform(generate_series(1, 64), d ->
-        |      v[d] * CAST((((band*8 + jj)*31 + (d-1)*17) % 7) - 3 AS DOUBLE))) >= 0
+        |      v[d] * CAST((('0x' || substring(md5(CAST(band*8 + jj AS VARCHAR) || ':' || CAST(d-1 AS VARCHAR)), 1, 8))::BIGINT % 7) - 3 AS DOUBLE))) >= 0
         |    THEN 1 << jj ELSE 0 END)) AS bucket
         |  FROM e0 CROSS JOIN bands),
         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -4374,12 +4492,7 @@ object SparkEntry {
     * retune cannot desynchronize the sides), then runs the same capped
     * shingle chain over the widened corpus with the min-size scorer. */
   private def containmentOracleSql: String = {
-    import graft.dedup.Dedup.{DefaultExcerptEvery, ExcerptKeyBase}
-    s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |ex AS (SELECT doc_id + $ExcerptKeyBase AS doc_id,
-       |         array_to_string(w[1:greatest(len(w)//2, 1)], ' ') AS text
-       |       FROM sp WHERE doc_id % $DefaultExcerptEvery = 0),
-       |corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT * FROM ex),
+    s"""WITH $excerptCorpusCtes,
        |${shingleCtesOver("corpus")}
        |SELECT doc_a, doc_b,
        |  round(CAST(inter AS DOUBLE)/least(sa.sz, sb.sz), 4) AS containment,
@@ -4387,6 +4500,187 @@ object SparkEntry {
        |FROM shared JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
        |WHERE CAST(inter AS DOUBLE)/least(sa.sz, sb.sz) >= 0.9
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Excerpt-fixture CTE prefix shared by the containment / prefix-join /
+    * CDC-shared oracles: replants the first-half excerpt docs with the
+    * identical space-word slice arithmetic (constants interpolated from
+    * Dedup). Yields a `corpus(doc_id, text)` relation. */
+  private def excerptCorpusCtes: String = {
+    import graft.dedup.Dedup.{DefaultExcerptEvery, ExcerptKeyBase}
+    s"""sp AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |ex AS (SELECT doc_id + $ExcerptKeyBase AS doc_id,
+       |         array_to_string(w[1:greatest(len(w)//2, 1)], ' ') AS text
+       |       FROM sp WHERE doc_id % $DefaultExcerptEvery = 0),
+       |corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT * FROM ex)""".stripMargin
+  }
+
+  /** dedup_prefix_jaccard oracle: the prefix filter is LOSSLESS, so the
+    * oracle needs none of it — it spells the DEFINITION the operator must
+    * match: collapse identical (uncapped) shingle sets to their min-doc_id
+    * representative, then exact Jaccard >= t between representatives.
+    * Threshold interpolated from Dedup so a retune cannot desynchronize
+    * the sides. */
+  private def prefixJaccardOracleSql: String = {
+    import graft.dedup.Dedup.DefaultPrefixMinJaccard
+    s"""WITH $excerptCorpusCtes,
+       |t AS (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM corpus),
+       |g AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform(generate_series(1, len(tk)-2),
+       |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) ELSE [] END AS shl FROM t),
+       |sh0 AS (SELECT doc_id, unnest(shl) AS shingle FROM g),
+       |sig AS (SELECT doc_id, md5(string_agg(shingle, '|' ORDER BY shingle)) AS sg FROM sh0 GROUP BY doc_id),
+       |rp AS (SELECT sg, min(doc_id) AS rep FROM sig GROUP BY sg),
+       |rsh AS (SELECT doc_id AS rep, shingle FROM sh0 WHERE doc_id IN (SELECT rep FROM rp)),
+       |sizes AS (SELECT rep, count(*) AS sz FROM rsh GROUP BY rep),
+       |shared AS (SELECT a.rep AS rep_a, b.rep AS rep_b, count(*) AS inter
+       |  FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.rep < b.rep GROUP BY 1, 2)
+       |SELECT rep_a, rep_b,
+       |  round(CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter), 4) AS jaccard
+       |FROM shared JOIN sizes sa ON sa.rep = rep_a JOIN sizes sb ON sb.rep = rep_b
+       |WHERE CAST(inter AS DOUBLE)/(sa.sz + sb.sz - inter) >= $DefaultPrefixMinJaccard
+       |ORDER BY rep_a, rep_b""".stripMargin
+  }
+
+  /** CDC chunk CTE chain over `src`: token md5-prefix hashes, unrolled
+    * degree-(k-1) polynomial window hashes (the winnowCtes spelling),
+    * boundary positions where hash % mask == 0, then chunk ranges from
+    * the boundary list. Every constant interpolated from Dedup /
+    * RollingHashExpr. Yields `ch(doc_id, chunk_idx, start_tok, n_tokens,
+    * chunk_md5)`. */
+  private def cdcChunkCtesOver(src: String): String = {
+    import graft.dedup.Dedup.{DefaultCdcK, DefaultCdcMask}
+    import graft.functions.RollingHashExpr.{HashB, HashM}
+    val k = DefaultCdcK
+    val poly = (1 until k).foldLeft("hs[p]") { (acc, j) =>
+      s"(($acc)*$HashB + hs[p+$j]) % $HashM"
+    }
+    s"""t AS (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM $src),
+       |th AS (SELECT doc_id, tk, list_transform(tk, x -> ('0x' || substring(md5(x), 1, 8))::BIGINT % $HashM) AS hs FROM t),
+       |wh AS (SELECT doc_id, tk,
+       |         CASE WHEN len(tk) >= $k THEN
+       |           list_transform(generate_series(1, len(tk) - ${k - 1}), p -> $poly)
+       |         ELSE [] END AS ws FROM th),
+       |bnd AS (SELECT doc_id, tk,
+       |          list_transform(list_filter(generate_series(1, len(ws)),
+       |            p -> ws[p] % $DefaultCdcMask = 0), p -> p + ${k - 2}) AS bs
+       |        FROM wh),
+       |se AS (SELECT doc_id, tk,
+       |         list_prepend(0, list_transform(bs, b -> b + 1)) AS starts,
+       |         list_append(bs, len(tk) - 1) AS ends FROM bnd),
+       |ch AS (SELECT doc_id, ci - 1 AS chunk_idx, starts[ci] AS start_tok,
+       |         ends[ci] - starts[ci] + 1 AS n_tokens,
+       |         md5(array_to_string(tk[starts[ci]+1:ends[ci]+1], ' ')) AS chunk_md5
+       |       FROM (SELECT doc_id, tk, starts, ends,
+       |               unnest(generate_series(1, len(starts))) AS ci FROM se)
+       |       WHERE starts[ci] <= ends[ci])""".stripMargin
+  }
+
+  private def cdcChunksOracleSql: String =
+    s"""WITH ${cdcChunkCtesOver("documents")}
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(start_tok AS BIGINT) AS start_tok,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens, chunk_md5
+       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+
+  private def cdcSharedOracleSql: String =
+    s"""WITH $excerptCorpusCtes,
+       |${cdcChunkCtesOver("corpus")}
+       |SELECT chunk_md5, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  count(DISTINCT doc_id) AS df, min(doc_id) AS first_doc
+       |FROM ch GROUP BY chunk_md5, n_tokens
+       |HAVING count(DISTINCT doc_id) >= 2
+       |ORDER BY chunk_md5""".stripMargin
+
+  /** KMV sketch CTE chain: distinct per-source BIGRAM hashes (hex8Int
+    * spelling), per-source bottom-k rank. Constants from Sketches. */
+  private def kmvCtes: String = {
+    import graft.sketch.Sketches.DefaultKmvK
+    s"""tk0 AS (SELECT source, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
+       |tok AS (SELECT source, unnest(CASE WHEN len(tk) >= 2
+       |    THEN list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])
+       |    ELSE [] END) AS term FROM tk0),
+       |dh AS (SELECT DISTINCT source, ('0x' || substring(md5(term), 1, 8))::BIGINT AS h FROM tok),
+       |rkd AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk FROM dh),
+       |sk AS (SELECT source, h FROM rkd WHERE rk <= $DefaultKmvK)""".stripMargin
+  }
+
+  private def kmvVocabOracleSql: String = {
+    import graft.sketch.Sketches.DefaultKmvK
+    val k = DefaultKmvK
+    s"""WITH $kmvCtes,
+       |s AS (SELECT source, count(*) AS n, max(h) AS mk FROM sk GROUP BY source),
+       |e AS (SELECT DISTINCT source, term FROM tok),
+       |x AS (SELECT source, count(*) AS exact_distinct FROM e GROUP BY source)
+       |SELECT x.source, exact_distinct,
+       |  round(CASE WHEN n < $k THEN CAST(n AS DOUBLE)
+       |             ELSE ${k - 1} * 4294967296.0 / mk END, 4) AS kmv_est
+       |FROM x JOIN s USING (source) ORDER BY source""".stripMargin
+  }
+
+  private def kmvOverlapOracleSql: String = {
+    import graft.sketch.Sketches.DefaultKmvK
+    val k = DefaultKmvK
+    s"""WITH $kmvCtes,
+       |ss AS (SELECT DISTINCT source FROM sk),
+       |pr AS (SELECT a.source AS sa, b.source AS sb FROM ss a JOIN ss b ON a.source < b.source),
+       |u AS (SELECT sa, sb, h, max(ina) AS ina, max(inb) AS inb FROM (
+       |        SELECT pr.sa, pr.sb, k1.h, 1 AS ina, 0 AS inb FROM pr JOIN sk k1 ON k1.source = pr.sa
+       |        UNION ALL
+       |        SELECT pr.sa, pr.sb, k2.h, 0, 1 FROM pr JOIN sk k2 ON k2.source = pr.sb)
+       |      GROUP BY 1, 2, 3),
+       |r2 AS (SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rk FROM u),
+       |est AS (SELECT sa, sb, count(*) AS kk, max(h) AS uk, sum(ina * inb) AS m
+       |        FROM r2 WHERE rk <= $k GROUP BY 1, 2),
+       |e AS (SELECT DISTINCT source, term FROM tok),
+       |xi AS (SELECT a.source AS sa, b.source AS sb, count(*) AS exact_inter
+       |       FROM e a JOIN e b ON a.term = b.term AND a.source < b.source GROUP BY 1, 2)
+       |SELECT est.sa AS source_a, est.sb AS source_b,
+       |  coalesce(exact_inter, 0) AS exact_inter,
+       |  round((CAST(m AS DOUBLE) / kk) *
+       |    CASE WHEN kk < $k THEN CAST(kk AS DOUBLE)
+       |         ELSE ${k - 1} * 4294967296.0 / uk END, 4) AS kmv_inter,
+       |  round(CAST(m AS DOUBLE) / kk, 4) AS kmv_jaccard
+       |FROM est LEFT JOIN xi ON est.sa = xi.sa AND est.sb = xi.sb
+       |ORDER BY source_a, source_b""".stripMargin
+  }
+
+  /** mm_phash_pairs oracle: replants the one-char-perturbed copies, then
+    * rebuilds every 64-bit dHash from the payload's hex bytes — segment
+    * sums by integer floor-division bounds, adjacent-mean comparison by
+    * cross-multiplication, the identical arithmetic as PHashExpr (all
+    * constants interpolated) — and thresholds Hamming over ALL pairs,
+    * with NO band blocking: the operator's pruning must be invisible. */
+  private def phashPairsOracleSql: String = {
+    import graft.functions.PHashExpr.Segments
+    import graft.multimodal.Multimodal.{DefaultPHashMaxHamming, DefaultPerturbEvery, PerturbKeyBase}
+    val sg = Segments
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + $PerturbKeyBase, 'q' || substring(text, 2)
+       |  FROM documents WHERE doc_id % $DefaultPerturbEvery = 0),
+       |pc AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM corpus),
+       |pb AS (SELECT doc_id, n,
+       |         list_transform(generate_series(1, n),
+       |           i -> ('0x' || substring(hx, 2*i-1, 2))::BIGINT) AS bytes
+       |       FROM pc WHERE n >= $sg),
+       |segs AS (SELECT doc_id,
+       |         list_transform(generate_series(1, $sg),
+       |           j -> list_aggregate(bytes[((j-1)*n//$sg)+1:(j*n//$sg)], 'sum')) AS s,
+       |         list_transform(generate_series(1, $sg),
+       |           j -> (j*n//$sg) - ((j-1)*n//$sg)) AS c
+       |       FROM pb),
+       |ph AS (SELECT doc_id,
+       |         list_aggregate(list_transform(generate_series(33, $sg - 1),
+       |           j -> CASE WHEN s[j]*c[j+1] > s[j+1]*c[j]
+       |                THEN 1::BIGINT << (j-33) ELSE 0::BIGINT END), 'sum') AS hi,
+       |         list_aggregate(list_transform(generate_series(1, 32),
+       |           j -> CASE WHEN s[j]*c[j+1] > s[j+1]*c[j]
+       |                THEN 1::BIGINT << (j-1) ELSE 0::BIGINT END), 'sum') AS lo
+       |       FROM segs)
+       |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
+       |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+       |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= $DefaultPHashMaxHamming
+       |ORDER BY media_a, media_b""".stripMargin
   }
 
   /** Jaccard >= 0.5 pairs -> undirected edges -> transitive closure; the

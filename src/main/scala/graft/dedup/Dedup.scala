@@ -261,6 +261,87 @@ object Dedup {
     docs.select("doc_id", "text").unionByName(excerpts)
   }
 
+  /** Prefix-filter threshold (Jaccard). Named so the declared oracle SQL
+    * interpolates the SAME constant and a retune cannot desynchronize the
+    * sides. 0.5 is the excerpt-fixture sweet spot: a first-half excerpt
+    * sits right at J ~ (h-2)/(w-2) ~ 0.5 against its host, so some planted
+    * pairs clear the bar and some miss it — both engines must agree on the
+    * exact integer counts either way. */
+  val DefaultPrefixMinJaccard = 0.5
+
+  /** EXACT Jaccard >= t pairs via prefix filtering (SSJoin, Chaudhuri et
+    * al. ICDE'06; PPJoin, Xiao et al. WWW'08) — same answer as an exact
+    * threshold join, but only a fraction of the shingle index is ever
+    * bucketed.
+    *
+    * Two lossless reductions before any pairing:
+    *
+    * 1. REPRESENTATIVE COLLAPSE: docs with byte-identical shingle SETS
+    *    (md5 of the sorted set) collapse to their min-doc_id
+    *    representative. Pairs are reported at rep grain — members of one
+    *    rep are exact set-duplicates of each other (J = 1, the
+    *    dedup_exact family's territory), and every member inherits its
+    *    rep's pairs. This is what makes the operator safe on an
+    *    adversarial all-identical corpus: the quadratic clique collapses
+    *    to ONE rep and zero pairs, where a pair-emitting formulation is
+    *    forced into n^2 output before it can even start.
+    * 2. PREFIX FILTER: order each rep's shingles by ascending global df
+    *    (rarest first; shingle string breaks ties, so the order is total
+    *    and identical on both engines) and index only the first
+    *    sz - ceil(t*sz) + 1 of them. Theorem: if J(x, y) >= t, the
+    *    globally-smallest element of x INTERSECT y lies in BOTH prefixes
+    *    — everything before it in either doc is outside the
+    *    intersection, and the intersection has >= ceil(t*sz) elements —
+    *    so the prefix self-join loses no pair. At t = 0.5 half the index
+    *    never shuffles; the skipped half is exactly the df-HOT half,
+    *    because rarest-first ordering pushes boilerplate shingles out of
+    *    every prefix — the same hazard capShingleDf handles, here removed
+    *    by construction instead of by a cap (which is why this operator
+    *    needs no cap to stay exact).
+    *
+    * Candidates from the prefix self-join then pay one exact
+    * intersection count (two postings joins bounded by candidate count),
+    * never the full index self-join. */
+  def prefixJaccardPairs(docs: DataFrame, n: Int = 3,
+                         minJaccard: Double = DefaultPrefixMinJaccard): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(docs, n)
+    val sig = sh.groupBy("doc_id")
+      .agg(md5(concat_ws("|", sort_array(collect_list(col("shingle"))))).as("sig"))
+    val reps = sig.groupBy("sig").agg(min(col("doc_id")).as("rep"))
+    val rsh = sh.join(reps.select(col("rep").as("doc_id")), Seq("doc_id"))
+      .select(col("doc_id").as("rep"), col("shingle"))
+    val dfs = rsh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val rk = Window.partitionBy("rep").orderBy(col("df"), col("shingle"))
+    val pref = rsh.join(dfs, Seq("shingle"))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("rep")))
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * minJaccard) + 1)
+      .select("rep", "shingle")
+    // join form (not collect_list buckets): prefix buckets are small by
+    // the rarest-first argument above, but the join streams the fan-out
+    // of any residual hot bucket instead of materializing it in one task
+    val cand = pref.alias("a")
+      .join(pref.alias("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"))
+      .distinct()
+    val sizes = rsh.groupBy("rep").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(rsh.select(col("rep").as("rep_a"), col("shingle")), Seq("rep_a"))
+      .join(rsh.select(col("rep").as("rep_b"), col("shingle")),
+        Seq("rep_b", "shingle"))
+      .groupBy("rep_a", "rep_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("rep").as("rep_a"), col("sz").as("sza")), Seq("rep_a"))
+      .join(sizes.select(col("rep").as("rep_b"), col("sz").as("szb")), Seq("rep_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("rep_a"), col("rep_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("rep_a", "rep_b")
+  }
+
   /** Self-join the shingle index on identical (un-projected) sides so both
     * shuffle exchanges canonicalize equal and ReuseExchange computes the
     * tokenize+explode lineage once — projecting doc_a/doc_b BEFORE the join
@@ -443,10 +524,14 @@ object Dedup {
     * building block. */
   def embeddingNearDupPairsLsh(embeddings: DataFrame, minCosine: Double = 0.4,
                                dims: Int = 64, nPlanes: Int = 8): DataFrame = {
+    // corpus-adaptive bucket width (one scalar count to the driver): the
+    // pinned nPlanes is the FLOOR; see adaptivePlanes for why fixed-width
+    // sign-LSH cannot survive corpus growth
+    val planes = Similarity.adaptivePlanes(embeddings.count(), nPlanes)
     val e = Similarity.withUnitVec(
       embeddings.select(col("vec_id"),
         Similarity.toDoubleVec(col("embedding")).as("v")), "v")
-      .withColumn("bucket", Similarity.lshBucket(col("v"), dims, nPlanes))
+      .withColumn("bucket", Similarity.lshBucket(col("v"), dims, planes))
       .select(col("vec_id"), col("u"), col("bucket"))
     val a = e.select(col("vec_id").as("vec_a"), col("u").as("ua"), col("bucket"))
     val b = e.select(col("vec_id").as("vec_b"), col("u").as("ub"), col("bucket"))
@@ -473,6 +558,14 @@ object Dedup {
   def embeddingNearDupPairsBanded(embeddings: DataFrame,
                                   minCosine: Double = 0.4, dims: Int = 64,
                                   nPlanes: Int = 8, bands: Int = 4): DataFrame = {
+    // corpus-adaptive geometry (one scalar count to the driver): the
+    // pinned (nPlanes, bands) are the FLOOR geometry; above the floor the
+    // plane count grows log(n) to hold bucket occupancy at the target
+    // and the band count grows with it to keep the recall curve graceful.
+    // The oracle replays BOTH integer formulas, so adaptivity can never
+    // desynchronize the engines (see adaptivePlanes).
+    val planes = Similarity.adaptivePlanes(embeddings.count(), nPlanes)
+    val nBands = Similarity.adaptiveBands(bands, nPlanes, planes)
     val e = Similarity.withUnitVec(
       embeddings.select(col("vec_id"),
         Similarity.toDoubleVec(col("embedding")).as("v")), "v")
@@ -480,8 +573,8 @@ object Dedup {
     // one row per (vector, band) with that band's bucket id — sign bits are
     // computed from the raw vector (scale-invariant, same as the 1-band form)
     val banded = e.select(col("vec_id"), posexplode(
-      array((0 until bands).map(b =>
-        Similarity.lshBucket(col("v"), dims, nPlanes, b * nPlanes)): _*))
+      array((0 until nBands).map(b =>
+        Similarity.lshBucket(col("v"), dims, planes, b * planes)): _*))
       .as(Seq("band", "bucket")))
     val cand = banded.select(col("vec_id").as("vec_a"), col("band"), col("bucket"))
       .join(banded.select(col("vec_id").as("vec_b"), col("band"), col("bucket")),
@@ -536,13 +629,18 @@ object Dedup {
   def embeddingContamination(embeddings: DataFrame, evalMod: Int = 17,
                              minCosine: Double = 0.35, dims: Int = 64,
                              nPlanes: Int = 6, bands: Int = 8): DataFrame = {
+    // same corpus-adaptive geometry as embeddingNearDupPairsBanded (the
+    // 100x probe measured THIS query at 261x for 100x rows on the fixed
+    // 64-bucket width); floors unchanged, oracle replays the formulas
+    val planes = Similarity.adaptivePlanes(embeddings.count(), nPlanes)
+    val nBands = Similarity.adaptiveBands(bands, nPlanes, planes)
     val e = Similarity.withUnitVec(
       embeddings.select(col("vec_id"),
         Similarity.toDoubleVec(col("embedding")).as("v")), "v")
       .select(col("vec_id"), col("v"), col("u"))
     val banded = e.select(col("vec_id"), posexplode(
-      array((0 until bands).map(b =>
-        Similarity.lshBucket(col("v"), dims, nPlanes, b * nPlanes)): _*))
+      array((0 until nBands).map(b =>
+        Similarity.lshBucket(col("v"), dims, planes, b * planes)): _*))
       .as(Seq("band", "bucket")))
     val isEval = col("vec_id") % evalMod === 0
     val cand = banded.filter(isEval)
@@ -782,6 +880,67 @@ object Dedup {
       .select(col("doc_id"), col("fp").as("shingle")).distinct()
     jaccardPairsFromShingles(fps, minJaccard, maxFpDf)
   }
+
+  // Content-defined chunking (Muthitacharoen et al. LBFS, SOSP'01; the
+  // rsync/restic/casync chunking family) defaults, named so the oracle
+  // SQL interpolates the SAME constants. k-token rolling-hash window;
+  // a chunk boundary falls after any window whose hash % mask == 0, so
+  // expected chunk length is ~mask tokens and boundaries depend only on
+  // LOCAL content — an insertion re-chunks one chunk, not the rest of
+  // the document (the shift-robustness fixed-size blocks lack).
+  val DefaultCdcK = 5
+  val DefaultCdcMask = 16
+
+  /** Content-defined chunks per doc: (doc_id, chunk_idx, start_tok,
+    * n_tokens, chunk_md5). Boundaries from the O(tokens) codegen
+    * rolling-hash pass; chunk ranges derive from the boundary list with
+    * array arithmetic (no token explode, no window function — the whole
+    * operator is one codegen projection per doc). Docs shorter than k
+    * tokens yield one whole-doc chunk; empty docs yield none.
+    *
+    * Scale notes (100 TB): scan-shaped — per-doc work is linear in
+    * tokens, no exchange except the output sort. The chunk table this
+    * emits is the storage/transfer dedup primitive: downstream, equal
+    * chunk_md5 = equal content regardless of where it sits in a doc. */
+  def cdcChunks(docs: DataFrame, k: Int = DefaultCdcK,
+                mask: Int = DefaultCdcMask): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(docs.sparkSession)
+    val withBounds = docs
+      .select(col("doc_id"), Tokenize.tokens(col("text")).as("t"))
+      .withColumn("hs", graft.functions.TextFunctions.rollingHashes(col("t"), k))
+      .withColumn("bs", expr(
+        s"filter(transform(hs, (h, i) -> IF(h % $mask = 0, i + ${k - 1}, -1)), b -> b >= 0)"))
+      .withColumn("starts", expr("concat(array(0), transform(bs, b -> b + 1))"))
+      .withColumn("ends", expr("concat(bs, array(size(t) - 1))"))
+    withBounds
+      .select(col("doc_id"), col("t"),
+        posexplode(arrays_zip(col("starts"), col("ends")))
+          .as(Seq("chunk_idx", "se")))
+      .filter(col("se.starts") <= col("se.ends"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("se.starts").cast("long").as("start_tok"),
+        (col("se.ends") - col("se.starts") + 1).cast("long").as("n_tokens"),
+        md5(array_join(expr("slice(t, se.starts + 1, se.ends - se.starts + 1)"),
+          " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Cross-doc shared CDC chunks: chunk hashes held by >= 2 distinct
+    * docs, with document frequency and length. THE content-defined
+    * property on display: because boundaries are local, a doc embedded
+    * in another (the excerpt fixture) re-derives the SAME chunk
+    * boundaries for the shared region, so shared chunks align and match
+    * by hash even though the copy sits at a different offset — fixed
+    * blocks would miss every pair. One chunking scan + one md5-keyed
+    * aggregate; the exchange carries (hash, doc) pairs, never text. */
+  def cdcSharedChunks(docs: DataFrame, k: Int = DefaultCdcK,
+                      mask: Int = DefaultCdcMask): DataFrame =
+    cdcChunks(docs, k, mask)
+      .groupBy(col("chunk_md5"), col("n_tokens"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("df") >= 2)
+      .orderBy("chunk_md5")
 
   // Planted boilerplate lines for the line-dedup query (the synthetic
   // corpus has no repeated lines of its own, the same reason the

@@ -25,6 +25,71 @@ object Multimodal {
     docs.select(col("doc_id").as("media_id"), lit("text").as("modality"),
       encode(col("text"), "UTF-8").as("payload"))
 
+  /** Perturbed-copy fixture base + cadence: every `every`-th doc gains a
+    * copy with its FIRST CHARACTER replaced by 'q' under
+    * PerturbKeyBase + doc_id (disjoint from the excerpt fixture's id
+    * range). One changed byte is the planted near-identical payload the
+    * perceptual hash must catch and the content hash must miss. Named so
+    * the oracle SQL interpolates the SAME constants. */
+  val PerturbKeyBase = 910000000L
+  val DefaultPerturbEvery = 40
+
+  def withPerturbedCopies(docs: DataFrame,
+                          every: Int = DefaultPerturbEvery): DataFrame = {
+    val copies = docs.filter(col("doc_id") % every === 0)
+      .select((col("doc_id") + PerturbKeyBase).as("doc_id"),
+        concat(lit("q"), substring(col("text"), 2, Int.MaxValue)).as("text"))
+    docs.select("doc_id", "text").unionByName(copies)
+  }
+
+  /** Max Hamming distance for phash near-dup pairs. 8 bands of 8 bits
+    * over the 64-bit hash make the band join EXACT for ham <= 7
+    * (pigeonhole: 7 flipped bits cannot touch all 8 bands). */
+  val DefaultPHashMaxHamming = 7
+
+  /** Near-identical payloads by perceptual dHash: pairs of media whose
+    * 64-bit byte-grid hashes differ in <= maxHamming bits.
+    *
+    * Candidates come from an 8-band blocking join (band k = byte k of
+    * the hash), so the corpus is never all-paired: only rows agreeing on
+    * at least one hash byte meet, and the verify step is two XOR +
+    * bit_count column ops on the candidate rows. The hash itself is one
+    * codegen expression pass (graft_phash) — unlike the SimHash family
+    * this one is md5-free integer arithmetic end-to-end and therefore
+    * fully oracle-checkable: DuckDB rebuilds every hash from hex bytes
+    * and must agree on every pair AND every distance. */
+  def phashPairs(media: DataFrame,
+                 maxHamming: Int = DefaultPHashMaxHamming): DataFrame = {
+    graft.functions.PHashFunctions.ensureRegistered(media.sparkSession)
+    val ph = media
+      .select(col("media_id"), graft.functions.PHashFunctions.phash(col("payload")).as("ph"))
+      .filter(col("ph").isNotNull)
+      .select(col("media_id"), col("ph.ph_hi").as("hi"), col("ph.ph_lo").as("lo"))
+    val bands = ph.select(col("media_id"), col("hi"), col("lo"),
+        explode(typedLit((0 until 8).toArray)).as("k"))
+      // hi/lo are unsigned 32-bit values in longs, so plain signed >>
+      // is exact; band k = byte k of the 64-bit hash
+      .withColumn("bv",
+        expr("CASE WHEN k < 4 THEN (lo >> (k * 8)) % 256 " +
+          "ELSE (hi >> ((k - 4) * 8)) % 256 END"))
+      .select("media_id", "k", "bv")
+    val cand = bands.alias("a")
+      .join(bands.alias("b"), col("a.k") === col("b.k") &&
+        col("a.bv") === col("b.bv") && col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"))
+      .distinct()
+    cand
+      .join(ph.select(col("media_id").as("media_a"), col("hi").as("hia"),
+        col("lo").as("loa")), Seq("media_a"))
+      .join(ph.select(col("media_id").as("media_b"), col("hi").as("hib"),
+        col("lo").as("lob")), Seq("media_b"))
+      .withColumn("hamming",
+        expr("bit_count(hia ^ hib) + bit_count(loa ^ lob)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("media_a"), col("media_b"), col("hamming"))
+      .orderBy("media_a", "media_b")
+  }
+
   /** Metadata extraction over the opaque payload: pure column ops, no
     * decode — the cheap pre-filter pass a 100 TB pipeline runs first. */
   def metaExtract(media: DataFrame): DataFrame =

@@ -88,4 +88,55 @@ object EntityResolution {
         col("jw"), (col("p_partkey") === col("dirty_id")).as("exact_self"))
       .orderBy("dirty_id")
   }
+
+  // Sorted-neighborhood defaults (Hernandez/Stolfo SIGMOD'95), named so
+  // the oracle SQL interpolates the SAME constants.
+  val DefaultSnmWindow = 8
+  val DefaultSnmMinJw = 0.9
+
+  /** Catalog self-dedup by the sorted-neighborhood method: rank records
+    * by (title, key) within each brand, compare only pairs whose ranks
+    * differ by < `window`, keep Jaro-Winkler >= minJw.
+    *
+    * The structural contrast with fuzzyLink's blocking: blocking's
+    * candidate count depends on BLOCK DENSITY (a hot key degenerates
+    * quadratically — the 10x gate measured 34.7x before the hot-block
+    * triage), while sorted-neighborhood is O(n * window) BY CONSTRUCTION
+    * at any skew: every record meets at most 2(window-1) neighbors, full
+    * stop. The trade is recall at the sort boundary (a typo in the first
+    * character teleports a record across the sort order) — which is why
+    * real pipelines run both and union the pair sets.
+    *
+    * Plan shape: one exchange by brand for the rank window, then a
+    * rank-band equi-join — each row joins its own and the next
+    * rank-div-window band, so neighbor pairs (rank gap < window) always
+    * share a band key and the fan-out is exactly 2 rows per record,
+    * never a range cross product. */
+  def sortedNeighborhoodPairs(part: DataFrame,
+                              window: Int = DefaultSnmWindow,
+                              minJw: Double = DefaultSnmMinJw): DataFrame = {
+    val spark = part.sparkSession
+    graft.functions.StringDistanceFunctions.ensureRegistered(spark)
+    val jw = graft.functions.StringDistanceFunctions.jaroWinkler _
+    val ranked = part
+      .select(col("p_partkey"), col("p_brand"), title.as("t"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("p_brand").orderBy("t", "p_partkey")))
+    val a = ranked
+      .select(col("p_brand"), col("p_partkey").as("id_a"),
+        col("t").as("ta"), col("rk").as("rka"))
+      .withColumn("jb", explode(array(
+        expr(s"rka DIV $window"), expr(s"rka DIV $window + 1"))))
+    val b = ranked
+      .select(col("p_brand"), col("p_partkey").as("id_b"),
+        col("t").as("tb"), col("rk").as("rkb"))
+      .withColumn("jb", expr(s"rkb DIV $window"))
+    a.join(b, Seq("p_brand", "jb"))
+      .filter((col("rkb") - col("rka")).between(1, window - 1))
+      .withColumn("jw", round(jw(col("ta"), col("tb")), 6))
+      .filter(col("jw") >= minJw)
+      .select(col("p_brand"), col("id_a"), col("id_b"),
+        (col("rkb") - col("rka")).cast("long").as("rank_gap"), col("jw"))
+      .orderBy("p_brand", "id_a", "id_b")
+  }
 }

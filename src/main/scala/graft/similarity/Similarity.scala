@@ -62,9 +62,52 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random hyperplane coefficient in [-3, 3]:
-    * pure integer arithmetic so Spark and the SQL oracle agree exactly. */
-  private def planeCoef(plane: Int, dim: Int): Int = (plane * 31 + dim * 17) % 7 - 3
+  /** Deterministic pseudo-random hyperplane coefficient in [-3, 3] from
+    * the first 8 md5 hex chars of "plane:dim" (the hex8Int contract) —
+    * integer-exact in both engines, and crucially APERIODIC in dim. The
+    * original linear-congruential form ((plane*31 + dim*17) % 7 - 3) was
+    * periodic in dim with period 7 (17*7 ≡ 0 mod 7), so any input
+    * correlated under a dim-shift — e.g. the scale fixture's ROTATED
+    * vector copies, or real embeddings with repeating structure — got
+    * near-identical sign patterns and collapsed into mega-buckets: the
+    * 100x probe measured the banded pair join filling the disk even
+    * after the bucket width went adaptive. Hash coefficients make bucket
+    * occupancy follow the uniform model the adaptive sizing assumes.
+    * Evaluated at PLAN BUILD time only (the coefficients are literals in
+    * the expression tree) — zero runtime cost. */
+  private def planeCoef(plane: Int, dim: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$plane:$dim".getBytes("UTF-8"))
+    val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    (v % 7).toInt - 3
+  }
+
+  /** Target mean bucket occupancy for corpus-adaptive LSH sizing. */
+  val LshTargetOccupancy = 32
+
+  /** Corpus-adaptive plane count: the smallest p >= floor with
+    * 2^p * targetOcc >= n. Fixed-width sign-LSH is the classic silent
+    * scale-killer — with 2^floor buckets, occupancy grows linearly in the
+    * corpus and the per-bucket self-join quadratically (the 100x probe
+    * measured dedup_embedding_pairs filling the DISK with candidate
+    * spill). Growing p logarithmically pins expected occupancy at
+    * targetOcc for any corpus size. Pure INTEGER search (no log2 — an
+    * ulp at an exact power of two must not let the engines disagree),
+    * replayed verbatim by the oracle's np CTE; at the verify SF the
+    * floor wins, so small-corpus results are byte-identical to the
+    * pinned constants. */
+  def adaptivePlanes(n: Long, floor: Int,
+                     targetOcc: Int = LshTargetOccupancy): Int =
+    (floor to 30).find(p => (1L << p) * targetOcc >= n).getOrElse(30)
+
+  /** Band count scaled with the plane growth: keeps the total plane-bit
+    * budget (bands * planes) proportional to the base geometry, so the
+    * recall curve degrades gracefully instead of collapsing as p grows.
+    * Integer form (baseBands * planes + basePlanes - 1) / basePlanes,
+    * replayed verbatim by the oracle's nb CTE. */
+  def adaptiveBands(baseBands: Int, basePlanes: Int, planes: Int): Int =
+    (baseBands * planes + basePlanes - 1) / basePlanes
 
   /** Sign-bit LSH bucket id from `nPlanes` integer hyperplanes.
     * `planeOffset` selects an independent plane set (planes

@@ -116,6 +116,126 @@ object Sketches {
       .orderBy(desc("true_n"), col("term"))
   }
 
+  /** KMV (k-minimum-values / bottom-k) sketch defaults, named so the
+    * oracle SQL interpolates the SAME constants. k = 256 gives relative
+    * error ~ 1/sqrt(k-2) ~ 6% (Beyer et al., SIGMOD'07). */
+  val DefaultKmvK = 256
+
+  /** Hash domain: hex8Int maps md5 to [0, 2^32). */
+  private val KmvHashSpace = 4294967296.0
+
+  /** The sketched universe: per-source token BIGRAMS (one codegen pass). */
+  private def kmvTerms(docs: DataFrame): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(docs.sparkSession)
+    docs.select(col("source"),
+      explode(graft.functions.TextFunctions.bigrams(
+        graft.text.Tokenize.tokens(col("text")))).as("term"))
+  }
+
+  /** Per-source KMV sketch rows: the k smallest DISTINCT md5-derived
+    * BIGRAM-hash values per source. Bigrams, not unigrams: the sketched
+    * vocabulary must exceed k for the (k-1)/m_k estimator to be the live
+    * path in the declared query (the synthetic corpus holds ~31 unigrams
+    * but ~650 bigrams per source). Hashing the bare bigram (no source
+    * salt) is what makes sketches of different sources COMPARABLE — the
+    * same bigram maps to the same hash everywhere, so set algebra on
+    * sketches (kmvSourceOverlap) is meaningful. */
+  private def kmvSketchRows(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.TextFunctions.ensureRegistered(docs.sparkSession)
+    kmvTerms(docs)
+      .select(col("source"),
+        graft.sources.Sampling.hex8Int(md5(col("term"))).as("h"))
+      .distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy("h")))
+      .filter(col("rk") <= k)
+      .select("source", "h")
+  }
+
+  /** Per-source vocabulary cardinality: exact distinct tokens vs the KMV
+    * estimate (k-1)/m_k with m_k the k-th minimum normalized hash —
+    * exact when the source holds fewer than k distinct hashes (the
+    * sketch IS the set then).
+    *
+    * Unlike the HLL/KLL queries, KMV is fully ORACLE-CHECKABLE: the
+    * sketch is "k smallest distinct hex8Int(md5(term))" — pure integer
+    * ordering DuckDB replays bit-for-bit, and the estimator is one
+    * double division of identically-derived integers.
+    *
+    * Scale notes (100 TB): the corpus-sized work is one tokenize +
+    * distinct partial-aggregate (unique (source, hash) pairs bound the
+    * exchange, not token occurrences); the rank is a per-source top-k
+    * (WindowGroupLimit keeps <= k rows per source per partition). Each
+    * source then compresses to k longs — the sketch a pipeline stores
+    * per shard/day and merges by "union then re-take k smallest" without
+    * rescanning, mergeability the exact arm can never have. */
+  def kmvVocabulary(docs: DataFrame, k: Int = DefaultKmvK): DataFrame = {
+    val sk = kmvSketchRows(docs, k)
+    val est = sk.groupBy("source").agg(count(lit(1)).as("n"), max("h").as("mk"))
+      .select(col("source"),
+        when(col("n") < k, col("n").cast("double"))
+          .otherwise(lit((k - 1) * KmvHashSpace) / col("mk"))
+          .as("kmv_est"))
+    val exact = kmvTerms(docs).distinct()
+      .groupBy("source").agg(count(lit(1)).as("exact_distinct"))
+    exact.join(est, Seq("source"))
+      .select(col("source"), col("exact_distinct"),
+        round(col("kmv_est"), 4).as("kmv_est"))
+      .orderBy("source")
+  }
+
+  /** Pairwise cross-source vocabulary overlap from KMV sketches alone:
+    * for sources (a, b), re-take the k smallest hashes of the sketch
+    * UNION, count how many of those are in BOTH sketches (rho = the KMV
+    * Jaccard estimator), and scale: inter_est = rho * union_est.
+    *
+    * This is the sketch-algebra answer to dedup_source_overlap's exact
+    * matrix: the pair stage touches ONLY sketch rows — S^2/2 pairs x
+    * 2k longs, constant in the corpus size — so adding a source to a
+    * 100 TB corpus costs one sketch build, not S re-scans. The exact
+    * intersection column (one vocabulary-bounded self-join) is the
+    * evaluation arm the estimates are judged against. */
+  def kmvSourceOverlap(docs: DataFrame, k: Int = DefaultKmvK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sk = kmvSketchRows(docs, k).localCheckpoint(true)
+    val srcs = sk.select("source").distinct()
+    val pairs = srcs.select(col("source").as("source_a"))
+      .crossJoin(srcs.select(col("source").as("source_b")))
+      .filter(col("source_a") < col("source_b"))
+    val rows = pairs
+      .join(sk.select(col("source").as("source_a"), col("h"),
+        lit(1).as("ina"), lit(0).as("inb")), Seq("source_a"))
+      .unionByName(pairs.join(sk.select(col("source").as("source_b"),
+        col("h"), lit(0).as("ina"), lit(1).as("inb")), Seq("source_b"))
+        .select("source_a", "source_b", "h", "ina", "inb"))
+      .groupBy("source_a", "source_b", "h")
+      .agg(max("ina").as("ina"), max("inb").as("inb"))
+    val ranked = rows.withColumn("rk", row_number().over(
+        Window.partitionBy("source_a", "source_b").orderBy("h")))
+      .filter(col("rk") <= k)
+    val est = ranked.groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("kk"), max("h").as("uk"),
+        sum(col("ina") * col("inb")).as("m"))
+      .select(col("source_a"), col("source_b"),
+        (col("m").cast("double") / col("kk")).as("kmv_jaccard"),
+        when(col("kk") < k, col("kk").cast("double"))
+          .otherwise(lit((k - 1) * KmvHashSpace) / col("uk"))
+          .as("union_est"))
+    val terms = kmvTerms(docs).distinct()
+    val exactInter = terms.alias("x")
+      .join(terms.alias("y"), col("x.term") === col("y.term") &&
+        col("x.source") < col("y.source"))
+      .select(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("exact_inter"))
+    est.join(exactInter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+        round(col("kmv_jaccard") * col("union_est"), 4).as("kmv_inter"),
+        round(col("kmv_jaccard"), 4).as("kmv_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Exact vs approximate median+p95 order price per priority. */
   def priceQuantilesPerPriority(orders: DataFrame): DataFrame =
     orders.groupBy("o_orderpriority")

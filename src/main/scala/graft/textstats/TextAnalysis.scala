@@ -1402,4 +1402,78 @@ object TextAnalysis {
       .select("doc_id", "span_id", "start_pos", "end_pos", "span_len")
       .orderBy("doc_id", "span_id")
   }
+
+  // TextRank defaults (Mihalcea/Tarau, EMNLP'04), named so the oracle SQL
+  // interpolates the SAME constants. Window 2 (adjacent co-occurrence),
+  // the paper's d = 0.85, 3 power rounds (the dedup_pagerank unroll
+  // budget), corpus top-50 keywords.
+  val DefaultTextRankIters = 3
+  val DefaultTextRankDamping = 0.85
+  val DefaultTextRankTopK = 50
+
+  /** TextRank keyword extraction: weighted PageRank over the token
+    * co-occurrence graph (edge = adjacent token pair, weight =
+    * co-occurrence count, undirected, self-loops dropped), top-k terms
+    * by rank. The graph centrality keywordness signal — frequency-robust
+    * where raw counts and even TF-IDF promote repetitive boilerplate.
+    *
+    * Determinism contract (the kmeansFit discipline): the per-round
+    * neighbor sum runs in DECIMAL(28,18) over identically-derived IEEE
+    * products, so it is order-independent and bit-equal across engines;
+    * every remaining operation is a scalar double expression spelled
+    * identically in the oracle, so the final ranks are bit-identical and
+    * the top-k cut cannot straddle an ulp.
+    *
+    * Scale notes (100 TB): the corpus-sized work is ONE tokenize scan
+    * into adjacent pairs (map-side combined into the vocabulary-sized
+    * edge list); every subsequent round is a vocabulary-keyed join —
+    * corpus row count never appears again. The final top-k window is
+    * unpartitioned BY DESIGN over the vocabulary-sized rank frame
+    * (WindowGroupLimit keeps k rows per partition ahead of the single
+    * merge). */
+  def textRankKeywords(docs: DataFrame,
+                       iters: Int = DefaultTextRankIters,
+                       damping: Double = DefaultTextRankDamping,
+                       k: Int = DefaultTextRankTopK): DataFrame = {
+    // adjacency straight from the codegen bigram pass (tokens cannot
+    // contain spaces, so the split is lossless) — scan-shaped, no
+    // (doc, pos) self-join
+    graft.functions.TextFunctions.ensureRegistered(docs.sparkSession)
+    val e0 = docs
+      .select(explode(graft.functions.TextFunctions.bigrams(toks)).as("bg"))
+      .select(split(col("bg"), " ").getItem(0).as("t"),
+        split(col("bg"), " ").getItem(1).as("u"))
+      .filter(col("t") =!= col("u"))
+    val edges = e0.select(col("t").as("src"), col("u").as("dst"))
+      .unionByName(e0.select(col("u").as("src"), col("t").as("dst")))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .localCheckpoint(true)
+    val wdeg = edges.groupBy("src").agg(sum("w").as("wd"))
+      .localCheckpoint(true)
+    val nNodes = wdeg.count().toDouble
+    if (nNodes == 0)
+      return wdeg.select(col("src").as("term"),
+        round(lit(0.0), 6).as("textrank"), lit(0L).as("rk"))
+    var pr = wdeg.select(col("src").as("node"), (lit(1.0) / nNodes).as("pr"))
+    var i = 0
+    while (i < iters) {
+      pr = edges
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .join(wdeg, Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(((col("pr") * col("w")) / col("wd"))
+          .cast("decimal(28,18)")).as("__m"))
+        .select(col("dst").as("node"),
+          ((lit(1.0) - lit(damping)) / nNodes +
+            lit(damping) * col("__m").cast("double")).as("pr"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    val byRank = Window.orderBy(col("pr").desc, col("node"))
+    pr.withColumn("rk", row_number().over(byRank).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("node").as("term"), round(col("pr"), 6).as("textrank"),
+        col("rk"))
+      .orderBy("rk")
+  }
 }

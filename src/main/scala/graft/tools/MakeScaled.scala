@@ -86,6 +86,10 @@ object MakeScaled {
     // for dedup-family scaling (default `dup` replicates verbatim: every
     // doc gains copies-1 exact twins, a dup-density stress test)
     val uniq = args.length > 3 && args(3) == "uniq"
+    // optional 5th arg: comma-separated table filter — the 100x probe
+    // only needs documents+embeddings, not 60M lineitem rows
+    val tableFilter: Option[Set[String]] =
+      if (args.length > 4) Some(args(4).split(",").toSet) else None
     val spark = graft.Cli.session()
     // events stores TIMESTAMP(NANOS): read as raw nanos longs and write
     // them back as plain INT64 — graft.table's `ts div 1000` conversion
@@ -113,17 +117,20 @@ object MakeScaled {
       "embeddings" -> Map("vec_id" -> vecStride),
       "events" -> Map("event_id" -> evStride, "user_id" -> userStride),
     )
-    plan.foreach { case (name, offsets) =>
-      val perturb: (DataFrame, Int) => DataFrame =
-        if (uniq && name == "documents") uniqText
-        else if (uniq && name == "embeddings") uniqVec
-        else (d, _) => d
-      replicate(t(name), copies, offsets, perturb)
-        .write.mode("overwrite").parquet(s"$out/$name.parquet")
-    }
-    Seq("nation", "region").foreach { name =>
-      t(name).write.mode("overwrite").parquet(s"$out/$name.parquet")
-    }
+    plan.filter(p => tableFilter.forall(_.contains(p._1)))
+      .foreach { case (name, offsets) =>
+        val perturb: (DataFrame, Int) => DataFrame =
+          if (uniq && name == "documents") uniqText
+          else if (uniq && name == "embeddings") uniqVec
+          else (d, _) => d
+        replicate(t(name), copies, offsets, perturb)
+          .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      }
+    Seq("nation", "region")
+      .filter(n => tableFilter.forall(_.contains(n)))
+      .foreach { name =>
+        t(name).write.mode("overwrite").parquet(s"$out/$name.parquet")
+      }
     println(s"scaled $src x$copies -> $out")
     spark.stop()
   }

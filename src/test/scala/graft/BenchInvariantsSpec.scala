@@ -54,8 +54,13 @@ class BenchInvariantsSpec extends SparkSpec {
     ("curate_funnel", 2, 50L),
     // ONE partial+final aggregate + 4-row sort — the round-3 scare
     ("rel_case_agg", 2, 50L),
-    // two deliberate exact count-distinct expands as the HLL ground truth
-    ("sketch_distinct_parts", 3, 15000L),
+    // round-6 re-pin: the exact arms are now distinct-then-count
+    // TWO-PHASE aggregates (2 exchanges each: unique pairs, then flag
+    // counts) + the sketched arm + joins — one exchange more than the
+    // old single-agg Expand plan, but the exchange now carries the KEY
+    // DOMAIN instead of every row replicated per distinct column (the
+    // 35.7 GB sf1 spill measured in round 5, now 0)
+    ("sketch_distinct_parts", 6, 15000L),
     // cluster table is checkpointed: serving it re-runs NOTHING
     ("dedup_clusters", 0, 0L),
     // pruned postings serve: stats join + top-k, one exchange

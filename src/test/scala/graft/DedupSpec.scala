@@ -630,4 +630,108 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(re == lpa)
   }
+
+  // brute-force reference for the prefix-filter parity tests: rep-collapse
+  // identical shingle sets, then pairwise exact Jaccard between reps
+  private def bruteRepJaccard(rows: Seq[(Long, String)], n: Int,
+                              t: Double): Set[(Long, Long, Double)] = {
+    def shingleSet(s: String): Set[String] = {
+      val tk = "[a-z0-9_']+".r.findAllIn(s.toLowerCase).toVector
+      if (tk.length < n) Set.empty
+      else tk.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val sets = rows.map { case (id, s) => id -> shingleSet(s) }
+      .filter(_._2.nonEmpty)
+    val reps = sets.groupBy(_._2).map { case (set, members) =>
+      members.map(_._1).min -> set
+    }.toSeq
+    (for {
+      Seq((a, sa), (b, sb)) <- reps.sortBy(_._1).combinations(2)
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= t
+    } yield (a, b, BigDecimal(j).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+  }
+
+  test("prefix jaccard: exact parity with the brute-force definition") {
+    // identical-set pair (1, 3), a high-overlap pair (1, 2) at J = 11/15
+    // (13 shingles each, 11 shared), an excerpt-grade pair, an unrelated doc
+    val rows = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again today",
+      2L -> "the quick brown fox jumps over the lazy cat again and again today",
+      3L -> "the quick brown fox jumps over the lazy dog again and again today",
+      4L -> "completely different content with nothing shared whatsoever here now",
+      5L -> "the quick brown fox jumps over the lazy dog",
+    )
+    val out = Dedup.prefixJaccardPairs(rows.toDF("doc_id", "text"), 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out == bruteRepJaccard(rows, 3, 0.5))
+    assert(out.exists { case (a, b, _) => a == 1L && b == 2L }) // non-trivial pair
+    assert(!out.exists { case (a, b, _) => a == 3L || b == 3L }) // collapsed into rep 1
+  }
+
+  test("prefix jaccard: all-identical corpus collapses to one rep, zero pairs") {
+    val rows = (1L to 50L).map(i => i -> "same text for every single document here")
+    val out = Dedup.prefixJaccardPairs(rows.toDF("doc_id", "text"), 3, 0.5)
+    assert(out.count() == 0)
+  }
+
+  test("prefix jaccard: threshold sweep keeps parity (the ceil boundary)") {
+    // sizes chosen to sit ON the ceil(t*sz) boundary at t = 0.5
+    val rows = Seq(
+      1L -> "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10",
+      2L -> "a1 a2 a3 a4 a5 a6 a7 b8 b9 b10",
+      3L -> "a1 a2 a3 a4 z5 z6 z7 z8 z9 z10",
+    )
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val out = Dedup.prefixJaccardPairs(rows.toDF("doc_id", "text"), 3, t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(out == bruteRepJaccard(rows, 3, t), s"threshold $t")
+    }
+  }
+
+  test("cdc chunks: partition the token stream exactly, short/empty docs degrade") {
+    import org.apache.spark.sql.functions.col
+    val text = (1 to 200).map(i => s"tok${i % 37}w$i").mkString(" ")
+    val docs = Seq(10L -> text, 11L -> "only three tokens", 12L -> "")
+      .toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(docs)
+      .as[(Long, Long, Long, Long, String)].collect()
+    val byDoc = ch.groupBy(_._1)
+    // chunks tile [0, n) contiguously: starts follow previous end + 1
+    val big = byDoc(10L).sortBy(_._2)
+    assert(big.head._3 == 0L)
+    big.sliding(2).foreach {
+      case Array(p, q) => assert(q._3 == p._3 + p._4)
+      case _ => ()
+    }
+    assert(big.map(_._4).sum == 200L)
+    assert(big.length > 3) // mask 16 over 200 tokens must actually cut
+    // sub-k doc: one whole-doc chunk; empty doc: no chunks
+    assert(byDoc(11L).toSeq == Seq((11L, 0L, 0L, 3L, byDoc(11L).head._5)))
+    assert(!byDoc.contains(12L))
+    // determinism across layout
+    val re = Dedup.cdcChunks(docs.repartition(5))
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(re == ch.toSet)
+  }
+
+  test("cdc chunks: boundaries are content-local — a prepended prefix re-chunks only the head") {
+    val base = (1 to 300).map(i => s"w${i * 7 % 101}x$i").mkString(" ")
+    val docs = Seq(20L -> base, 21L -> s"zz yy xx $base")
+      .toDF("doc_id", "text")
+    val shared = Dedup.cdcSharedChunks(docs)
+      .as[(String, Long, Long, Long)].collect()
+    // the suffix beyond the first boundary chunks identically: shared
+    // md5s must appear even though the copy is shifted by three tokens
+    assert(shared.nonEmpty)
+    assert(shared.forall(_._3 == 2L))
+    // and the shared chunks cover most of the doc (content-defined
+    // boundaries resynchronize right after the perturbation)
+    val ch20 = Dedup.cdcChunks(docs).as[(Long, Long, Long, Long, String)]
+      .collect().filter(_._1 == 20L)
+    val sharedTokens = ch20.filter(c => shared.exists(_._1 == c._5)).map(_._4).sum
+    assert(sharedTokens > 200L, s"only $sharedTokens of 300 tokens in shared chunks")
+  }
 }

@@ -235,4 +235,78 @@ class MultimodalSpec extends SparkSpec {
         dur * 1000 / tsc, (id % 3).toInt + 1)
     })
   }
+
+  // Scala reference dHash for parity: 65 segment means over the byte
+  // stream, adjacent comparison by cross-multiplication
+  private def refPHash(b: Array[Byte]): Option[(Long, Long)] = {
+    val n = b.length
+    if (n < 65) return None
+    val sums = (0 until 65).map { j =>
+      val from = (j.toLong * n / 65).toInt
+      val to = ((j + 1).toLong * n / 65).toInt
+      (from until to).map(i => (b(i) & 0xFF).toLong).sum -> (to - from).toLong
+    }
+    var hi = 0L; var lo = 0L
+    for (i <- 0 until 64) {
+      val (sa, ca) = sums(i); val (sb, cb) = sums(i + 1)
+      if (sa * cb > sb * ca) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+    }
+    Some((hi, lo))
+  }
+
+  test("phash: expression matches the reference, nulls under 65 bytes") {
+    val rnd = new scala.util.Random(7)
+    val payloads = (0 until 50).map { _ =>
+      val n = 65 + rnd.nextInt(400)
+      val b = new Array[Byte](n); rnd.nextBytes(b); b
+    }
+    payloads.foreach { b =>
+      val row = graft.functions.PHashExpr.phash(b)
+      assert(Some((row.getLong(0), row.getLong(1))) == refPHash(b))
+    }
+    assert(graft.functions.PHashExpr.phash(new Array[Byte](64)) == null)
+    // halves stay unsigned 32-bit: non-negative in both engines
+    payloads.foreach { b =>
+      val r = graft.functions.PHashExpr.phash(b)
+      assert(r.getLong(0) >= 0L && r.getLong(0) < (1L << 32))
+      assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 32))
+    }
+  }
+
+  test("phash pairs: one-char perturbation is caught, md5 misses it, real corpus discriminates") {
+    import org.apache.spark.sql.functions.{col, md5}
+    assume(new java.io.File("/root/testdata/sf0.001/documents.parquet").exists())
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // only payloads with a full 65-byte grid hash at all — shorter docs
+    // yield NULL phash (and no pair) by contract
+    val planted = base
+      .filter(org.apache.spark.sql.functions
+        .octet_length(org.apache.spark.sql.functions.encode(col("text"), "UTF-8")) >= 65)
+      .select("doc_id").as[Long].collect().filter(_ % 10 == 0).toSet
+    val corpus = Multimodal.withPerturbedCopies(base, every = 10)
+    val pairs = Multimodal.phashPairs(Multimodal.fromDocuments(corpus))
+      .as[(Long, Long, Long)].collect()
+    // every planted (doc, perturbed copy) pair is found at tiny distance
+    for (id <- planted) {
+      val p = pairs.find(p => p._1 == id && p._2 == id + Multimodal.PerturbKeyBase)
+      assert(p.isDefined, s"planted pair for $id missing")
+      assert(p.get._3 <= 2L, s"planted pair for $id at hamming ${p.get._3}")
+    }
+    // the content hash flips on the same pairs (what phash adds over
+    // mm_meta) — except the degenerate doc that already starts with 'q',
+    // where the perturbation is the identity
+    val startsQ = base.filter(col("text").startsWith("q"))
+      .select("doc_id").as[Long].collect().toSet
+    val hashes = corpus.select(col("doc_id"), md5(col("text")).as("h"))
+      .as[(Long, String)].collect().toMap
+    for (id <- planted if !startsQ(id))
+      assert(hashes(id) != hashes(id + Multimodal.PerturbKeyBase))
+    // on the diverse real corpus the hash discriminates: nothing except
+    // the planted near-identical payloads lands within the threshold
+    assert(pairs.forall(p => p._2 == p._1 + Multimodal.PerturbKeyBase),
+      s"stranger pairs: ${pairs.filterNot(p => p._2 == p._1 + Multimodal.PerturbKeyBase).take(5).mkString(",")}")
+    assert(pairs.length == planted.size)
+  }
 }

@@ -112,4 +112,30 @@ class ScalingInvariantsSpec extends SparkSpec {
       s"10x brute arm must be sample-bounded to C(2048,2)=$cap, got " +
         s"$pairs10 — the O(n²) cartesian is back")
   }
+
+  // Round-6 100x-probe finding: fixed-width sign-LSH (2^8 buckets) let
+  // bucket occupancy grow linearly with the corpus — the banded pair
+  // query filled the DISK with candidate spill at 100x. The geometry is
+  // now corpus-adaptive: planes = smallest p >= floor with
+  // 2^p * 32 >= n. Pin the formula's anchors AND the structural
+  // consequence (expected occupancy stays at the target).
+  test("embedding LSH geometry adapts to corpus size; occupancy bounded") {
+    import graft.similarity.Similarity
+    assert(Similarity.adaptivePlanes(500L, 8) == 8)     // verify SF: floor
+    assert(Similarity.adaptivePlanes(5000L, 8) == 8)    // bench SF: floor
+    assert(Similarity.adaptivePlanes(8193L, 8) == 9)    // first step up
+    assert(Similarity.adaptivePlanes(200000L, 8) == 13)
+    assert(Similarity.adaptivePlanes(500000L, 8) == 14) // the 100x probe
+    assert(Similarity.adaptivePlanes(50000000000L, 8) == 30) // 100 TB-ish: cap
+    assert(Similarity.adaptiveBands(4, 8, 8) == 4)      // floor: unchanged
+    assert(Similarity.adaptiveBands(4, 8, 14) == 7)
+    assert(Similarity.adaptiveBands(8, 6, 14) == 19)
+    // structural pin: at every n, expected occupancy n / 2^planes stays
+    // within 2x of the target (and never regresses to linear growth)
+    for (n <- Seq(1000L, 10000L, 1000000L, 100000000L)) {
+      val p = Similarity.adaptivePlanes(n, 8)
+      assert(n.toDouble / (1L << p) <= 2 * Similarity.LshTargetOccupancy,
+        s"occupancy at n=$n, p=$p")
+    }
+  }
 }

@@ -53,4 +53,58 @@ class SketchSpec extends SparkSpec {
       .as[(String, Long, Boolean, Boolean)].collect().toSeq
     assert(r == Seq(("A", 40L, true, true), ("B", 10L, true, true)))
   }
+
+  test("KMV: exact below k, bounded error above k, layout-invariant") {
+    import spark.implicits._
+    // the sketched universe is BIGRAMS. small: 3 docs x 9 distinct
+    // bigrams = 27 < k = 256 -> the sketch IS the set and the estimate
+    // is exactly the distinct count. big: 10 docs x 199 distinct bigrams
+    // = 1990 -> estimator error ~1/sqrt(k-2) ~ 6%
+    val docs = (
+      (1 to 3).map(i => (i.toLong, "small",
+        (1 to 10).map(j => s"s${(i - 1) * 10 + j}").mkString(" "))) ++
+      (11 to 20).map(i => (i.toLong, "big",
+        (1 to 200).map(j => s"b${(i - 11) * 200 + j}").mkString(" ")))
+    ).toDF("doc_id", "source", "text")
+    val v = Sketches.kmvVocabulary(docs)
+      .as[(String, Long, Double)].collect()
+      .map { case (s, e, k) => s -> ((e, k)) }.toMap
+    assert(v("small") == ((27L, 27.0)))
+    val (bigExact, bigEst) = v("big")
+    assert(bigExact == 1990L)
+    assert(math.abs(bigEst - 1990.0) / 1990.0 < 0.25, s"est $bigEst")
+    // layout invariance: the k smallest hashes don't depend on partitioning
+    val re = Sketches.kmvVocabulary(docs.repartition(7))
+      .as[(String, Long, Double)].collect().toSet
+    assert(re == Sketches.kmvVocabulary(docs).as[(String, Long, Double)].collect().toSet)
+  }
+
+  test("KMV overlap: identical sources at jaccard 1, disjoint at 0, half-overlap between") {
+    import spark.implicits._
+    // one doc per source; the sketched universe is the doc's 399/299
+    // consecutive-token bigrams. alpha/gamma share the bigrams inside
+    // the w201..w400 overlap run: 199 of them.
+    val vocabA = (1 to 400).map(i => s"w$i")
+    val half = (201 to 600).map(i => s"w$i")
+    val docs = Seq(
+      (1L, "alpha", vocabA.mkString(" ")),
+      (2L, "beta", vocabA.mkString(" ")), // identical to alpha
+      (3L, "gamma", half.mkString(" ")), // overlapping run
+      (4L, "delta", (1 to 300).map(i => s"z$i").mkString(" ")), // disjoint
+    ).toDF("doc_id", "source", "text")
+    val o = Sketches.kmvSourceOverlap(docs)
+      .as[(String, String, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // identical sources: rho = 1 exactly; the intersection estimate equals
+    // the union estimate (399 distinct > k, so it's an estimate, not exact)
+    val ab = o(("alpha", "beta"))
+    assert(ab._3 == 399L && ab._5 == 1.0)
+    assert(math.abs(ab._4 - 399.0) / 399.0 < 0.25, s"kmv_inter ${ab._4}")
+    val ad = o(("alpha", "delta"))
+    assert(ad._3 == 0L && ad._5 == 0.0)
+    val ag = o(("alpha", "gamma"))
+    assert(ag._3 == 199L) // exact arm
+    // KMV estimate of the 199-bigram intersection within generous bound
+    assert(math.abs(ag._4 - 199.0) / 199.0 < 0.4, s"kmv_inter ${ag._4}")
+  }
 }

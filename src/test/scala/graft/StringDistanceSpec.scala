@@ -134,4 +134,35 @@ class StringDistanceSpec extends SparkSpec {
       .collect().head
     assert(n.isNullAt(0))
   }
+
+  test("sorted-neighborhood: parity with the all-rank-gap definition, bounded candidates") {
+    val part = spark.read.parquet("/root/testdata/sf0.01/part.parquet")
+    val out = EntityResolution.sortedNeighborhoodPairs(part)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    // brute reference: rank per brand, ALL pairs with gap < window
+    import graft.relational.EntityResolution.{DefaultSnmMinJw, DefaultSnmWindow}
+    val ranked = part
+      .selectExpr("p_partkey", "p_brand",
+        "concat_ws(' ', p_name, p_brand, p_type) AS t")
+      .as[(Long, String, String)].collect()
+      .groupBy(_._2).toSeq.flatMap { case (brand, rows) =>
+        rows.sortBy(r => (r._3, r._1)).zipWithIndex
+          .map { case ((id, _, t), i) => (brand, id, t, i) }
+      }
+    val want = (for {
+      Seq((br, ia, ta, ra), (_, ib, tb, rb)) <- ranked.groupBy(_._1).values
+        .flatMap(_.sortBy(_._4).combinations(2)).toSeq
+      gap = rb - ra
+      if gap >= 1 && gap < DefaultSnmWindow
+      j = BigDecimal(JaroWinklerExpr.similarity(
+        UTF8String.fromString(ta), UTF8String.fromString(tb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= DefaultSnmMinJw
+    } yield (br, ia, ib, gap.toLong, j)).toSet
+    assert(out.toSet == want)
+    // the structural bound: every record meets < 2*window neighbors, so
+    // candidates (pre-filter pairs) are O(n*window) regardless of skew
+    assert(out.size <= ranked.size * DefaultSnmWindow)
+  }
 }

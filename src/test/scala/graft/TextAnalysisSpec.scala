@@ -553,4 +553,33 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, 3L, 1.3333, true),
       (5L, 0L, 0.0, false)))
   }
+
+  test("textrank: the co-occurrence hub outranks leaves, ranks are a probability-ish vector") {
+    import spark.implicits._
+    // star topology: "core" is adjacent to every leaf; leaves only ever
+    // touch core. Graph centrality must put core first regardless of the
+    // fact every token has the same raw frequency.
+    val docs = (1 to 8).map(i =>
+      (i.toLong, s"leaf$i core leaf${i % 8 + 1} core leaf${(i + 2) % 8 + 1}"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.textRankKeywords(docs)
+      .as[(String, Double, Long)].collect().toSeq
+    assert(out.head._1 == "core")
+    assert(out.map(_._3) == (1L to out.size))
+    // rank mass stays a distribution (sum ~ 1) — the (1-d)/n + d*m
+    // formula preserves total mass on a symmetric graph
+    assert(math.abs(out.map(_._2).sum - 1.0) < 0.01)
+    // deterministic across layout
+    val re = TextAnalysis.textRankKeywords(docs.repartition(5))
+      .as[(String, Double, Long)].collect().toSeq
+    assert(re == out)
+  }
+
+  test("textrank: empty corpus yields empty with schema intact") {
+    import spark.implicits._
+    val docs = Seq((1L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.textRankKeywords(docs)
+    assert(out.columns.toSeq == Seq("term", "textrank", "rk"))
+    assert(out.count() == 0)
+  }
 }

@@ -87,12 +87,17 @@ for r in rows:
     r["text"] = " ".join(toks[:mid]) + " " + UNI + " ".join(toks[mid:])
 variant("unicode", rows)
 
-# 5. long: original corpus + ONE 100k-token doc (cyclic vocabulary so
-# shingles repeat within the doc but stay deterministic)
+# 5. long: original corpus + ONE 100k-token doc. Tokens are all DISTINCT
+# (suffix = absolute position): the fixture stresses per-doc WIDTH
+# (explode fan-out, chunk windows, rolling hashes, quadratic-in-length
+# kernels); within-doc token repetition is a different pathology, already
+# covered corpus-wide by `identical` — and repeated trigrams at this
+# length make position-level oracle self-joins quadratic (86 repeats of
+# every trigram turned the DuckDB replay into hours).
 rows = copy_rows()
 vocab = ["alpha", "beta", "gamma", "delta", "merge", "scan", "sort",
          "key", "window", "hash", "join", "stream"]
-long_text = " ".join(vocab[i % len(vocab)] + str(i % 97)
+long_text = " ".join(vocab[i % len(vocab)] + str(i)
                      for i in range(100_000))
 rows.append({"doc_id": max(r["doc_id"] for r in rows) + 1,
              "text": long_text, "lang": "en", "source": "src_long",
