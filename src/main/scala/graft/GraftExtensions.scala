@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{AudioMetaExpr, BigramsExpr, DotProductExpr, ImageDimsExpr, ImageFunctions, MediaFunctions, ShinglesExpr, TextFunctions, UnitVectorExpr, VectorFunctions, VideoMetaExpr}
+import graft.functions.{AudioMetaExpr, BigramsExpr, DotProductExpr, ImageDimsExpr, ImageFunctions, LshFunctions, MediaFunctions, ShinglesExpr, SignLshBucketsExpr, TextFunctions, UnitVectorExpr, VectorFunctions, VideoMetaExpr}
 
 /** Library packaging for the native functions: sessions built with
   * `spark.sql.extensions=graft.GraftExtensions` (or
@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(VectorFunctions.UnitName),
       new ExpressionInfo(classOf[UnitVectorExpr].getName, VectorFunctions.UnitName),
       VectorFunctions.unitBuilder))
+    ext.injectFunction((
+      FunctionIdentifier(LshFunctions.BucketsName),
+      new ExpressionInfo(classOf[SignLshBucketsExpr].getName, LshFunctions.BucketsName),
+      LshFunctions.bucketsBuilder))
     ext.injectFunction((
       FunctionIdentifier(TextFunctions.BigramsName),
       new ExpressionInfo(classOf[BigramsExpr].getName, TextFunctions.BigramsName),

@@ -571,10 +571,10 @@ object Dedup {
         Similarity.toDoubleVec(col("embedding")).as("v")), "v")
       .select(col("vec_id"), col("v"), col("u"))
     // one row per (vector, band) with that band's bucket id — sign bits are
-    // computed from the raw vector (scale-invariant, same as the 1-band form)
+    // computed from the raw vector (scale-invariant, same as the 1-band
+    // form), all bands in one native pass over the vector
     val banded = e.select(col("vec_id"), posexplode(
-      array((0 until nBands).map(b =>
-        Similarity.lshBucket(col("v"), dims, planes, b * planes)): _*))
+      Similarity.lshBandBuckets(col("v"), dims, planes, nBands))
       .as(Seq("band", "bucket")))
     val cand = banded.select(col("vec_id").as("vec_a"), col("band"), col("bucket"))
       .join(banded.select(col("vec_id").as("vec_b"), col("band"), col("bucket")),
@@ -639,8 +639,7 @@ object Dedup {
         Similarity.toDoubleVec(col("embedding")).as("v")), "v")
       .select(col("vec_id"), col("v"), col("u"))
     val banded = e.select(col("vec_id"), posexplode(
-      array((0 until nBands).map(b =>
-        Similarity.lshBucket(col("v"), dims, planes, b * planes)): _*))
+      Similarity.lshBandBuckets(col("v"), dims, planes, nBands))
       .as(Seq("band", "bucket")))
     val isEval = col("vec_id") % evalMod === 0
     val cand = banded.filter(isEval)

@@ -158,6 +158,9 @@ object VectorFunctions {
       DotName, dotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       UnitName, unitBuilder, "built-in")
+    // the LSH bucket kernel rides along: every vector entry point that
+    // registers dot/unit may also build sign-LSH plans
+    LshFunctions.ensureRegistered(spark)
   }
 
   /** Column-level dot product over the registered native expression. */

@@ -75,13 +75,8 @@ object Similarity {
     * occupancy follow the uniform model the adaptive sizing assumes.
     * Evaluated at PLAN BUILD time only (the coefficients are literals in
     * the expression tree) — zero runtime cost. */
-  private def planeCoef(plane: Int, dim: Int): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(s"$plane:$dim".getBytes("UTF-8"))
-    val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
-      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
-    (v % 7).toInt - 3
-  }
+  private def planeCoef(plane: Int, dim: Int): Int =
+    graft.functions.LshPlanes.coef(plane, dim)
 
   /** Target mean bucket occupancy for corpus-adaptive LSH sizing. */
   val LshTargetOccupancy = 32
@@ -115,14 +110,19 @@ object Similarity {
     * multi-band scheme passes offset b*nPlanes, giving `bands` independent
     * bucketings whose union lifts recall to 1-(1-p)^bands. */
   def lshBucket(vec: Column, dims: Int, nPlanes: Int = 8,
-                planeOffset: Int = 0): Column = {
-    val bits = (0 until nPlanes).map { j =>
-      val plane = array((0 until dims).map(d =>
-        lit(planeCoef(planeOffset + j, d).toDouble)): _*)
-      when(dot(vec, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+                planeOffset: Int = 0): Column =
+    element_at(
+      graft.functions.LshFunctions.buckets(vec, dims, nPlanes, 1, planeOffset),
+      1)
+
+  /** All `bands` band buckets in one native pass (ARRAY<BIGINT>, element b
+    * = the bucket under planes b*nPlanes..(b+1)*nPlanes-1) — the banded
+    * pair/contamination hot path. The composed array-of-lshBucket form
+    * re-read the vector bands*nPlanes times and blew the codegen method
+    * budget at the 100x adaptive geometry (19 bands x 14 planes = 266
+    * literal-array dots); see SignLshBucketsExpr. */
+  def lshBandBuckets(vec: Column, dims: Int, nPlanes: Int, bands: Int): Column =
+    graft.functions.LshFunctions.buckets(vec, dims, nPlanes, bands, 0)
 
   /** LSH-bucketed approximate NN: candidates share the query's bucket, then
     * exact cosine top-k within. Recall < 1 by construction; at scale this is
@@ -638,8 +638,7 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("u"))
       .localCheckpoint()
     val banded = e.select(col("vec_id"), posexplode(
-      array((0 until bands).map(b =>
-        lshBucket(col("v"), dims, nPlanes, b * nPlanes)): _*))
+      lshBandBuckets(col("v"), dims, nPlanes, bands))
       .as(Seq("band", "bucket")))
     val caught = banded.select(col("vec_id").as("vec_a"), col("band"), col("bucket"))
       .join(banded.select(col("vec_id").as("vec_b"), col("band"), col("bucket")),

@@ -110,6 +110,68 @@ class FunctionsSpec extends SparkSpec {
       .numElements() == 0)
   }
 
+  test("graft_lsh_buckets equals the composed literal-plane spelling") {
+    // the composed form is exactly what the DuckDB oracles replay
+    // (per-plane literal-coefficient dot, ascending-dim fold, >= 0 bit);
+    // the native kernel must be bit-identical to it
+    VectorFunctions.ensureRegistered(spark)
+    val dims = 64; val planes = 6; val bands = 8
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+    val composed = array((0 until bands).map { b =>
+      (0 until planes).map { j =>
+        val plane = array((0 until dims).map(d =>
+          lit(graft.functions.LshPlanes.coef(b * planes + j, d).toDouble)): _*)
+        when(Similarity.dot(col("v"), plane) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    val both = e.select(
+      Similarity.lshBandBuckets(col("v"), dims, planes, bands).as("native"),
+      composed.as("ref"))
+    assert(both.filter(col("native") =!= col("ref")).count() == 0)
+  }
+
+  test("graft_lsh_buckets: single-band extraction, offsets, nulls, mismatch") {
+    VectorFunctions.ensureRegistered(spark)
+    val dims = 64; val planes = 8
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(Similarity.toDoubleVec(col("embedding")).as("v"))
+    // lshBucket(offset = b*planes) must equal band b of the banded array
+    val cols = (0 until 3).map(b => (
+      Similarity.lshBucket(col("v"), dims, planes, b * planes).as(s"s$b"),
+      element_at(Similarity.lshBandBuckets(col("v"), dims, planes, 3), b + 1)
+        .as(s"a$b")))
+    val df = e.select(cols.flatMap(c => Seq(c._1, c._2)): _*)
+    (0 until 3).foreach(b =>
+      assert(df.filter(col(s"s$b") =!= col(s"a$b")).count() == 0, s"band $b"))
+    // null vector -> null array (row drops out of any posexplode lineage)
+    val n = Seq(Option.empty[Array[Double]]).toDF("v")
+      .select(Similarity.lshBandBuckets(col("v"), dims, planes, 2).as("b"))
+    assert(n.filter(col("b").isNull).count() == 1)
+    // ragged input errors loudly, matching graft_dot's discipline
+    val bad = Seq(Array(1.0, 2.0)).toDF("v")
+    val ex = intercept[Exception] {
+      bad.select(Similarity.lshBandBuckets(col("v"), dims, planes, 2)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(ex).exists(_.contains("dims")))
+  }
+
+  test("graft_lsh_buckets runs inside a whole-stage-codegen region") {
+    VectorFunctions.ensureRegistered(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+    val df = e.select(posexplode(
+      Similarity.lshBandBuckets(col("v"), 64, 6, 8)).as(Seq("band", "bucket")))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_lsh_buckets"))
+    assert(plan.split("\n").exists(l =>
+      l.contains("graft_lsh_buckets") && l.contains("*(")),
+      s"graft_lsh_buckets not in a codegen region:\n$plan")
+  }
+
   test("pairwise dot runs inside a whole-stage-codegen region") {
     // In the near-dup query normalization happens below the join and the
     // per-pair dot above it; after AQE finalizes, the O(n^2) hot path's
