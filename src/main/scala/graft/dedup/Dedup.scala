@@ -481,18 +481,25 @@ object Dedup {
   /** 64-bit SimHash per doc: tf-weighted sign votes on each bit of
     * xxhash64(term). Engine-specific hash => property-tested, not oracled. */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val tf = Tokenize.termOccurrences(docs)
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // 64 vote lanes as aggregate COLUMNS over term occurrences — the
+    // multi-lane shape minhashFromShingles already uses. The previous
+    // explode(sequence(0, 63)) spelling multiplied every occurrence row
+    // by 64 before its shuffle (the 100x probe measured 551M shuffle rows
+    // and 49 GB of sort spill for ~8.6M occurrences); lanes keep the
+    // exchange at one row per doc and let partial aggregation reduce
+    // map-side. Vote arithmetic is unchanged: sum over occurrences of
+    // +/-1 per bit == the old sum over distinct terms of +/-tf.
+    val occ = Tokenize.termOccurrences(docs)
       .withColumn("h", xxhash64(col("term")))
-    val votes = tf.select(col("doc_id"), col("tf"), col("h"),
-        explode(sequence(lit(0), lit(63))).as("bit"))
-      .withColumn("vote",
-        when(expr("shiftright(h, bit) & 1") === 1, col("tf"))
-          .otherwise(-col("tf")))
-      .groupBy("doc_id", "bit").agg(sum("vote").as("v"))
-    votes.groupBy("doc_id")
-      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-        .otherwise(0L)).as("simhash"))
+    val lanes = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$b"))
+    occ.groupBy("doc_id")
+      .agg(lanes.head, lanes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, candidate
