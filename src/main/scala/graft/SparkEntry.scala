@@ -744,6 +744,14 @@ object SparkEntry {
     // per-source excess loss, starting from the token-share reference
     "curate_doremi_weights" -> ((s, dir) =>
       graft.curate.Curation.doremiWeights(table(s, dir, "documents"))),
+    // leakage-safe split: assignment at near-dup-CLUSTER granularity over
+    // the same 0.5-Jaccard graph as dedup_clusters, so no near-dup pair
+    // can straddle train/test (the failure mode of the plain per-doc
+    // samp_hash_split on an undeduplicated corpus)
+    "curate_split_safe" -> ((s, dir) =>
+      graft.curate.Curation.leakageSafeSplit(table(s, dir, "documents"),
+        Dedup.jaccardPairs(table(s, dir, "documents"), 3, 0.5,
+          maxShingleDf = 100))),
 
     // ---- similarity search (north star) ----
     "sim_cosine_topk" -> ((s, dir) =>
@@ -2731,6 +2739,21 @@ object SparkEntry {
          |SELECT w3.source, w3.n_tokens, w3.loss, w0.w AS ref_weight,
          |  w3.w AS doremi_weight, round(w3.w / w0.w, 6) AS reweight_factor
          |FROM w3 JOIN w0 USING (source) ORDER BY w3.source""".stripMargin
+    },
+    // the dedup_clusters graph + the samp_hash_split assignment applied
+    // to the GROUP key (cluster min-id; singletons group as themselves) —
+    // every parameter derives from the same Sampling constants
+    "curate_split_safe" -> {
+      import graft.sources.Sampling._
+      val (trainEnd, valEnd) = splitThresholds(DefaultVal256, DefaultTest256)
+      s"""WITH RECURSIVE $clusterCtes,
+         |grp AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS group_id
+         |  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id),
+         |k AS (SELECT doc_id, group_id,
+         |  substring(md5(CAST(group_id AS VARCHAR) || ':$DefaultSplitSeed'), 1, 2) AS b FROM grp)
+         |SELECT doc_id, CAST(group_id AS BIGINT) AS group_id,
+         |  CASE WHEN b < '$trainEnd' THEN 'train' WHEN b < '$valEnd' THEN 'val' ELSE 'test' END AS split
+         |FROM k ORDER BY doc_id""".stripMargin
     },
     "dedup_embedding_lsh" ->
       s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -442,4 +442,34 @@ object Curation {
         col("log_ratio"))
       .orderBy("doc_id")
   }
+
+  /** Leakage-safe train/val/test split: assignment at NEAR-DUP-CLUSTER
+    * granularity, not per doc. A plain per-doc hash split (samp_hash_split)
+    * silently leaks on a real corpus — two near-identical documents land
+    * in train and test with probability 2·p·(1-p), and eval measures
+    * memorization. Here every doc inherits the split of its duplicate
+    * cluster (group_id = the cluster's min doc_id; singletons group as
+    * themselves), so near-dup pairs can never straddle a boundary — the
+    * same md5-bucket assignment contract as Sampling.hashSplit, applied
+    * to the group key.
+    *
+    * Scale notes (100 TB): the cluster frame covers only docs that HAVE a
+    * near-duplicate (a small fraction of a deduplicated-input corpus), so
+    * the left join is corpus × small; the split itself is one md5
+    * projection. Stability: adding a new doc never moves an existing
+    * GROUP between splits (pure function of group_id + seed); a new edge
+    * can merge two groups, which correctly re-homes the smaller one —
+    * that is the leakage fix working, not churn. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       seed: Long = graft.sources.Sampling.DefaultSplitSeed,
+                       val256: Int = graft.sources.Sampling.DefaultVal256,
+                       test256: Int = graft.sources.Sampling.DefaultTest256): DataFrame = {
+    val cl = Dedup.duplicateClusters(pairs)
+      .select(col("doc_id"), col("cluster_id"))
+    val grouped = docs.select("doc_id").join(cl, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+    graft.sources.Sampling.hashSplit(grouped, "group_id", seed, val256, test256)
+      .select(col("doc_id"), col("group_id"), col("split"))
+      .orderBy("doc_id")
+  }
 }
