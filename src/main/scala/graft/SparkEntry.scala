@@ -752,6 +752,13 @@ object SparkEntry {
       graft.curate.Curation.leakageSafeSplit(table(s, dir, "documents"),
         Dedup.jaccardPairs(table(s, dir, "documents"), 3, 0.5,
           maxShingleDf = 100))),
+    // post-split audit: verbatim 8-token windows that cross the
+    // train/eval boundary BELOW the cluster threshold (what the
+    // cluster-grain split cannot prevent, reported per eval doc)
+    "curate_split_contamination" -> ((s, dir) =>
+      graft.curate.Curation.splitContamination(table(s, dir, "documents"),
+        Dedup.jaccardPairs(table(s, dir, "documents"), 3, 0.5,
+          maxShingleDf = 100))),
 
     // ---- similarity search (north star) ----
     "sim_cosine_topk" -> ((s, dir) =>
@@ -2762,6 +2769,35 @@ object SparkEntry {
          |SELECT doc_id, CAST(group_id AS BIGINT) AS group_id,
          |  CASE WHEN b < '$trainEnd' THEN 'train' WHEN b < '$valEnd' THEN 'val' ELSE 'test' END AS split
          |FROM k ORDER BY doc_id""".stripMargin
+    },
+    // the split CTEs + the dedup_shared_ngrams 8-token window spelling,
+    // joined across the boundary (fresh CTE names: clusterCtes owns t/sh)
+    "curate_split_contamination" -> {
+      import graft.sources.Sampling._
+      val (trainEnd, valEnd) = splitThresholds(DefaultVal256, DefaultTest256)
+      s"""WITH RECURSIVE $clusterCtes,
+         |grp AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS group_id
+         |  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN b < '$trainEnd' THEN 'train' WHEN b < '$valEnd' THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, substring(md5(CAST(group_id AS VARCHAR) || ':$DefaultSplitSeed'), 1, 2) AS b FROM grp)),
+         |t8 AS (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
+         |w8 AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 8
+         |    THEN list_distinct(list_transform(generate_series(1, len(tk)-7),
+         |      i -> array_to_string(list_slice(tk, i, i+7), ' ')))
+         |    ELSE [] END) AS shingle FROM t8),
+         |trn AS (SELECT DISTINCT shingle FROM w8 JOIN sp USING (doc_id)
+         |        WHERE sp.split = 'train'),
+         |ev AS (SELECT w8.doc_id, w8.shingle FROM w8 JOIN sp USING (doc_id)
+         |       WHERE sp.split <> 'train'),
+         |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsw
+         |         FROM ev JOIN trn USING (shingle) GROUP BY doc_id),
+         |wc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw FROM ev GROUP BY doc_id)
+         |SELECT sp.doc_id, sp.split,
+         |  COALESCE(wc.nw, 0) AS n_windows,
+         |  COALESCE(hits.nsw, 0) AS n_shared_windows
+         |FROM sp LEFT JOIN wc USING (doc_id) LEFT JOIN hits USING (doc_id)
+         |WHERE sp.split <> 'train' ORDER BY sp.doc_id""".stripMargin
     },
     "dedup_embedding_lsh" ->
       s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

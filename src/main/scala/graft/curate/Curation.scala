@@ -472,4 +472,37 @@ object Curation {
       .select(col("doc_id"), col("group_id"), col("split"))
       .orderBy("doc_id")
   }
+
+  /** Train→eval contamination audit over a split assignment: for every
+    * val/test doc, how many of its distinct n-token windows also occur in
+    * ANY train doc. This is the check a pipeline runs AFTER splitting —
+    * near-dup-grain leakage is prevented by leakageSafeSplit's cluster
+    * grouping, but verbatim sub-document overlap (a quoted paragraph, a
+    * shared boilerplate block) can still cross the boundary below the
+    * cluster threshold, and this reports exactly that residue.
+    *
+    * Scale notes (100 TB): ONE shingle lineage feeds both sides of the
+    * shingle-keyed equi-join (train-distinct is a shingle-keyed
+    * aggregation of the same frame), so everything exchanges by shingle
+    * hash once; a hot window costs df linear join rows, not df² (the
+    * sharedNgramStats argument). The split frame is two narrow columns. */
+  def splitContamination(docs: DataFrame, pairs: DataFrame,
+                         n: Int = 8): DataFrame = {
+    val split = leakageSafeSplit(docs, pairs).select("doc_id", "split")
+    val sh = Dedup.shingles(docs, n).join(split, Seq("doc_id"))
+    val trainShingles = sh.filter(col("split") === "train")
+      .select("shingle").distinct()
+    val hits = sh.filter(col("split") =!= "train")
+      .join(trainShingles, Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_windows"))
+    val winCount = sh.filter(col("split") =!= "train")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    split.filter(col("split") =!= "train")
+      .join(winCount, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_shared_windows"), lit(0L)).as("n_shared_windows"))
+      .orderBy("doc_id")
+  }
 }

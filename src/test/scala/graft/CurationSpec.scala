@@ -245,4 +245,26 @@ class CurationSpec extends SparkSpec {
     // cluster split must never exceed the naive split's agreement
     assert(mixedGroups >= 0)
   }
+
+  test("split contamination matches a brute set-intersection replay") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = graft.dedup.Dedup.jaccardPairs(docs, 3, 0.5, maxShingleDf = 100)
+    val out = Curation.splitContamination(docs, pairs)
+      .as[(Long, String, Long, Long)].collect()
+    val split = Curation.leakageSafeSplit(docs, pairs)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val sh = graft.dedup.Dedup.shingles(docs, 8)
+      .as[(Long, String)].collect().groupBy(_._1)
+      .map { case (d, xs) => d -> xs.map(_._2).toSet }
+    val trainSh = sh.collect {
+      case (d, s) if split(d) == "train" => s }.foldLeft(Set.empty[String])(_ ++ _)
+    val evalIds = split.collect { case (d, s) if s != "train" => d }.toSet
+    assert(out.map(_._1).toSet == evalIds)
+    out.foreach { case (d, sp, nw, nsw) =>
+      assert(sp == split(d))
+      val mine = sh.getOrElse(d, Set.empty)
+      assert(nw == mine.size, s"doc $d windows")
+      assert(nsw == mine.count(trainSh.contains), s"doc $d shared")
+    }
+  }
 }
