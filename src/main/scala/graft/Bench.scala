@@ -11,6 +11,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // scaled fixtures are flattened to ONE parquet file per table, so at
+      // default 128m a 10x/100x documents/embeddings scan gets 1-2 input
+      // partitions and every scan-shaped stage runs near-serial — unlike a
+      // real corpus at that size, which arrives as proportionally many
+      // files. The scale gates export a smaller value to restore the scan
+      // parallelism the fixture's layout (not the plans) took away.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PART_BYTES", "134217728"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

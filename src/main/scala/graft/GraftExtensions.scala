@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{AudioMetaExpr, BigramsExpr, DotProductExpr, ImageDimsExpr, ImageFunctions, LshFunctions, MediaFunctions, ShinglesExpr, SignLshBucketsExpr, TextFunctions, UnitVectorExpr, VectorFunctions, VideoMetaExpr}
+import graft.functions.{AudioMetaExpr, BigramsExpr, DotProductExpr, ImageDimsExpr, ImageFunctions, LshFunctions, MediaFunctions, PqFunctions, PqMinDistExpr, PqScoreExpr, ShinglesExpr, SignLshBucketsExpr, TextFunctions, UnitVectorExpr, VectorFunctions, VideoMetaExpr}
 
 /** Library packaging for the native functions: sessions built with
   * `spark.sql.extensions=graft.GraftExtensions` (or
@@ -25,6 +25,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(LshFunctions.BucketsName),
       new ExpressionInfo(classOf[SignLshBucketsExpr].getName, LshFunctions.BucketsName),
       LshFunctions.bucketsBuilder))
+    ext.injectFunction((
+      FunctionIdentifier(PqFunctions.MinDistName),
+      new ExpressionInfo(classOf[PqMinDistExpr].getName, PqFunctions.MinDistName),
+      PqFunctions.minDistBuilder))
+    ext.injectFunction((
+      FunctionIdentifier(PqFunctions.ScoreName),
+      new ExpressionInfo(classOf[PqScoreExpr].getName, PqFunctions.ScoreName),
+      PqFunctions.scoreBuilder))
     ext.injectFunction((
       FunctionIdentifier(TextFunctions.BigramsName),
       new ExpressionInfo(classOf[BigramsExpr].getName, TextFunctions.BigramsName),

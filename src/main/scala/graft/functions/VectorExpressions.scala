@@ -158,9 +158,10 @@ object VectorFunctions {
       DotName, dotBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       UnitName, unitBuilder, "built-in")
-    // the LSH bucket kernel rides along: every vector entry point that
-    // registers dot/unit may also build sign-LSH plans
+    // the LSH bucket and PQ kernels ride along: every vector entry point
+    // that registers dot/unit may also build sign-LSH or PQ plans
     LshFunctions.ensureRegistered(spark)
+    PqFunctions.ensureRegistered(spark)
   }
 
   /** Column-level dot product over the registered native expression. */

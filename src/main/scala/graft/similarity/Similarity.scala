@@ -727,7 +727,6 @@ object Similarity {
                      dims: Int = 64): DataFrame = {
     VectorFunctions.ensureRegistered(embeddings.sparkSession)
     require(dims % nSub == 0)
-    val subLen = dims / nSub
     val e = embeddings.select(col("vec_id"), col("label"),
       toDoubleVec(col("embedding")).as("v"))
     val book = e
@@ -736,17 +735,13 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("__ck").as("ck"),
         col("vec_id").as("cvid"), col("v").as("cv")))).as("arr"))
       .select(transform(col("arr"), c => c.getField("cv")).as("codes"))
-    val d2PerSub = transform(sequence(lit(0), lit(nSub - 1)), s => {
-      val sub = slice(col("v"), s * subLen + 1, lit(subLen))
-      array_min(transform(col("codes"), cv => {
-        val err = zip_with(sub, slice(cv, s * subLen + 1, lit(subLen)),
-          (a, b) => a - b)
-        dot(err, err)
-      }))
-    })
+    // native kernel: same ascending-subspace sum of ascending-dim min
+    // distances the HOF spelling folded, in one codegen loop (the HOF
+    // form allocated nSub*nCodes temporaries per row, interpreted)
     e.crossJoin(broadcast(book))
       .select(col("label"),
-        (aggregate(d2PerSub, lit(0.0), (acc, x) => acc + x) / dims).as("mse"))
+        (graft.functions.PqFunctions.minDist(col("v"), col("codes"), nSub)
+          / dims).as("mse"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
         round(sum(col("mse").cast(org.apache.spark.sql.types.DataTypes
@@ -772,7 +767,6 @@ object Similarity {
                   dims: Int = 64): DataFrame = {
     VectorFunctions.ensureRegistered(embeddings.sparkSession)
     require(dims % nSub == 0)
-    val subLen = dims / nSub
     val e = unitVecs(embeddings)
     val book = e
       .withColumn("__ck", md5(concat(col("vec_id").cast("string"), lit(s":$seed"))))
@@ -782,25 +776,14 @@ object Similarity {
       .select(transform(col("arr"), c => c.getField("cu")).as("codes"))
     val q = e.filter(col("vec_id") === queryVecId)
       .select(col("u").as("qu"))
-    val parts = transform(sequence(lit(0), lit(nSub - 1)), s => {
-      val usub = slice(col("u"), s * subLen + 1, lit(subLen))
-      val qsub = slice(col("qu"), s * subLen + 1, lit(subLen))
-      val scored = transform(col("codes"), cv => {
-        val cw = slice(cv, s * subLen + 1, lit(subLen))
-        val err = zip_with(usub, cw, (a, b) => a - b)
-        struct(dot(err, err).as("d2"), cw.as("cw"))
-      })
-      val best = aggregate(scored,
-        struct(lit(Double.PositiveInfinity).as("d2"),
-          typedLit(Array.empty[Double]).as("cw")),
-        (acc, c) => when(c.getField("d2") < acc.getField("d2"), c)
-          .otherwise(acc))
-      dot(qsub, best.getField("cw"))
-    })
+    // native asymmetric-distance kernel: per ascending subspace, strict-<
+    // argmin over the codewords (keep-FIRST on ties, the aggregate fold's
+    // semantics) then q_sub · codeword — bit-identical to the HOF form
     e.filter(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(book)).crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
-        round(aggregate(parts, lit(0.0), (acc, x) => acc + x), 4)
+        round(graft.functions.PqFunctions.score(
+          col("qu"), col("u"), col("codes"), nSub), 4)
           .as("approx_cosine"))
       .orderBy(desc("approx_cosine"), asc("vec_id"))
       .limit(k)
@@ -837,7 +820,6 @@ object Similarity {
                      dims: Int = 64): DataFrame = {
     VectorFunctions.ensureRegistered(embeddings.sparkSession)
     require(dims % nSub == 0 && nProbe >= 1 && nProbe <= nCells)
-    val subLen = dims / nSub
     val e = unitVecs(embeddings)
     val fit = kmeansFit(embeddings, nCells, iters, seed, dims)
     val cells = fit
@@ -860,25 +842,13 @@ object Similarity {
         dot(col("qu"), col("c.cu")).as("qc"))
       .orderBy(desc("qc"), asc("cell_id")).limit(nProbe)
       .select(col("cell_id"), col("qu"), col("qc"))
-    val score = element_at(transform(
-      array(zip_with(col("u"), col("cu"), (a, b) => a - b)), r => {
-        val parts = transform(sequence(lit(0), lit(nSub - 1)), sIdx => {
-          val rsub = slice(r, sIdx * subLen + 1, lit(subLen))
-          val qsub = slice(col("qu"), sIdx * subLen + 1, lit(subLen))
-          val scored = transform(col("codes"), cv => {
-            val cw = slice(cv, sIdx * subLen + 1, lit(subLen))
-            val err = zip_with(rsub, cw, (a, b) => a - b)
-            struct(dot(err, err).as("d2"), cw.as("cw"))
-          })
-          val best = aggregate(scored,
-            struct(lit(Double.PositiveInfinity).as("d2"),
-              typedLit(Array.empty[Double]).as("cw")),
-            (acc, c) => when(c.getField("d2") < acc.getField("d2"), c)
-              .otherwise(acc))
-          dot(qsub, best.getField("cw"))
-        })
-        col("qc") + aggregate(parts, lit(0.0), (acc, x) => acc + x)
-      }), 1)
+    // native kernel over the residual (computed once per row — the
+    // 1-element-array CollapseProject guard is obsolete: the kernel is
+    // one scalar expression, so the residual is evaluated exactly once
+    // inside it even if inlined)
+    val score = col("qc") + graft.functions.PqFunctions.score(
+      col("qu"), zip_with(col("u"), col("cu"), (a, b) => a - b),
+      col("codes"), nSub)
     withCu.join(broadcast(probed), Seq("cell_id"))
       .filter(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(book))

@@ -172,6 +172,66 @@ class FunctionsSpec extends SparkSpec {
       s"graft_lsh_buckets not in a codegen region:\n$plan")
   }
 
+  test("graft_pq_min_dist / graft_pq_score equal the HOF spelling") {
+    // the HOF form is the original implementation (per subspace:
+    // transform over codewords -> zip_with difference -> dot, argmin by
+    // keep-first aggregate); the native kernels must be bit-identical
+    VectorFunctions.ensureRegistered(spark)
+    import graft.functions.PqFunctions
+    val nSub = 8; val subLen = 8
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), Similarity.toDoubleVec(col("embedding")).as("v"))
+    val book = e.orderBy("vec_id").limit(16)
+      .agg(collect_list(col("v")).as("codes"))
+    val q = e.orderBy(desc("vec_id")).limit(1).select(col("v").as("q"))
+    val df = e.crossJoin(broadcast(book)).crossJoin(broadcast(q))
+    def hofMinDist = {
+      val d2PerSub = transform(sequence(lit(0), lit(nSub - 1)), s => {
+        val sub = slice(col("v"), s * subLen + 1, lit(subLen))
+        array_min(transform(col("codes"), cv => {
+          val err = zip_with(sub, slice(cv, s * subLen + 1, lit(subLen)),
+            (a, b) => a - b)
+          Similarity.dot(err, err)
+        }))
+      })
+      aggregate(d2PerSub, lit(0.0), (acc, x) => acc + x)
+    }
+    def hofScore = {
+      val parts = transform(sequence(lit(0), lit(nSub - 1)), s => {
+        val xsub = slice(col("v"), s * subLen + 1, lit(subLen))
+        val qsub = slice(col("q"), s * subLen + 1, lit(subLen))
+        val scored = transform(col("codes"), cv => {
+          val cw = slice(cv, s * subLen + 1, lit(subLen))
+          val err = zip_with(xsub, cw, (a, b) => a - b)
+          struct(Similarity.dot(err, err).as("d2"), cw.as("cw"))
+        })
+        val best = aggregate(scored,
+          struct(lit(Double.PositiveInfinity).as("d2"),
+            typedLit(Array.empty[Double]).as("cw")),
+          (acc, c) => when(c.getField("d2") < acc.getField("d2"), c)
+            .otherwise(acc))
+        Similarity.dot(qsub, best.getField("cw"))
+      })
+      aggregate(parts, lit(0.0), (acc, x) => acc + x)
+    }
+    val both = df.select(
+      PqFunctions.minDist(col("v"), col("codes"), nSub).as("nmd"),
+      hofMinDist.as("hmd"),
+      PqFunctions.score(col("q"), col("v"), col("codes"), nSub).as("nsc"),
+      hofScore.as("hsc"))
+    assert(both.filter(col("nmd") =!= col("hmd")).count() == 0)
+    assert(both.filter(col("nsc") =!= col("hsc")).count() == 0)
+    // keep-first tie-break: two identical codewords -> the argmin picks
+    // the first, so the score equals the dot against codeword 0
+    val tie = Seq((Array.fill(8)(1.0), Array.fill(8)(2.0))).toDF("x", "q")
+      .withColumn("codes", array(
+        typedLit(Array.fill(8)(0.5)), typedLit(Array.fill(8)(0.5))))
+    val t = tie.select(
+      PqFunctions.score(col("q"), col("x"), col("codes"), 2).as("s"))
+      .as[Double].head()
+    assert(t == 8 * 2.0 * 0.5)
+  }
+
   test("pairwise dot runs inside a whole-stage-codegen region") {
     // In the near-dup query normalization happens below the join and the
     // per-pair dot above it; after AQE finalizes, the O(n^2) hot path's
