@@ -420,6 +420,12 @@ object SparkEntry {
       graft.spatial.Spatial.gridKnn(
         graft.spatial.Spatial.hashPoints(table(s, dir, "events"), "user_id"),
         "user_id", k = 3, radius = 48, cell = 64)),
+    // exact grid DBSCAN over the same points: core/border/noise roles +
+    // min-id cluster labels, border ties pinned to the smallest cluster
+    "ev_geo_dbscan" -> ((s, dir) =>
+      graft.spatial.Spatial.gridDbscan(
+        graft.spatial.Spatial.hashPoints(table(s, dir, "events"), "user_id"),
+        "user_id", eps = 48, minPts = 3, cell = 64)),
     // watermark dry-run: replay arrival order (event_id) per shard and
     // count what a 10-min watermark would drop — the audit behind every
     // streaming watermark choice; parallelism = shard count, state = one
@@ -2159,6 +2165,38 @@ object SparkEntry {
         |  FROM cand)
         |SELECT id, neighbor_id, CAST(dist2 AS BIGINT) AS dist2, CAST(rnk AS INT) AS "rank"
         |FROM r WHERE rnk <= 3 ORDER BY id, rnk""".stripMargin,
+    // same grid pairs (2304 = 48^2), neighbor counts, core test at
+    // minPts=3, recursive CC over core-core edges (min-id labels), then
+    // the pinned min-cluster border attachment
+    "ev_geo_dbscan" ->
+      s"""WITH RECURSIVE $geoGridCtes,
+        |pr AS (SELECT a.user_id AS id_a, b.user_id AS id_b
+        |  FROM n a JOIN c b ON a.ncx = b.cx AND a.ncy = b.cy AND a.user_id < b.user_id
+        |  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 2304),
+        |und AS (SELECT id_a AS id, id_b AS nb FROM pr
+        |        UNION ALL SELECT id_b, id_a FROM pr),
+        |nc AS (SELECT id, count(*) AS nn FROM und GROUP BY id),
+        |core AS (SELECT u.user_id AS id FROM u LEFT JOIN nc ON nc.id = u.user_id
+        |         WHERE COALESCE(nn, 0) + 1 >= 3),
+        |ce AS (SELECT id_a, id_b FROM pr
+        |       WHERE id_a IN (SELECT id FROM core) AND id_b IN (SELECT id FROM core)),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM ce
+        |          UNION SELECT id_b, id_a FROM ce),
+        |reach(src, dst) AS (SELECT src, dst FROM edges
+        |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |cl AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+        |       FROM reach GROUP BY src),
+        |corelab AS (SELECT core.id, CAST(COALESCE(cl.cluster_id, core.id) AS BIGINT) AS ccl
+        |            FROM core LEFT JOIN cl ON cl.id = core.id),
+        |ba AS (SELECT und.id, min(corelab.ccl) AS bcl
+        |       FROM und JOIN corelab ON corelab.id = und.nb GROUP BY und.id)
+        |SELECT u.user_id,
+        |  CASE WHEN corelab.id IS NOT NULL THEN 'core'
+        |       WHEN ba.bcl IS NOT NULL THEN 'border' ELSE 'noise' END AS role,
+        |  CASE WHEN corelab.id IS NOT NULL THEN corelab.ccl ELSE ba.bcl END AS cluster_id
+        |FROM u LEFT JOIN corelab ON corelab.id = u.user_id
+        |       LEFT JOIN ba ON ba.id = u.user_id
+        |ORDER BY u.user_id""".stripMargin,
     "ev_transitions" ->
       """WITH e AS (SELECT event_type AS from_type,
         |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type FROM events)

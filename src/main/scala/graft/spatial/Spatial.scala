@@ -108,4 +108,54 @@ object Spatial {
         col("rank").cast("int").as("rank"))
       .orderBy("id", "rank")
   }
+
+  /** Grid DBSCAN (Ester et al. '96), exact, from the same bounded 3x3
+    * grid join as radiusPairs: a point is CORE when its eps-neighborhood
+    * (itself included) holds >= minPts points; clusters are the
+    * connected components of core points within eps (min-id labels, the
+    * duplicateClusters contract — core-core reachability IS DBSCAN
+    * density-connectivity restricted to cores); a non-core point within
+    * eps of any core joins as BORDER, attached to the SMALLEST core
+    * cluster id among its core neighbors (pinning the assignment order
+    * the original algorithm leaves scan-order-dependent); everything
+    * else is NOISE.
+    *
+    * Scale notes (100 TB): neighbor counting, core detection, and edge
+    * generation all reuse the ONE grid equi-join (never all-pairs); the
+    * CC iteration runs over the core-core edge subset only; border
+    * attachment is one more join of the bounded pair frame against the
+    * core label table. No stage touches more than the eps-pair set. */
+  def gridDbscan(points: DataFrame, idCol: String, eps: Int, minPts: Int,
+                 cell: Int): DataFrame = {
+    val pairs = radiusPairs(points, idCol, eps, cell)
+      .select("id_a", "id_b").localCheckpoint(true)
+    val und = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
+      .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
+    val ncount = und.groupBy("id").agg(count(lit(1)).as("__n"))
+    val ids = points.select(col(idCol).as("id"))
+    val core = ids.join(ncount, Seq("id"), "left")
+      .filter(coalesce(col("__n"), lit(0L)) + 1 >= minPts).select("id")
+    val ccPairs = pairs
+      .join(core.select(col("id").as("id_a")), Seq("id_a"))
+      .join(core.select(col("id").as("id_b")), Seq("id_b"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    // isolated cores (no core neighbor) label as their own singleton
+    val coreLabels = core
+      .join(graft.dedup.Dedup.duplicateClusters(ccPairs)
+        .withColumnRenamed("doc_id", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("__ccl"))
+    val borderAssign = und
+      .join(coreLabels.select(col("id").as("nb"), col("__ccl").as("__ncl")),
+        Seq("nb"))
+      .groupBy("id").agg(min("__ncl").as("__bcl"))
+    ids.join(coreLabels, Seq("id"), "left")
+      .join(borderAssign, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("__ccl").isNotNull, lit("core"))
+          .when(col("__bcl").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        when(col("__ccl").isNotNull, col("__ccl"))
+          .otherwise(col("__bcl")).as("cluster_id"))
+      .orderBy(idCol)
+  }
 }

@@ -63,6 +63,40 @@ class SpatialSpec extends SparkSpec {
     assert(e.getMessage.contains("radius"))
   }
 
+  test("grid DBSCAN matches a brute-force replay") {
+    val eps = 48; val minPts = 3
+    val p = pts.select("user_id", "x", "y")
+      .as[(Long, Long, Long)].collect().toSeq
+    def d2(a: (Long, Long, Long), b: (Long, Long, Long)) =
+      (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+    val neigh = p.map(a =>
+      a._1 -> p.filter(b => b._1 != a._1 && d2(a, b) <= eps.toLong * eps)
+        .map(_._1).toSet).toMap
+    val core = p.map(_._1).filter(id => neigh(id).size + 1 >= minPts).toSet
+    // components over core-core eps edges, min-id label (union-find)
+    val label = scala.collection.mutable.Map(core.toSeq.map(c => c -> c): _*)
+    def find(x: Long): Long =
+      if (label(x) == x) x else { val r = find(label(x)); label(x) = r; r }
+    for (a <- core; b <- neigh(a) if b > a && core(b)) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val lo = math.min(ra, rb); label(math.max(ra, rb)) = lo }
+    }
+    val coreLabel = core.map(c => c -> find(c)).toMap
+    val expect = p.map(_._1).sorted.map { id =>
+      if (core(id)) (id, "core", Some(coreLabel(id)))
+      else {
+        val cn = neigh(id).filter(core)
+        if (cn.nonEmpty) (id, "border", Some(cn.map(coreLabel).min))
+        else (id, "noise", None)
+      }
+    }
+    val got = Spatial.gridDbscan(pts, "user_id", eps, minPts, 64)
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(got == expect)
+    // the fixture must exercise all three roles or the test proves little
+    assert(Set("core", "border", "noise").subsetOf(got.map(_._2).toSet))
+  }
+
   test("point cloud is deterministic and in-range") {
     val a = pts.orderBy("user_id").collect().toSeq
     val b = Spatial.hashPoints(events.repartition(7), "user_id")
