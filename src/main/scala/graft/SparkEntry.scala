@@ -84,6 +84,11 @@ object SparkEntry {
     // ---- reference parity: BM25 ranking (SURVEY §2.5, §2.7, A6-A7, O1) ----
     "bm25_search" -> ((s, dir) =>
       BM25.search(s, table(s, dir, "documents"), FlagshipQuery)),
+    // serving-side highlights for the flagship page: per top-10 doc, the
+    // 15-token window with the most distinct query terms (hit-anchored —
+    // lossless; extraction touches only the k ranked docs)
+    "bm25_snippets" -> ((s, dir) =>
+      BM25.searchSnippets(s, table(s, dir, "documents"), FlagshipQuery)),
     // S9: all-OOV query must yield empty result with intact schema, not fail.
     "bm25_oov" -> ((s, dir) =>
       BM25.search(s, table(s, dir, "documents"), "zzzznotaword qqqqnotaword")),
@@ -1273,6 +1278,28 @@ object SparkEntry {
         |SELECT count(*) AS doc_n, CAST(sum(doc_length) AS BIGINT) AS total_doc_length,
         |       round(avg(doc_length), 4) AS avg_doc_length FROM dl""".stripMargin,
     "bm25_search" -> bm25OracleSql("('spark','join','window')"),
+    // the same top CTE + hit-anchored distinct-term window scoring; the
+    // 1-based list_slice end is inclusive, so start..start+14 = 15 tokens
+    "bm25_snippets" ->
+      s"""WITH ${bm25TopCtes("('spark','join','window')")},
+         |t AS (SELECT d.doc_id, regexp_extract_all(translate(d.text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk
+         |      FROM documents d JOIN top USING (doc_id)),
+         |hit AS (SELECT doc_id, s.i AS pos, tk[s.i] AS term
+         |        FROM t, unnest(generate_series(1, len(tk))) AS s(i)
+         |        WHERE tk[s.i] IN ('spark','join','window')),
+         |win AS (SELECT a.doc_id, a.pos AS wstart, CAST(count(DISTINCT b.term) AS BIGINT) AS n_terms
+         |        FROM hit a JOIN hit b ON a.doc_id = b.doc_id
+         |          AND b.pos >= a.pos AND b.pos < a.pos + 15
+         |        GROUP BY a.doc_id, a.pos),
+         |best AS (SELECT doc_id, wstart, n_terms,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY n_terms DESC, wstart) AS rk
+         |  FROM win)
+         |SELECT t.doc_id, top.doc_rank, CAST(best.wstart AS BIGINT) AS start,
+         |  best.n_terms,
+         |  array_to_string(list_slice(t.tk, best.wstart, best.wstart + 14), ' ') AS snippet
+         |FROM best JOIN t USING (doc_id) JOIN top USING (doc_id)
+         |WHERE best.rk = 1
+         |ORDER BY top.doc_rank DESC, t.doc_id""".stripMargin,
     // the WAND form is exact by construction: its oracle is the SAME
     // unpruned BM25 chain — the pruning must be invisible in the result
     "bm25_wand" -> bm25OracleSql("('hash','merge','stream')"),
@@ -4940,8 +4967,11 @@ object SparkEntry {
        |FROM f CROSS JOIN $wf""".stripMargin
   }
 
-  private def bm25OracleSql(termsInList: String): String =
-    s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS term FROM documents),
+  /** The shared exact-BM25 CTE chain ending in `top` (doc_id, doc_rank,
+    * top-10) — one definition feeds the plain/WAND/block-max oracles and
+    * the snippet oracle, so the formula can never desynchronize. */
+  private def bm25TopCtes(termsInList: String): String =
+    s"""tok AS (SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS term FROM documents),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term IN $termsInList GROUP BY doc_id, term),
        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok WHERE term IN $termsInList GROUP BY term),
        |dl AS (SELECT doc_id, CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS BIGINT) AS dl FROM documents),
@@ -4950,7 +4980,12 @@ object SparkEntry {
        |  SELECT tf.doc_id,
        |         sum( ln(CAST(n AS DOUBLE)/df) * (2.0*tf) / (1.0*(0.25 + 0.75*dl/avgdl) + tf) ) AS score
        |  FROM tf JOIN dfq USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
-       |  GROUP BY tf.doc_id)
-       |SELECT doc_id, round(score, 4) AS doc_rank FROM scored
-       |ORDER BY doc_rank DESC, doc_id LIMIT 10""".stripMargin
+       |  GROUP BY tf.doc_id),
+       |top AS (SELECT doc_id, round(score, 4) AS doc_rank FROM scored
+       |        ORDER BY round(score, 4) DESC, doc_id LIMIT 10)""".stripMargin
+
+  private def bm25OracleSql(termsInList: String): String =
+    s"""WITH ${bm25TopCtes(termsInList)}
+       |SELECT doc_id, doc_rank FROM top
+       |ORDER BY doc_rank DESC, doc_id""".stripMargin
 }

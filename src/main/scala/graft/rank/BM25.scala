@@ -443,4 +443,49 @@ object BM25 {
       .select("query_id", "doc_id", "doc_rank", "rn")
       .orderBy("query_id", "rn")
   }
+
+  /** Search-result snippets: for each of the query's top-k docs, the
+    * `window`-token window holding the most DISTINCT query terms (ties →
+    * the earliest start), re-assembled from the same pinned tokenizer —
+    * the serving-side highlight pass every search frontend runs on the
+    * ranked page.
+    *
+    * Candidate windows are anchored at query-term hit positions only:
+    * shifting a window left to its first contained hit never loses a
+    * hit, so some maximal window always starts AT a hit and anchoring is
+    * lossless — candidates are |hits| per doc, not |tokens|.
+    *
+    * Scale notes (100 TB): the ranking pays the corpus cost; snippet
+    * extraction re-reads text for the TOP-K DOCS ONLY (broadcast
+    * semi-join restricts the scan before tokenize) and the per-doc
+    * window scoring is |hits|² at worst — page-sized, constant in the
+    * corpus. */
+  def searchSnippets(spark: SparkSession, docs: DataFrame, query: String,
+                     window: Int = 15, topK: Int = 10): DataFrame = {
+    val top = search(spark, docs, query, topK = topK)
+      .select("doc_id", "doc_rank")
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+    val toks = docs.join(broadcast(top), Seq("doc_id"))
+      .select(col("doc_id"), col("doc_rank"),
+        graft.text.Tokenize.tokens(col("text")).as("tk"))
+      .localCheckpoint(true) // feeds hits AND the final slice (k rows)
+    val hits = toks
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("p0", "term")))
+      .filter(col("term").isin(terms.toSeq: _*))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("term"))
+    val wins = hits.as("a").join(hits.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.pos") >= col("a.pos") &&
+          col("b.pos") < col("a.pos") + window)
+      .groupBy(col("a.doc_id").as("doc_id"), col("a.pos").as("start"))
+      .agg(countDistinct(col("b.term")).as("n_terms"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("n_terms"), asc("start"))
+    wins.withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+      .join(toks, Seq("doc_id"))
+      .select(col("doc_id"), col("doc_rank"),
+        col("start").cast("long").as("start"), col("n_terms"),
+        array_join(slice(col("tk"), col("start"), lit(window)), " ")
+          .as("snippet"))
+      .orderBy(desc("doc_rank"), asc("doc_id"))
+  }
 }

@@ -279,4 +279,31 @@ class TextIndexRankSpec extends SparkSpec {
     assert(graft.rank.BM25.searchBlockMax(spark, docs, "alpha beta", topK = 2)
       .collect().toSeq == exact.collect().toSeq)
   }
+
+  test("snippets pick the densest hit-anchored window, earliest on ties") {
+    // doc 10: 'alpha' at pos 1 and a dense 'alpha beta' pair at 20-21;
+    // the window [20, 34] holds 2 distinct terms and must win over the
+    // earlier 1-term window. doc 11: two equal 1-term windows -> the
+    // EARLIEST start (pos 2) wins.
+    val filler = (1 to 18).map(i => s"x$i").mkString(" ")
+    val filler2 = (1 to 20).map(i => s"y$i").mkString(" ")
+    val docs = Seq(
+      (10L, s"alpha $filler alpha beta"),
+      (11L, s"pad alpha $filler2 alpha pad")
+    ).toDF("doc_id", "text")
+    val out = graft.rank.BM25
+      .searchSnippets(spark, docs, "alpha beta", window = 15, topK = 10)
+      .select("doc_id", "start", "n_terms", "snippet")
+      .as[(Long, Long, Long, String)].collect().toMap2
+    val (s10, n10, sn10) = out(10L)
+    assert(s10 == 20L && n10 == 2L)
+    assert(sn10.startsWith("alpha beta"))
+    val (s11, n11, _) = out(11L)
+    assert(s11 == 2L && n11 == 1L)
+  }
+
+  implicit class Map2[A, B, C, D](rows: Array[(A, B, C, D)]) {
+    def toMap2: Map[A, (B, C, D)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
 }
