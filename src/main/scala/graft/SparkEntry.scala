@@ -89,6 +89,11 @@ object SparkEntry {
     // lossless; extraction touches only the k ranked docs)
     "bm25_snippets" -> ((s, dir) =>
       BM25.searchSnippets(s, table(s, dir, "documents"), FlagshipQuery)),
+    // did-you-mean: per misspelled query term, top-3 vocabulary terms
+    // within edit distance 2 ranked by (dist, df DESC) — vocabulary-sized
+    // compare behind a lossless length-band prefilter
+    "bm25_spell_suggest" -> ((s, dir) =>
+      BM25.spellSuggest(s, table(s, dir, "documents"), "spak joinn windoe")),
     // S9: all-OOV query must yield empty result with intact schema, not fail.
     "bm25_oov" -> ((s, dir) =>
       BM25.search(s, table(s, dir, "documents"), "zzzznotaword qqqqnotaword")),
@@ -1278,6 +1283,24 @@ object SparkEntry {
         |SELECT count(*) AS doc_n, CAST(sum(doc_length) AS BIGINT) AS total_doc_length,
         |       round(avg(doc_length), 4) AS avg_doc_length FROM dl""".stripMargin,
     "bm25_search" -> bm25OracleSql("('spark','join','window')"),
+    // DuckDB levenshtein counts bytes vs Spark codepoints — identical on
+    // the ASCII-only vocabulary/query (the dedup_edit_pairs argument);
+    // the banded kernel is exact under the <= 2 filter
+    "bm25_spell_suggest" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS term FROM documents),
+        |v AS (SELECT term, CAST(count(*) AS BIGINT) AS doc_frequency
+        |      FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+        |q AS (SELECT unnest(['spak','joinn','windoe']) AS query_term),
+        |cand AS (SELECT q.query_term, v.term,
+        |    CAST(levenshtein(v.term, q.query_term) AS BIGINT) AS edit_dist,
+        |    v.doc_frequency
+        |  FROM v JOIN q ON abs(length(v.term) - length(q.query_term)) <= 2
+        |  WHERE levenshtein(v.term, q.query_term) <= 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_term
+        |    ORDER BY edit_dist, doc_frequency DESC, term) AS rnk FROM cand)
+        |SELECT query_term, term AS suggestion, edit_dist, doc_frequency,
+        |  CAST(rnk AS INT) AS "rank"
+        |FROM r WHERE rnk <= 3 ORDER BY query_term, rnk""".stripMargin,
     // the same top CTE + hit-anchored distinct-term window scoring; the
     // 1-based list_slice end is inclusive, so start..start+14 = 15 tokens
     "bm25_snippets" ->

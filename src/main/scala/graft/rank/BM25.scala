@@ -488,4 +488,38 @@ object BM25 {
           .as("snippet"))
       .orderBy(desc("doc_rank"), asc("doc_id"))
   }
+
+  /** Query spell-suggestion from the corpus vocabulary: for each query
+    * term, the top-k vocabulary terms within edit distance <= maxDist,
+    * ranked (edit_dist ASC, doc_frequency DESC, term ASC) — the
+    * did-you-mean pass a search frontend runs when a term is rare or
+    * OOV. Distances come from the banded early-exit Levenshtein kernel
+    * (exact for dist <= maxDist, the dedup_edit_pairs discipline), with
+    * a lossless |len| band pre-filter so most of the vocabulary never
+    * reaches the DP.
+    *
+    * Scale notes (100 TB): the compare is VOCABULARY-sized × |query
+    * terms| — never corpus-sized; the vocabulary aggregation is the
+    * same one the index build pays, and the query side broadcasts. */
+  def spellSuggest(spark: SparkSession, docs: DataFrame, query: String,
+                   maxDist: Int = 2, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    graft.functions.StringDistanceFunctions.ensureRegistered(spark)
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+    val qt = terms.toSeq.toDF("query_term")
+    val vocab = InvertedIndex.docFrequency(docs)
+    val cand = vocab.join(broadcast(qt),
+        abs(length(col("term")) - length(col("query_term"))) <= maxDist)
+      .withColumn("edit_dist", graft.functions.StringDistanceFunctions
+        .bandedLevenshtein(col("term"), col("query_term"), maxDist))
+      .filter(col("edit_dist") <= maxDist)
+    val w = Window.partitionBy("query_term")
+      .orderBy(asc("edit_dist"), desc("doc_frequency"), asc("term"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_term"), col("term").as("suggestion"),
+        col("edit_dist").cast("long").as("edit_dist"),
+        col("doc_frequency"), col("rank").cast("int").as("rank"))
+      .orderBy("query_term", "rank")
+  }
 }

@@ -306,4 +306,20 @@ class TextIndexRankSpec extends SparkSpec {
     def toMap2: Map[A, (B, C, D)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
   }
+
+  test("spell suggest ranks by distance then df, exact term at dist 0") {
+    val docs = Seq(
+      (1L, "grape grape banana"), (2L, "grape banana"), (3L, "grapes"),
+      (4L, "grade"), (5L, "banana")
+    ).toDF("doc_id", "text")
+    val out = graft.rank.BM25.spellSuggest(spark, docs, "grape bananna", 2, 3)
+      .as[(String, String, Long, Long, Int)].collect()
+    val grape = out.filter(_._1 == "grape").toSeq
+    // exact vocab hit ranks first at distance 0, then dist-1 by df
+    assert(grape.head == (("grape", "grape", 0L, 2L, 1)))
+    // grade/grapes are both dist 1, df 1 -> term-ASC tiebreak
+    assert(grape.map(_._2).take(3) == Seq("grape", "grade", "grapes"))
+    val ban = out.filter(_._1 == "bananna").toSeq
+    assert(ban.head._2 == "banana" && ban.head._3 == 1L)
+  }
 }
