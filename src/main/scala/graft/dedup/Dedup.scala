@@ -1004,14 +1004,30 @@ object Dedup {
     * step that turns pairwise similarity into an actionable keep/drop
     * decision for a training corpus.
     *
-    * Iterative min-label propagation (the Pregel/GraphX formulation over
-    * plain DataFrames): each round every node takes the min of its own and
-    * its neighbors' labels; converges in O(cluster diameter) rounds. Near-
-    * dup clusters are shallow in practice (most are pairs/triples), so the
-    * driver loop runs a handful of distributed rounds — the per-round
-    * convergence check is a count of changed labels, not a data collect.
-    * Each round persists its labels and unpersists the previous round, so
-    * lineage and recompute don't grow with iterations. The RETURNED frame
+    * Iterative min-label propagation ACCELERATED by pointer jumping (the
+    * Pregel/GraphX formulation plus the classic path-doubling step): each
+    * round every node takes the min of its own and its neighbors' labels,
+    * then re-labels through its own label's label (valid because labels
+    * are monotone: cluster_id <= doc_id from initialization on, so the
+    * lookup only ever lowers a label). Plain propagation needs O(cluster
+    * diameter) rounds — fine for shallow near-dup clusters but fatal for
+    * path-shaped graphs (a grid DBSCAN eps-graph has hop diameter in the
+    * hundreds); the jump halves every label-chain per round, so
+    * convergence is O(log diameter) regardless of shape. The fixed point
+    * is unchanged: stability under neighbor-min forces equal labels
+    * across every edge, i.e. the component minimum.
+    *
+    * Each round's labels are EAGERLY localCheckpoint-ed, which truncates
+    * lineage: the round plan references the previous labels twice (once
+    * under the neighbor aggregate, once in the update join), so without
+    * truncation the logical plan DOUBLES per round — a >20-round run
+    * OOMed the driver on plan bookkeeping alone, long before any data
+    * pressure (round-6 DBSCAN incident). With truncation every round
+    * re-optimizes the same constant-size plan. Per-round checkpoint
+    * blocks (tiny: two longs per node) are freed by the ContextCleaner
+    * as each round's reference is dropped. The per-round convergence
+    * check is a count of changed labels, not a data collect. The
+    * RETURNED frame
     * is an EAGER localCheckpoint of the final labels: materialized and
     * lineage-free, with every loop cache released before return — nothing
     * stays pinned in the session cache manager, and the checkpoint blocks
@@ -1037,29 +1053,37 @@ object Dedup {
       // neighbors) from one aggregation over the edge list
       var labels = edges.groupBy("src")
         .agg(least(col("src"), min(col("dst"))).as("cluster_id"))
-        .withColumnRenamed("src", "doc_id").persist()
+        .withColumnRenamed("src", "doc_id").localCheckpoint(true)
       var converged = false
       var i = 0
       while (!converged && i < maxIter) {
-        // neighbor minima + label update + changed flag in ONE pass: the
-        // previous spelling computed `next` and then re-joined it against
-        // `labels` just to count changes — a whole extra join+shuffle per
-        // round. Carrying the prev label through the update join yields the
-        // changed flag for free, and the convergence count below both
-        // detects it AND fully fills next's cache (a limit(1) probe would
-        // leave partitions unmaterialized, so anything reading them after
-        // the upstream caches are unpersisted would recompute the chain).
+        // neighbor minima + label update + changed flag in ONE pass,
+        // then the pointer jump: re-label every node through the label
+        // of its own just-updated label. `stepped` is keyed by doc_id
+        // and every cluster_id IS a node id present in the table, so the
+        // self-lookup always hits; the left join + coalesce covers the
+        // root nodes defensively.
         val neighborMin = edges
           .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
           .groupBy(col("src").as("doc_id")).agg(min("cluster_id").as("__nmin"))
-        val next = labels.withColumnRenamed("cluster_id", "__prev")
+        val stepped = labels.withColumnRenamed("cluster_id", "__prev")
           .join(neighborMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
+          .select(col("doc_id"), col("__prev"),
             least(col("__prev"), coalesce(col("__nmin"), col("__prev")))
+              .as("__mid"))
+          // materialized once: the jump below reads it on BOTH sides of
+          // the self-join, and checkpointing beats recomputing the
+          // edge-join aggregate twice per round
+          .localCheckpoint(true)
+        val next = stepped
+          .join(stepped.select(col("doc_id").as("__mid"),
+            col("__mid").as("__jump")), Seq("__mid"), "left")
+          .select(col("doc_id"),
+            least(col("__mid"), coalesce(col("__jump"), col("__mid")))
               .as("cluster_id"),
-            (coalesce(col("__nmin"), col("__prev")) < col("__prev"))
-              .as("__changed"))
-          .persist()
+            (least(col("__mid"), coalesce(col("__jump"), col("__mid")))
+              < col("__prev")).as("__changed"))
+          .localCheckpoint(true)
         converged = next.filter(col("__changed")).count() == 0
         labels.unpersist()
         labels = next
