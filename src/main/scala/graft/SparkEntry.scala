@@ -300,6 +300,17 @@ object SparkEntry {
       Relational.firstLastPerCustomer(table(s, dir, "orders"))),
     "rel_price_histogram" -> ((s, dir) =>
       Relational.priceHistogram(table(s, dir, "orders"))),
+    // the pre-flight report BEHIND the salting decision: key-multiplicity
+    // deciles from the count-of-counts histogram — never an ntile over
+    // the key domain (single-partition-window hazard at scale)
+    "rel_skew_deciles" -> ((s, dir) =>
+      graft.relational.LayoutAnalysis.keySkewDeciles(table(s, dir, "orders"),
+        "o_custkey")),
+    // Z-order vs natural layout: files a min/max-pruned scan touches per
+    // range box under each layout — the Delta/Iceberg Z-clustering
+    // arithmetic, exact (file assignment by address RANGE, no global sort)
+    "rel_zorder_skipping" -> ((s, dir) =>
+      graft.relational.LayoutAnalysis.zorderSkipping(table(s, dir, "lineitem"))),
     // skew-safe two-phase aggregation: content-derived salts bound the
     // per-reducer key cardinality; decimal values make the two-phase sum
     // exact, so the oracle is the plain GROUP BY.
@@ -387,6 +398,11 @@ object SparkEntry {
       Events.slidingHourly(table(s, dir, "events"))),
     "ev_sessionize" -> ((s, dir) =>
       Events.sessionize(table(s, dir, "events"))),
+    // telemetry burst dedup (keep-first within 300 s per user+type):
+    // gaps-and-islands, windows keyed (user_id, event_type); reports the
+    // collapsed bursts (the drop-list)
+    "ev_dedup_bursts" -> ((s, dir) =>
+      Events.burstDedup(table(s, dir, "events"))),
     "ev_user_stats" -> ((s, dir) =>
       Events.userStats(table(s, dir, "events"))),
     "ev_daily_top_type" -> ((s, dir) =>
@@ -628,6 +644,10 @@ object SparkEntry {
     // near-dup keep, reported as docs dropped per stage
     "curate_funnel" -> ((s, dir) =>
       graft.curate.Curation.curationFunnel(table(s, dir, "documents"))),
+    // docs/tokens surviving each candidate TTR quality bar — pick the bar
+    // by its token cost; integer-exact decile bucketing, 10-row curve
+    "curate_quality_curve" -> ((s, dir) =>
+      graft.curate.Curation.qualityRetentionCurve(table(s, dir, "documents"))),
     // per-source dedup accounting: docs/tokens kept vs removed by the
     // near-dup keep-list (the provenance impact report published with
     // every dedup run); one tokenize scan + one ids-only join
@@ -1920,6 +1940,17 @@ object SparkEntry {
         |  CAST(floor(o_totalprice/50000.0) AS BIGINT)*50000.0 AS lo,
         |  count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // the oracle uses the NAIVE ntile-over-all-keys spelling the engine
+    // deliberately avoids; key interchangeability within a multiplicity
+    // makes the decile aggregates identical
+    "rel_skew_deciles" ->
+      """WITH kc AS (SELECT o_custkey AS k, count(*) AS cnt FROM orders GROUP BY 1),
+        |rk AS (SELECT k, cnt, ntile(10) OVER (ORDER BY cnt DESC, k) AS decile FROM kc)
+        |SELECT decile, count(*) AS keys, CAST(sum(cnt) AS BIGINT) AS rows_in_decile,
+        |  round(CAST(sum(cnt) AS DOUBLE) / (SELECT sum(cnt) FROM kc), 4) AS row_share,
+        |  CAST(max(cnt) AS BIGINT) AS max_cnt
+        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rel_zorder_skipping" -> zorderOracleSql,
     "rel_salted_agg" ->
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -2062,6 +2093,21 @@ object SparkEntry {
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
         |FROM n GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // same gaps-and-islands chain keyed (user_id, event_type); the kept
+    // event is the burst head row, unique per burst by construction
+    "ev_dedup_bursts" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, ts,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_us FROM events),
+        |h AS (SELECT *, (prev_us IS NULL OR epoch_us(ts) - prev_us > 300000000) AS head FROM e),
+        |g AS (SELECT *, CAST(sum(CASE WHEN head THEN 1 ELSE 0 END) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS burst FROM h)
+        |SELECT user_id, event_type,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS burst_start,
+        |  count(*) AS burst_len,
+        |  min(CASE WHEN head THEN event_id END) AS kept_event
+        |FROM g GROUP BY user_id, event_type, burst
+        |HAVING count(*) > 1
+        |ORDER BY user_id, event_type, burst_start""".stripMargin,
     "ev_user_stats" ->
       """SELECT user_id, count(*) AS n_events, count(DISTINCT event_type) AS n_types,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_seen,
@@ -2602,6 +2648,24 @@ object SparkEntry {
     // hit; quality = tokens >= 5 AND rounded dup-trigram-frac <= 0.2;
     // exact reps among quality survivors; near-dup clusters (df-cap 100,
     // jaccard >= 0.5, recursive closure) among exact survivors
+    // integer-exact bucket: floor(10*distinct/total) on BIGINTs, so the
+    // decile boundary (TTR exactly 0.3 -> bucket 3) cannot drift between
+    // engines; curve = one 10-row descending cumulative window
+    "curate_quality_curve" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
+        |pd AS (SELECT CASE WHEN len(tk) = 0 THEN 0
+        |    ELSE least(CAST(floor(10.0 * len(list_distinct(tk)) / len(tk)) AS BIGINT), 9) END AS b,
+        |  CAST(len(tk) AS BIGINT) AS nt FROM t),
+        |bb AS (SELECT b, count(*) AS docs, CAST(sum(nt) AS BIGINT) AS toks FROM pd GROUP BY 1),
+        |g AS (SELECT k AS d, COALESCE(docs, 0) AS docs, COALESCE(toks, 0) AS toks
+        |  FROM generate_series(0, 9) s(k) LEFT JOIN bb ON bb.b = k),
+        |c AS (SELECT d, CAST(sum(docs) OVER w AS BIGINT) AS docs_kept,
+        |    CAST(sum(toks) OVER w AS BIGINT) AS tokens_kept,
+        |    CAST(sum(toks) OVER () AS BIGINT) AS tot
+        |  FROM g WINDOW w AS (ORDER BY d DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT round(d / 10.0, 1) AS threshold, docs_kept, tokens_kept,
+        |  round(CASE WHEN tot = 0 THEN 0.0 ELSE CAST(tokens_kept AS DOUBLE) / tot END, 4) AS token_share
+        |FROM c ORDER BY threshold""".stripMargin,
     "curate_funnel" ->
       """WITH RECURSIVE t0 AS (SELECT doc_id, text, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
         |ls AS (SELECT doc_id,
@@ -4708,6 +4772,37 @@ object SparkEntry {
        |         array_to_string(w[1:greatest(len(w)//2, 1)], ' ') AS text
        |       FROM sp WHERE doc_id % $DefaultExcerptEvery = 0),
        |corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT * FROM ex)""".stripMargin
+  }
+
+  /** rel_zorder_skipping oracle: the identical md5-derived dims, the
+    * 32-term unrolled Morton interleave (integer div/mod arithmetic —
+    * DuckDB's `//` on BIGINT equals Spark's shift/mask on non-negative
+    * inputs), the same range-bucket file assignment, and the same 8-box
+    * min/max pruning test. */
+  private def zorderOracleSql: String = {
+    def ileave(src: String, off: Int): String =
+      (0 until 16).map(i =>
+        s"((($src // ${1L << i}) % 2) * ${1L << (2 * i + off)})")
+        .mkString(" + ")
+    s"""WITH d AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+       |    ('0x'||substring(md5(l_orderkey||'x'||l_linenumber),1,8))::BIGINT % 65536 AS x,
+       |    ('0x'||substring(md5(l_orderkey||'y'||l_linenumber),1,8))::BIGINT % 65536 AS y
+       |  FROM lineitem),
+       |z AS (SELECT ok, ln, x, y, ${ileave("x", 0)} + ${ileave("y", 1)} AS zaddr FROM d),
+       |fl AS (SELECT x, y,
+       |    (ok*8+ln) // ((SELECT (max(ok*8+ln)+1) // 64 + 1 FROM z)) AS file_nat,
+       |    zaddr // 67108864 AS file_z FROM z),
+       |boxes AS (SELECT k AS pred_id, k*8192 AS x0, k*8192+12287 AS x1,
+       |    8192 AS y0, 40959 AS y1 FROM generate_series(0,7) t(k)),
+       |nstat AS (SELECT file_nat AS f, min(x) xmin, max(x) xmax, min(y) ymin, max(y) ymax FROM fl GROUP BY 1),
+       |zstat AS (SELECT file_z AS f, min(x) xmin, max(x) xmax, min(y) ymin, max(y) ymax FROM fl GROUP BY 1),
+       |ncnt AS (SELECT pred_id, count(*) AS files_nat FROM boxes JOIN nstat
+       |    ON x0 <= xmax AND x1 >= xmin AND y0 <= ymax AND y1 >= ymin GROUP BY 1),
+       |zcnt AS (SELECT pred_id, count(*) AS files_z FROM boxes JOIN zstat
+       |    ON x0 <= xmax AND x1 >= xmin AND y0 <= ymax AND y1 >= ymin GROUP BY 1)
+       |SELECT b.pred_id, COALESCE(files_nat, 0) AS files_nat, COALESCE(files_z, 0) AS files_z
+       |FROM boxes b LEFT JOIN ncnt USING (pred_id) LEFT JOIN zcnt USING (pred_id)
+       |ORDER BY pred_id""".stripMargin
   }
 
   /** dedup_prefix_jaccard oracle: the prefix filter is LOSSLESS, so the

@@ -283,6 +283,50 @@ object Curation {
     * left join of an ids-only frame (broadcastable when the keep list is
     * stored as its own table; hash-join correct regardless); the output
     * aggregate is source-cardinality. */
+  /** Quality-retention curve: for each candidate type-token-ratio
+    * threshold (0.0, 0.1, ..., 0.9), how many docs and tokens survive a
+    * "drop everything below the bar" rule — the report that picks a
+    * quality bar by looking at what it costs in training tokens instead
+    * of guessing. TTR is the repo's pinned repetition proxy (distinct
+    * tokens / tokens). Bucketing is integer-exact at the decile
+    * boundaries: bucket = floor(10 * distinct / total) where both sides
+    * are exact longs, so a doc with TTR exactly 0.3 lands in bucket 3 in
+    * both engines (no float-boundary drift).
+    *
+    * Scale notes (100 TB): one tokenize scan reduces the corpus to a
+    * per-doc (bucket, tokens) pair; the aggregate has at most 10 groups;
+    * the cumulative "survivors at or above the bar" sum is a window over
+    * a 10-row frame. */
+  def qualityRetentionCurve(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.text.Tokenize.tokens(col("text"))
+    val perDoc = docs.select(
+      when(size(toks) === 0, lit(0L))
+        .otherwise(least(floor(lit(10.0) * size(array_distinct(toks))
+          / size(toks)), lit(9L))).as("b"),
+      size(toks).cast("long").as("nt"))
+    val byBucket = perDoc.groupBy("b")
+      .agg(count(lit(1)).as("docs"), sum("nt").as("toks"))
+    val grid = docs.sparkSession.range(0, 10).toDF("d")
+      .join(byBucket.withColumnRenamed("b", "d"), Seq("d"), "left")
+      .select(col("d"), coalesce(col("docs"), lit(0L)).as("docs"),
+        coalesce(col("toks"), lit(0L)).as("toks"))
+    val desc10 = Window.orderBy(col("d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all10 = Window.orderBy(col("d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    grid
+      .withColumn("docs_kept", sum(col("docs")).over(desc10))
+      .withColumn("tokens_kept", sum(col("toks")).over(desc10))
+      .withColumn("__tot", sum(col("toks")).over(all10))
+      .select(round(col("d") / 10.0, 1).as("threshold"),
+        col("docs_kept"), col("tokens_kept"),
+        round(when(col("__tot") === 0, 0.0)
+          .otherwise(col("tokens_kept").cast("double") / col("__tot")), 4)
+          .as("token_share"))
+      .orderBy("threshold")
+  }
+
   def dedupImpact(docs: DataFrame, keep: DataFrame): DataFrame = {
     val perDoc = docs.select(col("doc_id"), col("source"),
       size(graft.text.Tokenize.tokens(col("text"))).cast("long").as("__nt"))

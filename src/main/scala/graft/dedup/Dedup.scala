@@ -299,9 +299,12 @@ object Dedup {
     *    by construction instead of by a cap (which is why this operator
     *    needs no cap to stay exact).
     *
-    * Candidates from the prefix self-join then pay one exact
-    * intersection count (two postings joins bounded by candidate count),
-    * never the full index self-join. */
+    * A PPJoin length filter rides the prefix join (J >= t forces
+    * min(sz) >= t*max(sz)); the surviving candidate DOC SET then pays
+    * one aggregated postings self-join for exact intersection counts —
+    * skinny pair rows with map-side partial counting, never a
+    * candidate-pairs x doc-length explode and never the unrestricted
+    * index self-join. */
   def prefixJaccardPairs(docs: DataFrame, n: Int = 3,
                          minJaccard: Double = DefaultPrefixMinJaccard): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -320,17 +323,33 @@ object Dedup {
       .select("rep", "shingle")
     // join form (not collect_list buckets): prefix buckets are small by
     // the rarest-first argument above, but the join streams the fan-out
-    // of any residual hot bucket instead of materializing it in one task
-    val cand = pref.alias("a")
-      .join(pref.alias("b"), col("a.shingle") === col("b.shingle") &&
+    // of any residual hot bucket instead of materializing it in one task.
+    // PPJoin LENGTH filter on the join condition: J >= t forces
+    // min(sz) >= t * max(sz), so size-mismatched pairs never even leave
+    // the bucket join (lossless).
+    val sizes = rsh.groupBy("rep").agg(count(lit(1)).as("sz"))
+    val prefSz = pref.join(sizes, Seq("rep"))
+    val candReps = prefSz.alias("a")
+      .join(prefSz.alias("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.rep") < col("b.rep") &&
+        least(col("a.sz"), col("b.sz")).cast("double") >=
+          greatest(col("a.sz"), col("b.sz")) * minJaccard)
+      .select(explode(array(col("a.rep"), col("b.rep"))).as("rep"))
+      .distinct()
+    // intersection counts via the AGGREGATED postings self-join over
+    // candidate docs only — the count happens as a partial aggregate on
+    // the bucket join's output stream, so the shuffle carries
+    // sum-over-shingles-of-df^2 SKINNY pair rows, never candidate-pairs
+    // x doc-length (the first spelling re-joined each candidate pair
+    // against both full posting lists: 19x more shuffled rows on the
+    // same corpus, and the wide row carried the shingle string). The
+    // prefix filter is lossless, so every J >= t pair has BOTH reps in
+    // candReps and the final threshold needs no candidate-pair join.
+    val rshc = rsh.join(candReps, Seq("rep"))
+    val inter = rshc.alias("a")
+      .join(rshc.alias("b"), col("a.shingle") === col("b.shingle") &&
         col("a.rep") < col("b.rep"))
       .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"))
-      .distinct()
-    val sizes = rsh.groupBy("rep").agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(rsh.select(col("rep").as("rep_a"), col("shingle")), Seq("rep_a"))
-      .join(rsh.select(col("rep").as("rep_b"), col("shingle")),
-        Seq("rep_b", "shingle"))
       .groupBy("rep_a", "rep_b").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("rep").as("rep_a"), col("sz").as("sza")), Seq("rep_a"))

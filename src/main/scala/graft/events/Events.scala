@@ -114,6 +114,40 @@ object Events {
         sum(money(col("value"))).cast("double").as("total_value"))
       .orderBy("user_id")
 
+  /** Burst dedup (keep-first within a gap): collapse repeats of the same
+    * (user, event_type) that arrive within `gapSec` of the PREVIOUS
+    * event of the burst — the retry/double-click/replay dedup every
+    * telemetry ingest needs before counting anything. Gaps-and-islands:
+    * one lag + one running sum per (user_id, event_type), then one
+    * aggregate per burst; the kept event is the burst head (earliest by
+    * (ts, event_id) — a total, deterministic order). Reports only bursts
+    * that actually collapsed (burst_len > 1): the drop-list.
+    *
+    * Scale notes (100 TB): both window passes partition by
+    * (user_id, event_type) — per-key frames, no global sort; the shuffle
+    * key matches the aggregate key so the burst groupBy reuses the
+    * window exchange. */
+  def burstDedup(events: DataFrame, gapSec: Long = 300): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts", "event_id")
+    val gapMicros = gapSec * 1000000L
+    events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("head",
+        col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapMicros)
+      .withColumn("burst", sum(when(col("head"), 1L).otherwise(0L)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "event_type", "burst")
+      .agg(fmtTs(min(col("ts"))).as("burst_start"),
+        count(lit(1)).as("burst_len"),
+        min(when(col("head"), col("event_id"))).as("kept_event"))
+      .filter(col("burst_len") > 1)
+      .select("user_id", "event_type", "burst_start", "burst_len",
+        "kept_event")
+      .orderBy("user_id", "event_type", "burst_start")
+  }
+
   /** Daily most-frequent event type (agg + ranking window on top). */
   def dailyTopType(events: DataFrame): DataFrame = {
     val daily = events

@@ -267,4 +267,23 @@ class CurationSpec extends SparkSpec {
       assert(nsw == mine.count(trainSh.contains), s"doc $d shared")
     }
   }
+
+  test("quality curve: exact decile boundaries, empty doc in bucket 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "q w e r t y u i o p"),       // 10 tokens, 10 distinct: TTR 1.0 -> bucket 9
+      (2L, "a a a a a a a a a a"),       // TTR 0.1 exactly -> bucket 1
+      (3L, "a a a a b b b c c c"),       // TTR 0.3 exactly -> bucket 3 (integer-exact boundary)
+      (4L, ""),                          // empty -> bucket 0, 0 tokens
+    ).toDF("doc_id", "text")
+    val rows = Curation.qualityRetentionCurve(docs)
+      .as[(Double, Long, Long, Double)].collect().toSeq
+    val exp = Seq(
+      (0.0, 4L, 30L, 1.0), (0.1, 3L, 30L, 1.0),
+      (0.2, 2L, 20L, 0.6667), (0.3, 2L, 20L, 0.6667),
+      (0.4, 1L, 10L, 0.3333), (0.5, 1L, 10L, 0.3333),
+      (0.6, 1L, 10L, 0.3333), (0.7, 1L, 10L, 0.3333),
+      (0.8, 1L, 10L, 0.3333), (0.9, 1L, 10L, 0.3333))
+    assert(rows == exp)
+  }
 }

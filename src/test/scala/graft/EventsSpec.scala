@@ -22,6 +22,23 @@ class EventsSpec extends SparkSpec {
       ("2024-01-02", 0L, 1L, 0L)))
   }
 
+  test("burstDedup: exact-gap stays in burst, ties keep min id, singletons unreported") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "click", 1L),
+      (1L, ts("2024-01-01 10:04:00"), "click", 2L),  // 240s -> same burst
+      (1L, ts("2024-01-01 10:09:00"), "click", 3L),  // exactly 300s after #2: NOT > gap -> same burst
+      (1L, ts("2024-01-01 10:20:01"), "click", 4L),  // >300s -> new singleton burst (unreported)
+      (1L, ts("2024-01-01 10:00:30"), "view", 5L),   // other type: own stream, singleton
+      (2L, ts("2024-01-01 10:00:00"), "click", 7L),  // tie on ts: kept = min event_id
+      (2L, ts("2024-01-01 10:00:00"), "click", 8L),
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val rows = Events.burstDedup(ev)
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    assert(rows == Seq(
+      (1L, "click", "2024-01-01 10:00:00.000000", 3L, 1L),
+      (2L, "click", "2024-01-01 10:00:00.000000", 2L, 7L)))
+  }
+
   test("cohort retention counts only at-or-after-signup activity") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00"), "signup"),

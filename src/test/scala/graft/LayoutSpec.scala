@@ -93,4 +93,63 @@ class LayoutSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("name") && e.getMessage.contains("non-numeric"))
   }
+
+  test("LayoutAnalysis.interleave16 equals the bit-twiddled reference") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 512).select(
+      (col("id") * 97 % 65536).as("x"), (col("id") * 211 % 65536).as("y"))
+    val got = df.select(col("x"), col("y"),
+        graft.relational.LayoutAnalysis.interleave16(col("x"), col("y")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    def ref(x: Long, y: Long): Long = {
+      var z = 0L
+      var i = 0
+      while (i < 16) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      z
+    }
+    assert(got.nonEmpty)
+    got.foreach { case (x, y, z) => assert(z == ref(x, y), s"($x,$y)") }
+  }
+
+  test("zorderSkipping: z layout prunes; natural layout cannot") {
+    val li = table(spark, "/root/testdata/sf0.001", "lineitem")
+    val rows = graft.relational.LayoutAnalysis.zorderSkipping(li)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.size == 8)
+    rows.foreach { case (_, nat, z) =>
+      // dims are md5-derived, so insert order carries no signal: the
+      // natural layout scans (nearly) everything, the z layout a fraction
+      assert(z >= 1 && z < nat, s"nat=$nat z=$z")
+    }
+    val (natTot, zTot) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    assert(zTot * 3 <= natTot, s"expected >=3x skipping, nat=$natTot z=$zTot")
+  }
+
+  test("keySkewDeciles equals the naive ntile spelling") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // planted skew: key = floor(sqrt(id)) => multiplicity grows with key
+    val df = spark.range(0, 2000)
+      .select(floor(sqrt(col("id").cast("double"))).as("k"))
+    val kc = df.groupBy("k").agg(count(lit(1)).as("cnt"))
+    val nr = kc.agg(sum("cnt")).as[Long].head()
+    val naive = kc
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("cnt").desc, col("k"))).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("keys"), sum("cnt").as("rows_in_decile"),
+        max("cnt").as("max_cnt"))
+      .select(col("decile"), col("keys"), col("rows_in_decile"),
+        round(col("rows_in_decile").cast("double") / nr, 4).as("row_share"),
+        col("max_cnt"))
+      .orderBy("decile")
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    val got = graft.relational.LayoutAnalysis.keySkewDeciles(df, "k")
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    assert(got == naive)
+  }
 }
