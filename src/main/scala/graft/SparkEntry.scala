@@ -756,6 +756,16 @@ object SparkEntry {
     "mm_phash_pairs" -> ((s, dir) =>
       Multimodal.phashPairs(Multimodal.fromDocuments(
         Multimodal.withPerturbedCopies(table(s, dir, "documents"))))),
+    // perceptual-dup CLUSTERS: the phash pair graph through the shared
+    // pointer-jumped connected components — the keep/drop unit for
+    // image-style payload dedup (each perturbed copy joins its original)
+    "mm_phash_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+        Multimodal.phashPairs(Multimodal.fromDocuments(
+          Multimodal.withPerturbedCopies(table(s, dir, "documents"))))
+          .select(col("media_a").as("doc_a"), col("media_b").as("doc_b")))
+        .select(col("doc_id").as("media_id"), col("cluster_id"))
+        .orderBy("media_id")),
     // the one-row dataset card: volume + provenance breadth + integrity
     "curate_dataset_card" -> ((s, dir) =>
       graft.curate.Curation.datasetCard(table(s, dir, "documents"))),
@@ -956,6 +966,11 @@ object SparkEntry {
     // LM — plain count ratios, alpha-damped backoff, add-one unigram floor
     "text_stupid_backoff" -> ((s, dir) =>
       TextAnalysis.stupidBackoffScores(table(s, dir, "documents"), "src0")),
+    // CCNet head/middle/tail (Wenzek'20): per-source perplexity-proxy
+    // terciles over the same LM scores; histogram-derived value cuts, no
+    // corpus-grain ranking window
+    "text_perplexity_buckets" -> ((s, dir) =>
+      TextAnalysis.perplexityBuckets(table(s, dir, "documents"), "src0")),
     // trained quality classifier: 4 full-batch GD rounds of logistic
     // regression (decimal-exact gradient sums, one driver row per round)
     "text_quality_classifier" -> ((s, dir) =>
@@ -2515,6 +2530,7 @@ object SparkEntry {
     // (rep-collapsed exact threshold Jaccard), no prefix logic at all
     "dedup_prefix_jaccard" -> prefixJaccardOracleSql,
     "mm_phash_pairs" -> phashPairsOracleSql,
+    "mm_phash_clusters" -> phashClustersOracleSql,
     "text_cdc_chunks" -> cdcChunksOracleSql,
     "dedup_cdc_shared" -> cdcSharedOracleSql,
     "sketch_kmv_vocab" -> kmvVocabOracleSql,
@@ -3762,45 +3778,34 @@ object SparkEntry {
     // otherwise fold 0.4*0.4 as exact DECIMAL and diverge from the
     // engine's IEEE product); round(4) absorbs ln's 1-ulp noise.
     "text_stupid_backoff" ->
-      """WITH t AS (SELECT doc_id, source, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
-        |occ AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
-        |    THEN list_transform(generate_series(1, len(tk)-2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
-        |    ELSE [] END) AS tri FROM t),
-        |occp AS (SELECT doc_id, tri,
-        |    split_part(tri, ' ', 1) || ' ' || split_part(tri, ' ', 2) AS w12,
-        |    split_part(tri, ' ', 2) || ' ' || split_part(tri, ' ', 3) AS w23,
-        |    split_part(tri, ' ', 2) AS w2, split_part(tri, ' ', 3) AS w3 FROM occ),
-        |rt AS (SELECT tk FROM t WHERE source = 'src0'),
-        |c3 AS (SELECT tri, count(*) AS c3 FROM (SELECT unnest(CASE WHEN len(tk) >= 3
-        |    THEN list_transform(generate_series(1, len(tk)-2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
-        |    ELSE [] END) AS tri FROM rt) GROUP BY tri),
-        |c2 AS (SELECT bi, count(*) AS c2 FROM (SELECT unnest(CASE WHEN len(tk) >= 2
-        |    THEN list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])
-        |    ELSE [] END) AS bi FROM rt) GROUP BY bi),
-        |c1 AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(tk) AS w FROM rt) GROUP BY w),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT w) AS BIGINT) AS v
-        |  FROM (SELECT unnest(tk) AS w FROM rt)),
-        |sc AS (SELECT doc_id,
-        |    CASE WHEN c3.c3 IS NOT NULL THEN ln(CAST(c3.c3 AS DOUBLE) / CAST(p2.c2 AS DOUBLE))
-        |         WHEN s2.c2 IS NOT NULL THEN ln(CAST(0.4 AS DOUBLE) * (CAST(s2.c2 AS DOUBLE) / CAST(m1.c1 AS DOUBLE)))
-        |         ELSE ln(CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE) *
-        |              ((CAST(coalesce(l1.c1, 0) AS DOUBLE) + 1.0) / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE)))) END AS lp,
-        |    CASE WHEN c3.c3 IS NOT NULL THEN 0 WHEN s2.c2 IS NOT NULL THEN 1 ELSE 2 END AS lvl
-        |  FROM occp
-        |  LEFT JOIN c3 ON occp.tri = c3.tri
-        |  LEFT JOIN c2 p2 ON occp.w12 = p2.bi
-        |  LEFT JOIN c2 s2 ON occp.w23 = s2.bi
-        |  LEFT JOIN c1 m1 ON occp.w2 = m1.w
-        |  LEFT JOIN c1 l1 ON occp.w3 = l1.w
-        |  CROSS JOIN tot),
-        |per AS (SELECT doc_id, count(*) AS nt,
-        |    CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
-        |    CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nu,
-        |    round(avg(lp), 4) AS avg_logp FROM sc GROUP BY doc_id)
+      s"""WITH $stupidBackoffCtes
         |SELECT d.doc_id, CAST(coalesce(nt, 0) AS BIGINT) AS n_trigrams,
         |  CAST(coalesce(nb, 0) AS BIGINT) AS n_bi_backoff,
         |  CAST(coalesce(nu, 0) AS BIGINT) AS n_uni_backoff, avg_logp
         |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // CCNet head/middle/tail from the same LM chain; boundaries from the
+    // per-(source, score) histogram, value-threshold cut (ties -> head)
+    "text_perplexity_buckets" ->
+      s"""WITH $stupidBackoffCtes,
+        |base AS (SELECT t.doc_id, t.source, CAST(len(tk) AS BIGINT) AS ntok, per.avg_logp
+        |  FROM t LEFT JOIN per ON t.doc_id = per.doc_id),
+        |h AS (SELECT source, avg_logp, count(*) AS hd FROM base WHERE avg_logp IS NOT NULL GROUP BY 1, 2),
+        |cm AS (SELECT source, avg_logp,
+        |    CAST(sum(hd) OVER (PARTITION BY source ORDER BY avg_logp DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(hd) OVER (PARTITION BY source) AS BIGINT) AS n FROM h),
+        |b AS (SELECT source,
+        |    max(CASE WHEN cum >= ceil(n / 3.0) THEN avg_logp END) AS s1,
+        |    max(CASE WHEN cum >= ceil(n * 2 / 3.0) THEN avg_logp END) AS s2
+        |  FROM cm GROUP BY source),
+        |a AS (SELECT base.source,
+        |    CASE WHEN avg_logp IS NULL THEN 'no_lm'
+        |         WHEN avg_logp >= s1 THEN 'head'
+        |         WHEN avg_logp >= s2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |    ntok, avg_logp FROM base LEFT JOIN b ON base.source = b.source)
+        |SELECT source, bucket, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  min(avg_logp) AS min_logp, max(avg_logp) AS max_logp
+        |FROM a GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin,
     // Logistic-GD oracle: the same iters/lr interpolated from the engine
     // constants, each round unrolled CTE-by-CTE with the identical
     // decimal-exact gradient sums and the identical round(…,12) update;
@@ -4774,6 +4779,47 @@ object SparkEntry {
        |corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT * FROM ex)""".stripMargin
   }
 
+  /** Trigram stupid-backoff LM chain (t -> occp -> count tables -> sc ->
+    * per) — shared by text_stupid_backoff (per-doc report) and
+    * text_perplexity_buckets (CCNet head/middle/tail over the same
+    * scores), so a constant retune cannot desynchronize them. */
+  private def stupidBackoffCtes: String =
+    """t AS (SELECT doc_id, source, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
+      |occ AS (SELECT doc_id, unnest(CASE WHEN len(tk) >= 3
+      |    THEN list_transform(generate_series(1, len(tk)-2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+      |    ELSE [] END) AS tri FROM t),
+      |occp AS (SELECT doc_id, tri,
+      |    split_part(tri, ' ', 1) || ' ' || split_part(tri, ' ', 2) AS w12,
+      |    split_part(tri, ' ', 2) || ' ' || split_part(tri, ' ', 3) AS w23,
+      |    split_part(tri, ' ', 2) AS w2, split_part(tri, ' ', 3) AS w3 FROM occ),
+      |rt AS (SELECT tk FROM t WHERE source = 'src0'),
+      |c3 AS (SELECT tri, count(*) AS c3 FROM (SELECT unnest(CASE WHEN len(tk) >= 3
+      |    THEN list_transform(generate_series(1, len(tk)-2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+      |    ELSE [] END) AS tri FROM rt) GROUP BY tri),
+      |c2 AS (SELECT bi, count(*) AS c2 FROM (SELECT unnest(CASE WHEN len(tk) >= 2
+      |    THEN list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])
+      |    ELSE [] END) AS bi FROM rt) GROUP BY bi),
+      |c1 AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(tk) AS w FROM rt) GROUP BY w),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT w) AS BIGINT) AS v
+      |  FROM (SELECT unnest(tk) AS w FROM rt)),
+      |sc AS (SELECT doc_id,
+      |    CASE WHEN c3.c3 IS NOT NULL THEN ln(CAST(c3.c3 AS DOUBLE) / CAST(p2.c2 AS DOUBLE))
+      |         WHEN s2.c2 IS NOT NULL THEN ln(CAST(0.4 AS DOUBLE) * (CAST(s2.c2 AS DOUBLE) / CAST(m1.c1 AS DOUBLE)))
+      |         ELSE ln(CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE) *
+      |              ((CAST(coalesce(l1.c1, 0) AS DOUBLE) + 1.0) / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE)))) END AS lp,
+      |    CASE WHEN c3.c3 IS NOT NULL THEN 0 WHEN s2.c2 IS NOT NULL THEN 1 ELSE 2 END AS lvl
+      |  FROM occp
+      |  LEFT JOIN c3 ON occp.tri = c3.tri
+      |  LEFT JOIN c2 p2 ON occp.w12 = p2.bi
+      |  LEFT JOIN c2 s2 ON occp.w23 = s2.bi
+      |  LEFT JOIN c1 m1 ON occp.w2 = m1.w
+      |  LEFT JOIN c1 l1 ON occp.w3 = l1.w
+      |  CROSS JOIN tot),
+      |per AS (SELECT doc_id, count(*) AS nt,
+      |    CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+      |    CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS nu,
+      |    round(avg(lp), 4) AS avg_logp FROM sc GROUP BY doc_id)""".stripMargin
+
   /** rel_zorder_skipping oracle: the identical md5-derived dims, the
     * 32-term unrolled Morton interleave (integer div/mod arithmetic —
     * DuckDB's `//` on BIGINT equals Spark's shift/mask on non-negative
@@ -4940,11 +4986,11 @@ object SparkEntry {
     * cross-multiplication, the identical arithmetic as PHashExpr (all
     * constants interpolated) — and thresholds Hamming over ALL pairs,
     * with NO band blocking: the operator's pruning must be invisible. */
-  private def phashPairsOracleSql: String = {
+  private def phashCtes: String = {
     import graft.functions.PHashExpr.Segments
-    import graft.multimodal.Multimodal.{DefaultPHashMaxHamming, DefaultPerturbEvery, PerturbKeyBase}
+    import graft.multimodal.Multimodal.{DefaultPerturbEvery, PerturbKeyBase}
     val sg = Segments
-    s"""WITH corpus AS (SELECT doc_id, text FROM documents
+    s"""corpus AS (SELECT doc_id, text FROM documents
        |  UNION ALL SELECT doc_id + $PerturbKeyBase, 'q' || substring(text, 2)
        |  FROM documents WHERE doc_id % $DefaultPerturbEvery = 0),
        |pc AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM corpus),
@@ -4965,12 +5011,34 @@ object SparkEntry {
        |         list_aggregate(list_transform(generate_series(1, 32),
        |           j -> CASE WHEN s[j]*c[j+1] > s[j+1]*c[j]
        |                THEN 1::BIGINT << (j-1) ELSE 0::BIGINT END), 'sum') AS lo
-       |       FROM segs)
+       |       FROM segs)""".stripMargin
+  }
+
+  private def phashPairsOracleSql: String = {
+    import graft.multimodal.Multimodal.DefaultPHashMaxHamming
+    s"""WITH $phashCtes
        |SELECT a.doc_id AS media_a, b.doc_id AS media_b,
        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= $DefaultPHashMaxHamming
        |ORDER BY media_a, media_b""".stripMargin
+  }
+
+  /** mm_phash_clusters oracle: the phash pair set (unbanded, all-pairs —
+    * the blocking must be invisible), then the recursive-CTE transitive
+    * closure with min-id labels, the clusterCtes discipline. */
+  private def phashClustersOracleSql: String = {
+    import graft.multimodal.Multimodal.DefaultPHashMaxHamming
+    s"""WITH RECURSIVE $phashCtes,
+       |pr AS (SELECT a.doc_id AS ma, b.doc_id AS mb
+       |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= $DefaultPHashMaxHamming),
+       |edges AS (SELECT ma AS src, mb AS dst FROM pr UNION SELECT mb, ma FROM pr),
+       |reach(src, dst) AS (SELECT src, dst FROM edges
+       |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |clusters AS (SELECT src AS media_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
+       |  FROM reach GROUP BY src)
+       |SELECT media_id, cluster_id FROM clusters ORDER BY media_id""".stripMargin
   }
 
   /** Jaccard >= 0.5 pairs -> undirected edges -> transitive closure; the

@@ -1137,6 +1137,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. '20): split each
+    * source's documents into head/middle/tail by the trigram
+    * stupid-backoff LM score (avg ln-prob, the perplexity proxy — higher
+    * is more reference-like) and report docs/tokens/score-range per
+    * bucket — the report behind the "train on head, maybe middle, drop
+    * tail" curation decision. Docs the LM cannot score (< 3 tokens) land
+    * in an explicit `no_lm` bucket rather than silently polluting tail.
+    *
+    * The cut is by SCORE VALUE, not rank: the head boundary is the score
+    * at which the descending cumulative doc count first reaches
+    * ceil(n/3) (ties inflate head past n/3 — deterministic, and what a
+    * value-threshold deployment does anyway). Scores are the established
+    * round(4) values, so the ordering carries no float-noise ambiguity.
+    *
+    * Scale notes (100 TB): boundaries come from the per-(source, score)
+    * HISTOGRAM — the only window runs over distinct rounded scores per
+    * source (bounded by the score grid, not the corpus), the
+    * keySkewDeciles discipline; the boundary table is one row per source
+    * (broadcast), and bucket assignment is a scan projection. */
+  def perplexityBuckets(docs: DataFrame, refSource: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sd = docs.select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("nt"))
+      .join(stupidBackoffScores(docs, refSource)
+        .select(col("doc_id"), col("avg_logp")), Seq("doc_id"))
+    val h = sd.filter(col("avg_logp").isNotNull)
+      .groupBy("source", "avg_logp").agg(count(lit(1)).as("hd"))
+    val w = Window.partitionBy("source").orderBy(col("avg_logp").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nW = Window.partitionBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = h.withColumn("cum", sum(col("hd")).over(w))
+      .withColumn("n", sum(col("hd")).over(nW))
+    val bounds = cum.groupBy("source")
+      .agg(
+        max(when(col("cum") >= ceil(col("n").cast("double") / 3),
+          col("avg_logp"))).as("s1"),
+        max(when(col("cum") >= ceil(col("n").cast("double") * 2 / 3),
+          col("avg_logp"))).as("s2"))
+    sd.join(broadcast(bounds), Seq("source"), "left")
+      .withColumn("bucket",
+        when(col("avg_logp").isNull, lit("no_lm"))
+          .when(col("avg_logp") >= col("s1"), lit("head"))
+          .when(col("avg_logp") >= col("s2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        min(col("avg_logp")).as("min_logp"),
+        max(col("avg_logp")).as("max_logp"))
+      .orderBy("source", "bucket")
+  }
+
   /** Luhn doubling step: 2d, minus 9 when it overflows a digit. */
   private def luhnDoubled(d: Column): Column =
     when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)

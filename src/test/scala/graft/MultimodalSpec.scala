@@ -309,4 +309,24 @@ class MultimodalSpec extends SparkSpec {
       s"stranger pairs: ${pairs.filterNot(p => p._2 == p._1 + Multimodal.PerturbKeyBase).take(5).mkString(",")}")
     assert(pairs.length == planted.size)
   }
+
+  test("phash clusters: every perturbed copy labels to its original") {
+    import org.apache.spark.sql.functions.col
+    assume(new java.io.File("/root/testdata/sf0.001/documents.parquet").exists())
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = Multimodal.phashPairs(Multimodal.fromDocuments(
+      Multimodal.withPerturbedCopies(base, every = 10)))
+    val labels = graft.dedup.Dedup.duplicateClusters(
+        pairs.select(col("media_a").as("doc_a"), col("media_b").as("doc_b")))
+      .as[(Long, Long)].collect().toMap
+    val expected = pairs.as[(Long, Long, Long)].collect()
+      .filter(p => p._2 == p._1 + Multimodal.PerturbKeyBase)
+    assert(expected.nonEmpty)
+    // the copy's label equals the original's label (same component), and
+    // when the original is its own component min the label IS the original
+    expected.foreach { case (orig, copy, _) =>
+      assert(labels(copy) == labels(orig), s"pair ($orig, $copy)")
+      assert(labels(copy) <= orig)
+    }
+  }
 }

@@ -582,4 +582,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("term", "textrank", "rk"))
     assert(out.count() == 0)
   }
+
+  test("perplexity buckets: head/middle/tail by LM score, short docs to no_lm") {
+    import spark.implicits._
+    // reference source trains the LM; the scored source has 3 docs with
+    // strictly ordered scores (verbatim > half-match > OOV) + 1 unscorable
+    val docs = Seq(
+      (1L, "src0", "the cat sat on the mat and then the cat slept"),
+      (10L, "srcX", "the cat sat on the mat and then the cat slept"), // verbatim: highest
+      (11L, "srcX", "the cat sat under a blue lamp near a window"),   // partial
+      (12L, "srcX", "zzq qqz zqz qzq zzz qqq zqq qzz zzz abc"),       // OOV: lowest
+      (13L, "srcX", "so be"),                                         // < 3 tokens: no_lm
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.perplexityBuckets(docs, "src0")
+      .as[(String, String, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    val x = out.filter(_._1 == "srcX").map(r => (r._2, r._3)).toMap
+    // n=3 scored docs: ceil(3/3)=1 -> head = top score only; ceil(6/3)=2
+    // -> middle = second; tail = third; the 2-token doc lands in no_lm
+    assert(x == Map("head" -> 1L, "middle" -> 1L, "tail" -> 1L, "no_lm" -> 1L))
+    val srcX = out.filter(r => r._1 == "srcX" && r._2 != "no_lm")
+    // per-bucket score ranges are ordered and non-overlapping
+    val byBucket = srcX.map(r => r._2 -> (r._5.get, r._6.get)).toMap
+    assert(byBucket("head")._1 > byBucket("middle")._2)
+    assert(byBucket("middle")._1 > byBucket("tail")._2)
+    // no_lm has null score bounds
+    val noLm = out.find(r => r._1 == "srcX" && r._2 == "no_lm").get
+    assert(noLm._5.isEmpty && noLm._6.isEmpty)
+  }
 }
