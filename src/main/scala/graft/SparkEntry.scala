@@ -415,6 +415,11 @@ object SparkEntry {
       Events.typeByDayPivot(table(s, dir, "events"))),
     "ev_transitions" -> ((s, dir) =>
       Events.typeTransitions(table(s, dir, "events"))),
+    // stationary distribution of the type-transition chain: 3 unrolled
+    // power-iteration rounds over a TYPE-cardinality state (self-loops
+    // close terminal types so mass is conserved)
+    "ev_markov_stationary" -> ((s, dir) =>
+      Events.markovStationary(table(s, dir, "events"))),
     // SCD Type-2 dimension build from the CDC feed: no-op collapse ->
     // version numbers -> [valid_from, valid_to) intervals, one exchange
     // by user_id shared by all three window passes
@@ -773,6 +778,11 @@ object SparkEntry {
     // alpha-flattened sampling weight + resample factor
     "curate_source_mix" -> ((s, dir) =>
       graft.curate.Curation.sourceMixWeights(table(s, dir, "documents"), 0.5)),
+    // epoch-annealed mix schedule: natural share -> high-quality share
+    // across 4 epochs, integer-exact interpolation (weights sum to 1
+    // before the final double cast)
+    "curate_annealing_schedule" -> ((s, dir) =>
+      graft.curate.Curation.annealingSchedule(table(s, dir, "documents"))),
     // the mixing EXECUTOR: fill each source's alpha-weighted share of a
     // 20k-token budget in seeded-hash order
     "curate_budget_sample" -> ((s, dir) =>
@@ -1179,6 +1189,11 @@ object SparkEntry {
       Sampling.groupedWeightedSample(table(s, dir, "documents"), "lang",
           "doc_id", "n_chars", 5, 42)
         .select("lang", "doc_id", "n_chars").orderBy("lang", "doc_id")),
+    // Poisson bootstrap (the scalable bootstrap): md5-deterministic
+    // Poisson(1) replicate weights -> exactly replayable resampled
+    // aggregates; one scan, 3x fan-out, decimal-exact weighted sums
+    "samp_poisson_bootstrap" -> ((s, dir) =>
+      Sampling.poissonBootstrap(table(s, dir, "lineitem"))),
     // The serving path: build the bucketed parquet index, then search it
     // with partition pruning to the query terms' buckets. The oracle
     // recomputes the same statistics from raw text — stored-vs-recompute
@@ -2313,6 +2328,23 @@ object SparkEntry {
         |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type FROM events)
         |SELECT from_type, to_type, count(*) AS n FROM e WHERE to_type IS NOT NULL
         |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
+    // same chain: row-normalized P + terminal self-loops, uniform start,
+    // 3 unrolled rounds, round(6) anchor; drained types coalesce to 0
+    "ev_markov_stationary" ->
+      """WITH e AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type FROM events),
+        |tr AS (SELECT from_type, to_type, count(*) AS n FROM e WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |oc AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS o FROM tr GROUP BY 1),
+        |ty AS (SELECT DISTINCT t FROM (SELECT from_type AS t FROM tr UNION SELECT to_type FROM tr)),
+        |p AS (SELECT from_type, to_type, CAST(n AS DOUBLE) / o AS p FROM tr JOIN oc USING (from_type)
+        |      UNION ALL SELECT t, t, 1.0 FROM ty WHERE t NOT IN (SELECT from_type FROM tr)),
+        |n0 AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM ty),
+        |pi0 AS (SELECT t, 1.0 / nn AS pi FROM ty CROSS JOIN n0),
+        |pi1 AS (SELECT to_type AS t, sum(pi * p) AS pi FROM p JOIN pi0 ON p.from_type = pi0.t GROUP BY 1),
+        |pi2 AS (SELECT to_type AS t, sum(pi * p) AS pi FROM p JOIN pi1 ON p.from_type = pi1.t GROUP BY 1),
+        |pi3 AS (SELECT to_type AS t, sum(pi * p) AS pi FROM p JOIN pi2 ON p.from_type = pi2.t GROUP BY 1)
+        |SELECT ty.t AS event_type, round(coalesce(pi3.pi, 0.0), 6) AS stationary
+        |FROM ty LEFT JOIN pi3 ON ty.t = pi3.t ORDER BY event_type""".stripMargin,
     "ev_funnel" ->
       """WITH s0 AS (SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY user_id),
         |s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s0 ON e.user_id = s0.user_id
@@ -2818,6 +2850,22 @@ object SparkEntry {
         |  round(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6) AS dup_frac,
         |  round(CAST(sum(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+'))) AS DOUBLE) / count(*), 6) AS mean_doc_tokens
         |FROM documents""".stripMargin,
+    // same integer-exact interpolation in HUGEINT (Spark side: exact
+    // DECIMAL(38,0) products) — numerators sum to the denominator by
+    // construction, so no double accumulation exists to drift
+    "curate_annealing_schedule" ->
+      """WITH t AS (SELECT source, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
+        |pd AS (SELECT source, CAST(len(tk) AS BIGINT) AS nt,
+        |    (len(tk) > 0 AND 2 * len(list_distinct(tk)) >= len(tk)) AS hiq FROM t),
+        |bs AS (SELECT source, CAST(sum(nt) AS HUGEINT) AS nat,
+        |    CAST(sum(CASE WHEN hiq THEN nt ELSE 0 END) AS HUGEINT) AS hi FROM pd GROUP BY 1),
+        |tot AS (SELECT CAST(sum(nat) AS HUGEINT) AS tt, CAST(sum(hi) AS HUGEINT) AS hh FROM bs)
+        |SELECT e AS epoch, source,
+        |  CASE WHEN hh = 0 THEN round(CAST(nat AS DOUBLE) / CAST(tt AS DOUBLE), 6)
+        |       ELSE round(CAST((3 - e) * nat * hh + e * hi * tt AS DOUBLE)
+        |                  / CAST(3 * tt * hh AS DOUBLE), 6) END AS weight
+        |FROM bs CROSS JOIN tot CROSS JOIN generate_series(0, 3) g(e)
+        |ORDER BY epoch, source""".stripMargin,
     "curate_source_mix" ->
       """WITH per AS (SELECT source, count(*) AS n_docs,
         |    CAST(sum(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+'))) AS BIGINT) AS n_tokens
@@ -4465,6 +4513,26 @@ object SparkEntry {
         |  FROM k)
         |SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars
         |FROM r WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin,
+    // same md5-uniform draw through the same interpolated inverse-CDF
+    // ladder (Double.toString literals parse to the identical IEEE
+    // double in both engines); k*revenue stays decimal until the end
+    "samp_poisson_bootstrap" -> {
+      import graft.sources.Sampling.PoissonCum
+      val ladder = PoissonCum.zipWithIndex
+        .map { case (c, i) => s"WHEN u < $c THEN ${i}::BIGINT" }
+        .mkString(" ")
+      s"""WITH f AS (SELECT l_returnflag, l_orderkey, l_linenumber, r AS replica,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem CROSS JOIN generate_series(0, 2) t(r)),
+        |d AS (SELECT l_returnflag, replica, rev,
+        |    ('0x' || substring(md5(l_orderkey || '_' || l_linenumber || '#' || replica), 1, 8))::BIGINT / 4294967296.0 AS u
+        |  FROM f),
+        |k AS (SELECT l_returnflag, replica, rev,
+        |    CASE $ladder ELSE 7::BIGINT END AS k FROM d)
+        |SELECT l_returnflag, replica, CAST(sum(k) AS BIGINT) AS boot_rows,
+        |  CAST(sum(k * rev) AS DOUBLE) AS boot_revenue
+        |FROM k GROUP BY 1, 2 ORDER BY l_returnflag, replica""".stripMargin
+    },
     "bm25_stored" -> bm25OracleSql("('spark','join','window')"),
     "bm25_multi_stored" -> bm25MultiOracleSql,
     // BM25 over the phrase terms (same CTEs as bm25OracleSql) left-joined

@@ -327,6 +327,53 @@ object Curation {
       .orderBy("threshold")
   }
 
+  /** Epoch-annealed mix schedule (the "end training on your best data"
+    * recipe): per epoch e in 0..E-1, interpolate each source's sampling
+    * weight from its NATURAL token share (epoch 0) to its HIGH-QUALITY
+    * token share (last epoch), where high-quality = tokens of docs with
+    * TTR >= 0.5 (the integer-exact `2*distinct >= total` test).
+    *
+    * The interpolation is INTEGER-EXACT end to end: with lambda = e/(E-1),
+    * weight_e(s) = ((E-1-e)*nat(s)*H + e*hi(s)*T) / ((E-1)*T*H)
+    * — numerator and denominator are exact DECIMAL(38,0) products of
+    * token counts (T = total tokens, H = total high-quality tokens), and
+    * the denominator identity sum_s numer = (E-1)*T*H means the weights
+    * sum to exactly 1 before the final double cast. No double is summed
+    * anywhere, so there is no accumulation-order hazard to round away.
+    * If the corpus has NO high-quality tokens (H = 0) the schedule
+    * degenerates to the natural share at every epoch rather than
+    * dividing by zero.
+    *
+    * Scale notes (100 TB): one tokenize scan reduces to per-source token
+    * pairs; everything after is source-cardinality arithmetic with a
+    * broadcast totals row. */
+  def annealingSchedule(docs: DataFrame, epochs: Int = 4): DataFrame = {
+    require(epochs >= 2, "annealingSchedule needs >= 2 epochs")
+    val toks = graft.text.Tokenize.tokens(col("text"))
+    val perDoc = docs.select(col("source"),
+      size(toks).cast("long").as("nt"),
+      (size(array_distinct(toks)) * 2 >= size(toks) &&
+        size(toks) > 0).as("hiq"))
+    val bySrc = perDoc.groupBy("source")
+      .agg(sum(col("nt")).cast("decimal(38,0)").as("nat"),
+        sum(when(col("hiq"), col("nt")).otherwise(0L))
+          .cast("decimal(38,0)").as("hi"))
+    val tot = bySrc.agg(sum(col("nat")).cast("decimal(38,0)").as("tt"),
+      sum(col("hi")).cast("decimal(38,0)").as("hh"))
+    val eMax = epochs - 1
+    val grid = docs.sparkSession.range(0, epochs).toDF("epoch")
+    bySrc.crossJoin(broadcast(tot)).crossJoin(grid)
+      .select(col("epoch"), col("source"),
+        when(col("hh") === 0,
+          round(col("nat").cast("double") / col("tt").cast("double"), 6))
+          .otherwise(round(
+            ((lit(eMax) - col("epoch")) * col("nat") * col("hh") +
+              col("epoch") * col("hi") * col("tt")).cast("double") /
+              (lit(eMax) * col("tt") * col("hh")).cast("double"), 6))
+          .as("weight"))
+      .orderBy("epoch", "source")
+  }
+
   def dedupImpact(docs: DataFrame, keep: DataFrame): DataFrame = {
     val perDoc = docs.select(col("doc_id"), col("source"),
       size(graft.text.Tokenize.tokens(col("text"))).cast("long").as("__nt"))

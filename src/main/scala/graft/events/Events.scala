@@ -173,6 +173,50 @@ object Events {
       .orderBy("from_type", "to_type")
   }
 
+  /** Stationary distribution of the first-order event-type Markov chain
+    * (where a user's session *settles*): row-normalize the transition
+    * counts into P, give terminal-only types a self-loop so mass is
+    * conserved, and run `iters` unrolled power-iteration rounds from the
+    * uniform vector — the pageRankFromPairs discipline (double sums per
+    * round, one round(6) anchor at the end, oracle = the same rounds
+    * unrolled CTE-by-CTE). Types whose mass has fully drained report 0.
+    *
+    * Scale notes (100 TB): the chain state is TYPE-cardinality (tens of
+    * rows) — every join after the one transition-counting pass is over
+    * type-sized frames, so iteration cost is independent of event
+    * volume. */
+  def markovStationary(events: DataFrame, iters: Int = 3): DataFrame = {
+    val tr = typeTransitions(events)
+    val out = tr.groupBy("from_type").agg(sum("n").as("__out"))
+    val types = tr.select(col("from_type").as("t"))
+      .unionByName(tr.select(col("to_type").as("t"))).distinct()
+    val p = tr.join(out, Seq("from_type"))
+      .select(col("from_type"), col("to_type"),
+        (col("n").cast("double") / col("__out")).as("p"))
+      .unionByName(types
+        .join(out.withColumnRenamed("from_type", "t"), Seq("t"), "left_anti")
+        .select(col("t").as("from_type"), col("t").as("to_type"),
+          lit(1.0).as("p")))
+      .localCheckpoint(true)
+    val n = types.count().toDouble
+    if (n == 0)
+      return types.select(col("t").as("event_type"),
+        round(lit(0.0), 6).as("stationary"))
+    var pi = types.select(col("t").as("event_type"), (lit(1.0) / n).as("pi"))
+    var i = 0
+    while (i < iters) {
+      pi = p.join(pi.withColumnRenamed("event_type", "from_type"),
+          Seq("from_type"))
+        .groupBy(col("to_type").as("event_type"))
+        .agg(sum(col("pi") * col("p")).as("pi"))
+      i += 1
+    }
+    types.join(pi.withColumnRenamed("event_type", "t"), Seq("t"), "left")
+      .select(col("t").as("event_type"),
+        round(coalesce(col("pi"), lit(0.0)), 6).as("stationary"))
+      .orderBy("event_type")
+  }
+
   /** Slowly-changing-dimension TYPE-2 build from a CDC change feed — the
     * warehouse-maintenance op that turns an event log into a versioned
     * dimension with validity intervals. `changeType` events set the

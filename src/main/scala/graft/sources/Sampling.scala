@@ -163,6 +163,58 @@ object Sampling {
     * language/source/domain) training pipelines run before mixing.
     * Same determinism contract as deterministicSample; one shuffle
     * (the per-group ranking window), no global sort. */
+  /** Cumulative Poisson(1) CDF thresholds for k = 0..6 (mass above k=7 is
+    * ~1e-5 and maps to k=7). Computed once here and interpolated into the
+    * engine expression AND the oracle SQL, so the ladder cannot
+    * desynchronize: Double.toString round-trips, and both engines parse
+    * the literal to the identical IEEE double. */
+  val PoissonCum: Seq[Double] = {
+    val e1 = math.exp(-1.0)
+    var fact = 1.0
+    var acc = 0.0
+    (0 to 6).map { k =>
+      if (k > 0) fact *= k
+      acc += e1 / fact
+      acc
+    }
+  }
+
+  /** Poisson bootstrap (the scalable bootstrap: Chamandy et al. /
+    * Google's "Estimating Uncertainty for Massive Data Streams"): each
+    * row enters replica r with weight k ~ Poisson(1), derived
+    * DETERMINISTICALLY from md5(row key, replica) through the inverse
+    * CDF — so resampled aggregates are exactly replayable on any engine,
+    * and the spread across replicas estimates the statistic's sampling
+    * error without ever materializing a resample. Statistic here:
+    * per-returnflag discounted revenue (decimal-exact weighted sums).
+    *
+    * Scale notes (100 TB): one scan, `replicas`x row fan-out, one
+    * groupBy — no shuffle beyond the aggregate; the classical bootstrap
+    * (N draws WITH replacement per replica) cannot be expressed as a
+    * scan at all, which is the point of the Poisson form. */
+  def poissonBootstrap(lineitem: DataFrame, replicas: Int = 3): DataFrame = {
+    val u = hex8Int(md5(concat(
+      col("l_orderkey").cast("string"), lit("_"),
+      col("l_linenumber").cast("string"), lit("#"),
+      col("replica").cast("string")))).cast("double") / lit(4294967296.0)
+    val k = PoissonCum.zipWithIndex
+      .foldLeft(when(lit(false), lit(0L))) { case (acc, (c, i)) =>
+        acc.when(col("__u") < lit(c), lit(i.toLong))
+      }.otherwise(lit(7L))
+    lineitem
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))).as("__rev"))
+      .withColumn("replica",
+        explode(array((0 until replicas).map(r => lit(r.toLong)): _*)))
+      .withColumn("__u", u)
+      .withColumn("__k", k)
+      .groupBy("l_returnflag", "replica")
+      .agg(sum(col("__k")).as("boot_rows"),
+        sum(col("__k") * col("__rev")).cast("double").as("boot_revenue"))
+      .orderBy("l_returnflag", "replica")
+  }
+
   def stratifiedSample(df: DataFrame, groupCol: String, idCol: String,
                        nPerGroup: Int, seed: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -268,6 +268,26 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("annealing schedule: exact rational interpolation, weights sum to 1") {
+    import spark.implicits._
+    // srcA: 10 high-quality tokens; srcB: 30 low-quality (TTR < 0.5)
+    val docs = Seq(
+      (1L, "srcA", "q w e r t"), (2L, "srcA", "y u i o p"),
+      (3L, "srcB", "a a a a a"), (4L, "srcB", "a a a a a"),
+      (5L, "srcB", "a a a a a"), (6L, "srcB", "a a a a a"),
+      (7L, "srcB", "a a a a a"), (8L, "srcB", "a a a a a"),
+    ).toDF("doc_id", "source", "text")
+    val rows = Curation.annealingSchedule(docs)
+      .as[(Long, String, Double)].collect().toSeq
+    // T=40, H=10: epoch 0 = natural (0.25/0.75), epoch 3 = hi (1/0),
+    // epochs 1, 2 exact thirds of the way
+    assert(rows == Seq(
+      (0L, "srcA", 0.25), (0L, "srcB", 0.75),
+      (1L, "srcA", 0.5), (1L, "srcB", 0.5),
+      (2L, "srcA", 0.75), (2L, "srcB", 0.25),
+      (3L, "srcA", 1.0), (3L, "srcB", 0.0)))
+  }
+
   test("quality curve: exact decile boundaries, empty doc in bucket 0") {
     import spark.implicits._
     val docs = Seq(

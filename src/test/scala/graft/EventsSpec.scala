@@ -39,6 +39,23 @@ class EventsSpec extends SparkSpec {
       (2L, "click", "2024-01-01 10:00:00.000000", 2L, 7L)))
   }
 
+  test("markovStationary: absorbing type drains sources, terminal-only type self-loops") {
+    // user 1: A B B B (A->B, B->B x2); user 2: A C (A->C; C terminal-only)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "A", 1L),
+      (1L, ts("2024-01-01 10:01:00"), "B", 2L),
+      (1L, ts("2024-01-01 10:02:00"), "B", 3L),
+      (1L, ts("2024-01-01 10:03:00"), "B", 4L),
+      (2L, ts("2024-01-01 10:00:00"), "A", 5L),
+      (2L, ts("2024-01-01 10:01:00"), "C", 6L),
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    // P(A->B)=P(A->C)=0.5, P(B->B)=1, C self-loops; from uniform 1/3:
+    // round 1 drains A to 0 and splits its mass evenly -> (0, 0.5, 0.5)
+    val rows = Events.markovStationary(ev)
+      .as[(String, Double)].collect().toSeq
+    assert(rows == Seq(("A", 0.0), ("B", 0.5), ("C", 0.5)))
+  }
+
   test("cohort retention counts only at-or-after-signup activity") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00"), "signup"),

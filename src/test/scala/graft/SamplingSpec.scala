@@ -160,4 +160,40 @@ class SamplingSpec extends SparkSpec {
       .sortBy { case (id, k) => (-k, id) }.take(5).map(_._1).toSet
     assert(got.filter(_._1 == langs.head).map(_._2).toSet == keyOrder)
   }
+
+  test("poisson bootstrap: weights replay exactly, mean weight ~ 1 per replica") {
+    import org.apache.spark.sql.functions.col
+    assume(new java.io.File("/root/testdata/sf0.001/lineitem.parquet").exists())
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val n = li.count()
+    val out = Sampling.poissonBootstrap(li)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // deterministic: second run is bit-identical
+    assert(out == Sampling.poissonBootstrap(li)
+      .as[(String, Long, Long, Double)].collect().toSeq)
+    // per replica, total resampled rows within 4 sigma of n (Poisson(1)
+    // per row => variance n)
+    val byRep = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(byRep.keySet == Set(0L, 1L, 2L))
+    val tol = 4 * math.sqrt(n.toDouble)
+    byRep.values.foreach(v => assert(math.abs(v - n) <= tol, s"$v vs $n"))
+    // exact replay of the inverse-CDF draw for one row in plain Scala
+    val row = li.select(col("l_orderkey").cast("long"),
+        col("l_linenumber").cast("long")).as[(Long, Long)].head()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def kOf(r: Int): Long = {
+      val hx = md.digest(s"${row._1}_${row._2}#$r".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = java.lang.Long.parseLong(hx, 16).toDouble / 4294967296.0
+      Sampling.PoissonCum.indexWhere(u < _) match {
+        case -1 => 7L
+        case i => i.toLong
+      }
+    }
+    val perRow = Sampling.poissonBootstrap(
+        li.filter(col("l_orderkey") === row._1 &&
+          col("l_linenumber") === row._2))
+      .as[(String, Long, Long, Double)].collect()
+    perRow.foreach { case (_, r, k, _) => assert(k == kOf(r.toInt), s"replica $r") }
+  }
 }
