@@ -50,8 +50,14 @@ class BenchInvariantsSpec extends SparkSpec {
   private val pins = Seq(
     // pre-agg + orders join + suppkey agg; window reuses the join exchange
     ("rel_sole_late_supplier", 3, 240000L),
-    // funnel tail over checkpointed verdicts: group + sort only
-    ("curate_funnel", 2, 50L),
+    // funnel tail over checkpointed verdicts: the near-dup verdict join
+    // (one exchange pair feeding an AQE-converted broadcast) + group +
+    // sort. Round-6 re-pin: checkpointed frames now inherit PLAN-estimate
+    // stats (the per-round localCheckpoint that fixed the CC plan
+    // blow-up), so the tiny side no longer broadcasts statically — AQE
+    // converts at runtime from the MEASURED size, which is the contract
+    // that stays safe when a verdict table is genuinely large.
+    ("curate_funnel", 3, 100L),
     // ONE partial+final aggregate + 4-row sort — the round-3 scare
     ("rel_case_agg", 2, 50L),
     // round-6 re-pin: the exact arms are now distinct-then-count
@@ -65,7 +71,9 @@ class BenchInvariantsSpec extends SparkSpec {
     ("dedup_clusters", 0, 0L),
     // pruned postings serve: stats join + top-k, one exchange
     ("bm25_stored", 1, 3000L),
-    ("dedup_keep_list", 1, 1000L),
+    // round-6 re-pin (same cause as curate_funnel): docs + drop-list
+    // exchange pair, anti-join AQE-converted to broadcast at runtime
+    ("dedup_keep_list", 3, 2000L),
     ("rel_bucketed_join", 2, 200L),
     ("samp_stratified", 2, 250L),
     ("text_bigram_lm", 5, 6000L),
