@@ -1117,9 +1117,12 @@ object TextAnalysis {
           log(col("c3").cast("double") / col("c2pre").cast("double")))
           .when(col("c2suf").isNotNull,
             log(a * (col("c2suf").cast("double") / col("c1mid").cast("double"))))
-          .otherwise(log(a * a *
-            ((coalesce(col("c1last"), lit(0L)).cast("double") + lit(1.0)) /
-              (col("__n").cast("double") + col("__v").cast("double")))))
+          // try_divide: an EMPTY reference corpus (n+v = 0) must yield
+          // NULL scores like DuckDB's x/0, not an ANSI throw — reachable
+          // when the reference slice exists but tokenizes to nothing
+          .otherwise(log(a * a * try_divide(
+            coalesce(col("c1last"), lit(0L)).cast("double") + lit(1.0),
+            col("__n").cast("double") + col("__v").cast("double"))))
           .as("lp"),
         when(col("c3").isNotNull, lit(0))
           .when(col("c2suf").isNotNull, lit(1)).otherwise(lit(2)).as("lvl"))
