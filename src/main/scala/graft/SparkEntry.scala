@@ -1110,6 +1110,12 @@ object SparkEntry {
     // exact intersection as the judged evaluation arm
     "sketch_kmv_overlap" -> ((s, dir) =>
       Sketches.kmvSourceOverlap(table(s, dir, "documents"))),
+    // Misra-Gries bound-then-verify: the sub-linear heavy-hitters path
+    // whose exact-recount second pass makes the result EXACT, so the
+    // oracle is the plain HAVING definition with no MG logic (pruning
+    // invisible — the bm25_wand standing)
+    "sketch_heavy_hitters" -> ((s, dir) =>
+      Sketches.heavyHitterTerms(table(s, dir, "documents"))),
 
     // ---- multimodal binary-column plumbing (north star) ----
     "mm_meta" -> ((s, dir) =>
@@ -2567,6 +2573,7 @@ object SparkEntry {
     "dedup_cdc_shared" -> cdcSharedOracleSql,
     "sketch_kmv_vocab" -> kmvVocabOracleSql,
     "sketch_kmv_overlap" -> kmvOverlapOracleSql,
+    "sketch_heavy_hitters" -> heavyHittersOracleSql,
     "dedup_line_boilerplate" -> lineDedupOracleSql,
     "dedup_bloom_incremental" -> bloomOracleSql,
     "dedup_clusters" ->
@@ -4585,6 +4592,22 @@ object SparkEntry {
        |SELECT term, CAST(n AS BIGINT) AS true_n, CAST(cms_n AS BIGINT) AS cms_n,
        |       CAST(cms_n - n AS BIGINT) AS overcount
        |FROM est ORDER BY true_n DESC, term""".stripMargin
+  }
+
+  /** sketch_heavy_hitters oracle — the PLAIN group-by + HAVING
+    * definition, no Misra-Gries logic: the MG guarantee (every key with
+    * n > N/(cap+1) survives the summary) + the exact recount make the
+    * pruning invisible, so the oracle needs only the threshold
+    * t = N // (cap+1) + 1 derived from the operator's own capacity. */
+  private def heavyHittersOracleSql: String = {
+    val div = graft.sketch.Sketches.DefaultMgCapacity + 1
+    s"""WITH tok AS (SELECT unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS term FROM documents),
+       |tot AS (SELECT count(*) // $div + 1 AS t FROM tok),
+       |cnt AS (SELECT term, count(*) AS n FROM tok GROUP BY term)
+       |SELECT c.term, c.n, t.t AS hh_threshold
+       |FROM cnt c CROSS JOIN tot t
+       |WHERE c.n >= t.t
+       |ORDER BY c.n DESC, c.term""".stripMargin
   }
 
   /** samp_hash_split oracle: thresholds AND seed derived from the SAME

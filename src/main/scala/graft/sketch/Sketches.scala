@@ -236,6 +236,51 @@ object Sketches {
       .orderBy("source_a", "source_b")
   }
 
+  /** Misra-Gries capacity for the declared heavy-hitters query, named so
+    * the oracle derives the SAME threshold divisor (capacity+1). */
+  val DefaultMgCapacity = 32
+
+  /** Exact heavy-hitter terms by Misra-Gries bound-then-verify: pass 1
+    * folds the token stream into a ≤capacity-entry MG summary
+    * (`functions.MisraGries` — partial-aggregated map-side, the exchange
+    * carries O(partitions × capacity) rows however large the vocabulary);
+    * pass 2 re-counts ONLY the surviving candidates exactly (broadcast
+    * semi-join — candidate rows, not the key domain, bound the shuffle)
+    * and keeps those at or above t = N div (capacity+1) + 1.
+    *
+    * EXACT by the MG guarantee: any key with true frequency > N/(cap+1)
+    * survives the summary under any partitioning/merge order, and
+    * n ≥ floor(N/(cap+1))+1 implies n > N/(cap+1) — so no qualifying key
+    * can be missing from the candidates. The oracle is therefore the
+    * PLAIN group-by + HAVING definition with no MG logic at all (the
+    * bm25_wand standing: pruning must be invisible). SketchSpec pins the
+    * guarantee itself on skewed streams across adversarial partitionings,
+    * where decrements and merge-subtractions actually fire (the declared
+    * corpus's 31-term vocabulary fits the summary; the spec's does not).
+    *
+    * Scale notes (100 TB): this is the heavy-hitters shape when the key
+    * domain (URLs, n-grams, user ids) is too large to groupBy exactly —
+    * both passes are scan + bounded-state aggregate; nothing is ever
+    * keyed by the full domain except the candidate-filtered recount,
+    * whose group count is ≤ capacity. */
+  def heavyHitterTerms(docs: DataFrame,
+                       capacity: Int = DefaultMgCapacity): DataFrame = {
+    val tok = graft.text.Tokenize.termOccurrences(docs).select("term")
+    val summary = tok.agg(
+      graft.functions.MisraGries.summary(capacity)(col("term")).as("mg"),
+      count(lit(1)).as("n_total"))
+    val cands = summary.select(col("n_total"),
+      explode(map_keys(col("mg"))).as("term"))
+    tok.join(broadcast(cands.select("term")), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .join(broadcast(cands), Seq("term"))
+      .withColumn("hh_threshold",
+        expr(s"n_total div ${capacity + 1}") + lit(1L))
+      .filter(col("n") >= col("hh_threshold"))
+      .select(col("term"), col("n"), col("hh_threshold"))
+      .orderBy(desc("n"), asc("term"))
+  }
+
   /** Exact vs approximate median+p95 order price per priority. */
   def priceQuantilesPerPriority(orders: DataFrame): DataFrame =
     orders.groupBy("o_orderpriority")

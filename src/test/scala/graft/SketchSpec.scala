@@ -107,4 +107,52 @@ class SketchSpec extends SparkSpec {
     // KMV estimate of the 199-bigram intersection within generous bound
     assert(math.abs(ag._4 - 199.0) / 199.0 < 0.4, s"kmv_inter ${ag._4}")
   }
+
+  // A Zipf-ish stream whose vocabulary (200 keys) far exceeds the MG
+  // capacity, so decrements and merge-subtractions actually fire —
+  // unlike the declared corpus's 31-term vocabulary.
+  private def zipfStream: Seq[String] =
+    new scala.util.Random(7).shuffle(
+      (1 to 200).flatMap(r => Seq.fill(math.max(1, 4000 / (r * r)))(s"k$r")))
+
+  test("Misra-Gries: size bound, undercount bound, heavy keys survive any partitioning") {
+    import spark.implicits._
+    val stream = zipfStream
+    val n = stream.size.toLong
+    val truth = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cap = 16
+    for (parts <- Seq(1, 3, 4)) {
+      val mg = stream.toDF("term").repartition(parts)
+        .agg(graft.functions.MisraGries.summary(cap)($"term").as("mg"))
+        .as[Map[String, Long]].head()
+      assert(mg.size <= cap, s"summary ${mg.size} > capacity $cap")
+      // every counter undercounts, and by at most N/(cap+1)
+      mg.foreach { case (k, est) =>
+        assert(est <= truth(k), s"$k overcounted: $est > ${truth(k)}")
+        assert(truth(k) - est <= n / (cap + 1) + 1,
+          s"$k undercount ${truth(k) - est} beyond bound")
+      }
+      // THE guarantee: true frequency > N/(cap+1) => present
+      truth.filter(_._2 > n.toDouble / (cap + 1)).keys.foreach { k =>
+        assert(mg.contains(k), s"heavy key $k missing at $parts partitions")
+      }
+    }
+  }
+
+  test("Misra-Gries bound-then-verify equals the plain HAVING definition") {
+    import spark.implicits._
+    val stream = zipfStream
+    val n = stream.size.toLong
+    val cap = 16
+    val docs = stream.grouped(97).zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val got = Sketches.heavyHitterTerms(docs, cap)
+      .as[(String, Long, Long)].collect().toSeq
+    val t = n / (cap + 1) + 1
+    val want = stream.groupBy(identity).map { case (k, v) => (k, v.size.toLong, t) }
+      .filter(_._2 >= t).toSeq.sortBy(r => (-r._2, r._1))
+    assert(got == want)
+    assert(got.nonEmpty) // the fixture must actually exercise the cut
+  }
 }
