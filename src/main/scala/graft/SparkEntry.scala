@@ -774,6 +774,12 @@ object SparkEntry {
     // the one-row dataset card: volume + provenance breadth + integrity
     "curate_dataset_card" -> ((s, dir) =>
       graft.curate.Curation.datasetCard(table(s, dir, "documents"))),
+    // Deequ-style contract check over the relational feed: completeness,
+    // ranges, accepted domains, key uniqueness, referential integrity —
+    // two conditional-aggregate scans + one anti join, unpivoted
+    "curate_expectations" -> ((s, dir) =>
+      graft.curate.Curation.expectationsReport(
+        table(s, dir, "lineitem"), table(s, dir, "orders"))),
     // temperature-scaled domain mixing: per-source token share ->
     // alpha-flattened sampling weight + resample factor
     "curate_source_mix" -> ((s, dir) =>
@@ -2857,6 +2863,39 @@ object SparkEntry {
         |  round(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) / count(*), 6) AS dup_frac,
         |  round(CAST(sum(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+'))) AS DOUBLE) / count(*), 6) AS mean_doc_tokens
         |FROM documents""".stripMargin,
+    // each check re-spelled as a scalar FILTER aggregate; NOT-EXISTS and
+    // Spark's left_anti agree on null keys (never match -> orphan)
+    "curate_expectations" ->
+      """WITH li AS (SELECT count(*) AS n,
+        |    count(*) FILTER (WHERE l_orderkey IS NULL) AS v_complete,
+        |    count(*) FILTER (WHERE NOT (l_quantity BETWEEN 1 AND 50)) AS v_qty,
+        |    count(*) FILTER (WHERE NOT (l_discount BETWEEN 0.0 AND 0.1)) AS v_disc,
+        |    count(*) FILTER (WHERE NOT (l_returnflag IN ('A','N','R'))) AS v_rf,
+        |    count(*) FILTER (WHERE NOT (l_linestatus IN ('O','F'))) AS v_ls,
+        |    count(*) FILTER (WHERE l_extendedprice <= 0) AS v_price
+        |  FROM lineitem),
+        |ord AS (SELECT count(*) AS n,
+        |    count(*) - count(DISTINCT o_orderkey) AS v_uniq,
+        |    count(*) FILTER (WHERE NOT (o_orderstatus IN ('P','O','F'))) AS v_os,
+        |    count(*) FILTER (WHERE o_totalprice <= 0) AS v_tp
+        |  FROM orders),
+        |orph AS (SELECT count(*) AS v FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+        |rows_ AS (
+        |  SELECT 'complete_l_orderkey' AS check, li.n AS n_checked, li.v_complete AS n_violations FROM li
+        |  UNION ALL SELECT 'range_l_quantity', li.n, li.v_qty FROM li
+        |  UNION ALL SELECT 'range_l_discount', li.n, li.v_disc FROM li
+        |  UNION ALL SELECT 'accepted_l_returnflag', li.n, li.v_rf FROM li
+        |  UNION ALL SELECT 'accepted_l_linestatus', li.n, li.v_ls FROM li
+        |  UNION ALL SELECT 'positive_l_extendedprice', li.n, li.v_price FROM li
+        |  UNION ALL SELECT 'ref_l_orderkey', li.n, orph.v FROM li, orph
+        |  UNION ALL SELECT 'unique_o_orderkey', ord.n, ord.v_uniq FROM ord
+        |  UNION ALL SELECT 'accepted_o_orderstatus', ord.n, ord.v_os FROM ord
+        |  UNION ALL SELECT 'positive_o_totalprice', ord.n, ord.v_tp FROM ord)
+        |SELECT "check", CAST(n_checked AS BIGINT) AS n_checked,
+        |  CAST(n_violations AS BIGINT) AS n_violations,
+        |  CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+        |FROM rows_ ORDER BY "check"""".stripMargin,
     // same integer-exact interpolation in HUGEINT (Spark side: exact
     // DECIMAL(38,0) products) — numerators sum to the denominator by
     // construction, so no double accumulation exists to drift

@@ -1,6 +1,6 @@
 package graft.curate
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.textstats.TextAnalysis
@@ -144,6 +144,59 @@ object Curation {
           count(lit(1)), 6).as("dup_frac"),
         round(sum("tokens").cast("double") / count(lit(1)), 6)
           .as("mean_doc_tokens"))
+  }
+
+  /** Declarative data-quality expectations over the relational feed — the
+    * Deequ-style (Schelter'18, public Amazon Deequ) contract check a
+    * pipeline runs before training data is derived from an ingest:
+    * completeness, value ranges, accepted domains, key uniqueness, and
+    * referential integrity, each reported as (checked, violations,
+    * pass/fail).
+    *
+    * Scale notes (100 TB): every column check folds into ONE conditional
+    * aggregate per table — two scans total, no shuffle beyond the 1-row
+    * partials; uniqueness is a single distinct-count; the referential
+    * check is the one keyed exchange (anti join on the fact's own join
+    * key — the shape the fact table is typically already bucketed by).
+    * The three 1-row frames crossJoin into one row and unpivot via
+    * stack(), so adding a check is adding a column, not a scan. */
+  def expectationsReport(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    // null comparisons fold to 0 here by design: nulls are charged to the
+    // completeness checks, not double-counted by every range check
+    def viol(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val li = lineitem.agg(
+      count(lit(1)).as("n_li"),
+      viol(col("l_orderkey").isNull).as("complete_l_orderkey"),
+      viol(!col("l_quantity").between(1, 50)).as("range_l_quantity"),
+      viol(!col("l_discount").between(0.0, 0.1)).as("range_l_discount"),
+      viol(!col("l_returnflag").isin("A", "N", "R")).as("accepted_l_returnflag"),
+      viol(!col("l_linestatus").isin("O", "F")).as("accepted_l_linestatus"),
+      viol(col("l_extendedprice") <= 0).as("positive_l_extendedprice"))
+    val ord = orders.agg(
+      count(lit(1)).as("n_ord"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("unique_o_orderkey"),
+      viol(!col("o_orderstatus").isin("P", "O", "F")).as("accepted_o_orderstatus"),
+      viol(col("o_totalprice") <= 0).as("positive_o_totalprice"))
+    val orphans = lineitem.join(orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("ref_l_orderkey"))
+    li.crossJoin(ord).crossJoin(orphans)
+      .select(expr(
+        """stack(10,
+          |  'complete_l_orderkey', n_li, complete_l_orderkey,
+          |  'range_l_quantity', n_li, range_l_quantity,
+          |  'range_l_discount', n_li, range_l_discount,
+          |  'accepted_l_returnflag', n_li, accepted_l_returnflag,
+          |  'accepted_l_linestatus', n_li, accepted_l_linestatus,
+          |  'positive_l_extendedprice', n_li, positive_l_extendedprice,
+          |  'ref_l_orderkey', n_li, ref_l_orderkey,
+          |  'unique_o_orderkey', n_ord, unique_o_orderkey,
+          |  'accepted_o_orderstatus', n_ord, accepted_o_orderstatus,
+          |  'positive_o_totalprice', n_ord, positive_o_totalprice
+          |) as (check, n_checked, n_violations)""".stripMargin))
+      .withColumn("status",
+        when(col("n_violations") === 0L, "pass").otherwise("fail"))
+      .orderBy("check")
   }
 
   def sourceMixWeights(docs: DataFrame, alpha: Double = 0.5): DataFrame = {

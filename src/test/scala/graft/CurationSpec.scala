@@ -306,4 +306,45 @@ class CurationSpec extends SparkSpec {
       (0.8, 1L, 10L, 0.3333), (0.9, 1L, 10L, 0.3333))
     assert(rows == exp)
   }
+
+  test("expectations report: each planted violation is charged to exactly its check") {
+    // one planted breach per check class; row 1 is fully clean
+    val li = Seq(
+      (Some(1L), 10.0, 0.05, "A", "O", 100.0),  // clean
+      (None: Option[Long], 10.0, 0.05, "A", "O", 100.0), // null key (also orphan)
+      (Some(1L), 99.0, 0.05, "A", "O", 100.0),  // quantity out of range
+      (Some(1L), 10.0, 0.50, "A", "O", 100.0),  // discount out of range
+      (Some(1L), 10.0, 0.05, "X", "O", 100.0),  // bad returnflag
+      (Some(1L), 10.0, 0.05, "A", "Z", 100.0),  // bad linestatus
+      (Some(1L), 10.0, 0.05, "A", "O", -5.0),   // non-positive price
+      (Some(9L), 10.0, 0.05, "A", "O", 100.0),  // orphan orderkey
+    ).toDF("l_orderkey", "l_quantity", "l_discount",
+      "l_returnflag", "l_linestatus", "l_extendedprice")
+    val ord = Seq(
+      (1L, "O", 50.0), (1L, "F", 60.0),          // duplicate key
+      (2L, "Q", 70.0),                           // bad status
+      (3L, "P", 0.0),                            // non-positive total
+    ).toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val got = Curation.expectationsReport(li, ord)
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val want = Map(
+      "accepted_l_linestatus" -> ((8L, 1L, "fail")),
+      "accepted_l_returnflag" -> ((8L, 1L, "fail")),
+      "accepted_o_orderstatus" -> ((4L, 1L, "fail")),
+      "complete_l_orderkey" -> ((8L, 1L, "fail")),
+      "positive_l_extendedprice" -> ((8L, 1L, "fail")),
+      "positive_o_totalprice" -> ((4L, 1L, "fail")),
+      "range_l_discount" -> ((8L, 1L, "fail")),
+      "range_l_quantity" -> ((8L, 1L, "fail")),
+      "ref_l_orderkey" -> ((8L, 2L, "fail")),    // null key + key 9
+      "unique_o_orderkey" -> ((4L, 1L, "fail")))
+    assert(got == want)
+    // and the real sf0.001 feed satisfies every contract
+    val clean = Curation.expectationsReport(
+      table(spark, "/root/testdata/sf0.001", "lineitem"),
+      table(spark, "/root/testdata/sf0.001", "orders"))
+      .as[(String, Long, Long, String)].collect()
+    assert(clean.length == 10 && clean.forall(_._4 == "pass"))
+  }
 }
