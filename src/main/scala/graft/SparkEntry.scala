@@ -407,6 +407,10 @@ object SparkEntry {
       Events.userStats(table(s, dir, "events"))),
     "ev_daily_top_type" -> ((s, dir) =>
       Events.dailyTopType(table(s, dir, "events"))),
+    // EWMA trend per type at alpha=0.5: every step an exact dyadic
+    // average, so both engines fold to bit-identical doubles
+    "ev_ewma_daily" -> ((s, dir) =>
+      Events.ewmaDaily(table(s, dir, "events"))),
     "ev_props_json" -> ((s, dir) =>
       Events.propsKSumByType(table(s, dir, "events"))),
     "ev_funnel" -> ((s, dir) =>
@@ -2163,6 +2167,16 @@ object SparkEntry {
     "ev_props_json" ->
       """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // same init-with-first fold: list_reduce's first element seeds the
+    // accumulator, exactly Spark's aggregate(slice(xs,2,..), xs[1], ..)
+    "ev_ewma_daily" ->
+      """WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, day, n,
+        |        list(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type ORDER BY day) AS xs
+        |      FROM d)
+        |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+        |  round(list_reduce(xs, (a, b) -> 0.5 * b + 0.5 * a), 6) AS ewma
+        |FROM l ORDER BY event_type, day""".stripMargin,
     "ev_pivot_type_day" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,
         |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,

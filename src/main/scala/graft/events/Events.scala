@@ -160,6 +160,38 @@ object Events {
       .orderBy("day")
   }
 
+  /** EWMA-smoothed daily event counts per type: y_1 = x_1, then
+    * y_d = α·x_d + (1-α)·y_{d-1} over each type's OBSERVED days in order
+    * (a calendar gap is treated as adjacency — the gap-filled variant is
+    * `gapFillDaily`'s composition, deliberately a separate op).
+    *
+    * α = 0.5 on purpose: every step is an exact dyadic average of counts,
+    * so the fold is bit-identical in any IEEE engine and the oracle
+    * (DuckDB list_reduce over the same ordered list) needs no rounding
+    * slack. The recurrence is a sequential fold, which Spark's
+    * `aggregate` HOF runs over the per-row prefix list — quadratic in
+    * days-per-type, but on the DAY-GRAIN frame: the corpus-sized work is
+    * the one (type, day) count aggregate (map-side combined); the fold
+    * touches calendar × type-domain rows, a constant at any corpus
+    * size. */
+  def ewmaDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("xs", collect_list(col("n").cast("double")).over(w))
+      .withColumn("ewma", aggregate(
+        slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+        element_at(col("xs"), 1),
+        (acc, x) => lit(0.5) * x + lit(0.5) * acc))
+      .select(col("event_type"), col("day"), col("n"),
+        round(col("ewma"), 6).as("ewma"))
+      .orderBy("event_type", "day")
+  }
+
   /** Event-type transition counts (Markov-style first-order paths): for
     * each user's time-ordered event stream, count (type -> next type)
     * pairs. One window pass, no self-join; the shuffle key is user_id. */

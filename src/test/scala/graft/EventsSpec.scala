@@ -271,4 +271,21 @@ class EventsSpec extends SparkSpec {
     // replay in shuffled arrival order converges to the same state
     assert(state(ev.orderBy(org.apache.spark.sql.functions.rand(7))) == s)
   }
+
+  test("EWMA daily: exact dyadic fold, first day seeds, single-day type passes through") {
+    // type a: counts 4, 8, 2 -> ewma 4, 6, 4 (every step an exact half)
+    val ev = (
+      (1 to 4).map(i => (i.toLong, 1L, ts("2024-01-01 10:00:00"), "a", 0.0)) ++
+      (5 to 12).map(i => (i.toLong, 1L, ts("2024-01-02 10:00:00"), "a", 0.0)) ++
+      (13 to 14).map(i => (i.toLong, 1L, ts("2024-01-04 10:00:00"), "a", 0.0)) ++ // gap day: adjacency
+      Seq((15L, 2L, ts("2024-01-03 10:00:00"), "b", 0.0))
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Events.ewmaDaily(ev)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", "2024-01-01", 4L, 4.0),
+      ("a", "2024-01-02", 8L, 6.0),
+      ("a", "2024-01-04", 2L, 4.0),
+      ("b", "2024-01-03", 1L, 1.0)))
+  }
 }
