@@ -995,6 +995,13 @@ object SparkEntry {
     // regression (decimal-exact gradient sums, one driver row per round)
     "text_quality_classifier" -> ((s, dir) =>
       TextAnalysis.logisticQualityScores(table(s, dir, "documents"))),
+    // multinomial NB domain classifier: micro-nat integer weights make
+    // every score a BIGINT sum — argmax exact in both engines
+    "text_nb_classifier" -> ((s, dir) =>
+      TextAnalysis.nbSourceClassifier(table(s, dir, "documents"))),
+    // ROC AUC by exact integer rank sums over the score histogram
+    "text_classifier_auc" -> ((s, dir) =>
+      TextAnalysis.classifierAuc(table(s, dir, "documents"))),
     // concat-and-chunk pretraining sample layout: docs split across
     // fixed-length chunks, exact integer spans
     "text_chunk_seqs" -> ((s, dir) =>
@@ -3920,6 +3927,28 @@ object SparkEntry {
     // the sigmoid literal 1.0 is exactly representable so DuckDB's
     // decimal-literal parsing cannot diverge from the double tree.
     "text_quality_classifier" -> (classifierScoredSql + "\nORDER BY doc_id"),
+    "text_nb_classifier" -> nbOracleSql,
+    // wraps the SAME classifier replay; ranks double to stay integral,
+    // the cumulative window runs over one-row-per-distinct-score so its
+    // frame is deterministic
+    "text_classifier_auc" ->
+      s"""WITH sc AS ($classifierScoredSql),
+         |h AS (SELECT score, count(*) AS n,
+         |        count(*) FILTER (WHERE label = 1) AS np
+         |      FROM sc GROUP BY score),
+         |c AS (SELECT score, n, np,
+         |        COALESCE(sum(n) OVER (ORDER BY score
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |      FROM h),
+         |agg AS (SELECT CAST(sum(np * (2 * cb + n + 1)) AS BIGINT) AS sum_ranks2,
+         |          CAST(sum(np) AS BIGINT) AS n_pos,
+         |          CAST(sum(n - np) AS BIGINT) AS n_neg
+         |        FROM c)
+         |SELECT n_pos, n_neg, sum_ranks2,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0
+         |    THEN round(CAST(sum_ranks2 - n_pos * (n_pos + 1) AS DOUBLE) /
+         |               (2.0 * n_pos * n_neg), 6) END AS auc
+         |FROM agg""".stripMargin,
     // the classifier chain verbatim as a subquery, then the reliability
     // binning: DECIMAL(18,4) sums of the round(4) scores (order-
     // independent), one division + round per reported column
@@ -4661,6 +4690,49 @@ object SparkEntry {
        |FROM cnt c CROSS JOIN tot t
        |WHERE c.n >= t.t
        |ORDER BY c.n DESC, c.term""".stripMargin
+  }
+
+  /** text_nb_classifier oracle — full NB replay: same md5 split
+    * thresholds (Sampling constants), same add-one counts, and the same
+    * micro-nat quantization (round(ln·1e6) → BIGINT), so every score is
+    * an integer sum and the argmax cannot straddle an ulp. */
+  private def nbOracleSql: String = {
+    import graft.sources.Sampling._
+    val (trainEnd, _) = splitThresholds(DefaultVal256, DefaultTest256)
+    val sc = graft.textstats.TextAnalysis.NbScale
+    s"""WITH sp AS (SELECT doc_id, source,
+       |    regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk,
+       |    substring(md5(CAST(doc_id AS VARCHAR) || ':$DefaultSplitSeed'), 1, 2) AS b
+       |  FROM documents),
+       |tr AS (SELECT * FROM sp WHERE b < '$trainEnd'),
+       |ev AS (SELECT * FROM sp WHERE b >= '$trainEnd'),
+       |ctn AS (SELECT source AS cls, term, count(*) AS n
+       |        FROM (SELECT source, unnest(tk) AS term FROM tr) GROUP BY 1, 2),
+       |tot AS (SELECT cls, sum(n) AS nc FROM ctn GROUP BY 1),
+       |voc AS (SELECT count(DISTINCT term) AS v FROM ctn),
+       |pri AS (SELECT source AS cls, count(*) AS nd FROM tr GROUP BY 1),
+       |ndt AS (SELECT count(*) AS ndt FROM tr),
+       |cl AS (SELECT t.cls,
+       |    CAST(round(ln(CAST(1 AS DOUBLE) / (t.nc + voc.v)) * $sc, 0) AS BIGINT) AS lw0,
+       |    CAST(round(ln(CAST(p.nd AS DOUBLE) / ndt.ndt) * $sc, 0) AS BIGINT) AS pw
+       |  FROM tot t JOIN pri p USING (cls) CROSS JOIN voc CROSS JOIN ndt),
+       |w AS (SELECT ctn.cls, ctn.term,
+       |    CAST(round(ln(CAST(ctn.n + 1 AS DOUBLE) / (t.nc + voc.v)) * $sc, 0) AS BIGINT) AS lw
+       |  FROM ctn JOIN tot t USING (cls) CROSS JOIN voc),
+       |etc AS (SELECT doc_id, term, count(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(tk) AS term FROM ev)
+       |  WHERE term IN (SELECT DISTINCT term FROM ctn) GROUP BY 1, 2),
+       |s AS (SELECT etc.doc_id, c.cls, sum(etc.cnt * COALESCE(w.lw, c.lw0)) AS s
+       |  FROM etc CROSS JOIN cl c LEFT JOIN w ON w.cls = c.cls AND w.term = etc.term
+       |  GROUP BY 1, 2),
+       |sc AS (SELECT e.doc_id, e.source, c.cls, c.pw + COALESCE(s.s, 0) AS score
+       |  FROM ev e CROSS JOIN cl c LEFT JOIN s ON s.doc_id = e.doc_id AND s.cls = c.cls),
+       |r AS (SELECT doc_id, source, cls, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+       |  FROM sc)
+       |SELECT doc_id, source, cls AS pred, CAST(score AS BIGINT) AS score_unats,
+       |  CASE WHEN source = cls THEN 1 ELSE 0 END AS correct
+       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
   }
 
   /** samp_hash_split oracle: thresholds AND seed derived from the SAME

@@ -1057,6 +1057,121 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** ROC AUC of the trained quality classifier, by the Mann-Whitney
+    * rank-sum identity with tie-averaged ranks:
+    *   AUC = (Σ_{pos} rank − nP(nP+1)/2) / (nP · nN)
+    * computed EXACTLY in integers: the scored frame collapses to a
+    * histogram over the (already round(4)-quantized) score, the rank sum
+    * doubles to stay integral (avg rank of a tie group = cb + (n+1)/2,
+    * so 2·Σranks = Σ nPos_s·(2·cb_s + n_s + 1)), and only the final
+    * division touches doubles — one round(6) on identical integers in
+    * both engines.
+    *
+    * Scale notes (100 TB): corpus-sized work is the classifier scan plus
+    * ONE (score, label) count aggregate; the cumulative window runs over
+    * the ≤10^4+1-row score histogram (round(4) bounds its cardinality by
+    * construction), partition-less by design. Rank sums are BIGINT-safe
+    * to ~10^9 docs per eval slice; beyond that the two sum columns swap
+    * to DECIMAL(38,0) with no other change. */
+  def classifierAuc(docs: DataFrame, targetLang: String = "en"): DataFrame =
+    aucFromScored(logisticQualityScores(docs, targetLang))
+
+  /** The rank-sum aggregation alone, over any (label, score) frame —
+    * factored so the spec can pin hand-computed fixtures (perfect
+    * separation = 1, inverted = 0, all-tied = 0.5). */
+  def aucFromScored(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = scored
+      .groupBy("score").agg(count(lit(1)).as("n"),
+        sum(col("label").cast("long")).as("np"))
+    val w = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("cb", coalesce(sum("n").over(w), lit(0L)))
+      .agg(
+        sum(col("np") * (lit(2L) * col("cb") + col("n") + lit(1L)))
+          .cast("long").as("sum_ranks2"),
+        sum("np").cast("long").as("n_pos"),
+        sum(col("n") - col("np")).cast("long").as("n_neg"))
+      .select(col("n_pos"), col("n_neg"), col("sum_ranks2"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((col("sum_ranks2") - col("n_pos") * (col("n_pos") + lit(1L)))
+            .cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
+  }
+
+  /** Weight scale for the NB classifier: log-probs quantized to integer
+    * MICRO-NATS (round(ln(p)·1e6)). Quantization is part of the model
+    * definition: every downstream sum/argmax is then pure BIGINT
+    * arithmetic — order-independent, overflow-visible, and bit-identical
+    * in any engine. ln's 1-ulp engine noise (~1e-16 relative) sits ten
+    * orders below the 1e-6 quantum, so both engines round to the same
+    * integer (the a-es ranking caveat, with far wider margin). */
+  val NbScale = 1000000L
+
+  /** Multinomial Naive Bayes source classifier (the add-one-smoothed
+    * count model of McCallum/Nigam'98) — train on the md5-hash-split
+    * train docs (the samp_hash_split contract), predict `source` for
+    * every val/test doc:
+    *
+    *   score(d, c) = ln P(c) + Σ_{w ∈ d ∩ V} cnt_dw · ln P(w|c)
+    *   P(w|c) = (n_cw + 1) / (n_c + |V|),  unseen-in-class → 1/(n_c+|V|)
+    *
+    * with every ln quantized to micro-nats (`NbScale`). OOV-of-train
+    * terms drop (no vocabulary row exists to smooth against); a doc with
+    * zero in-vocab tokens falls back to the prior argmax. Ties break by
+    * class name — deterministic because scores are integers.
+    *
+    * Scale notes (100 TB): the weight table is vocabulary × |classes|
+    * and the class table |classes| rows — both broadcast; train-side work
+    * is one tokenize scan into a (class, term) count aggregate; eval-side
+    * work is one tokenize scan into (doc, term) counts, a |classes|-way
+    * fan-out against broadcast weights, and a doc-keyed argmax window.
+    * Nothing shuffles on the vocabulary except the two count aggregates
+    * (map-side combined). */
+  def nbSourceClassifier(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def unats(c: Column): Column = round(log(c) * NbScale, 0).cast("long")
+    val split = graft.sources.Sampling.hashSplit(docs, "doc_id")
+    val train = split.filter(col("split") === "train")
+    val eval = split.filter(col("split") =!= "train")
+    val classTerm = train.select(col("source").as("cls"), explode(toks).as("term"))
+      .groupBy("cls", "term").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val classTot = classTerm.groupBy("cls").agg(sum("n").as("nc"))
+    val vocabSize = classTerm.select("term").distinct()
+      .agg(count(lit(1)).as("v"))
+    val priors = train.groupBy(col("source").as("cls"))
+      .agg(count(lit(1)).as("nd"))
+      .crossJoin(train.agg(count(lit(1)).as("ndt")))
+    val classes = classTot.crossJoin(vocabSize)
+      .join(priors, Seq("cls"))
+      .select(col("cls"),
+        unats(lit(1.0) / (col("nc") + col("v"))).as("lw0"),
+        unats(col("nd").cast("double") / col("ndt")).as("pw"))
+    val weights = classTerm.join(classTot, Seq("cls")).crossJoin(vocabSize)
+      .select(col("cls"), col("term"),
+        unats((col("n") + lit(1)).cast("double") / (col("nc") + col("v"))).as("lw"))
+    val evalCnt = eval.select(col("doc_id"), explode(toks).as("term"))
+      .join(classTerm.select("term").distinct(), Seq("term"), "left_semi")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+    val perClass = evalCnt
+      .crossJoin(broadcast(classes.select(col("cls"), col("lw0"))))
+      .join(broadcast(weights), Seq("cls", "term"), "left")
+      .groupBy("doc_id", "cls")
+      .agg(sum(col("cnt") * coalesce(col("lw"), col("lw0"))).as("s"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("cls"))
+    eval.select(col("doc_id"), col("source"))
+      .crossJoin(broadcast(classes.select(col("cls"), col("pw"))))
+      .join(perClass, Seq("doc_id", "cls"), "left")
+      .withColumn("score", col("pw") + coalesce(col("s"), lit(0L)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("source"), col("cls").as("pred"),
+        col("score").as("score_unats"),
+        (col("source") === col("cls")).cast("int").as("correct"))
+      .orderBy("doc_id")
+  }
+
   /** Trigram stupid-backoff LM scoring (Brants et al., EMNLP'07 — the
     * backoff designed FOR distributed corpora: no discount renormalization,
     * so every score is a plain ratio of counts and the model parallelizes

@@ -610,4 +610,81 @@ class TextAnalysisSpec extends SparkSpec {
     val noLm = out.find(r => r._1 == "srcX" && r._2 == "no_lm").get
     assert(noLm._5.isEmpty && noLm._6.isEmpty)
   }
+
+  test("AUC: perfect separation, inversion, and all-tied fixtures") {
+    import spark.implicits._
+    def auc(rows: Seq[(Int, Double)]): (Long, Long, Long, Option[Double]) =
+      TextAnalysis.aucFromScored(rows.toDF("label", "score"))
+        .as[(Long, Long, Long, Option[Double])].head()
+    // positives strictly above negatives -> 1.0
+    assert(auc(Seq((1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1))) ==
+      ((2L, 2L, 14L, Some(1.0))))
+    // inverted -> 0.0
+    assert(auc(Seq((0, 0.9), (0, 0.8), (1, 0.2), (1, 0.1))) ==
+      ((2L, 2L, 6L, Some(0.0))))
+    // every score tied -> 0.5 via tie-averaged ranks
+    assert(auc(Seq((1, 0.5), (0, 0.5), (1, 0.5), (0, 0.5)))._4 == Some(0.5))
+    // hand case: scores pos {0.8, 0.4}, neg {0.6, 0.4}: one win, one loss,
+    // one tie out of 4 pairs -> (1 + 0.5 + 0 + 1)/4 ... recompute:
+    // pairs: (0.8 vs 0.6)=1, (0.8 vs 0.4)=1, (0.4 vs 0.6)=0, (0.4 vs 0.4)=0.5
+    // -> 2.5/4 = 0.625
+    assert(auc(Seq((1, 0.8), (1, 0.4), (0, 0.6), (0, 0.4)))._4 == Some(0.625))
+    // single-class input reports null AUC rather than dividing by zero
+    assert(auc(Seq((1, 0.8), (1, 0.4)))._4.isEmpty)
+  }
+
+  test("NB classifier: matches a plain-Scala replay; prior fallback on out-of-vocab docs") {
+    import spark.implicits._
+    // construct doc_ids so the md5 split puts a known subset in train:
+    // replicate the operator's own split to derive expectations
+    val docs = Seq(
+      (1L, "alpha", "x x x y"), (2L, "alpha", "x x y y"),
+      (3L, "beta", "z z z w"), (4L, "beta", "z w w w"),
+      (5L, "alpha", "x y x y"), (6L, "beta", "z w z w"),
+      (7L, "alpha", "x x x x"), (8L, "beta", "w w w w"),
+      (9L, "alpha", "qqq qqq"), // tokens unseen in train -> prior argmax
+      (10L, "beta", ""),        // empty -> prior argmax
+      (11L, "alpha", "x z"), (12L, "beta", "w y"),
+    ).toDF("doc_id", "source", "text")
+    val split = graft.sources.Sampling.hashSplit(docs, "doc_id")
+      .select($"doc_id", $"source", $"text", $"split")
+      .as[(Long, String, String, String)].collect()
+    val train = split.filter(_._4 == "train")
+    val eval = split.filter(_._4 != "train")
+    assert(train.nonEmpty && eval.nonEmpty)
+    // plain-Scala NB replay with the same micro-nat quantization
+    val classes = train.map(_._2).distinct.sorted
+    def tok(t: String) = t.split("\\s+").filter(_.nonEmpty).toSeq
+    val counts = train.groupBy(_._2).map { case (c, ds) =>
+      c -> ds.flatMap(d => tok(d._3)).groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    }
+    val vocab = counts.values.flatMap(_.keys).toSet
+    def unats(x: Double) = math.round(
+      BigDecimal(math.log(x) * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong
+    val expected = eval.sortBy(_._1).map { case (id, src, text, _) =>
+      val scores = classes.map { c =>
+        val cw = counts(c)
+        val nc = cw.values.sum
+        val pw = unats(train.count(_._2 == c).toDouble / train.length)
+        val s = tok(text).filter(vocab.contains).map { w =>
+          unats((cw.getOrElse(w, 0L) + 1.0) / (nc + vocab.size))
+        }.sum
+        c -> (pw + s)
+      }
+      val best = scores.minBy { case (c, s) => (-s, c) }
+      (id, src, best._1, best._2, if (best._1 == src) 1 else 0)
+    }.toSeq
+    val got = TextAnalysis.nbSourceClassifier(docs)
+      .as[(Long, String, String, Long, Int)].collect().toSeq
+    assert(got == expected)
+    // out-of-vocab / empty docs (if they landed in eval) carry the pure
+    // prior score of their predicted class
+    got.filter(r => r._1 == 9L || r._1 == 10L).foreach { r =>
+      val priorOnly = classes.map { c =>
+        c -> unats(train.count(_._2 == c).toDouble / train.length)
+      }.minBy { case (c, s) => (-s, c) }
+      assert(r._3 == priorOnly._1 && r._4 == priorOnly._2)
+    }
+  }
 }
