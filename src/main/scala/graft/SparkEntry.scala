@@ -311,6 +311,10 @@ object SparkEntry {
     // arithmetic, exact (file assignment by address RANGE, no global sort)
     "rel_zorder_skipping" -> ((s, dir) =>
       graft.relational.LayoutAnalysis.zorderSkipping(table(s, dir, "lineitem"))),
+    // small-file compaction plan: running-sum contiguous binning of the
+    // day-grain file inventory — order-preserving, metadata-sized
+    "rel_compaction_plan" -> ((s, dir) =>
+      graft.relational.LayoutAnalysis.compactionPlan(table(s, dir, "events"))),
     // skew-safe two-phase aggregation: content-derived salts bound the
     // per-reducer key cardinality; decimal values make the two-phase sum
     // exact, so the oracle is the plain GROUP BY.
@@ -1993,6 +1997,18 @@ object SparkEntry {
         |  CAST(floor(o_totalprice/50000.0) AS BIGINT)*50000.0 AS lo,
         |  count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "rel_compaction_plan" ->
+      """WITH inv AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS rows_ FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, day, rows_,
+        |        COALESCE(sum(rows_) OVER (PARTITION BY event_type ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4000 AS bin
+        |      FROM inv)
+        |SELECT event_type, day, CAST(rows_ AS BIGINT) AS "rows",
+        |  CAST(bin AS BIGINT) AS bin,
+        |  CAST(sum(rows_) OVER (PARTITION BY event_type, bin) AS BIGINT) AS bin_rows,
+        |  CAST(count(*) OVER (PARTITION BY event_type, bin) AS BIGINT) AS bin_files,
+        |  CASE WHEN count(*) OVER (PARTITION BY event_type, bin) > 1 THEN 1 ELSE 0 END AS merged
+        |FROM b ORDER BY event_type, day""".stripMargin,
     // the oracle uses the NAIVE ntile-over-all-keys spelling the engine
     // deliberately avoids; key interchangeability within a multiplicity
     // makes the decile aggregates identical

@@ -129,4 +129,38 @@ object LayoutAnalysis {
         col("max_cnt"))
       .orderBy("decile")
   }
+
+  /** Small-file compaction plan (the Delta OPTIMIZE / Iceberg
+    * rewrite-data-files decision, reproduced exactly): the day-grain
+    * file inventory of the events table, binned into compaction targets
+    * by RUNNING-SUM assignment within each partition —
+    * bin = floor(cum_rows_before / targetRows) over files in day order.
+    * Contiguous-range binning on purpose: unlike first-fit-decreasing it
+    * PRESERVES the sort/cluster order of the layout being compacted (a
+    * compaction that interleaves days would undo `writeSorted`), it is
+    * deterministic, and an oversized file degrades to its own bin
+    * instead of blocking the packer.
+    *
+    * Scale notes (100 TB): the planner's input is file METADATA — one
+    * row per file, aggregated from the listing (here derived from the
+    * events table so the oracle can replay it); the windows run
+    * per-partition over file counts, never over rows. The execution of
+    * the plan is `sources.Layout.compact`; this is the decision
+    * report. */
+  def compactionPlan(events: DataFrame, targetRows: Long = 4000L): DataFrame = {
+    val inv = events.groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("rows"))
+    val perBin = Window.partitionBy("event_type", "bin")
+    inv
+      .withColumn("bin",
+        expr(s"coalesce(sum(rows) over (partition by event_type order by day" +
+          s" rows between unbounded preceding and 1 preceding), 0) div $targetRows"))
+      .withColumn("bin_rows", sum("rows").over(perBin))
+      .withColumn("bin_files", count(lit(1)).over(perBin))
+      .select(col("event_type"), col("day"), col("rows"), col("bin"),
+        col("bin_rows"), col("bin_files"),
+        (col("bin_files") > 1).cast("int").as("merged"))
+      .orderBy("event_type", "day")
+  }
 }

@@ -152,4 +152,35 @@ class LayoutSpec extends SparkSpec {
       .as[(Long, Long, Long, Double, Long)].collect().toSeq
     assert(got == naive)
   }
+
+  test("compaction plan: contiguous running-sum bins; oversized file degrades to its own bin") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // partition a: day-files of 4,4,4,12,3 rows at target 10
+    //   cum-before 0,4,8,12,24 -> bins 0,0,0,1,2
+    val ev = (
+      (1 to 4).map(i => ("a", s"2024-01-01 0$i:00:00")) ++
+      (1 to 4).map(i => ("a", s"2024-01-02 0$i:00:00")) ++
+      (1 to 4).map(i => ("a", s"2024-01-03 0$i:00:00")) ++
+      (1 to 9).map(i => ("a", s"2024-01-04 0$i:00:00")) ++
+      (1 to 3).map(i => ("a", s"2024-01-04 1$i:00:00")) ++
+      (1 to 3).map(i => ("a", s"2024-01-05 0$i:00:00")) ++
+      (1 to 2).map(i => ("b", s"2024-01-01 0$i:00:00"))
+    ).zipWithIndex.map { case ((t, s), i) =>
+      (i.toLong, 1L, java.sql.Timestamp.valueOf(s), t, 0.0)
+    }.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = graft.relational.LayoutAnalysis.compactionPlan(ev, 10L)
+      .as[(String, String, Long, Long, Long, Long, Int)].collect().toSeq
+    assert(got == Seq(
+      ("a", "2024-01-01", 4L, 0L, 12L, 3L, 1),
+      ("a", "2024-01-02", 4L, 0L, 12L, 3L, 1),
+      ("a", "2024-01-03", 4L, 0L, 12L, 3L, 1),
+      ("a", "2024-01-04", 12L, 1L, 12L, 1L, 0), // oversized: own bin
+      ("a", "2024-01-05", 3L, 2L, 3L, 1L, 0),
+      ("b", "2024-01-01", 2L, 0L, 2L, 1L, 0)))  // partitions independent
+    // bins are contiguous day ranges within each partition (order preserved)
+    got.groupBy(_._1).foreach { case (_, fs) =>
+      assert(fs.sortBy(_._2).map(_._4) == fs.sortBy(_._2).map(_._4).sorted)
+    }
+  }
 }
