@@ -1064,6 +1064,9 @@ object SparkEntry {
     // the APPLY side of the trained tokenizer: encode the vocab with the
     // 8 ranked merges (one chained-replace projection), roll up per-doc
     // word/BPE-token counts + compression — the token-budget accounting
+    // tokenizer sizing: tokens-per-word under every merge-prefix k
+    "text_bpe_curve" -> ((s, dir) =>
+      TextAnalysis.bpeCompressionCurve(table(s, dir, "documents"))),
     "text_bpe_encode" -> ((s, dir) =>
       TextAnalysis.bpeEncode(table(s, dir, "documents"), 8)),
     "text_tfidf" -> ((s, dir) =>
@@ -2944,7 +2947,8 @@ object SparkEntry {
         |    CAST(sum(CASE WHEN hiq THEN nt ELSE 0 END) AS HUGEINT) AS hi FROM pd GROUP BY 1),
         |tot AS (SELECT CAST(sum(nat) AS HUGEINT) AS tt, CAST(sum(hi) AS HUGEINT) AS hh FROM bs)
         |SELECT e AS epoch, source,
-        |  CASE WHEN hh = 0 THEN round(CAST(nat AS DOUBLE) / CAST(tt AS DOUBLE), 6)
+        |  CASE WHEN tt = 0 THEN NULL
+        |       WHEN hh = 0 THEN round(CAST(nat AS DOUBLE) / CAST(tt AS DOUBLE), 6)
         |       ELSE round(CAST((3 - e) * nat * hh + e * hi * tt AS DOUBLE)
         |                  / CAST(3 * tt * hh AS DOUBLE), 6) END AS weight
         |FROM bs CROSS JOIN tot CROSS JOIN generate_series(0, 3) g(e)
@@ -4282,6 +4286,49 @@ object SparkEntry {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
+    // the text_bpe_encode unroll with a per-prefix rollup: one curve row
+    // per v_k chain, totals over the same (term, tf) frame
+    "text_bpe_curve" -> {
+      val n = 8
+      val rounds = (1 to n).map { r =>
+        s"""p$r AS (
+           |  SELECT lhs, rhs, CAST(sum(freq) AS BIGINT) AS pair_count
+           |  FROM (SELECT freq,
+           |          unnest(els[1:len(els)-1]) AS lhs,
+           |          unnest(els[2:len(els)]) AS rhs
+           |        FROM (SELECT freq, string_split(substring(sym, 2, length(sym)-2), '..') AS els
+           |              FROM w${r - 1}))
+           |  GROUP BY 1, 2),
+           |m$r AS (
+           |  SELECT lhs, rhs, lhs || rhs AS merged, pair_count
+           |  FROM p$r ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+           |w$r AS (
+           |  SELECT replace(sym, '.' || lhs || '..' || rhs || '.', '.' || merged || '.') AS sym, freq
+           |  FROM w${r - 1}, m$r),
+           |v$r AS (
+           |  SELECT term, replace(sym, '.' || lhs || '..' || rhs || '.', '.' || merged || '.') AS sym
+           |  FROM v${r - 1}, m$r)"""
+      }.mkString(",\n")
+      val sel = (0 to n).map(k =>
+        s"""SELECT CAST($k AS BIGINT) AS n_merges, CAST(sum(tf) AS BIGINT) AS n_words,
+           |  CAST(sum(tf * len(string_split(substring(v.sym, 2, length(v.sym)-2), '..'))) AS BIGINT) AS n_tokens,
+           |  round(CAST(sum(tf * len(string_split(substring(v.sym, 2, length(v.sym)-2), '..'))) AS DOUBLE) / sum(tf), 4) AS tokens_per_word
+           |FROM wc JOIN v$k v USING (term) GROUP BY 1""".stripMargin)
+        .mkString("\nUNION ALL ")
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS term FROM documents),
+         |w0 AS (
+         |  SELECT '.' || array_to_string(list_transform(range(1, length(term)+1),
+         |           i -> substring(term, CAST(i AS INT), 1)), '..') || '.' AS sym,
+         |         CAST(count(*) AS BIGINT) AS freq
+         |  FROM tok GROUP BY 1),
+         |v0 AS (
+         |  SELECT DISTINCT term, '.' || array_to_string(list_transform(range(1, length(term)+1),
+         |           i -> substring(term, CAST(i AS INT), 1)), '..') || '.' AS sym
+         |  FROM tok),
+         |$rounds,
+         |wc AS (SELECT term, count(*) AS tf FROM tok GROUP BY 1)
+         |SELECT * FROM ($sel) ORDER BY n_merges""".stripMargin
+    },
     "text_bigrams" ->
       """WITH t AS (SELECT regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
         |b AS (SELECT unnest(list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])) AS bigram

@@ -417,8 +417,12 @@ object Curation {
     val grid = docs.sparkSession.range(0, epochs).toDF("epoch")
     bySrc.crossJoin(broadcast(tot)).crossJoin(grid)
       .select(col("epoch"), col("source"),
-        when(col("hh") === 0,
-          round(col("nat").cast("double") / col("tt").cast("double"), 6))
+        // tt = 0 (a corpus with zero tokens) has no natural share to
+        // anneal from: weight is explicitly NULL — ANSI division would
+        // otherwise throw here (caught by the empty edge fixture)
+        when(col("tt") === 0, lit(null).cast("double"))
+          .when(col("hh") === 0,
+            round(col("nat").cast("double") / col("tt").cast("double"), 6))
           .otherwise(round(
             ((lit(eMax) - col("epoch")) * col("nat") * col("hh") +
               col("epoch") * col("hi") * col("tt")).cast("double") /

@@ -714,6 +714,54 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BPE compression curve — tokens-per-word after each PREFIX of the
+    * trained merge sequence (k = 0..nMerges), the tokenizer-sizing
+    * report that answers "how much does each extra merge buy": train
+    * once, then encode the vocabulary under every prefix in ONE
+    * projection (each prefix column chains one more replace on the
+    * previous — the fold is shared, not recomputed per k), roll up
+    * corpus totals, and unpivot to a row per k.
+    *
+    * Scale notes (100 TB): inherits bpeTrainMerges' shape — corpus
+    * scanned once for the word counts, every prefix column is
+    * vocabulary-sized codegen, the final aggregate returns nMerges+1
+    * scalars. If training exhausts early the curve stops at the last
+    * real merge (the bpeEncode standing). */
+  def bpeCompressionCurve(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+    val merges = bpeTrainMerges(docs, nMerges).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val wc = Tokenize.termOccurrences(docs)
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+      .withColumn("sym0", concat(lit("."),
+        array_join(expr(
+          "transform(sequence(1, length(term)), i -> substring(term, i, 1))"),
+          ".."),
+        lit(".")))
+    val withPrefixes = merges.zipWithIndex.foldLeft(wc) {
+      case (f, ((l, r), i)) =>
+        f.withColumn(s"sym${i + 1}",
+          call_function("replace", col(s"sym$i"),
+            lit(s".$l..$r."), lit(s".$l$r.")))
+    }
+    def nSym(k: Int): Column =
+      size(split(expr(s"substring(sym$k, 2, length(sym$k)-2)"), "\\.\\."))
+        .cast("long")
+    val ks = 0 to merges.length
+    val totals = withPrefixes
+      // groupBy a constant, not a global agg: an empty corpus must yield
+      // an empty curve, not one null row (the edge-fixture contract)
+      .groupBy(lit(1).as("__g"))
+      .agg(sum("tf").as("n_words"),
+        ks.map(k => sum(col("tf") * nSym(k)).as(s"t$k")): _*)
+    val stackExpr = ks.map(k => s"CAST($k AS BIGINT), t$k").mkString(", ")
+    totals.select(col("n_words"), expr(
+        s"stack(${ks.length}, $stackExpr) as (n_merges, n_tokens)"))
+      .select(col("n_merges"), col("n_words"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_words"), 4)
+          .as("tokens_per_word"))
+      .orderBy("n_merges")
+  }
+
   /** Top-k TF-IDF terms per document — the keyword/feature extraction a
     * pipeline runs for doc routing and near-dup triage. tf is the raw
     * in-doc count, idf the raw ln(N/df) (same family as the BM25 idf,

@@ -265,6 +265,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 3L, 4L, 1.3333)))
   }
 
+  test("bpeCompressionCurve: monotone non-increasing, exact endpoints, early-exhaust truncation") {
+    // train on {aaaa x2, ab}: words aaaa(tf2, 4 chars) ab(tf1, 2 chars)
+    // k=0: tokens 2*4+1*2=10; after r1 (a,a): aaaa=[aa,aa] -> 2*2+2=6;
+    // after r2 (aa,aa): aaaa=1 sym -> 2*1+2=4
+    val docs = Seq((1L, "aaaa aaaa ab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeCompressionCurve(docs, nMerges = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, 3L, 10L, 3.3333),
+      (1L, 3L, 6L, 2.0),
+      (2L, 3L, 4L, 1.3333)))
+    // tokens-per-word never increases with more merges
+    assert(out.map(_._4) == out.map(_._4).sorted.reverse)
+    // exhausted vocabulary truncates the curve at the last real merge
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val t = TextAnalysis.bpeCompressionCurve(tiny, nMerges = 5)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(t == Seq((0L, 2L, 4L, 2.0), (1L, 2L, 2L, 1.0)))
+  }
+
   test("sparse cosine neighbors rank shared-phrase docs and skip disjoint ones") {
     // bigram features: d1/d2 share "apple banana" (df 2); d3 shares a
     // TOKEN with d1/d2 but no bigram; d4 fully disjoint
