@@ -1006,6 +1006,9 @@ object SparkEntry {
     // ROC AUC by exact integer rank sums over the score histogram
     "text_classifier_auc" -> ((s, dir) =>
       TextAnalysis.classifierAuc(table(s, dir, "documents"))),
+    // per-class error report over the same eval split
+    "text_nb_confusion" -> ((s, dir) =>
+      TextAnalysis.nbConfusionMatrix(table(s, dir, "documents"))),
     // concat-and-chunk pretraining sample layout: docs split across
     // fixed-length chunks, exact integer spans
     "text_chunk_seqs" -> ((s, dir) =>
@@ -3948,6 +3951,17 @@ object SparkEntry {
     // decimal-literal parsing cannot diverge from the double tree.
     "text_quality_classifier" -> (classifierScoredSql + "\nORDER BY doc_id"),
     "text_nb_classifier" -> nbOracleSql,
+    // wraps the SAME NB replay; the matrix is a |C|^2 aggregate over it
+    "text_nb_confusion" ->
+      s"""WITH base AS ($nbOracleSql),
+         |cm AS (SELECT source, pred, count(*) AS n FROM base GROUP BY 1, 2),
+         |bt AS (SELECT source, sum(n) AS n_true FROM cm GROUP BY 1),
+         |bp AS (SELECT pred, sum(n) AS n_pred FROM cm GROUP BY 1)
+         |SELECT cm.source, cm.pred, CAST(cm.n AS BIGINT) AS n,
+         |  round(CAST(cm.n AS DOUBLE) / bt.n_true, 4) AS recall_share,
+         |  round(CAST(cm.n AS DOUBLE) / bp.n_pred, 4) AS precision_share
+         |FROM cm JOIN bt USING (source) JOIN bp USING (pred)
+         |ORDER BY cm.source, cm.pred""".stripMargin,
     // wraps the SAME classifier replay; ranks double to stay integral,
     // the cumulative window runs over one-row-per-distinct-score so its
     // frame is deterministic

@@ -1220,6 +1220,23 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Confusion matrix of the NB source classifier over the eval split —
+    * (true source, predicted, count) plus per-class precision/recall
+    * denominators, the standard per-class error report. Runs the
+    * classifier once; the matrix is a |C|²-bounded aggregate. */
+  def nbConfusionMatrix(docs: DataFrame): DataFrame = {
+    val scored = nbSourceClassifier(docs)
+    val cm = scored.groupBy(col("source"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+    val byTrue = cm.groupBy("source").agg(sum("n").as("n_true"))
+    val byPred = cm.groupBy("pred").agg(sum("n").as("n_pred"))
+    cm.join(byTrue, Seq("source")).join(byPred, Seq("pred"))
+      .select(col("source"), col("pred"), col("n"),
+        round(col("n").cast("double") / col("n_true"), 4).as("recall_share"),
+        round(col("n").cast("double") / col("n_pred"), 4).as("precision_share"))
+      .orderBy("source", "pred")
+  }
+
   /** Trigram stupid-backoff LM scoring (Brants et al., EMNLP'07 — the
     * backoff designed FOR distributed corpora: no discount renormalization,
     * so every score is a plain ratio of counts and the model parallelizes

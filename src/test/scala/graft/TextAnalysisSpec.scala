@@ -706,5 +706,15 @@ class TextAnalysisSpec extends SparkSpec {
       }.minBy { case (c, s) => (-s, c) }
       assert(r._3 == priorOnly._1 && r._4 == priorOnly._2)
     }
+    // confusion matrix: cell counts reproduce the per-doc predictions and
+    // recall shares partition each true class
+    val cm = TextAnalysis.nbConfusionMatrix(docs)
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    assert(cm.map(_._3).sum == got.length)
+    val brute = got.groupBy(r => (r._2, r._3)).view.mapValues(_.size.toLong).toMap
+    assert(cm.map(r => (r._1, r._2) -> r._3).toMap == brute)
+    cm.groupBy(_._1).values.foreach { rows =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 0.001)
+    }
   }
 }
