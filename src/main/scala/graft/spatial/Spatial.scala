@@ -122,9 +122,11 @@ object Spatial {
     *
     * Scale notes (100 TB): neighbor counting, core detection, and edge
     * generation all reuse the ONE grid equi-join (never all-pairs); the
-    * CC iteration runs over the core-core edge subset only; border
-    * attachment is one more join of the bounded pair frame against the
-    * core label table. No stage touches more than the eps-pair set. */
+    * CC iteration runs over SUPERNODES — cores contracted by eps-clique
+    * subcell (below), so its input scales with occupied grid AREA, not
+    * point count; border attachment is one more join of the bounded pair
+    * frame against the core label table. No stage touches more than the
+    * eps-pair set, and only the contraction joins touch even that. */
   def gridDbscan(points: DataFrame, idCol: String, eps: Int, minPts: Int,
                  cell: Int): DataFrame = {
     val pairs = radiusPairs(points, idCol, eps, cell)
@@ -135,15 +137,71 @@ object Spatial {
     val ids = points.select(col(idCol).as("id"))
     val core = ids.join(ncount, Seq("id"), "left")
       .filter(coalesce(col("__n"), lit(0L)) + 1 >= minPts).select("id")
+    // eps-clique contraction BEFORE the CC iteration (exact, not a
+    // heuristic): side = 1 + floor(eps/sqrt2) makes the in-subcell
+    // coordinate deltas at most side-1 per axis, so 2*(side-1)^2 <= eps^2
+    // — any two points of one subcell are within eps, hence all
+    // same-subcell COREs are pairwise density-connected and collapse to
+    // one supernode, their MIN id, which keeps every final label
+    // bit-identical to the uncontracted fixpoint. The CC iteration then
+    // joins at most (grid/side)^2 supernodes per round instead of
+    // dragging the full eps-pair set through log(diameter) rounds.
+    val side = 1 + (eps / math.sqrt(2.0)).toInt
+    val coreSub = points
+      .select(col(idCol).as("id"),
+        floor(col("x") / side).as("scx"), floor(col("y") / side).as("scy"))
+      .join(core, Seq("id"))
+    // subcell -> min core id: bounded by grid area, broadcast back
+    val superIds = coreSub.groupBy("scx", "scy").agg(min("id").as("__super"))
+    val superOf = coreSub.join(broadcast(superIds), Seq("scx", "scy"))
+      .select(col("id"), col("__super")).localCheckpoint(true)
+    // core-core eps edges mapped to supernode grain (the superOf inner
+    // joins ARE the core-core restriction: superOf holds cores only)
     val ccPairs = pairs
-      .join(core.select(col("id").as("id_a")), Seq("id_a"))
-      .join(core.select(col("id").as("id_b")), Seq("id_b"))
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-    // isolated cores (no core neighbor) label as their own singleton
-    val coreLabels = core
-      .join(graft.dedup.Dedup.duplicateClusters(ccPairs)
-        .withColumnRenamed("doc_id", "id"), Seq("id"), "left")
-      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("__ccl"))
+      .join(superOf.select(col("id").as("id_a"), col("__super").as("__sa")),
+        Seq("id_a"))
+      .join(superOf.select(col("id").as("id_b"), col("__super").as("__sb")),
+        Seq("id_b"))
+      .filter(col("__sa") =!= col("__sb"))
+      .select(col("__sa").as("doc_a"), col("__sb").as("doc_b")).distinct()
+    // The supernode graph is AREA-bounded by construction — at most
+    // (grid/side)^2 nodes (~1k at the 1024x1024 default) no matter how
+    // many points the table holds — so the component merge is a
+    // driver-side union-find over the collected edge set: the same
+    // bounded-state discipline as collecting kmeans centroids per round,
+    // and the standard single-node cell-merge step of grid DBSCAN. The
+    // distributed label iteration stays as the fallback if a custom grid
+    // geometry ever blows past the cap.
+    val superLabels: DataFrame = {
+      val cap = 200000
+      val edgeRows = ccPairs.limit(cap + 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      if (edgeRows.length <= cap) {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        edgeRows.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edgeRows.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+        val ss = points.sparkSession
+        import ss.implicits._
+        broadcast(nodes.toSeq.map(n => (n, find(n)))
+          .toDF("__super", "cluster_id"))
+      } else graft.dedup.Dedup.duplicateClusters(ccPairs)
+        .withColumnRenamed("doc_id", "__super")
+    }
+    // isolated supernodes (a subcell clique with no outside edge) label as
+    // their own singleton — which IS the min core id of that clique
+    val coreLabels = superOf
+      .join(superLabels, Seq("__super"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("__super")).as("__ccl"))
     val borderAssign = und
       .join(coreLabels.select(col("id").as("nb"), col("__ccl").as("__ncl")),
         Seq("nb"))
