@@ -231,6 +231,12 @@ object SparkEntry {
     "rel_mode_priority" -> ((s, dir) =>
       Relational.modalPriorityPerSegment(table(s, dir, "customer"),
         table(s, dir, "orders"))),
+    // incremental view maintenance: signed-delta algebra folds a
+    // deterministic delete/update/insert batch into the stored GROUP BY
+    // view (delta aggregated to group grain, broadcast merge); the
+    // oracle recomputes the post-delta view from scratch
+    "rel_ivm_groupby" -> ((s, dir) =>
+      graft.relational.Ivm.ivmGroupBy(table(s, dir, "orders"))),
     // TPC-H Q21 shape: double-correlated EXISTS/NOT EXISTS decorrelated
     // to one keyed aggregate + same-key window sums
     "rel_sole_late_supplier" -> ((s, dir) =>
@@ -402,6 +408,11 @@ object SparkEntry {
       Events.slidingHourly(table(s, dir, "events"))),
     "ev_sessionize" -> ((s, dir) =>
       Events.sessionize(table(s, dir, "events"))),
+    // peak concurrent sessions per day, sweep-line form: +1/-1 session
+    // boundaries, per-DAY running sum + one broadcast midnight carry row
+    // per day — no interval self-join, no global single-task sort
+    "ev_concurrency" -> ((s, dir) =>
+      Events.concurrencyDaily(table(s, dir, "events"))),
     // telemetry burst dedup (keep-first within 300 s per user+type):
     // gaps-and-islands, windows keyed (user_id, event_type); reports the
     // collapsed bursts (the drop-list)
@@ -1969,6 +1980,23 @@ object SparkEntry {
     "rel_median" ->
       """SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS median_price, count(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // IVM ground truth: recompute the post-delta view from scratch —
+    // survivors (non-deleted, +10.00 when updated) plus the %13 insert
+    // copies at +5.00 — so any drift in the incremental algebra fails
+    "rel_ivm_groupby" ->
+      """WITH survivors AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey % 7 = 0
+        |         THEN CAST(o_totalprice AS DECIMAL(18,2)) + CAST('10.00' AS DECIMAL(18,2))
+        |         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+        |  FROM orders WHERE o_orderkey % 11 <> 0
+        |  UNION ALL
+        |  SELECT o_orderpriority,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) + CAST('5.00' AS DECIMAL(18,2))
+        |  FROM orders WHERE o_orderkey % 13 = 0)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(price) AS DOUBLE) AS sum_price
+        |FROM survivors GROUP BY 1 ORDER BY 1""".stripMargin,
     "rel_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
@@ -2168,6 +2196,36 @@ object SparkEntry {
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
         |FROM n GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // same session CTE as ev_sessionize, then the sweep: +1/-1 session
+    // boundaries, per-day running sum in (t, start-before-end) order,
+    // plus a midnight carry count per day (sessions open across the
+    // boundary). Closed intervals: an end at the same instant as a start
+    // still overlaps it, hence d DESC in the sweep order.
+    "ev_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM events),
+        |s AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session FROM e),
+        |n AS (SELECT user_id, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM s),
+        |sess AS (SELECT min(ts) AS st, max(ts) AS en FROM n GROUP BY user_id, session_id),
+        |b AS (SELECT st AS t, 1 AS d FROM sess UNION ALL SELECT en AS t, -1 AS d FROM sess),
+        |bd AS (SELECT t, d, CAST(t AS DATE) AS day FROM b),
+        |days AS (SELECT DISTINCT day FROM bd),
+        |carry AS (SELECT day, count(*) AS cin FROM sess JOIN days
+        |    ON st < CAST(day AS TIMESTAMP) AND en >= CAST(day AS TIMESTAMP) GROUP BY day),
+        |run AS (SELECT bd.day, t,
+        |    CAST(sum(d) OVER (PARTITION BY bd.day ORDER BY t, d DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      + COALESCE(cin, 0)
+        |      + CASE WHEN d = -1 THEN 1 ELSE 0 END AS conc
+        |  FROM bd LEFT JOIN carry ON bd.day = carry.day),
+        |mx AS (SELECT day, max(conc) AS max_concurrent FROM run GROUP BY day)
+        |SELECT strftime(m.day, '%Y-%m-%d') AS day, m.max_concurrent,
+        |  strftime(min(r.t), '%Y-%m-%d %H:%M:%S.%f') AS peak_at
+        |FROM mx m JOIN run r ON r.day = m.day AND r.conc = m.max_concurrent
+        |GROUP BY m.day, m.max_concurrent ORDER BY 1""".stripMargin,
     // same gaps-and-islands chain keyed (user_id, event_type); the kept
     // event is the burst head row, unique per burst by construction
     "ev_dedup_bursts" ->

@@ -104,6 +104,64 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** Peak concurrent sessions per day — the sweep-line form: each
+    * session (from the same gap-sessionization as `sessionize`) emits a
+    * +1 boundary at its start and a -1 at its end, a per-DAY running sum
+    * walks the boundaries in (t, start-before-end) order, and a
+    * broadcast carry-in row per day counts the sessions already open at
+    * midnight. Intervals are CLOSED: a session ending at the exact
+    * instant another starts overlaps it, hence starts sort first.
+    * Reports, per day, the maximum concurrency over that day's boundary
+    * instants and the earliest instant attaining it. (A day with no
+    * boundary at all — a multi-day session crossing it silently — has no
+    * row; gap sessions are minutes long, and the day spine is taken from
+    * the boundaries themselves.)
+    *
+    * Scale notes (100 TB): the classic interval-overlap self-join is
+    * O(sessions x avg_overlap); the sweep is one window pass. And the
+    * running sum is NOT a global single-task sort: it partitions by day,
+    * with cross-midnight state reduced to one bounded carry count per
+    * day, joined broadcast — the distributed prefix-sum split. Within a
+    * tied (t, d) block the prefix-sum multiset is permutation-invariant
+    * (equal deltas), so day-max and argmin-t are deterministic without a
+    * total row order. */
+  def concurrencyDaily(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val s = sessionize(events, gapMinutes)
+      .select(to_timestamp(col("session_start")).as("st"),
+        to_timestamp(col("session_end")).as("en"))
+      .localCheckpoint(true) // read 3x: bounds twice via union, carry once
+    val bounds = s.select(col("st").as("t"), lit(1L).as("d"))
+      .unionByName(s.select(col("en").as("t"), lit(-1L).as("d")))
+      .withColumn("day", to_date(col("t")))
+    val days = bounds.select(col("day")).distinct()
+    // sessions already open when the day starts: st < midnight <= en
+    val carry = s.join(broadcast(days),
+        col("st") < col("day").cast("timestamp") &&
+          col("en") >= col("day").cast("timestamp"))
+      .groupBy("day").agg(count(lit(1)).as("__carry"))
+    val byDay = Window.partitionBy("day")
+      .orderBy(col("t"), col("d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the alive count AT instant t (closed): a -1 row's inclusive prefix
+    // has already subtracted itself, so add it back — ends at t are
+    // still alive at t. Within a tied (t, d) block the adjusted values
+    // form the same multiset under any permutation, so max and argmin-t
+    // stay deterministic.
+    val run = bounds
+      .withColumn("__c0", sum(col("d")).over(byDay))
+      .join(broadcast(carry), Seq("day"), "left")
+      .withColumn("__conc", col("__c0") + coalesce(col("__carry"), lit(0L))
+        + when(col("d") === -1, lit(1L)).otherwise(lit(0L)))
+    run.withColumn("__mx", max(col("__conc")).over(Window.partitionBy("day")))
+      .filter(col("__conc") === col("__mx"))
+      .groupBy(col("day"))
+      .agg(max(col("__mx")).as("max_concurrent"),
+        fmtTs(min(col("t"))).as("peak_at"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("max_concurrent"), col("peak_at"))
+      .orderBy("day")
+  }
+
   /** Per-user profile: volume, type diversity, first/last seen, value sum. */
   def userStats(events: DataFrame): DataFrame =
     events.groupBy("user_id")

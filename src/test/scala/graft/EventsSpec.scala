@@ -22,6 +22,45 @@ class EventsSpec extends SparkSpec {
       ("2024-01-02", 0L, 1L, 0L)))
   }
 
+  test("concurrencyDaily matches a brute-force closed-interval replay") {
+    val ev = graft.table(spark, "/root/testdata/sf0.001", "events")
+    // ground truth: concurrency at boundary instant t = sessions with
+    // st <= t <= en (closed intervals), max + earliest argmax per day —
+    // evaluated directly, no sweep, no carry decomposition
+    val sess = Events.sessionize(ev)
+      .select("session_start", "session_end")
+      .as[(String, String)].collect()
+      .map { case (a, b) => (Timestamp.valueOf(a), Timestamp.valueOf(b)) }
+    val bounds = sess.flatMap(s => Seq(s._1, s._2)).distinct
+    val expect = bounds.groupBy(t => t.toLocalDateTime.toLocalDate.toString)
+      .map { case (day, ts0) =>
+        val best = ts0.map(t =>
+            (t, sess.count(s => !s._1.after(t) && !s._2.before(t)).toLong))
+          .sortBy { case (t, c) => (-c, t.getTime) }.head
+        (day, best._2,
+          best._1.toLocalDateTime.format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")))
+      }.toSeq.sortBy(_._1)
+    val got = Events.concurrencyDaily(ev)
+      .as[(String, Long, String)].collect().toSeq
+    assert(got == expect)
+    assert(got.exists(_._2 > 1)) // fixture must actually overlap sessions
+  }
+
+  test("concurrencyDaily counts a session spanning midnight via the carry") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 23:50:00"), 1L), // user 1: one session crossing midnight
+      (1L, ts("2024-01-02 00:10:00"), 2L),
+      (2L, ts("2024-01-02 00:05:00"), 3L), // user 2: inside day 2 only
+    ).toDF("user_id", "ts", "event_id")
+    val rows = Events.concurrencyDaily(ev)
+      .as[(String, Long, String)].collect().toSeq
+    // day 2's peak is 2: user 1's open session is carry-in, user 2 starts
+    assert(rows == Seq(
+      ("2024-01-01", 1L, "2024-01-01 23:50:00.000000"),
+      ("2024-01-02", 2L, "2024-01-02 00:05:00.000000")))
+  }
+
   test("burstDedup: exact-gap stays in burst, ties keep min id, singletons unreported") {
     val ev = Seq(
       (1L, ts("2024-01-01 10:00:00"), "click", 1L),
