@@ -231,6 +231,10 @@ object SparkEntry {
     "rel_mode_priority" -> ((s, dir) =>
       Relational.modalPriorityPerSegment(table(s, dir, "customer"),
         table(s, dir, "orders"))),
+    // 2-D skyline (Pareto frontier) as distributed prefix-min over the
+    // price order — never the definitional O(n^2) dominance self-join
+    "rel_skyline" -> ((s, dir) =>
+      Relational.skyline2d(table(s, dir, "part"))),
     // incremental view maintenance: signed-delta algebra folds a
     // deterministic delete/update/insert batch into the stored GROUP BY
     // view (delta aggregated to group grain, broadcast merge); the
@@ -1980,6 +1984,17 @@ object SparkEntry {
     "rel_median" ->
       """SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS median_price, count(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // skyline ground truth: the definitional NOT EXISTS dominance test —
+    // the engine's prefix-min decomposition must reproduce it exactly,
+    // including equal-(price,size) twins staying
+    "rel_skyline" ->
+      """WITH p AS (SELECT p_partkey, CAST(p_retailprice AS DECIMAL(18,2)) AS pr,
+        |    CAST(p_size AS BIGINT) AS sz FROM part)
+        |SELECT a.p_partkey, CAST(a.pr AS DOUBLE) AS p_retailprice, a.sz AS p_size
+        |FROM p a
+        |WHERE NOT EXISTS (SELECT 1 FROM p b
+        |  WHERE b.pr <= a.pr AND b.sz <= a.sz AND (b.pr < a.pr OR b.sz < a.sz))
+        |ORDER BY p_retailprice, p_size, p_partkey""".stripMargin,
     // IVM ground truth: recompute the post-delta view from scratch —
     // survivors (non-deleted, +10.00 when updated) plus the %13 insert
     // copies at +5.00 — so any drift in the incremental algebra fails

@@ -948,4 +948,57 @@ object Relational {
           .as("lift"))
       .orderBy("part_a", "part_b")
   }
+
+  /** 2-D skyline (Pareto frontier, Börzsönyi'01): the parts no other part
+    * dominates under minimize-(retailprice, size) — a dominates b when
+    * a.price <= b.price AND a.size <= b.size with at least one strict.
+    * Equal (price, size) twins dominate neither; both stay.
+    *
+    * NOT the O(n^2) NOT EXISTS the definition suggests (that is the
+    * oracle's job): a row survives iff
+    *   (1) no strictly-cheaper row has size <= mine, and
+    *   (2) no same-price row has size < mine,
+    * so the whole test reduces to prefix-MIN(size) over the price order.
+    * The prefix min is computed distributed, never as one global sorted
+    * task: rows aggregate to PRICE grain, prices roll up to coarse
+    * BUCKETS (floor(price/W)); the running min across buckets is a
+    * window over the bucket-count-sized frame, carried into each bucket
+    * exactly like concurrencyDaily's midnight carry, and the within-
+    * bucket running min partitions by bucket. Prices group as
+    * DECIMAL(18,2) so equality is exact in both engines.
+    *
+    * Scale notes (100 TB): one price-grain aggregate (map-side combined),
+    * one bucket-partitioned window, one bucket-grain window over a
+    * constant-sized frame, one broadcast join back to price grain, one
+    * shuffle join to rows. No self-join anywhere. */
+  def skyline2d(part: DataFrame, bucketWidth: Int = 10): DataFrame = {
+    val price = col("p_retailprice").cast(DecimalType(18, 2))
+    val rows = part.select(col("p_partkey"), price.as("__p"),
+      col("p_size").cast("long").as("__s"))
+    val byPrice = rows.groupBy("__p")
+      .agg(min("__s").as("__pmin"))
+      .withColumn("__b", floor(col("__p") / bucketWidth).cast("long"))
+    val byBucket = byPrice.groupBy("__b").agg(min("__pmin").as("__bmin"))
+    // carry = min size over all strictly-cheaper BUCKETS (constant-sized
+    // frame: price-domain / W rows)
+    val carried = byBucket.withColumn("__carry",
+      min(col("__bmin")).over(Window.orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    val wInBucket = Window.partitionBy("__b").orderBy("__p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val stats = byPrice
+      .withColumn("__prev", min(col("__pmin")).over(wInBucket))
+      .join(broadcast(carried.select(col("__b"), col("__carry"))), Seq("__b"))
+      // min size over all rows with price strictly below this price
+      .withColumn("__cheap", least(
+        coalesce(col("__prev"), lit(Long.MaxValue)),
+        coalesce(col("__carry"), lit(Long.MaxValue))))
+      .select(col("__p"), col("__pmin"), col("__cheap"))
+    rows.join(stats, Seq("__p"))
+      .filter(col("__cheap") > col("__s") && col("__pmin") >= col("__s"))
+      .select(col("p_partkey"),
+        col("__p").cast("double").as("p_retailprice"),
+        col("__s").as("p_size"))
+      .orderBy("p_retailprice", "p_size", "p_partkey")
+  }
 }

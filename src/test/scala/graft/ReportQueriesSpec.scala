@@ -276,6 +276,48 @@ class ReportQueriesSpec extends SparkSpec {
     assert(out == Seq((10L, 20L, 3L, 4L, 3L, 1.0)))
   }
 
+  test("skyline equals the brute-force dominance filter; twins both stay") {
+    import spark.implicits._
+    // crafted frontier: includes a cross-bucket case (bucketWidth 10 puts
+    // 95.x and 105.x in different buckets), a same-price strict-smaller
+    // dominator, and equal-(price,size) twins that must BOTH survive
+    val p = Seq(
+      (1L, 95.50, 10), (2L, 95.50, 10),  // twins on the frontier
+      (3L, 95.50, 12),                   // same price, bigger: dominated
+      (4L, 96.00, 9),                    // frontier
+      (5L, 105.00, 9),                   // cross-bucket: dominated by 4
+      (6L, 105.00, 3),                   // frontier
+      (7L, 90.00, 50),                   // cheapest: frontier
+      (8L, 106.00, 3),                   // dominated by 6
+    ).toDF("p_partkey", "p_retailprice", "p_size")
+    val got = Relational.skyline2d(p)
+      .as[(Long, Double, Long)].collect().toSeq
+    val rows = p.select("p_partkey", "p_retailprice", "p_size")
+      .as[(Long, Double, Int)].collect()
+    val brute = rows.filter { a => !rows.exists(b =>
+        b._2 <= a._2 && b._3 <= a._3 && (b._2 < a._2 || b._3 < a._3)) }
+      .map(r => (r._1, r._2, r._3.toLong)).sortBy(r => (r._2, r._3, r._1))
+      .toSeq
+    assert(got == brute)
+    assert(got.map(_._1).toSet == Set(1L, 2L, 4L, 6L, 7L))
+  }
+
+  test("skyline matches brute force on the real part table") {
+    import spark.implicits._
+    val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    val got = Relational.skyline2d(part)
+      .as[(Long, Double, Long)].collect().toSeq
+    val rows = part.select(col("p_partkey"),
+        col("p_retailprice").cast("decimal(18,2)").cast("double"),
+        col("p_size").cast("long"))
+      .as[(Long, Double, Long)].collect()
+    val brute = rows.filter { a => !rows.exists(b =>
+        b._2 <= a._2 && b._3 <= a._3 && (b._2 < a._2 || b._3 < a._3)) }
+      .sortBy(r => (r._2, r._3, r._1)).toSeq
+    assert(got == brute)
+    assert(got.nonEmpty)
+  }
+
   test("gap fill: spine covers every day, LOCF carries, flags observed") {
     import spark.implicits._
     import java.sql.Timestamp
