@@ -5361,8 +5361,11 @@ object SparkEntry {
        |  FROM documents WHERE doc_id % $DefaultPerturbEvery = 0),
        |pc AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM corpus),
        |pb AS (SELECT doc_id, n,
-       |         list_transform(generate_series(1, n),
-       |           i -> ('0x' || substring(hx, 2*i-1, 2))::BIGINT) AS bytes
+       |         -- one LINEAR regex pass per doc: per-byte substring() is
+       |         -- a char-position scan from the string head, quadratic on
+       |         -- a megabyte doc (the 100k-token edge fixture ran hours)
+       |         list_transform(regexp_extract_all(hx, '..'),
+       |           x -> ('0x' || x)::BIGINT) AS bytes
        |       FROM pc WHERE n >= $sg),
        |segs AS (SELECT doc_id,
        |         list_transform(generate_series(1, $sg),
