@@ -1218,6 +1218,12 @@ object SparkEntry {
       Sampling.stratifiedSample(table(s, dir, "documents"), "lang", "doc_id", 10, 42)
         .select(col("lang"), col("doc_id"), col("sample_rank"))
         .orderBy("lang", "sample_rank")),
+    // class-parity rebalance: every language downsampled to the smallest
+    // language's count, seeded md5 order, floor = one broadcast row
+    "samp_balanced" -> ((s, dir) =>
+      Sampling.balancedSample(table(s, dir, "documents"), "lang", "doc_id", 17)
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id")),
     // leakage-safe deterministic train/val/test split: membership is a
     // pure function of (doc_id, seed) — appends never reshuffle old docs
     "samp_hash_split" -> ((s, dir) =>
@@ -4723,6 +4729,14 @@ object SparkEntry {
         |      FROM k)
         |SELECT lang, doc_id, sample_rank FROM r WHERE sample_rank <= 10
         |ORDER BY lang, sample_rank""".stripMargin,
+    "samp_balanced" ->
+      """WITH c AS (SELECT min(n) AS fl FROM (SELECT lang, count(*) AS n FROM documents GROUP BY lang)),
+        |r AS (SELECT lang, doc_id,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR) || ':17'), doc_id) AS rn
+        |      FROM documents)
+        |SELECT lang, doc_id FROM r CROSS JOIN c WHERE rn <= fl
+        |ORDER BY lang, doc_id""".stripMargin,
     "sketch_cms_topk" -> cmsOracleSql,
     // the booleans are computed properties on the Spark side; the oracle
     // asserts them as literals plus the exact distinct count

@@ -224,4 +224,28 @@ object Sampling {
       .withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= nPerGroup)
   }
+
+  /** Class-balanced downsample: every class capped to the SMALLEST
+    * class's row count (exact parity — the majority-class rebalance a
+    * classifier-training feed needs), kept rows chosen in seeded md5
+    * order so the draw is replayable and layout-independent.
+    *
+    * Scale notes (100 TB): one count aggregate (map-side combined) finds
+    * the floor — a 1-row broadcast — and the per-class ranking is the
+    * stratifiedSample window: rank truncation happens inside each class
+    * partition via WindowGroupLimit-style early stop, never a global
+    * sort. */
+  def balancedSample(df: DataFrame, classCol: String, idCol: String,
+                     seed: Long): DataFrame = {
+    val floorN = df.groupBy(classCol).agg(count(lit(1)).as("__n"))
+      .agg(min("__n").as("__floor"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(classCol))
+      .orderBy(col("sample_key"), col(idCol))
+    df.withColumn("sample_key", sampleKey(col(idCol), seed))
+      .withColumn("sample_rank", row_number().over(w))
+      .crossJoin(broadcast(floorN))
+      .filter(col("sample_rank") <= col("__floor"))
+      .drop("__floor")
+  }
 }

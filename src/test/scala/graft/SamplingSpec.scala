@@ -66,6 +66,32 @@ class SamplingSpec extends SparkSpec {
     assert(re == base)
   }
 
+  test("balanced sample: exact class parity at the min-class floor, md5-prefix kept") {
+    val df = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
+      (5L, "b"), (6L, "b"), (7L, "b"),
+      (8L, "c"), (9L, "c"),                      // min class: 2
+    ).toDF("doc_id", "lang")
+    val got = Sampling.balancedSample(df, "lang", "doc_id", 17)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSeq.sorted
+    val sizes = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(sizes == Map("a" -> 2, "b" -> 2, "c" -> 2))
+    // kept = per-class md5-order prefix, replayed in plain Scala
+    def key(id: Long) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:17".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val expect = Seq(1L to 4L, 5L to 7L, 8L to 9L).flatMap { r =>
+      r.sortBy(id => (key(id), id)).take(2)
+    }.toSet
+    assert(got.map(_._2).toSet == expect)
+    // layout invariance
+    val re = Sampling.balancedSample(df.repartition(7), "lang", "doc_id", 17)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSeq.sorted
+    assert(re == got)
+  }
+
   test("top-n-by-hash plans as TakeOrderedAndProject, not a global sort") {
     val plan = Sampling.deterministicSample(docs, "doc_id", 50, 42)
       .queryExecution.executedPlan.toString
