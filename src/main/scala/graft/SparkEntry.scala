@@ -235,6 +235,13 @@ object SparkEntry {
     // price order — never the definitional O(n^2) dominance self-join
     "rel_skyline" -> ((s, dir) =>
       Relational.skyline2d(table(s, dir, "part"))),
+    // TPC-H Q2 shape: correlated min-cost scalar subquery decorrelated
+    // into a min-agg + equi-join; lineitem pre-aggregated to offer grain
+    // before any join, dimensions broadcast
+    "rel_min_cost_supplier" -> ((s, dir) =>
+      Relational.minCostSupplier(table(s, dir, "lineitem"),
+        table(s, dir, "supplier"), table(s, dir, "nation"),
+        table(s, dir, "region"), table(s, dir, "part"))),
     // incremental view maintenance: signed-delta algebra folds a
     // deterministic delete/update/insert batch into the stored GROUP BY
     // view (delta aggregated to group grain, broadcast merge); the
@@ -434,6 +441,10 @@ object SparkEntry {
       Events.propsKSumByType(table(s, dir, "events"))),
     "ev_funnel" -> ((s, dir) =>
       Events.funnelCounts(table(s, dir, "events"))),
+    // sequence census: each user's first-3-event-type path, counted —
+    // one user-keyed exchange serves the rank window AND the rollup
+    "ev_funnel_paths" -> ((s, dir) =>
+      Events.topEventPaths(table(s, dir, "events"))),
     "ev_pivot_type_day" -> ((s, dir) =>
       Events.typeByDayPivot(table(s, dir, "events"))),
     "ev_transitions" -> ((s, dir) =>
@@ -1069,6 +1080,15 @@ object SparkEntry {
     // vocabulary richness: hapax share / type-token ratio per source
     "text_vocab_stats" -> ((s, dir) =>
       TextAnalysis.vocabularyStats(table(s, dir, "documents"))),
+    // Zipf rank-frequency OLS fit per source over the top-200 terms —
+    // decimal-exact sums over a sources x 200 frame (WindowGroupLimit
+    // bounds the rank sort)
+    "text_zipf_fit" -> ((s, dir) =>
+      TextAnalysis.zipfFit(table(s, dir, "documents"))),
+    // Heaps'-law vocabulary-growth curve + beta fit at 10 arithmetic
+    // doc-id checkpoints — no global sort/window; bounds broadcast
+    "text_heaps_law" -> ((s, dir) =>
+      TextAnalysis.heapsLaw(table(s, dir, "documents"))),
     "text_bpe_tokens" -> ((s, dir) =>
       TextAnalysis.bpeTokenCounts(table(s, dir, "documents"))),
     // BPE merge TRAINING (round-5 verdict item #2): 8 rounds of
@@ -1982,6 +2002,24 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment ORDER BY n DESC, o_orderpriority) AS rn FROM c)
         |SELECT c_mktsegment, o_orderpriority AS modal_priority, n
         |FROM r WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
+    // Q2-shape ground truth: the same decorrelated min-join spelling —
+    // cost is a MIN of stored doubles, so the equality join is exact
+    "rel_min_cost_supplier" ->
+      """WITH offers AS (SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |rs AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+        |ro AS (SELECT o.cost, rs.s_name, rs.s_acctbal, rs.n_name,
+        |    p.p_partkey, p.p_brand
+        |  FROM offers o JOIN rs ON o.l_suppkey = rs.s_suppkey
+        |  JOIN part p ON o.l_partkey = p.p_partkey
+        |  WHERE p.p_type = 'STANDARD'),
+        |m AS (SELECT p_partkey AS mk, min(cost) AS mc FROM ro GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+        |  cost AS min_cost
+        |FROM ro JOIN m ON p_partkey = mk AND cost = mc
+        |ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 100""".stripMargin,
     "rel_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
@@ -2488,6 +2526,16 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM s0) AS n_stage0,
         |       (SELECT count(*) FROM s1) AS n_stage1,
         |       (SELECT count(*) FROM s2) AS n_stage2""".stripMargin,
+    // path census: rank under the same total (ts, type, id) key, path
+    // assembled by rank order — never aggregation encounter order
+    "ev_funnel_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_type, event_id) AS rn FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
 
     // identical per-shard running-max replay in arrival (event_id) order
     "ev_watermark_late" ->
@@ -3881,6 +3929,58 @@ object SparkEntry {
         |  round(CAST(count(*) AS DOUBLE) / CAST(sum(n) AS BIGINT), 6) AS type_token_ratio,
         |  round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS hapax_share
         |FROM tc GROUP BY source ORDER BY source""".stripMargin,
+    // Zipf fit: ln() on exact integers (the bm25 ln precedent), products
+    // as single IEEE multiplies, SUMS as DECIMAL(28,18) (order-free),
+    // one fixed double tree at the end — same discipline as the engine
+    "text_zipf_fit" ->
+      """WITH tok AS (SELECT source, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS term FROM documents),
+        |tc AS (SELECT source, term, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |rk AS (SELECT source, cnt, row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS r FROM tc),
+        |xy AS (SELECT source, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y FROM rk WHERE r <= 200),
+        |s AS (SELECT source, count(*) AS n,
+        |    sum(CAST(x AS DECIMAL(28,18))) AS sx, sum(CAST(y AS DECIMAL(28,18))) AS sy,
+        |    sum(CAST(x*x AS DECIMAL(28,18))) AS sxx, sum(CAST(x*y AS DECIMAL(28,18))) AS sxy,
+        |    sum(CAST(y*y AS DECIMAL(28,18))) AS syy FROM xy GROUP BY source),
+        |f AS (SELECT source, n, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd FROM s),
+        |g AS (SELECT source, n, nd, sxd, syd, sxyd, syyd,
+        |    CASE WHEN nd*sxxd - sxd*sxd = 0 THEN 0.0
+        |         ELSE (nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) END AS slope FROM f)
+        |SELECT source, CAST(n AS BIGINT) AS n_terms,
+        |  round(slope, 6) AS zipf_slope,
+        |  round((syd - slope*sxd) / nd, 6) AS zipf_intercept,
+        |  round(CASE WHEN syyd - syd*syd/nd = 0 THEN 0.0
+        |    ELSE (slope*(sxyd - sxd*syd/nd)) / (syyd - syd*syd/nd) END, 6) AS r2
+        |FROM g ORDER BY source""".stripMargin,
+    // Heaps curve: checkpoint bounds are pure INTEGER arithmetic (// not
+    // /), cumulative counts via the bound range-join, beta over the 10
+    // checkpoint rows with decimal sums; heaps_k uses the UNROUNDED beta
+    "text_heaps_law" ->
+      """WITH b0 AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+        |ck AS (SELECT i AS ckpt, lo + (hi - lo) * i // 10 AS bound FROM b0, range(1, 11) t(i)),
+        |dt AS (SELECT doc_id, len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS ntok FROM documents),
+        |fs AS (SELECT term, min(doc_id) AS first_doc FROM (SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS term FROM documents) GROUP BY term),
+        |ta AS (SELECT ckpt, bound, count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |  FROM dt JOIN ck ON doc_id <= bound GROUP BY 1, 2),
+        |ty AS (SELECT ckpt, count(*) AS n_types FROM fs JOIN ck ON first_doc <= bound GROUP BY 1),
+        |curve AS (SELECT ta.ckpt, bound, n_docs, n_tokens, n_types
+        |  FROM ta JOIN ty ON ta.ckpt = ty.ckpt),
+        |xy AS (SELECT ln(CAST(n_tokens AS DOUBLE)) AS x, ln(CAST(n_types AS DOUBLE)) AS y
+        |  FROM curve WHERE n_tokens > 0),
+        |s AS (SELECT count(*) AS n,
+        |    sum(CAST(x AS DECIMAL(28,18))) AS sx, sum(CAST(y AS DECIMAL(28,18))) AS sy,
+        |    sum(CAST(x*x AS DECIMAL(28,18))) AS sxx, sum(CAST(x*y AS DECIMAL(28,18))) AS sxy FROM xy),
+        |f AS (SELECT CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(sxy AS DOUBLE) AS sxyd FROM s),
+        |g AS (SELECT nd, sxd, syd,
+        |    CASE WHEN nd*sxxd - sxd*sxd = 0 THEN 0.0
+        |         ELSE (nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) END AS beta FROM f)
+        |SELECT ckpt, bound, n_docs, n_tokens, n_types,
+        |  round(beta, 6) AS heaps_beta,
+        |  round(exp((syd - beta*sxd) / nd), 6) AS heaps_k
+        |FROM curve, g ORDER BY ckpt""".stripMargin,
 
     // decimal-exact per-dim sums -> rounded centroid coords -> pair
     // cosine; the VARCHAR hop is not needed because round(...,6) absorbs

@@ -651,4 +651,37 @@ object Events {
     }
     counts.reduce(_.crossJoin(_))
   }
+
+  /** Top-k entry paths: each user's first `steps` event types in time
+    * order, concatenated "a>b>c", counted across users — the sequence
+    * census behind onboarding/funnel DESIGN (ev_funnel checks a given
+    * stage order; this op discovers which orders actually happen and at
+    * what volume).
+    *
+    * Determinism: the per-user order is the total key (ts, event_type,
+    * event_id) — concurrent same-timestamp events cannot reorder across
+    * engines — and the path string is assembled from a rank-sorted array,
+    * not from aggregation encounter order.
+    *
+    * Scale: ONE (user_id)-keyed exchange serves both the rank window and
+    * the path rollup (the window's hash partitioning satisfies the
+    * groupBy); rank<=steps cuts each user to `steps` skinny rows before
+    * the rollup, and the final path census is a tiny-domain agg
+    * (|types|^steps at most). No global window anywhere. */
+  def topEventPaths(events: DataFrame, steps: Int = 3, k: Int = 20)
+      : DataFrame = {
+    val byUserTime = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_type"), col("event_id"))
+    val firstSteps = events
+      .withColumn("rn", row_number().over(byUserTime))
+      .filter(col("rn") <= steps)
+      .select(col("user_id"), col("rn"), col("event_type"))
+    val paths = firstSteps.groupBy("user_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        s => s.getField("event_type")), ">").as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(k)
+  }
 }

@@ -1001,4 +1001,54 @@ object Relational {
         col("__s").as("p_size"))
       .orderBy("p_retailprice", "p_size", "p_partkey")
   }
+
+  /** Min-cost supplier per part (the TPC-H Q2 shape on this schema —
+    * lineitem stands in for partsupp as the part×supplier offer table):
+    * for every part of the given type sold by a supplier in the given
+    * region, the supplier(s) whose best unit price equals the REGIONAL
+    * minimum for that part. The correlated scalar subquery
+    * ("where cost = (select min(cost) ... where partkey = outer key)")
+    * is decorrelated by hand into a min-aggregate + equi-join — the plan
+    * Catalyst's own decorrelation would produce, spelled directly.
+    *
+    * Determinism: "cost" is min(l_extendedprice) — a MIN of stored
+    * doubles is exact and order-independent, and the min-equality join
+    * compares a value against itself propagated, never recomputed
+    * arithmetic. Ties (several suppliers at the min) all surface, under
+    * the total order (acctbal desc, supplier, part).
+    *
+    * Scale: offers aggregate lineitem down to (part, supplier) grain
+    * map-side BEFORE any join; nation/region and part are broadcast
+    * (dimension-sized); the per-part min is a second partial agg over the
+    * already-reduced offer rows. The only big exchange is the one
+    * (l_partkey, l_suppkey) aggregation — no join ever sees raw lineitem
+    * rows. */
+  def minCostSupplier(lineitem: DataFrame, supplier: DataFrame,
+                      nation: DataFrame, region: DataFrame, part: DataFrame,
+                      regionName: String = "EUROPE",
+                      partType: String = "STANDARD",
+                      k: Int = 100): DataFrame = {
+    val offers = lineitem.groupBy("l_partkey", "l_suppkey")
+      .agg(min("l_extendedprice").as("cost"))
+    val regionalSupp = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"))
+    val regionalOffers = offers
+      .join(broadcast(regionalSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(part.filter(col("p_type") === partType)
+          .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+    val minPerPart = regionalOffers.groupBy(col("p_partkey").as("mk"))
+      .agg(min("cost").as("min_cost"))
+    regionalOffers
+      .join(minPerPart, col("p_partkey") === col("mk") &&
+        col("cost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"), col("cost").as("min_cost"))
+      .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
+      .limit(k)
+  }
 }

@@ -1711,4 +1711,115 @@ object TextAnalysis {
         col("rk"))
       .orderBy("rk")
   }
+
+  /** Zipf rank-frequency fit per source: OLS of ln(freq) ~ ln(rank) over
+    * the top-`k` terms — the corpus-health diagnostic (natural text runs
+    * slope ~ -1; templated/generated text flattens, boilerplate-heavy
+    * text steepens; a slope drifting across snapshots flags a scrape
+    * regression before any downstream eval does).
+    *
+    * Determinism: ranks come from a total order (count desc, term asc) so
+    * the top-k cut is exact; ln(rank) and ln(count) are IEEE-identical in
+    * both engines on exact integer inputs (the bm25 ln(N/df) precedent),
+    * their products are single IEEE multiplies, and all SUMS accumulate
+    * as DECIMAL(28,18) (exact, order-independent — the sim_label_centroids
+    * rule), so slope/intercept/r2 are one fixed double expression tree
+    * over exact sums, rounded once at the end.
+    *
+    * Scale: one tokenize scan -> (source, term) partial-agg counts; the
+    * rank window is per-source top-k (WindowGroupLimit pushes the k cut
+    * below the sort), so the fit frame is `sources x k` rows — constant
+    * in corpus size. */
+  def zipfFit(docs: DataFrame, k: Int = 200): DataFrame = {
+    val tc = Tokenize.termOccurrences(docs.select(col("source"),
+        col("doc_id"), col("text")), "source")
+      .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+    val byFreq = Window.partitionBy("source")
+      .orderBy(col("cnt").desc, col("term"))
+    val ranked = tc.withColumn("r", row_number().over(byFreq).cast("long"))
+      .filter(col("r") <= k)
+    val x = log(col("r").cast("double"))
+    val y = log(col("cnt").cast("double"))
+    val dec = "decimal(28,18)"
+    val sums = ranked.groupBy("source").agg(
+      count(lit(1)).as("n"),
+      sum(x.cast(dec)).as("sx"), sum(y.cast(dec)).as("sy"),
+      sum((x * x).cast(dec)).as("sxx"),
+      sum((x * y).cast(dec)).as("sxy"),
+      sum((y * y).cast(dec)).as("syy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+    val sxxD = col("sxx").cast("double"); val sxyD = col("sxy").cast("double")
+    val syyD = col("syy").cast("double")
+    val den = nD * sxxD - sxD * sxD
+    val slope = when(den === 0.0, 0.0).otherwise((nD * sxyD - sxD * syD) / den)
+    val ssTot = syyD - syD * syD / nD
+    sums.withColumn("slope", slope)
+      .withColumn("intercept", (syD - col("slope") * sxD) / nD)
+      .withColumn("r2", when(ssTot === 0.0, 0.0)
+        .otherwise((col("slope") * (sxyD - sxD * syD / nD)) / ssTot))
+      .select(col("source"), col("n").as("n_terms"),
+        round(col("slope"), 6).as("zipf_slope"),
+        round(col("intercept"), 6).as("zipf_intercept"),
+        round(col("r2"), 6).as("r2"))
+      .orderBy("source")
+  }
+
+  /** Heaps'-law vocabulary-growth curve: cumulative (tokens, types) at 10
+    * doc-id checkpoints plus the fitted V = K * N^beta — the planning
+    * number for tokenizer/vocab sizing ("how many NEW types does the next
+    * 10 TB add?") and a dedup-health signal (beta rising toward 1 means
+    * the corpus keeps minting types: OCR noise or junk; beta collapsing
+    * means heavy duplication).
+    *
+    * Scale-shape: checkpoints are pure min/max ARITHMETIC on doc_id (no
+    * global sort, no ntile); cumulative counts come from range-joining the
+    * 10-row broadcast bound table against doc-grain token counts and
+    * vocab-grain first-appearance rows (fan-out <= 10 skinny rows each,
+    * map-side combined). The OLS fit runs over the 10 checkpoint rows with
+    * DECIMAL(28,18) sums (order-independent), same discipline as zipfFit.
+    * The full-table windows a naive cumulative formulation needs never
+    * appear. */
+  def heapsLaw(docs: DataFrame): DataFrame = {
+    val bounds = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .crossJoin(docs.sparkSession.range(1, 11).toDF("ckpt"))
+      // integer arithmetic only (DIV, not fractional /) — identical in
+      // any engine, no sort; ckpt=10 lands exactly on max(doc_id)
+      .select(col("ckpt"),
+        expr("lo + (hi - lo) * ckpt DIV 10").as("bound"))
+    val docTok = docs.select(col("doc_id"),
+      size(toks).cast("long").as("ntok"))
+    val firstSeen = Tokenize.termOccurrences(docs)
+      .groupBy("term").agg(min("doc_id").as("first_doc"))
+    val tokAt = docTok.join(broadcast(bounds),
+        col("doc_id") <= col("bound"))
+      .groupBy("ckpt", "bound")
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+    val typAt = firstSeen.join(broadcast(bounds),
+        col("first_doc") <= col("bound"))
+      .groupBy("ckpt").agg(count(lit(1)).as("n_types"))
+    val curve = tokAt.join(typAt, Seq("ckpt"))
+    val x = log(col("n_tokens").cast("double"))
+    val y = log(col("n_types").cast("double"))
+    val dec = "decimal(28,18)"
+    val fit = curve.filter(col("n_tokens") > 0).agg(
+      count(lit(1)).as("n"),
+      sum(x.cast(dec)).as("sx"), sum(y.cast(dec)).as("sy"),
+      sum((x * x).cast(dec)).as("sxx"),
+      sum((x * y).cast(dec)).as("sxy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+    val sxxD = col("sxx").cast("double"); val sxyD = col("sxy").cast("double")
+    val den = nD * sxxD - sxD * sxD
+    val beta = when(den === 0.0, 0.0)
+      .otherwise((nD * sxyD - sxD * syD) / den)
+    curve.crossJoin(broadcast(fit.withColumn("beta", beta)
+        .select(round(col("beta"), 6).as("heaps_beta"),
+          round(exp((col("sy").cast("double") -
+            col("beta") * col("sx").cast("double")) / col("n").cast("double")),
+            6).as("heaps_k"))))
+      .select(col("ckpt"), col("bound"), col("n_docs"), col("n_tokens"),
+        col("n_types"), col("heaps_beta"), col("heaps_k"))
+      .orderBy("ckpt")
+  }
 }

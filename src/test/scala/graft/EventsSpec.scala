@@ -327,4 +327,27 @@ class EventsSpec extends SparkSpec {
       ("a", "2024-01-04", 2L, 4.0),
       ("b", "2024-01-03", 1L, 1.0)))
   }
+
+  test("topEventPaths: first-3 order by (ts, type, id); short histories keep their short path") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: plain 3-step path, a 4th event must not appear
+      (1L, t("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, t("2024-01-01 10:01:00"), 1L, "click", 0.0, "{}"),
+      (3L, t("2024-01-01 10:02:00"), 1L, "purchase", 0.0, "{}"),
+      (4L, t("2024-01-01 10:03:00"), 1L, "error", 0.0, "{}"),
+      // user 2: same path as user 1, but steps 2+3 share a timestamp —
+      // tie breaks by event_type ('click' < 'purchase')
+      (5L, t("2024-01-02 09:00:00"), 2L, "view", 0.0, "{}"),
+      (7L, t("2024-01-02 09:05:00"), 2L, "purchase", 0.0, "{}"),
+      (6L, t("2024-01-02 09:05:00"), 2L, "click", 0.0, "{}"),
+      // user 3: only two events -> a 2-step path of its own
+      (8L, t("2024-01-03 08:00:00"), 3L, "signup", 0.0, "{}"),
+      (9L, t("2024-01-03 08:01:00"), 3L, "view", 0.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.events.Events.topEventPaths(ev)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("view>click>purchase", 2L), ("signup>view", 1L)))
+  }
 }

@@ -337,4 +337,38 @@ class ReportQueriesSpec extends SparkSpec {
       (1L, "2024-01-04", 7.0, true),
       (2L, "2024-01-02", 3.0, true)))   // single-day span, no fill
   }
+
+  test("min-cost supplier: regional min only, out-of-region cheaper offers ignored, ties both stay") {
+    // region filter = EUROPE; part 1 is STANDARD, part 2 is PROMO (excluded)
+    val region = Seq((1, "EUROPE"), (2, "ASIA")).toDF("r_regionkey", "r_name")
+    val nation = Seq((10, "FRANCE", 1), (11, "CHINA", 2))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val supplier = Seq(
+      (100L, "EU_CHEAP", 10, 5.0), (101L, "EU_DEAR", 10, 9.0),
+      (102L, "EU_TIE", 10, 7.0), (103L, "ASIA_CHEAPEST", 11, 1.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val part = Seq((1L, "p1", "Brand#1", "STANDARD", 1, 1.0),
+      (2L, "p2", "Brand#2", "PROMO", 1, 1.0))
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice")
+    // offer grain = min(l_extendedprice) per (part, supplier): EU_CHEAP
+    // and EU_TIE both reach 10.0 on part 1 (EU_CHEAP via its second,
+    // cheaper line); ASIA_CHEAPEST's 2.0 must NOT win (out of region);
+    // part 2 is filtered by type despite having the cheapest offer of all
+    def li(pk: Long, sk: Long, price: Double) =
+      (1L, pk, sk, 1, 1.0, price, 0.0, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    val lineitem = Seq(
+      li(1L, 100L, 12.0), li(1L, 100L, 10.0), li(1L, 101L, 11.0),
+      li(1L, 102L, 10.0), li(1L, 103L, 2.0), li(2L, 100L, 3.0))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+    val got = Relational.minCostSupplier(lineitem, supplier, nation,
+        region, part)
+      .select("s_name", "p_partkey", "min_cost")
+      .as[(String, Long, Double)].collect().toSeq
+    // order: s_acctbal desc -> EU_TIE (7.0) before EU_CHEAP (5.0)
+    assert(got == Seq(("EU_TIE", 1L, 10.0), ("EU_CHEAP", 1L, 10.0)))
+  }
 }

@@ -717,4 +717,57 @@ class TextAnalysisSpec extends SparkSpec {
       assert(math.abs(rows.map(_._4).sum - 1.0) < 0.001)
     }
   }
+
+  test("zipfFit: an exact 1/r corpus recovers slope -1, intercept ln(c), r2 = 1") {
+    // counts 6, 3, 2 = 6/r at ranks 1, 2, 3 -> ln y = ln 6 - 1 * ln r
+    // exactly, so OLS must return the line itself
+    val docs = Seq((1L, "s", ("aa " * 6 + "bb " * 3 + "cc " * 2).trim))
+      .toDF("doc_id", "source", "text")
+    val r = TextAnalysis.zipfFit(docs).as[(String, Long, Double, Double,
+      Double)].collect().toSeq
+    assert(r == Seq(("s", 3L, -1.0, math.rint(math.log(6) * 1e6) / 1e6, 1.0)))
+  }
+
+  test("zipfFit: equal-count ranks break ties by term, top-k cut respected") {
+    // 4 terms all with count 2 -> ranks are alphabetical; k=3 drops 'dd'
+    val docs = Seq((1L, "s", "aa bb cc dd aa bb cc dd"))
+      .toDF("doc_id", "source", "text")
+    val r = TextAnalysis.zipfFit(docs, k = 3).collect()
+    assert(r.length == 1 && r.head.getLong(1) == 3L)
+    // all y equal -> slope exactly 0, r2 defined as 0 (ssTot = 0 guard)
+    assert(r.head.getDouble(2) == 0.0 && r.head.getDouble(4) == 0.0)
+  }
+
+  test("heapsLaw: checkpoints are arithmetic, counts cumulative, final row is the whole corpus") {
+    // doc_ids 0..9, each doc d contributes d+1 copies of its own term
+    // plus one shared term -> types grow by exactly 1 per doc
+    val docs = (0L to 9L).map(d =>
+      (d, "s", (s"t$d " * (d.toInt + 1) + "shared").trim))
+      .toDF("doc_id", "source", "text")
+    val rows = TextAnalysis.heapsLaw(docs)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(rows.map(_._1) == (1L to 10L))
+    // bound_i = 0 + 9*i DIV 10
+    assert(rows.map(_._2) == (1L to 10L).map(i => 9L * i / 10L))
+    // cumulative and monotone; last checkpoint covers everything
+    assert(rows.map(_._4) == rows.map(_._4).sorted)
+    assert(rows.map(_._5) == rows.map(_._5).sorted)
+    val last = rows.last
+    assert(last._3 == 10L)                       // all docs
+    assert(last._4 == (1 to 10).map(_ + 1).sum)  // all tokens incl shared
+    assert(last._5 == 11L)                       // 10 own terms + shared
+    // the fitted constants are the same on every row
+    assert(rows.map(_._6).distinct.size == 1)
+    assert(rows.map(_._7).distinct.size == 1)
+  }
+
+  test("heapsLaw: a pure-duplication corpus fits beta ~ 0 (no new types)") {
+    // same text in every doc: types flat at 2 while tokens grow 10x
+    val docs = (0L to 9L).map(d => (d, "s", "aa bb"))
+      .toDF("doc_id", "source", "text")
+    val rows = TextAnalysis.heapsLaw(docs)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(rows.map(_._5).distinct == Seq(2L))
+    assert(math.abs(rows.head._6) < 1e-9)        // beta rounds to 0
+  }
 }
