@@ -445,6 +445,11 @@ object SparkEntry {
     // one user-keyed exchange serves the rank window AND the rollup
     "ev_funnel_paths" -> ((s, dir) =>
       Events.topEventPaths(table(s, dir, "events"))),
+    // RFM quartile census: percentile_disc boundaries spelled as integer
+    // ceil over value HISTOGRAMS (support-bounded), users join three
+    // broadcast 1-row bound frames, <= 64 segment rows out
+    "ev_rfm_segments" -> ((s, dir) =>
+      Events.rfmSegments(table(s, dir, "events"))),
     "ev_pivot_type_day" -> ((s, dir) =>
       Events.typeByDayPivot(table(s, dir, "events"))),
     "ev_transitions" -> ((s, dir) =>
@@ -733,6 +738,11 @@ object SparkEntry {
     // repeated verbatim in >= 2 distinct docs (round-5 verdict item #3)
     "dedup_span_pairs" -> ((s, dir) =>
       Dedup.duplicatedSpans(table(s, dir, "documents"), 8)),
+    // shard-boundary stitch: a's last-8 tokens == b's first-8 (ORDERED
+    // reconstruction signal near-dup/span ops don't carry); seam-keyed
+    // md5 join, df-capped on both sides
+    "dedup_boundary_stitch" -> ((s, dir) =>
+      Dedup.boundaryStitchPairs(table(s, dir, "documents"))),
     // paragraph-grain near-dup (round-5): blank-line paragraphs (the
     // synthetic corpus gets breaks re-materialized every 25 tokens first,
     // like the image corpus gets real headers), then the SAME df-capped
@@ -2526,6 +2536,39 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM s0) AS n_stage0,
         |       (SELECT count(*) FROM s1) AS n_stage1,
         |       (SELECT count(*) FROM s2) AS n_stage2""".stripMargin,
+    // RFM: the same spelled-out percentile_disc (smallest v with cum >=
+    // ceil(q*n), integer arithmetic), exact cents, one double division
+    "ev_rfm_segments" ->
+      """WITH u AS (SELECT user_id, max(ts) AS last_ts, count(*) AS freq,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS money FROM events GROUP BY user_id),
+        |r0 AS (SELECT max(CAST(ts AS DATE)) AS ref_date FROM events),
+        |m AS (SELECT user_id,
+        |    CAST(date_diff('day', CAST(last_ts AS DATE), ref_date) AS BIGINT) AS rec,
+        |    freq, CAST(money * 100 AS BIGINT) AS cents FROM u, r0),
+        |n0 AS (SELECT count(*) AS n FROM m),
+        |rb AS (SELECT min(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS b1,
+        |    min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS b2,
+        |    min(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS b3
+        |  FROM (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM
+        |    (SELECT rec AS v, count(*) AS c FROM m GROUP BY 1)), n0),
+        |fb AS (SELECT min(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS b1,
+        |    min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS b2,
+        |    min(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS b3
+        |  FROM (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM
+        |    (SELECT freq AS v, count(*) AS c FROM m GROUP BY 1)), n0),
+        |mb AS (SELECT min(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS b1,
+        |    min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS b2,
+        |    min(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS b3
+        |  FROM (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM
+        |    (SELECT cents AS v, count(*) AS c FROM m GROUP BY 1)), n0),
+        |q AS (SELECT user_id, cents,
+        |    1 + CAST(rec > rb.b1 AS INT) + CAST(rec > rb.b2 AS INT) + CAST(rec > rb.b3 AS INT) AS r_q,
+        |    1 + CAST(freq > fb.b1 AS INT) + CAST(freq > fb.b2 AS INT) + CAST(freq > fb.b3 AS INT) AS f_q,
+        |    1 + CAST(cents > mb.b1 AS INT) + CAST(cents > mb.b2 AS INT) + CAST(cents > mb.b3 AS INT) AS m_q
+        |  FROM m, rb, fb, mb)
+        |SELECT r_q, f_q, m_q, count(*) AS n_users,
+        |  CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0 AS total_value
+        |FROM q GROUP BY 1, 2, 3 ORDER BY r_q, f_q, m_q""".stripMargin,
     // path census: rank under the same total (ts, type, id) key, path
     // assembled by rank order — never aggregation encounter order
     "ev_funnel_paths" ->
@@ -2965,6 +3008,19 @@ object SparkEntry {
         |  round(CASE WHEN coalesce(nw, 0) = 0 THEN 0.0
         |        ELSE CAST(nsw AS DOUBLE)/nw END, 4) AS shared_frac
         |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // seam replay: same md5-of-rejoined-window keys, same df cap on each
+    // side independently (a hot tail seam is dropped even if the matching
+    // head seam is cold, and vice versa)
+    "dedup_boundary_stitch" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
+        |ok AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 8),
+        |tl AS (SELECT doc_id AS left_doc, md5(array_to_string(list_slice(tk, len(tk)-7, len(tk)), ' ')) AS seam FROM ok),
+        |hd AS (SELECT doc_id AS right_doc, md5(array_to_string(list_slice(tk, 1, 8), ' ')) AS seam FROM ok),
+        |tlc AS (SELECT * FROM tl WHERE seam IN (SELECT seam FROM tl GROUP BY seam HAVING count(*) <= 8)),
+        |hdc AS (SELECT * FROM hd WHERE seam IN (SELECT seam FROM hd GROUP BY seam HAVING count(*) <= 8))
+        |SELECT left_doc, right_doc, tlc.seam AS seam
+        |FROM tlc JOIN hdc ON tlc.seam = hdc.seam AND left_doc <> right_doc
+        |ORDER BY left_doc, right_doc""".stripMargin,
     // same positional-window replay: 1-based list slices -> 0-based pos,
     // distinct-doc window df >= 2, then SQL gaps-and-islands (lag + running
     // sum) merges [pos, pos+8) intervals exactly like the Spark window

@@ -1507,4 +1507,45 @@ object Dedup {
         col("__m.pagerank").as("rep_pagerank"))
       .orderBy("cluster_id")
   }
+
+  /** Shard-boundary stitch candidates: ordered pairs (a, b) where a's
+    * LAST `w` tokens equal b's FIRST `w` tokens — the signature of one
+    * document split across ingest shards (a crawler page cut at a byte
+    * budget, a log rotated mid-record). Near-dup ops can't see these:
+    * the two halves share almost no content except the seam, and
+    * span-level dedup reports the seam as a duplicate without the
+    * ORDER information ("a continues into b") that reconstruction
+    * needs.
+    *
+    * Determinism: the seam key is the exact w-token sequence (space-
+    * rejoined under the pinned tokenizer); docs shorter than `w` tokens
+    * have no seam by definition.
+    *
+    * Scale: each doc contributes ONE head row and ONE tail row (md5 of
+    * the seam — fixed-width keys shuffle, never text); the join is
+    * seam-keyed, and a df cap on BOTH sides drops boilerplate seams
+    * (an all-identical corpus would otherwise put every doc in one
+    * bucket and emit n² pairs — with the cap it emits zero, the
+    * capShingleDf argument). */
+  def boundaryStitchPairs(docs: DataFrame, w: Int = 8,
+                          maxSeamDf: Int = 8): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      Tokenize.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= w)
+    val tails = toks.select(col("doc_id").as("left_doc"),
+      md5(array_join(slice(col("t"), -w, w), " ")).as("seam"))
+    val heads = toks.select(col("doc_id").as("right_doc"),
+      md5(array_join(slice(col("t"), 1, w), " ")).as("seam"))
+    def capped(side: DataFrame): DataFrame =
+      if (maxSeamDf <= 0) side
+      else {
+        val hot = side.groupBy("seam").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxSeamDf).select("seam")
+        side.join(broadcast(hot), Seq("seam"), "left_anti")
+      }
+    capped(tails).join(capped(heads), Seq("seam"))
+      .filter(col("left_doc") =!= col("right_doc"))
+      .select(col("left_doc"), col("right_doc"), col("seam"))
+      .orderBy("left_doc", "right_doc")
+  }
 }

@@ -684,4 +684,66 @@ object Events {
       .orderBy(col("n_users").desc, col("path"))
       .limit(k)
   }
+
+  /** RFM segmentation: users bucketed into quartiles of Recency (days
+    * since last event, vs the corpus max date), Frequency (event count)
+    * and Monetary (exact DECIMAL(18,2) value sum, carried as integer
+    * cents), reported as the 4x4x4 segment census — the standard
+    * user-base health matrix. r_q = 1 is MOST recent (smallest gap).
+    *
+    * Quartile boundaries are percentile_disc SPELLED OUT — smallest
+    * metric value whose cumulative user count reaches ceil(p*n), with
+    * ceil as pure integer arithmetic ((n+3) DIV 4 etc.) — because the
+    * engines' builtin quantile definitions differ; a value sitting on a
+    * boundary buckets identically in both engines since everything is
+    * exact integers.
+    *
+    * Scale: one (user_id) aggregate reduces events to user grain; each
+    * boundary derives from a cumulative window over the metric's VALUE
+    * HISTOGRAM (distinct recency-days / frequencies / cent-amounts —
+    * support-bounded, the percentileCalibration argument), never a rank
+    * over users; users then join three broadcast 1-row boundary frames
+    * and reduce to <= 64 segment rows. */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val users = events.groupBy("user_id").agg(
+      max(col("ts")).as("last_ts"),
+      count(lit(1)).as("freq"),
+      sum(col("value").cast(DecimalType(18, 2))).as("money"))
+    val ref = events.agg(max(to_date(col("ts"))).as("ref_date"))
+    val u = users.crossJoin(broadcast(ref))
+      .select(col("user_id"),
+        datediff(col("ref_date"), to_date(col("last_ts")))
+          .cast("long").as("rec"),
+        col("freq"),
+        (col("money") * 100).cast("long").as("cents"))
+    // smallest v with cum(v) >= ceil(q*n), q = 1/4, 2/4, 3/4 — exact ints
+    def bounds(metric: String): DataFrame = {
+      val hist = u.groupBy(col(metric).as("v")).agg(count(lit(1)).as("c"))
+      val cum = hist.withColumn("cum",
+        sum("c").over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(broadcast(u.agg(count(lit(1)).as("n"))))
+      cum.agg(
+        min(when(col("cum") >= expr("(n + 3) DIV 4"), col("v")))
+          .as(s"${metric}_b1"),
+        min(when(col("cum") >= expr("(n + 1) DIV 2"), col("v")))
+          .as(s"${metric}_b2"),
+        min(when(col("cum") >= expr("(3 * n + 3) DIV 4"), col("v")))
+          .as(s"${metric}_b3"))
+    }
+    def quartile(metric: String): Column =
+      lit(1) + (col(metric) > col(s"${metric}_b1")).cast("int") +
+        (col(metric) > col(s"${metric}_b2")).cast("int") +
+        (col(metric) > col(s"${metric}_b3")).cast("int")
+    u.crossJoin(broadcast(bounds("rec")))
+      .crossJoin(broadcast(bounds("freq")))
+      .crossJoin(broadcast(bounds("cents")))
+      .select(col("user_id"), col("cents"),
+        quartile("rec").as("r_q"), quartile("freq").as("f_q"),
+        quartile("cents").as("m_q"))
+      .groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_users"),
+        (sum("cents").cast("double") / 100.0).as("total_value"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
 }

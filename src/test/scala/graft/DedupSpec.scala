@@ -734,4 +734,31 @@ class DedupSpec extends SparkSpec {
     val sharedTokens = ch20.filter(c => shared.exists(_._1 == c._5)).map(_._4).sum
     assert(sharedTokens > 200L, s"only $sharedTokens of 300 tokens in shared chunks")
   }
+
+  test("boundary stitch: a doc split across shards is found, direction preserved, short docs skipped") {
+    val full = (1 to 40).map(i => s"tok$i").mkString(" ")
+    // shard cut at token 20 with an 8-token overlap (the crawler-budget
+    // pattern: the cutter re-emits the seam at the head of the next part)
+    val partA = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val partB = (13 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, partA), (2L, partB),
+      (3L, "unrelated words entirely different content here now ok fine"),
+      (4L, "shorty"), // < 8 tokens: no seam at all
+    ).toDF("doc_id", "text")
+    val got = Dedup.boundaryStitchPairs(docs)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(full.contains("tok13 tok14")) // sanity: seam really is shared
+  }
+
+  test("boundary stitch: a boilerplate seam (same header == same footer everywhere) is capped, not n^2") {
+    // every doc ends with the 8 tokens it starts with (template framing):
+    // uncapped, every tail matches every head -> n*(n-1) ordered pairs
+    val frame = (1 to 8).map(i => s"f$i").mkString(" ")
+    val docs = (1L to 20L).map(d => (d, s"$frame middle$d $frame"))
+      .toDF("doc_id", "text")
+    assert(Dedup.boundaryStitchPairs(docs).count() == 0L)
+    assert(Dedup.boundaryStitchPairs(docs, maxSeamDf = 0).count() == 380L)
+  }
 }

@@ -350,4 +350,32 @@ class EventsSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(got == Seq(("view>click>purchase", 2L), ("signup>view", 1L)))
   }
+
+  test("rfmSegments: hand-computed quartile boundaries (ceil percentile_disc) and exact cents") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // 4 users; ref date = 2024-01-10.
+    // recency days: u1=0, u2=1, u3=5, u4=9  -> b1=0, b2=1, b3=5
+    // freq:          u1=4, u2=1, u3=1, u4=1  -> b1=1, b2=1, b3=1
+    // cents:         u1=400, u2=150, u3=50, u4=0 -> b1=0, b2=50, b3=150
+    val ev = Seq(
+      (1L, t("2024-01-10 08:00:00"), 1L, "a", 1.0),
+      (2L, t("2024-01-10 09:00:00"), 1L, "a", 1.0),
+      (3L, t("2024-01-09 09:00:00"), 1L, "a", 1.0),
+      (4L, t("2024-01-01 09:00:00"), 1L, "a", 1.0),
+      (5L, t("2024-01-09 12:00:00"), 2L, "a", 1.5),
+      (6L, t("2024-01-05 12:00:00"), 3L, "a", 0.5),
+      (7L, t("2024-01-01 12:00:00"), 4L, "a", 0.0),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+    val got = graft.events.Events.rfmSegments(ev)
+      .as[(Int, Int, Int, Long, Double)].collect().toSeq
+    // u1: rec 0 -> q1; freq 4 > all bounds -> q4; cents 400 -> q4
+    // u2: rec 1 -> q2; freq 1 -> q1; cents 150 -> q3
+    // u3: rec 5 -> q3; freq 1 -> q1; cents 50  -> q2
+    // u4: rec 9 -> q4; freq 1 -> q1; cents 0   -> q1
+    assert(got == Seq(
+      (1, 4, 4, 1L, 4.0), (2, 1, 3, 1L, 1.5),
+      (3, 1, 2, 1L, 0.5), (4, 1, 1, 1L, 0.0)))
+  }
 }
