@@ -84,6 +84,10 @@ object SparkEntry {
     // ---- reference parity: BM25 ranking (SURVEY §2.5, §2.7, A6-A7, O1) ----
     "bm25_search" -> ((s, dir) =>
       BM25.search(s, table(s, dir, "documents"), FlagshipQuery)),
+    // bounded wildcard: each token expands against the VOCABULARY
+    // (df-capped, highest-df first), then the plain exact scoring chain
+    "bm25_prefix_search" -> ((s, dir) =>
+      BM25.searchPrefix(s, table(s, dir, "documents"), "s qu")),
     // serving-side highlights for the flagship page: per top-10 doc, the
     // 15-token window with the most distinct query terms (hit-anchored —
     // lossless; extraction touches only the k ranked docs)
@@ -1090,6 +1094,10 @@ object SparkEntry {
     // vocabulary richness: hapax share / type-token ratio per source
     "text_vocab_stats" -> ((s, dir) =>
       TextAnalysis.vocabularyStats(table(s, dir, "documents"))),
+    // Flesch/FK readability per source: regexp-count scan, exact-long
+    // sums, two formula evaluations per source row
+    "text_readability" -> ((s, dir) =>
+      TextAnalysis.readability(table(s, dir, "documents"))),
     // Zipf rank-frequency OLS fit per source over the top-200 terms —
     // decimal-exact sums over a sources x 200 frame (WindowGroupLimit
     // bounds the rank sort)
@@ -1462,6 +1470,18 @@ object SparkEntry {
     "bm25_wand" -> bm25OracleSql("('hash','merge','stream')"),
     "bm25_block_max" -> bm25OracleSql("('hash','merge','stream')"),
     "bm25_oov" -> bm25OracleSql("('zzzznotaword','qqqqnotaword')"),
+    // prefix expansion replayed as an IN-subquery term source: vocab df
+    // ranked per prefix (df desc, term), capped at 50, then the SAME
+    // unmodified scoring CTEs — expansion changes the term set only
+    "bm25_prefix_search" -> bm25OracleSql(
+      """(SELECT term FROM (
+        |  SELECT v.term, row_number() OVER (PARTITION BY p.pfx
+        |    ORDER BY v.df DESC, v.term) AS rn
+        |  FROM (SELECT term, count(DISTINCT doc_id) AS df
+        |        FROM (SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS term FROM documents)
+        |        GROUP BY term) v
+        |  JOIN (VALUES ('s'), ('qu')) p(pfx) ON v.term LIKE p.pfx || '%')
+        | WHERE rn <= 50)""".stripMargin),
     "idx_champion_lists" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
@@ -3985,6 +4005,21 @@ object SparkEntry {
         |  round(CAST(count(*) AS DOUBLE) / CAST(sum(n) AS BIGINT), 6) AS type_token_ratio,
         |  round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS hapax_share
         |FROM tc GROUP BY source ORDER BY source""".stripMargin,
+    // readability: pure regexp counts -> exact long sums -> the two
+    // formulas evaluate once per source in the same association order
+    "text_readability" ->
+      """WITH d AS (SELECT source,
+        |    CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[aeiouy]+')) AS BIGINT) AS sy,
+        |    greatest(CAST(1 AS BIGINT), CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS se
+        |  FROM documents),
+        |a AS (SELECT source, count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS words,
+        |    CAST(sum(sy) AS BIGINT) AS syllables, CAST(sum(se) AS BIGINT) AS sentences
+        |  FROM d WHERE w > 0 GROUP BY source)
+        |SELECT source, n_docs, words, syllables, sentences,
+        |  round(206.835 - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE)) - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)), 4) AS flesch_ease,
+        |  round(0.39 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE)) + 11.8 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)) - 15.59, 4) AS fk_grade
+        |FROM a ORDER BY source""".stripMargin,
     // Zipf fit: ln() on exact integers (the bm25 ln precedent), products
     // as single IEEE multiplies, SUMS as DECIMAL(28,18) (order-free),
     // one fixed double tree at the end — same discipline as the engine

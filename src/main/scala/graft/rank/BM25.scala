@@ -522,4 +522,40 @@ object BM25 {
         col("doc_frequency"), col("rank").cast("int").as("rank"))
       .orderBy("query_term", "rank")
   }
+
+  /** Prefix (wildcard) search: each query token is a PREFIX, expanded
+    * against the vocabulary to at most `maxExpand` concrete terms —
+    * highest-df first, the Lucene bounded-wildcard discipline (an
+    * unbounded `a*` would otherwise drag half the vocabulary into the
+    * postings join) — then scored as a plain BM25 disjunction where
+    * every expanded term keeps its own TRUE df/idf (expansion changes
+    * the candidate term set, not the formula; a term matched by two
+    * prefixes scores once).
+    *
+    * Scale: expansion runs on the VOCABULARY table (a broadcast
+    * nested-loop against |prefixes| rows — vocab-sized, never postings);
+    * the per-prefix cap is a |prefixes|-partition window; postings are
+    * then restricted by the <= |prefixes|·maxExpand expanded terms
+    * exactly like the literal-terms path. */
+  def searchPrefix(spark: SparkSession, docs: DataFrame, query: String,
+                   maxExpand: Int = 50, k1: Double = 1.0, b: Double = 0.75,
+                   topK: Int = 10): DataFrame = {
+    import spark.implicits._
+    val prefixes = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .distinct.toSeq.toDF("prefix")
+    val tf = InvertedIndex.termFrequency(docs)
+    val dfreq = InvertedIndex.docFrequencyFromTf(tf)
+    val dl = InvertedIndex.docLengthFromTf(tf)
+    val stats = InvertedIndex.corpusInfo(docs)
+    val byDf = Window.partitionBy("prefix")
+      .orderBy(col("doc_frequency").desc, col("term"))
+    val qTerms = dfreq.join(broadcast(prefixes),
+        col("term").startsWith(col("prefix")))
+      .withColumn("rn", row_number().over(byDf))
+      .filter(col("rn") <= maxExpand)
+      .select("term").distinct()
+    val qtf = tf.join(broadcast(qTerms), Seq("term"))
+    val qdf = dfreq.join(broadcast(qTerms), Seq("term"))
+    rank(qtf, qdf, dl, stats, k1, b, topK)
+  }
 }

@@ -1712,6 +1712,40 @@ object TextAnalysis {
       .orderBy("rk")
   }
 
+  /** Flesch reading-ease + Flesch-Kincaid grade per source — the classic
+    * readability gate a quality pipeline applies before the learned
+    * classifier (a corpus slice whose grade level jumps is template/OCR
+    * junk long before perplexity notices). Syllables are approximated as
+    * case-folded vowel-group runs ([aeiouy]+, the standard cheap
+    * estimator) and sentences as terminal-punctuation runs floored at 1
+    * per doc — both pure regexp COUNTS, so every aggregate is an exact
+    * long and the two formulas evaluate once, per source, on exact sums.
+    * Zero-token docs are excluded (no words -> both formulas undefined).
+    * One codegen scan, tiny per-source result. */
+  def readability(docs: DataFrame): DataFrame = {
+    val words = size(toks).cast("long")
+    val syll = size(regexp_extract_all(Tokenize.asciiFold(col("text")),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    val sents = greatest(lit(1L),
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+        .cast("long"))
+    val perDoc = docs.select(col("source"), words.as("w"), syll.as("sy"),
+        sents.as("se"))
+      .filter(col("w") > 0)
+    val agg = perDoc.groupBy("source").agg(
+      count(lit(1)).as("n_docs"), sum("w").as("words"),
+      sum("sy").as("syllables"), sum("se").as("sentences"))
+    val wps = col("words").cast("double") / col("sentences").cast("double")
+    val spw = col("syllables").cast("double") / col("words").cast("double")
+    agg.select(col("source"), col("n_docs"), col("words"),
+        col("syllables"), col("sentences"),
+        round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 4)
+          .as("flesch_ease"),
+        round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 4)
+          .as("fk_grade"))
+      .orderBy("source")
+  }
+
   /** Zipf rank-frequency fit per source: OLS of ln(freq) ~ ln(rank) over
     * the top-`k` terms — the corpus-health diagnostic (natural text runs
     * slope ~ -1; templated/generated text flattens, boilerplate-heavy

@@ -718,6 +718,18 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("readability: hand-computed Flesch/FK on a two-sentence doc; empty docs excluded") {
+    // tokens: the cat it runs -> w=4; vowel groups: e,a,i,u -> sy=4;
+    // sentence runs: '.' '!' -> se=2
+    // flesch = 206.835 - 1.015*(4/2) - 84.6*(4/4) = 120.205
+    // fk     = 0.39*2 + 11.8*1 - 15.59           = -3.01
+    val docs = Seq((1L, "s", "The cat. It runs!"), (2L, "s", ""))
+      .toDF("doc_id", "source", "text")
+    val r = TextAnalysis.readability(docs)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(r == Seq(("s", 1L, 4L, 4L, 2L, 120.205, -3.01)))
+  }
+
   test("zipfFit: an exact 1/r corpus recovers slope -1, intercept ln(c), r2 = 1") {
     // counts 6, 3, 2 = 6/r at ranks 1, 2, 3 -> ln y = ln 6 - 1 * ln r
     // exactly, so OLS must return the line itself

@@ -322,4 +322,32 @@ class TextIndexRankSpec extends SparkSpec {
     val ban = out.filter(_._1 == "bananna").toSeq
     assert(ban.head._2 == "banana" && ban.head._3 == 1L)
   }
+
+  test("prefix search: single-match prefix equals the literal-term search exactly") {
+    val docs = Seq(
+      (1L, "spark runs the query fast"),
+      (2L, "the query planner is spark"),
+      (3L, "tables join other tables"),
+    ).toDF("doc_id", "text")
+    val literal = BM25.search(spark, docs, "spark")
+      .as[(Long, Double)].collect().toSeq
+    val prefixed = BM25.searchPrefix(spark, docs, "spar")
+      .as[(Long, Double)].collect().toSeq
+    assert(literal.nonEmpty && prefixed == literal)
+  }
+
+  test("prefix search: expansion is df-capped highest-df first; dropped terms don't score") {
+    // prefix 'a': df(apple)=3 > df(april)=2 > df(axiom)=1; cap 2 keeps
+    // apple+april, so the axiom-only doc 4 must NOT appear at all
+    val docs = Seq(
+      (1L, "apple april things"), (2L, "apple april other"),
+      (3L, "apple alone"), (4L, "axiom only here"),
+    ).toDF("doc_id", "text")
+    val got = BM25.searchPrefix(spark, docs, "a", maxExpand = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L))
+    // doc 3 ('alone' also matches 'a' but is rank 4 by (df, term)) still
+    // appears through its 'apple' hit — expansion drops TERMS, not docs
+    assert(got.map(_._1).contains(3L))
+  }
 }
