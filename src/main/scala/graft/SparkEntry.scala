@@ -470,6 +470,10 @@ object SparkEntry {
       Events.scdType2(table(s, dir, "events"))),
     "ev_cohort_retention" -> ((s, dir) =>
       Events.cohortRetention(table(s, dir, "events"))),
+    // pooled retention curve + exponential-decay OLS (lambda, half-life):
+    // offset-cardinality fit frame, decimal-exact sums
+    "ev_retention_fit" -> ((s, dir) =>
+      Events.retentionDecayFit(table(s, dir, "events"))),
     // CDC changelog apply: latest-wins per user with 'error' tombstones —
     // the compacted-topic materialization; one user-keyed window pass
     "ev_cdc_apply" -> ((s, dir) =>
@@ -841,6 +845,10 @@ object SparkEntry {
     // 20k-token budget in seeded-hash order
     "curate_budget_sample" -> ((s, dir) =>
       graft.curate.Curation.budgetSample(table(s, dir, "documents"), 20000L)),
+    // Hamilton largest-remainder apportionment: exact-integer quotas,
+    // shares sum to EXACTLY the budget by construction
+    "curate_apportion_budget" -> ((s, dir) =>
+      graft.curate.Curation.apportionBudget(table(s, dir, "documents"))),
     // DSIR importance weights (Xie'23): hashed-bigram log-likelihood
     // ratio of target-slice vs raw-corpus feature distributions
     "curate_dsir_weights" -> ((s, dir) =>
@@ -2371,6 +2379,33 @@ object SparkEntry {
         |FROM a JOIN c ON a.user_id = c.user_id
         |WHERE date_diff('day', c.cohort_day, a.day) >= 0
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    // decay fit: same pooled curve, ln on exact-division rates, decimal
+    // OLS sums, half-life from the UNROUNDED slope
+    "ev_retention_fit" ->
+      """WITH c AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events
+        |           WHERE event_type = 'signup' GROUP BY user_id),
+        |n0 AS (SELECT count(*) AS n_total FROM c),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |curve AS (SELECT CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset,
+        |    count(DISTINCT a.user_id) AS n_users
+        |  FROM a JOIN c ON a.user_id = c.user_id
+        |  WHERE date_diff('day', c.cohort_day, a.day) >= 0 GROUP BY 1),
+        |cr AS (SELECT day_offset, n_users,
+        |    CAST(n_users AS DOUBLE) / CAST(n_total AS DOUBLE) AS rate FROM curve, n0),
+        |xy AS (SELECT CAST(day_offset AS DOUBLE) AS x, ln(rate) AS y
+        |  FROM cr WHERE day_offset >= 1 AND rate > 0),
+        |s AS (SELECT count(*) AS n,
+        |    sum(CAST(x AS DECIMAL(28,18))) AS sx, sum(CAST(y AS DECIMAL(28,18))) AS sy,
+        |    sum(CAST(x*x AS DECIMAL(28,18))) AS sxx, sum(CAST(x*y AS DECIMAL(28,18))) AS sxy FROM xy),
+        |f AS (SELECT CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(sxy AS DOUBLE) AS sxyd FROM s),
+        |g AS (SELECT CASE WHEN nd*sxxd - sxd*sxd = 0 THEN 0.0
+        |    ELSE (nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) END AS sl FROM f)
+        |SELECT day_offset, n_users, round(rate, 6) AS rate,
+        |  round(-sl, 6) AS decay_lambda,
+        |  round(CASE WHEN sl < 0.0 THEN -ln(2.0) / sl ELSE 0.0 END, 6) AS half_life_days
+        |FROM cr, g ORDER BY day_offset""".stripMargin,
     // independent derivation: DuckDB's native forward ASOF (<=); safe here
     // because (user_id, ts) purchase rows are unique in this corpus, so
     // the duplicate-tie rule never engages
@@ -3176,6 +3211,21 @@ object SparkEntry {
     // same mix weights (round 6) as curate_source_mix; selection keeps a
     // doc while the integer cumulative sum BEFORE it is under the source
     // budget, in md5(doc_id:42) order
+    // Hamilton apportionment replay: HUGEINT quota products, // floor
+    // (all values nonnegative, so floor == Spark's integral div), seats
+    // by (remainder desc, source)
+    "curate_apportion_budget" ->
+      """WITH per AS (SELECT source,
+        |    CAST(sum(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+'))) AS HUGEINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS HUGEINT) AS tt FROM per),
+        |q AS (SELECT source, n_tokens, n_tokens * 10000 AS num FROM per),
+        |b AS (SELECT source, n_tokens, num // tt AS base, num % tt AS rem FROM q, tot),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
+        |         sum(base) OVER () AS total_base FROM b)
+        |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(base + CASE WHEN rk <= 10000 - total_base THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r ORDER BY source""".stripMargin,
     "curate_budget_sample" ->
       """WITH toks AS (SELECT source, doc_id,
         |    CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS BIGINT) AS n_tokens,

@@ -653,4 +653,47 @@ object Curation {
         coalesce(col("n_shared_windows"), lit(0L)).as("n_shared_windows"))
       .orderBy("doc_id")
   }
+
+  /** Largest-remainder (Hamilton) apportionment of an integer budget
+    * across sources proportional to their token mass — the EXACT-integer
+    * allocator behind every "N docs per source" sampling config (float
+    * proportional shares either over- or under-fill the budget once
+    * rounded; Hamilton is the standard fix: floor every quota, then hand
+    * the leftover seats to the largest remainders).
+    *
+    * Everything is integer arithmetic on exact products (budget * tokens
+    * fits a 38-digit decimal; quotas compare by integer remainder, ties
+    * by source name), so the allocation — including which sources win a
+    * remainder seat — is bit-identical in any engine, and the shares sum
+    * to EXACTLY the budget by construction.
+    *
+    * Scale: one tokenize scan to per-source totals; the window ranks
+    * SOURCE-cardinality rows. */
+  def apportionBudget(docs: DataFrame, totalBudget: Long = 10000L)
+      : DataFrame = {
+    val per = docs.select(col("source"),
+        size(graft.text.Tokenize.tokens(col("text"))).cast("long").as("t"))
+      .groupBy("source").agg(sum("t").as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").cast("decimal(38,0)").as("tt"))
+    // exact integer quota arithmetic in DECIMAL(38,0): base = integral
+    // quota (everything nonnegative, so div == floor), rem = the
+    // numerator remainder (comparable across sources — shared divisor)
+    val q = per.crossJoin(broadcast(tot))
+      .withColumn("num",
+        col("n_tokens").cast("decimal(38,0)") * lit(totalBudget))
+      .withColumn("base", expr("num div tt"))
+      .withColumn("rem", expr("num % tt"))
+    val byRem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source"))
+    q.withColumn("total_base",
+        sum("base").over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))))
+      .withColumn("rk", row_number().over(byRem).cast("long"))
+      .withColumn("extra",
+        when(col("rk") <= lit(totalBudget) - col("total_base"), 1L)
+          .otherwise(0L))
+      .select(col("source"), col("n_tokens"),
+        (col("base") + col("extra")).cast("long").as("alloc"))
+      .orderBy("source")
+  }
 }

@@ -511,6 +511,59 @@ object Events {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Retention decay fit: the pooled day-offset retention curve (active
+    * users at offset d over the signup population, the cohortRetention
+    * grid collapsed across cohorts) with an exponential-decay OLS fit
+    * ln(rate) ~ d over offsets >= 1 — the one-number summary (daily decay
+    * lambda, half-life) a growth report tracks across releases where the
+    * full cohort grid is too wide to eyeball.
+    *
+    * Determinism: rates are exact-integer divisions; ln runs on those
+    * doubles (identical both engines — the bm25 ln precedent); OLS sums
+    * accumulate as DECIMAL(28,18) (order-free, the zipfFit rule);
+    * lambda/half-life derive from the sums in one fixed double tree.
+    *
+    * Scale: inherits cohortRetention's shape (user-keyed distinct + one
+    * (cohort, offset) agg); the curve frame is offset-cardinality (days —
+    * tiny), the fit is over that frame only. */
+  def retentionDecayFit(events: DataFrame): DataFrame = {
+    val cohorts = events.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort_day"))
+    val nTotal = cohorts.agg(count(lit(1)).as("n_total"))
+    val activity = events.select(col("user_id"),
+      to_date(col("ts")).as("day")).distinct()
+    val curve = activity.join(cohorts, Seq("user_id"))
+      .withColumn("day_offset",
+        datediff(col("day"), col("cohort_day")).cast("long"))
+      .filter(col("day_offset") >= 0)
+      .groupBy("day_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .crossJoin(broadcast(nTotal))
+      .withColumn("rate",
+        col("n_users").cast("double") / col("n_total").cast("double"))
+    val x = col("day_offset").cast("double")
+    val y = log(col("rate"))
+    val dec = "decimal(28,18)"
+    val fit = curve.filter(col("day_offset") >= 1 && col("rate") > 0).agg(
+      count(lit(1)).as("n"),
+      sum(x.cast(dec)).as("sx"), sum(y.cast(dec)).as("sy"),
+      sum((x * x).cast(dec)).as("sxx"), sum((x * y).cast(dec)).as("sxy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+    val sxxD = col("sxx").cast("double"); val sxyD = col("sxy").cast("double")
+    val den = nD * sxxD - sxD * sxD
+    val slope = when(den === 0.0, 0.0)
+      .otherwise((nD * sxyD - sxD * syD) / den)
+    val lam = fit.withColumn("s", slope)
+      .select(round(-col("s"), 6).as("decay_lambda"),
+        round(when(col("s") < 0.0, lit(-math.log(2.0)) / col("s"))
+          .otherwise(lit(0.0)), 6).as("half_life_days"))
+    curve.crossJoin(broadcast(lam))
+      .select(col("day_offset"), col("n_users"), round(col("rate"), 6)
+        .as("rate"), col("decay_lambda"), col("half_life_days"))
+      .orderBy("day_offset")
+  }
+
   /** Watermark lateness audit: replay the event log in ARRIVAL order
     * (event_id — the append sequence) per shard and measure how many
     * events a streaming watermark of `delayMinutes` would have dropped,

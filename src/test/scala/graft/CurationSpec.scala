@@ -347,4 +347,23 @@ class CurationSpec extends SparkSpec {
       .as[(String, Long, Long, String)].collect()
     assert(clean.length == 10 && clean.forall(_._4 == "pass"))
   }
+
+  test("apportionBudget: allocations sum EXACTLY to the budget; remainder seats by (rem desc, source)") {
+    // equal thirds of 10: base 3 each, one leftover seat -> all three
+    // remainders tie (10 % 3) and 'a' wins alphabetically
+    val docs = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"))
+      .toDF("doc_id", "source", "text")
+    val got = Curation.apportionBudget(docs, 10L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 1L, 4L), ("b", 1L, 3L), ("c", 1L, 3L)))
+
+    // exactly proportional corpus: no remainder phase at all
+    val docs2 = Seq(
+      (1L, "a", "t1 t2 t3 t4 t5"), (2L, "b", "t1 t2 t3"), (3L, "c", "t1 t2"))
+      .toDF("doc_id", "source", "text")
+    val got2 = Curation.apportionBudget(docs2, 10L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got2.map(_._3) == Seq(5L, 3L, 2L))
+    assert(got2.map(_._3).sum == 10L)
+  }
 }

@@ -378,4 +378,26 @@ class EventsSpec extends SparkSpec {
       (1, 4, 4, 1L, 4.0), (2, 1, 3, 1L, 1.5),
       (3, 1, 2, 1L, 0.5), (4, 1, 1, 1L, 0.0)))
   }
+
+  test("retentionDecayFit: an exact halving curve recovers lambda = ln 2, half-life 1 day") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // 4 signups day 0; 2 users active day 1; 1 user active day 2:
+    // rate(1) = 0.5, rate(2) = 0.25 -> ln rate = -ln2 * d exactly
+    val ev = Seq(
+      (1L, t("2024-01-01 08:00:00"), 1L, "signup", 0.0, "{}"),
+      (2L, t("2024-01-01 08:00:00"), 2L, "signup", 0.0, "{}"),
+      (3L, t("2024-01-01 08:00:00"), 3L, "signup", 0.0, "{}"),
+      (4L, t("2024-01-01 08:00:00"), 4L, "signup", 0.0, "{}"),
+      (5L, t("2024-01-02 08:00:00"), 1L, "click", 0.0, "{}"),
+      (6L, t("2024-01-02 08:00:00"), 2L, "click", 0.0, "{}"),
+      (7L, t("2024-01-03 08:00:00"), 1L, "click", 0.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = graft.events.Events.retentionDecayFit(ev)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(rows.map(r => (r._1, r._2, r._3)) ==
+      Seq((0L, 4L, 1.0), (1L, 2L, 0.5), (2L, 1L, 0.25)))
+    val lam = math.rint(math.log(2) * 1e6) / 1e6
+    assert(rows.forall(r => r._4 == lam && r._5 == 1.0))
+  }
 }
