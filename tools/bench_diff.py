@@ -11,7 +11,14 @@ fail the gate: new queries have no baseline, removed queries have no
 current plan. Times are reported but never gated — records are
 data-deterministic, wall-clock is not.
 
-Usage: bench_diff.py <previous.json> <current.json> [--max-row-growth X]
+A growth verdict additionally requires the CURRENT row count to clear
+--min-rows (default 100k): the ratio gate is only meaningful when real
+volume moved. Iterative driver-loop queries (kmeans/BPE/pagerank) race
+the QueryExecutionListener — the recorded sub-execution varies run to
+run, so their tiny row counts (1 vs 16) would otherwise flap the gate.
+
+Usage: bench_diff.py <previous.json> <current.json>
+         [--max-row-growth X] [--min-rows N]
 Exit 0 = clean, 1 = regression, 2 = unreadable input.
 """
 import json
@@ -29,11 +36,16 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flagvals = set()
     growth = 2.0
+    min_rows = 100_000
     for i, a in enumerate(sys.argv):
         if a == "--max-row-growth":
-            growth = float(sys.argv[i + 1])
+            growth = float(sys.argv[i + 1]); flagvals.add(i + 1)
+        if a == "--min-rows":
+            min_rows = int(sys.argv[i + 1]); flagvals.add(i + 1)
+    args = [a for i, a in enumerate(sys.argv)
+            if i > 0 and i not in flagvals and not a.startswith("--")]
     prev_q, prev_m = load(args[0])
     cur_q, cur_m = load(args[1])
     common = sorted(set(prev_m) & set(cur_m))
@@ -43,7 +55,7 @@ def main():
     for name in common:
         p_rows, _, p_spill = (list(prev_m[name]) + [0, 0, 0])[:3]
         c_rows, _, c_spill = (list(cur_m[name]) + [0, 0, 0])[:3]
-        if c_rows > growth * max(p_rows, 1):
+        if c_rows > growth * max(p_rows, 1) and c_rows >= min_rows:
             bad.append(f"{name}: shuffle rows {p_rows} -> {c_rows} "
                        f"({c_rows / max(p_rows, 1):.1f}x > {growth}x)")
         if p_spill == 0 and c_spill > 0:
