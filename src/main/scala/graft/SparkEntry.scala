@@ -474,6 +474,10 @@ object SparkEntry {
     // offset-cardinality fit frame, decimal-exact sums
     "ev_retention_fit" -> ((s, dir) =>
       Events.retentionDecayFit(table(s, dir, "events"))),
+    // A/B readout: md5-contract arm assignment, purchase conversion,
+    // two-proportion z on exact counts; one user-keyed agg
+    "ev_ab_test" -> ((s, dir) =>
+      Events.abTestReport(table(s, dir, "events"))),
     // CDC changelog apply: latest-wins per user with 'error' tombstones —
     // the compacted-topic materialization; one user-keyed window pass
     "ev_cdc_apply" -> ((s, dir) =>
@@ -1106,6 +1110,10 @@ object SparkEntry {
     // sums, two formula evaluations per source row
     "text_readability" -> ((s, dir) =>
       TextAnalysis.readability(table(s, dir, "documents"))),
+    // Gopher structural rules (Rae'21): per-source fail counts per rule
+    // + survivors — one codegen scan, (source, 7 longs) exchange
+    "text_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(table(s, dir, "documents"))),
     // Zipf rank-frequency OLS fit per source over the top-200 terms —
     // decimal-exact sums over a sources x 200 frame (WindowGroupLimit
     // bounds the rank sort)
@@ -2379,6 +2387,33 @@ object SparkEntry {
         |FROM a JOIN c ON a.user_id = c.user_id
         |WHERE date_diff('day', c.cohort_day, a.day) >= 0
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    // A/B readout: same md5 arm rule, z from the identical double tree
+    // (every operand explicitly CAST AS DOUBLE — a bare 1.0 is DECIMAL
+    // in DuckDB and decimal division would round differently)
+    "ev_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT conv, CASE WHEN substring(md5(CAST(user_id AS VARCHAR) || ':0'), 1, 1) < '8'
+        |    THEN 'A' ELSE 'B' END AS arm FROM u),
+        |c AS (SELECT arm, count(*) AS n_users, CAST(sum(conv) AS BIGINT) AS n_converted
+        |  FROM a GROUP BY arm),
+        |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS nt, CAST(sum(n_converted) AS BIGINT) AS ct FROM c),
+        |g AS (SELECT arm, n_users, n_converted,
+        |    CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE) AS rate,
+        |    CAST(ct AS DOUBLE) / CAST(nt AS DOUBLE) AS p_pool,
+        |    CAST(nt - n_users AS DOUBLE) AS n_other,
+        |    CAST(ct - n_converted AS DOUBLE) AS co,
+        |    CAST(n_users AS DOUBLE) AS nu
+        |  FROM c, t),
+        |h AS (SELECT *,
+        |    p_pool * (CAST(1 AS DOUBLE) - p_pool) *
+        |      (CAST(1 AS DOUBLE) / nu + CAST(1 AS DOUBLE) / n_other) AS se2
+        |  FROM g)
+        |SELECT arm, n_users, n_converted, round(rate, 6) AS rate,
+        |  round(CASE WHEN n_other > 0 AND se2 > 0
+        |    THEN (rate - co / n_other) / sqrt(se2) ELSE 0.0 END, 6) AS z_score
+        |FROM h ORDER BY arm""".stripMargin,
     // decay fit: same pooled curve, ln on exact-division rates, decimal
     // OLS sums, half-life from the UNROUNDED slope
     "ev_retention_fit" ->
@@ -3220,11 +3255,15 @@ object SparkEntry {
         |  FROM documents GROUP BY source),
         |tot AS (SELECT CAST(sum(n_tokens) AS HUGEINT) AS tt FROM per),
         |q AS (SELECT source, n_tokens, n_tokens * 10000 AS num FROM per),
-        |b AS (SELECT source, n_tokens, num // tt AS base, num % tt AS rem FROM q, tot),
+        |b AS (SELECT source, n_tokens,
+        |         CASE WHEN tt = 0 THEN 0 ELSE num // tt END AS base,
+        |         CASE WHEN tt = 0 THEN num ELSE num % tt END AS rem,
+        |         tt FROM q, tot),
         |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk,
         |         sum(base) OVER () AS total_base FROM b)
         |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |  CAST(base + CASE WHEN rk <= 10000 - total_base THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |  CAST(base + CASE WHEN tt = 0 THEN 0
+        |    WHEN rk <= 10000 - total_base THEN 1 ELSE 0 END AS BIGINT) AS alloc
         |FROM r ORDER BY source""".stripMargin,
     "curate_budget_sample" ->
       """WITH toks AS (SELECT source, doc_id,
@@ -4055,6 +4094,40 @@ object SparkEntry {
         |  round(CAST(count(*) AS DOUBLE) / CAST(sum(n) AS BIGINT), 6) AS type_token_ratio,
         |  round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS hapax_share
         |FROM tc GROUP BY source ORDER BY source""".stripMargin,
+    // Gopher rules: each flag replayed as the same exact-integer /
+    // regexp-count arithmetic; mean word length sums integer lengths
+    // (exact in double at any order), '#'/'...' counts via
+    // regexp_extract_all (non-overlapping, same as split-1)
+    "text_gopher_rules" ->
+      """WITH t AS (SELECT source, text,
+        |    regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+') AS tk FROM documents),
+        |d AS (SELECT source, CAST(len(tk) AS BIGINT) AS w,
+        |    CASE WHEN len(tk) = 0 THEN 0.0
+        |         ELSE CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE) / len(tk) END AS ml,
+        |    CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS sy,
+        |    len(list_filter(str_split(text, chr(10)), l -> len(l) > 0)) AS nl,
+        |    len(list_filter(str_split(text, chr(10)), l -> len(l) > 0 AND regexp_matches(l, '^\s*[-*]'))) AS bl,
+        |    CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS aw,
+        |    CAST(len(list_intersect(list_distinct(tk), ['the','a','of','and','is'])) AS BIGINT) AS sh
+        |  FROM t),
+        |f AS (SELECT source,
+        |    CASE WHEN w < 50 OR w > 100000 THEN 1 ELSE 0 END AS f_wc,
+        |    CASE WHEN ml < 3.0 OR ml > 10.0 THEN 1 ELSE 0 END AS f_ml,
+        |    CASE WHEN w > 0 AND CAST(sy AS DOUBLE)/w > 0.1 THEN 1 ELSE 0 END AS f_sr,
+        |    CASE WHEN nl > 0 AND CAST(bl AS DOUBLE)/nl >= 0.9 THEN 1 ELSE 0 END AS f_bu,
+        |    CASE WHEN w > 0 AND CAST(aw AS DOUBLE)/w < 0.8 THEN 1 ELSE 0 END AS f_aw,
+        |    CASE WHEN sh < 2 THEN 1 ELSE 0 END AS f_sw
+        |  FROM d)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(f_wc) AS BIGINT) AS fail_word_count,
+        |  CAST(sum(f_ml) AS BIGINT) AS fail_mean_len,
+        |  CAST(sum(f_sr) AS BIGINT) AS fail_symbol_ratio,
+        |  CAST(sum(f_bu) AS BIGINT) AS fail_bullet_lines,
+        |  CAST(sum(f_aw) AS BIGINT) AS fail_alpha_words,
+        |  CAST(sum(f_sw) AS BIGINT) AS fail_stopwords,
+        |  CAST(count(*) - sum(greatest(f_wc, f_ml, f_sr, f_bu, f_aw, f_sw)) AS BIGINT) AS n_keep,
+        |  round(CAST(count(*) - sum(greatest(f_wc, f_ml, f_sr, f_bu, f_aw, f_sw)) AS DOUBLE) / count(*), 6) AS keep_rate
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
     // readability: pure regexp counts -> exact long sums -> the two
     // formulas evaluate once per source in the same association order
     "text_readability" ->

@@ -677,12 +677,15 @@ object Curation {
     val tot = per.agg(sum("n_tokens").cast("decimal(38,0)").as("tt"))
     // exact integer quota arithmetic in DECIMAL(38,0): base = integral
     // quota (everything nonnegative, so div == floor), rem = the
-    // numerator remainder (comparable across sources — shared divisor)
+    // numerator remainder (comparable across sources — shared divisor).
+    // A zero-token corpus (tt = 0) allocates nothing — and must not hit
+    // the ANSI divide-by-zero (caught by the empty edge fixture).
     val q = per.crossJoin(broadcast(tot))
       .withColumn("num",
         col("n_tokens").cast("decimal(38,0)") * lit(totalBudget))
-      .withColumn("base", expr("num div tt"))
-      .withColumn("rem", expr("num % tt"))
+      .withColumn("base",
+        expr("CASE WHEN tt = 0 THEN CAST(0 AS BIGINT) ELSE num div tt END"))
+      .withColumn("rem", expr("CASE WHEN tt = 0 THEN num ELSE num % tt END"))
     val byRem = org.apache.spark.sql.expressions.Window
       .orderBy(col("rem").desc, col("source"))
     q.withColumn("total_base",
@@ -690,7 +693,8 @@ object Curation {
           .partitionBy(lit(1))))
       .withColumn("rk", row_number().over(byRem).cast("long"))
       .withColumn("extra",
-        when(col("rk") <= lit(totalBudget) - col("total_base"), 1L)
+        when(col("tt") === 0, 0L)
+          .when(col("rk") <= lit(totalBudget) - col("total_base"), 1L)
           .otherwise(0L))
       .select(col("source"), col("n_tokens"),
         (col("base") + col("extra")).cast("long").as("alloc"))

@@ -511,6 +511,50 @@ object Events {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** A/B experiment readout: users assigned to two arms by the
+    * samp_hash_split md5 contract (`sampleKey` first hex char < '8' → A
+    * — deterministic, layout- and engine-invariant, the property real
+    * experiment systems need so reassignment never happens), conversion
+    * = any purchase event, and the two-proportion z-score under the
+    * pooled-variance null — the number a launch review reads.
+    *
+    * Determinism: counts are exact longs; rates, the pooled variance,
+    * and z evaluate once, in one fixed double tree over those longs
+    * (the qualityRegression rule). Degenerate pools (zero variance)
+    * report z = 0 by the same CASE in both engines.
+    *
+    * Scale: ONE user-keyed aggregate (conversion flag + arm are both
+    * per-user scalars), then a 2-row census; the z arithmetic runs on
+    * the 2-row frame against broadcast totals. */
+  def abTestReport(events: DataFrame, seed: Long = 0L): DataFrame = {
+    val users = events.groupBy("user_id").agg(
+      max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+      .withColumn("arm",
+        when(substring(graft.sources.Sampling.sampleKey(col("user_id"),
+          seed), 1, 1) < "8", "A").otherwise("B"))
+    val census = users.groupBy("arm").agg(
+      count(lit(1)).as("n_users"), sum("converted").as("n_converted"))
+    val tot = census.agg(sum("n_users").as("nt"),
+      sum("n_converted").as("ct"))
+    census.crossJoin(broadcast(tot))
+      .withColumn("rate",
+        col("n_converted").cast("double") / col("n_users").cast("double"))
+      .withColumn("p_pool", col("ct").cast("double") / col("nt").cast("double"))
+      // z for THIS arm vs the complementary arm, symmetric by construction
+      .withColumn("n_other", (col("nt") - col("n_users")).cast("double"))
+      .withColumn("r_other",
+        (col("ct") - col("n_converted")).cast("double") / col("n_other"))
+      .withColumn("se2", col("p_pool") * (lit(1.0) - col("p_pool")) *
+        (lit(1.0) / col("n_users").cast("double") + lit(1.0) / col("n_other")))
+      .select(col("arm"), col("n_users"), col("n_converted"),
+        round(col("rate"), 6).as("rate"),
+        round(when(col("n_other") > 0.0 && col("se2") > 0.0,
+          (col("rate") - col("r_other")) / sqrt(col("se2")))
+          .otherwise(lit(0.0)), 6).as("z_score"))
+      .orderBy("arm")
+  }
+
   /** Retention decay fit: the pooled day-offset retention curve (active
     * users at offset d over the signup population, the cohortRetention
     * grid collapsed across cohorts) with an exponential-decay OLS fit

@@ -1712,6 +1712,73 @@ object TextAnalysis {
       .orderBy("rk")
   }
 
+  /** Gopher quality-rule census (Rae'21 §A1.1, the rule set every web
+    * pipeline since reproduces): per-source counts of docs failing each
+    * structural rule, plus the survivors. Rules (thresholds are the
+    * paper's, word-level where it says words):
+    *   r_word_count   — 50 <= words <= 100,000
+    *   r_mean_len     — 3 <= mean word length <= 10
+    *   r_symbol_ratio — (# '#' or '...' occurrences) / words <= 0.1
+    *   r_bullet_lines — < 90% of lines start with a bullet ('-' or '*')
+    *   r_alpha_words  — >= 80% of words contain an alphabetic char
+    *   r_stopwords    — >= 2 distinct English stopwords appear
+    * Every rule is exact integer/regexp arithmetic on one codegen scan;
+    * the census is a per-source sum of 0/1 flags — no shuffle wider than
+    * (source, 7 longs). A doc fails `keep` iff it fails ANY rule, so
+    * keep_rate is the Gopher structural-survival rate a mixing recipe
+    * reads per source. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val w = size(toks).cast("long")
+    val meanLen = when(w === 0, 0.0)
+      .otherwise(aggregate(transform(toks, t => length(t).cast("double")),
+        lit(0.0), (acc, v) => acc + v) / w.cast("double"))
+    val symbols = (size(split(col("text"), "#", -1)) - 1 +
+      size(split(col("text"), "\\.\\.\\.", -1)) - 1).cast("long")
+    val lines = filter(split(col("text"), "\n", -1),
+      l => length(l) > 0)
+    val bulletLines = filter(lines,
+      l => l.rlike("^\\s*[-*]"))
+    val alphaWords = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    val stopHits = size(array_intersect(toks,
+      array(LangMarkers("en").map(lit): _*))).cast("long")
+    val flagged = docs.select(col("source"),
+        w.as("w"), meanLen.as("ml"), symbols.as("sy"),
+        size(lines).cast("long").as("nl"),
+        size(bulletLines).cast("long").as("bl"),
+        alphaWords.as("aw"), stopHits.as("sh"))
+      .select(col("source"),
+        when(col("w") < 50 || col("w") > 100000, 1L).otherwise(0L)
+          .as("f_word_count"),
+        when(col("ml") < 3.0 || col("ml") > 10.0, 1L).otherwise(0L)
+          .as("f_mean_len"),
+        when(col("w") > 0 &&
+          col("sy").cast("double") / col("w").cast("double") > 0.1, 1L)
+          .otherwise(0L).as("f_symbol_ratio"),
+        when(col("nl") > 0 &&
+          col("bl").cast("double") / col("nl").cast("double") >= 0.9, 1L)
+          .otherwise(0L).as("f_bullet_lines"),
+        when(col("w") > 0 &&
+          col("aw").cast("double") / col("w").cast("double") < 0.8, 1L)
+          .otherwise(0L).as("f_alpha_words"),
+        when(col("sh") < 2, 1L).otherwise(0L).as("f_stopwords"))
+    val anyFail = greatest(col("f_word_count"), col("f_mean_len"),
+      col("f_symbol_ratio"), col("f_bullet_lines"), col("f_alpha_words"),
+      col("f_stopwords"))
+    flagged.withColumn("f_any", anyFail)
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("f_word_count").as("fail_word_count"),
+        sum("f_mean_len").as("fail_mean_len"),
+        sum("f_symbol_ratio").as("fail_symbol_ratio"),
+        sum("f_bullet_lines").as("fail_bullet_lines"),
+        sum("f_alpha_words").as("fail_alpha_words"),
+        sum("f_stopwords").as("fail_stopwords"),
+        (count(lit(1)) - sum("f_any")).as("n_keep"))
+      .withColumn("keep_rate", round(
+        col("n_keep").cast("double") / col("n_docs").cast("double"), 6))
+      .orderBy("source")
+  }
+
   /** Flesch reading-ease + Flesch-Kincaid grade per source — the classic
     * readability gate a quality pipeline applies before the learned
     * classifier (a corpus slice whose grade level jumps is template/OCR

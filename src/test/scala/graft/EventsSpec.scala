@@ -400,4 +400,23 @@ class EventsSpec extends SparkSpec {
     val lam = math.rint(math.log(2) * 1e6) / 1e6
     assert(rows.forall(r => r._4 == lam && r._5 == 1.0))
   }
+
+  test("abTestReport: exact counts per arm, antisymmetric z, sign follows the better arm") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = (1L to 40L).flatMap { u =>
+      val base = Seq((u * 10, t("2024-01-01 08:00:00"), u, "view", 0.0, "{}"))
+      // users 1..10 convert
+      if (u <= 10) base :+ ((u * 10 + 1, t("2024-01-02 08:00:00"), u, "purchase", 5.0, "{}"))
+      else base
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.events.Events.abTestReport(ev)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq("A", "B"))
+    assert(got.map(_._2).sum == 40L && got.map(_._3).sum == 10L)
+    val Seq(a, b) = got
+    assert(a._5 == -b._5)                      // antisymmetric z
+    if (a._4 > b._4) assert(a._5 > 0.0)        // sign follows the rate
+    if (a._4 < b._4) assert(a._5 < 0.0)
+  }
 }

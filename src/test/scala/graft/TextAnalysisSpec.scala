@@ -718,6 +718,32 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("gopherRules: each planted violation trips exactly its rule; the clean doc survives") {
+    val clean = ("the cat and dog of tree " * 9).trim // 54 words, ml 3.0
+    val docs = Seq(
+      (1L, "clean", clean),
+      (2L, "short", "cat dog tree bird fish"),
+      (3L, "bullets", "- the item one\n- the item two\n- the item three"),
+      (4L, "symbols", "# # # # # the cat and of dog"),
+      (5L, "nonalpha", "111 222 333 444 the and of is"),
+      (6L, "tiny_words", "a b c d the of a b c d the of"),
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.gopherRules(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // clean: zero fails, keeps
+    assert(got("clean").getLong(8) == 1L)   // n_keep
+    assert((2 to 7).forall(i => got("clean").getLong(i) == 0L))
+    assert(got("short").getLong(2) == 1L)   // fail_word_count
+    assert(got("bullets").getLong(5) == 1L) // fail_bullet_lines
+    assert(got("symbols").getLong(4) == 1L) // fail_symbol_ratio
+    assert(got("nonalpha").getLong(6) == 1L) // fail_alpha_words
+    assert(got("tiny_words").getLong(3) == 1L) // fail_mean_len
+    assert(got("short").getLong(7) == 1L)   // no stopwords at all
+    // all violators are dropped
+    Seq("short", "bullets", "symbols", "nonalpha", "tiny_words")
+      .foreach(s => assert(got(s).getLong(8) == 0L, s))
+  }
+
   test("readability: hand-computed Flesch/FK on a two-sentence doc; empty docs excluded") {
     // tokens: the cat it runs -> w=4; vowel groups: e,a,i,u -> sy=4;
     // sentence runs: '.' '!' -> se=2
