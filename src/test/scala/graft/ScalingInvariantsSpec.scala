@@ -88,6 +88,26 @@ class ScalingInvariantsSpec extends SparkSpec {
   pinLinear("minhash_lsh_pairs", d => Dedup.minhashLshPairs(d))
   pinLinear("duplicated_spans", d => Dedup.duplicatedSpans(d))
 
+  // boundary stitch needs planted positives (the real corpus has no
+  // shard splits): every >= 8-token doc gets a companion that STARTS
+  // with its last 8 tokens. Planting runs after scaling, so copy-i
+  // companions carry copy-i's rewritten tokens — per-copy locality and
+  // the exact-10x expectation hold. Companion tails are a shared
+  // z-token run; they match no head, and whether the df cap keeps or
+  // drops them cannot change the pair count.
+  private def plantStitch(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val comp = docs
+      .select(col("doc_id"), graft.text.Tokenize.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 8)
+      .select((col("doc_id") + 500000000L).as("doc_id"),
+        concat(array_join(slice(col("tk"), -8, 8), " "),
+          lit(" zc1 zc2 zc3 zc4 zc5 zc6 zc7 zc8")).as("text"))
+    docs.select("doc_id", "text").unionByName(comp)
+  }
+  pinLinear("boundary_stitch",
+    d => Dedup.boundaryStitchPairs(plantStitch(d)))
+
   // Round-6 verdict item #1: the calibration's brute ground-truth arm is
   // bounded by a 2048-vector seeded sample, so its pair count is a
   // CONSTANT C(min(n, 2048), 2) — identical at 10x and at any larger
