@@ -1529,13 +1529,20 @@ object Dedup {
     * capShingleDf argument). */
   def boundaryStitchPairs(docs: DataFrame, w: Int = 8,
                           maxSeamDf: Int = 8): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      Tokenize.tokens(col("text")).as("t"))
+    // ONE pass over the text computes both seams; the four consumers
+    // (tails, heads, and each side's hot set) then read the tiny
+    // (id, 2 md5s) frame instead of re-tokenizing the corpus per branch
+    val seams = docs.select(col("doc_id"),
+        Tokenize.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= w)
-    val tails = toks.select(col("doc_id").as("left_doc"),
-      md5(array_join(slice(col("t"), -w, w), " ")).as("seam"))
-    val heads = toks.select(col("doc_id").as("right_doc"),
-      md5(array_join(slice(col("t"), 1, w), " ")).as("seam"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("t"), -w, w), " ")).as("tseam"),
+        md5(array_join(slice(col("t"), 1, w), " ")).as("hseam"))
+      .localCheckpoint(true)
+    val tails = seams.select(col("doc_id").as("left_doc"),
+      col("tseam").as("seam"))
+    val heads = seams.select(col("doc_id").as("right_doc"),
+      col("hseam").as("seam"))
     def capped(side: DataFrame): DataFrame =
       if (maxSeamDf <= 0) side
       else {
