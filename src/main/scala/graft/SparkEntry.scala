@@ -2056,7 +2056,7 @@ object SparkEntry {
         |rs AS (SELECT s_suppkey, s_name, s_acctbal, n_name
         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
-        |ro AS (SELECT o.cost, rs.s_name, rs.s_acctbal, rs.n_name,
+        |ro AS (SELECT o.cost, rs.s_suppkey, rs.s_name, rs.s_acctbal, rs.n_name,
         |    p.p_partkey, p.p_brand
         |  FROM offers o JOIN rs ON o.l_suppkey = rs.s_suppkey
         |  JOIN part p ON o.l_partkey = p.p_partkey
@@ -2065,7 +2065,7 @@ object SparkEntry {
         |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
         |  cost AS min_cost
         |FROM ro JOIN m ON p_partkey = mk AND cost = mc
-        |ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 100""".stripMargin,
+        |ORDER BY s_acctbal DESC, s_name, p_partkey, ro.s_suppkey LIMIT 100""".stripMargin,
     "rel_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
@@ -3243,9 +3243,6 @@ object SparkEntry {
         |  round(w/wtot, 6) AS mix_weight,
         |  round(w/wtot/share, 6) AS resample_factor
         |FROM sh CROSS JOIN wt ORDER BY source""".stripMargin,
-    // same mix weights (round 6) as curate_source_mix; selection keeps a
-    // doc while the integer cumulative sum BEFORE it is under the source
-    // budget, in md5(doc_id:42) order
     // Hamilton apportionment replay: HUGEINT quota products, // floor
     // (all values nonnegative, so floor == Spark's integral div), seats
     // by (remainder desc, source)
@@ -3265,6 +3262,9 @@ object SparkEntry {
         |  CAST(base + CASE WHEN tt = 0 THEN 0
         |    WHEN rk <= 10000 - total_base THEN 1 ELSE 0 END AS BIGINT) AS alloc
         |FROM r ORDER BY source""".stripMargin,
+    // same mix weights (round 6) as curate_source_mix; selection keeps a
+    // doc while the integer cumulative sum BEFORE it is under the source
+    // budget, in md5(doc_id:42) order
     "curate_budget_sample" ->
       """WITH toks AS (SELECT source, doc_id,
         |    CAST(len(regexp_extract_all(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[a-z0-9_'']+')) AS BIGINT) AS n_tokens,

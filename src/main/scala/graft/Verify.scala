@@ -43,6 +43,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // The surface count, GENERATED — docs quote this line, never a
+    // hand-maintained number (round-6 verdict: prose drifted to 277/272
+    // while every artifact said 275/270).
+    println(s"[verify] declared=${SparkEntry.queries.size}" +
+      s" oracle_backed=${SparkEntry.oracleSql.keySet
+        .intersect(SparkEntry.queries.keySet).size}")
     spark.stop()
   }
 }

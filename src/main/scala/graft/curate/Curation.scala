@@ -629,25 +629,32 @@ object Curation {
     * shared boilerplate block) can still cross the boundary below the
     * cluster threshold, and this reports exactly that residue.
     *
-    * Scale notes (100 TB): ONE shingle lineage feeds both sides of the
-    * shingle-keyed equi-join (train-distinct is a shingle-keyed
-    * aggregation of the same frame), so everything exchanges by shingle
-    * hash once; a hot window costs df linear join rows, not df² (the
-    * sharedNgramStats argument). The split frame is two narrow columns. */
+    * Scale notes (100 TB): the split frame (two narrow columns — one
+    * near-dup cluster pass behind it) and the (doc_id, split, shingle)
+    * frame are each localCheckpointed, so the corpus is TOKENIZED ONCE
+    * and the cluster CC runs once, no matter how many consumers read
+    * them (without the checkpoint the lazy lineage re-tokenized the
+    * payload for the train side, the hit count, and the window count —
+    * the dedup_boundary_stitch fix, round 6). Both counters come from
+    * ONE left join against the distinct train-shingle set (an indicator
+    * column, summed), so the non-train shingles exchange by shingle hash
+    * once; a hot window costs df linear join rows, not df² (the
+    * sharedNgramStats argument). */
   def splitContamination(docs: DataFrame, pairs: DataFrame,
                          n: Int = 8): DataFrame = {
     val split = leakageSafeSplit(docs, pairs).select("doc_id", "split")
+      .localCheckpoint(true)
     val sh = Dedup.shingles(docs, n).join(split, Seq("doc_id"))
+      .localCheckpoint(true)
     val trainShingles = sh.filter(col("split") === "train")
-      .select("shingle").distinct()
-    val hits = sh.filter(col("split") =!= "train")
-      .join(trainShingles, Seq("shingle"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_windows"))
-    val winCount = sh.filter(col("split") =!= "train")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+      .select("shingle").distinct().withColumn("__hit", lit(1L))
+    val counts = sh.filter(col("split") =!= "train")
+      .join(trainShingles, Seq("shingle"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_windows"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_shared_windows"))
     split.filter(col("split") =!= "train")
-      .join(winCount, Seq("doc_id"), "left")
-      .join(hits, Seq("doc_id"), "left")
+      .join(counts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("split"),
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
         coalesce(col("n_shared_windows"), lit(0L)).as("n_shared_windows"))

@@ -813,12 +813,30 @@ object Events {
           .cast("long").as("rec"),
         col("freq"),
         (col("money") * 100).cast("long").as("cents"))
-    // smallest v with cum(v) >= ceil(q*n), q = 1/4, 2/4, 3/4 — exact ints
+    // smallest v with cum(v) >= ceil(q*n), q = 1/4, 2/4, 3/4 — exact ints.
+    // The cumulative sum is the two-level prefix-sum split (the
+    // ev_concurrency carry pattern), NOT one flat Window.orderBy(v): the
+    // cents histogram's support is near user cardinality (decimal sums
+    // are almost unique per user), so a flat window would sort ~|users|
+    // rows in one task. Coarse value buckets (v div 2^16) bound the
+    // unpartitioned window by occupied-bucket count — value RANGE / 2^16,
+    // independent of user count — and the in-bucket window partitions by
+    // bucket; carry-in joins broadcast. cum(v) is bit-identical to the
+    // flat spelling, so the oracle is untouched.
     def bounds(metric: String): DataFrame = {
+      val W = 65536L
       val hist = u.groupBy(col(metric).as("v")).agg(count(lit(1)).as("c"))
-      val cum = hist.withColumn("cum",
-        sum("c").over(Window.orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("bk", expr(
+          s"CASE WHEN v >= 0 THEN v div $W ELSE -(((-v) + ${W - 1}) div $W) END"))
+      val carry = hist.groupBy("bk").agg(sum("c").as("bc"))
+        .withColumn("carry", coalesce(
+          sum("bc").over(Window.orderBy("bk")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bk", "carry")
+      val cum = hist.join(broadcast(carry), Seq("bk"))
+        .withColumn("cum", col("carry") +
+          sum("c").over(Window.partitionBy("bk").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)))
         .crossJoin(broadcast(u.agg(count(lit(1)).as("n"))))
       cum.agg(
         min(when(col("cum") >= expr("(n + 3) DIV 4"), col("v")))

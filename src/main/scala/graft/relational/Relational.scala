@@ -1046,9 +1046,13 @@ object Relational {
     regionalOffers
       .join(minPerPart, col("p_partkey") === col("mk") &&
         col("cost") === col("min_cost"))
+      // s_suppkey tiebreak: (s_acctbal, s_name) is not unique, so two
+      // colliding suppliers both at a part's min cost would otherwise
+      // make the limit-k cut engine-dependent (total-key discipline)
+      .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"),
+        col("s_suppkey"))
+      .limit(k)
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("p_partkey"), col("p_brand"), col("cost").as("min_cost"))
-      .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
-      .limit(k)
   }
 }

@@ -128,7 +128,7 @@ object Spatial {
     * frame against the core label table. No stage touches more than the
     * eps-pair set, and only the contraction joins touch even that. */
   def gridDbscan(points: DataFrame, idCol: String, eps: Int, minPts: Int,
-                 cell: Int): DataFrame = {
+                 cell: Int, driverEdgeCap: Int = 200000): DataFrame = {
     val pairs = radiusPairs(points, idCol, eps, cell)
       .select("id_a", "id_b").localCheckpoint(true)
     val und = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
@@ -171,9 +171,10 @@ object Spatial {
     // bounded-state discipline as collecting kmeans centroids per round,
     // and the standard single-node cell-merge step of grid DBSCAN. The
     // distributed label iteration stays as the fallback if a custom grid
-    // geometry ever blows past the cap.
+    // geometry ever blows past the cap (driverEdgeCap; both branches are
+    // pinned equivalent in SpatialSpec by forcing the cap to 0).
     val superLabels: DataFrame = {
-      val cap = 200000
+      val cap = driverEdgeCap
       val edgeRows = ccPairs.limit(cap + 1)
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       if (edgeRows.length <= cap) {

@@ -11,11 +11,14 @@ fail the gate: new queries have no baseline, removed queries have no
 current plan. Times are reported but never gated — records are
 data-deterministic, wall-clock is not.
 
-A growth verdict additionally requires the CURRENT row count to clear
---min-rows (default 100k): the ratio gate is only meaningful when real
-volume moved. Iterative driver-loop queries (kmeans/BPE/pagerank) race
-the QueryExecutionListener — the recorded sub-execution varies run to
-run, so their tiny row counts (1 vs 16) would otherwise flap the gate.
+The --min-rows floor (default 100k) applies ONLY when the PREVIOUS
+count is tiny (< 100 rows): iterative driver-loop queries
+(kmeans/BPE/pagerank) race the QueryExecutionListener — the recorded
+sub-execution varies run to run, so their tiny counts (1 vs 16) would
+flap a pure ratio gate. A query with a real prior volume (>= 100 rows)
+keeps the live ratio verdict at ANY current count — a 4k -> 90k
+explosion is a regression even though 90k < 100k (round-6 advice:
+a blanket floor silently exempted every sub-100k query).
 
 Usage: bench_diff.py <previous.json> <current.json>
          [--max-row-growth X] [--min-rows N]
@@ -55,7 +58,8 @@ def main():
     for name in common:
         p_rows, _, p_spill = (list(prev_m[name]) + [0, 0, 0])[:3]
         c_rows, _, c_spill = (list(cur_m[name]) + [0, 0, 0])[:3]
-        if c_rows > growth * max(p_rows, 1) and c_rows >= min_rows:
+        if c_rows > growth * max(p_rows, 1) and (
+                p_rows >= 100 or c_rows >= min_rows):
             bad.append(f"{name}: shuffle rows {p_rows} -> {c_rows} "
                        f"({c_rows / max(p_rows, 1):.1f}x > {growth}x)")
         if p_spill == 0 and c_spill > 0:
