@@ -629,30 +629,34 @@ object Curation {
     * shared boilerplate block) can still cross the boundary below the
     * cluster threshold, and this reports exactly that residue.
     *
-    * Scale notes (100 TB): the split frame (two narrow columns — one
-    * near-dup cluster pass behind it) and the (doc_id, split, shingle)
-    * frame are each localCheckpointed, so the corpus is TOKENIZED ONCE
-    * and the cluster CC runs once, no matter how many consumers read
-    * them (without the checkpoint the lazy lineage re-tokenized the
-    * payload for the train side, the hit count, and the window count —
-    * the dedup_boundary_stitch fix, round 6). Both counters come from
-    * ONE left join against the distinct train-shingle set (an indicator
-    * column, summed), so the non-train shingles exchange by shingle hash
-    * once; a hot window costs df linear join rows, not df² (the
-    * sharedNgramStats argument). */
+    * Scale notes (100 TB): the (doc_id, split, shingle) frame is
+    * referenced ONCE, so the corpus is TOKENIZED ONCE (the round-6
+    * spelling re-tokenized the payload for the train side, the hit
+    * count, and the window count). Instead of a train-distinct +
+    * self-join, a window over the shingle partitioning flags each
+    * occurrence whose shingle appears in ANY train doc — everything
+    * exchanges by shingle hash exactly once, then reduces to doc grain;
+    * a hot window costs df linear rows inside its partition, not df²
+    * (the sharedNgramStats argument). The cluster CC behind the split
+    * does not recompute on the second reference: duplicateClusters
+    * returns a localCheckpointed frame. NOTE the exchange-by-shingle is
+    * deliberate and replaces the previous broadcast-shaped joins — at
+    * sf0.1 Catalyst could broadcast the train-shingle set, but that plan
+    * dies at 100 TB while this one's per-task work stays bounded; the
+    * bench_diff shuffle-row growth for this query is the reviewed,
+    * intended cost of the single-pass shape (see BASELINE.md round 7). */
   def splitContamination(docs: DataFrame, pairs: DataFrame,
                          n: Int = 8): DataFrame = {
     val split = leakageSafeSplit(docs, pairs).select("doc_id", "split")
-      .localCheckpoint(true)
     val sh = Dedup.shingles(docs, n).join(split, Seq("doc_id"))
-      .localCheckpoint(true)
-    val trainShingles = sh.filter(col("split") === "train")
-      .select("shingle").distinct().withColumn("__hit", lit(1L))
-    val counts = sh.filter(col("split") =!= "train")
-      .join(trainShingles, Seq("shingle"), "left")
+    val wSh = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    val counts = sh
+      .withColumn("__t",
+        max((col("split") === "train").cast("long")).over(wSh))
+      .filter(col("split") =!= "train")
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_windows"),
-        sum(coalesce(col("__hit"), lit(0L))).as("n_shared_windows"))
+        sum("__t").as("n_shared_windows"))
     split.filter(col("split") =!= "train")
       .join(counts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("split"),

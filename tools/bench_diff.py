@@ -20,8 +20,15 @@ keeps the live ratio verdict at ANY current count — a 4k -> 90k
 explosion is a regression even though 90k < 100k (round-6 advice:
 a blanket floor silently exempted every sub-100k query).
 
+--waive NAME,NAME waives the growth verdict for queries whose plan shape
+changed ON PURPOSE this round (a reviewed rework, documented in
+BASELINE.md). Waived rows print loudly as WAIVED — never silently — and
+the NEW-spill verdict still applies to them. A waiver is a per-run
+argument, not a config: next round's diff (new baseline = this round's
+snapshot) runs un-waived again.
+
 Usage: bench_diff.py <previous.json> <current.json>
-         [--max-row-growth X] [--min-rows N]
+         [--max-row-growth X] [--min-rows N] [--waive a,b,c]
 Exit 0 = clean, 1 = regression, 2 = unreadable input.
 """
 import json
@@ -42,11 +49,14 @@ def main():
     flagvals = set()
     growth = 2.0
     min_rows = 100_000
+    waived = set()
     for i, a in enumerate(sys.argv):
         if a == "--max-row-growth":
             growth = float(sys.argv[i + 1]); flagvals.add(i + 1)
         if a == "--min-rows":
             min_rows = int(sys.argv[i + 1]); flagvals.add(i + 1)
+        if a == "--waive":
+            waived = set(sys.argv[i + 1].split(",")); flagvals.add(i + 1)
     args = [a for i, a in enumerate(sys.argv)
             if i > 0 and i not in flagvals and not a.startswith("--")]
     prev_q, prev_m = load(args[0])
@@ -60,8 +70,12 @@ def main():
         c_rows, _, c_spill = (list(cur_m[name]) + [0, 0, 0])[:3]
         if c_rows > growth * max(p_rows, 1) and (
                 p_rows >= 100 or c_rows >= min_rows):
-            bad.append(f"{name}: shuffle rows {p_rows} -> {c_rows} "
-                       f"({c_rows / max(p_rows, 1):.1f}x > {growth}x)")
+            if name in waived:
+                print(f"WAIVED {name}: shuffle rows {p_rows} -> {c_rows} "
+                      f"({c_rows / max(p_rows, 1):.1f}x) — reviewed rework")
+            else:
+                bad.append(f"{name}: shuffle rows {p_rows} -> {c_rows} "
+                           f"({c_rows / max(p_rows, 1):.1f}x > {growth}x)")
         if p_spill == 0 and c_spill > 0:
             bad.append(f"{name}: NEW spill {c_spill} bytes (was 0)")
     improved = [n for n in common

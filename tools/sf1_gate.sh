@@ -29,11 +29,14 @@ SPARK_GRAFT_CPUS=8 sbt -batch \
 python3 tools/check_oracle.py "$FLAT" /tmp/verify_sf1 | tail -4
 
 echo "== [4/4] bench at 10x -> BENCH_sf1.json"
-# NOTE: same core count as BENCH_LOCAL (local[32] default) — an sf1/sf0.1
-# time ratio is only meaningful at equal parallelism (a CPUS=8 run
-# inflates CPU-bound rows ~3-4x and poisons every family ratio)
+# NOTE: same core count as BENCH_LOCAL (local[32]) — an sf1/sf0.1 time
+# ratio is only meaningful at equal parallelism (a CPUS=4/8 run inflates
+# CPU-bound rows ~3-4x and poisons every family ratio). Pinned
+# EXPLICITLY: graft.Bench defaults to 4 cores when the env is unset, so
+# an env-less gate run used to silently bench the 10x fixture at 4
+# cores against a 32-core BENCH_LOCAL.
 cp BENCH_LOCAL.json /tmp/bench_local.bak
-SPARK_GRAFT_SF_DIR=$FLAT sbt -batch \
+SPARK_GRAFT_SF_DIR=$FLAT SPARK_GRAFT_CPUS=32 sbt -batch \
   "runMain graft.Bench" 2>/dev/null | grep '{"metric"' \
   | sed 's/^\[info\] //' > BENCH_sf1.json
 cp /tmp/bench_local.bak BENCH_LOCAL.json
