@@ -1,15 +1,22 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's DuckDB-oracle compare.
 
-Usage: check_oracle.py <sfDir> <verifyOutDir>
+Usage: check_oracle.py <sfDir> <verifyOutDir> [only]
 Reads each <verifyOutDir>/<name>/ spark parquet result, runs the matching
 oracle SQL from oracle_sql.json in DuckDB (tables = <sfDir>/*.parquet views),
 and compares: schema (sorted col names), row count, and values (cols sorted
-by name, rows as emitted). Exits nonzero on any mismatch."""
+by name, rows as emitted). Exits nonzero on any mismatch.
+
+Optional 3rd arg: comma-separated query-name filter — a targeted
+re-check (e.g. the queries whose PLANS changed this round, against an
+existing Verify dump at a big SF) without paying the full sweep, which
+at 10x is hours of DuckDB time in the heavy pairwise/recursive oracle
+CTEs. Per-query lines flush immediately so a long sweep shows progress."""
 import sys, json, glob, os, math
 import duckdb, pyarrow.parquet as pq
 
 sf, out = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 con = duckdb.connect()
 for t in glob.glob(f"{sf}/*.parquet"):
     name = os.path.basename(t)[:-8]
@@ -21,6 +28,8 @@ def norm(v):
         return round(v, 9)
     return v
 for name, sql in sorted(oracle.items()):
+    if only is not None and name not in only:
+        continue
     d = f"{out}/{name}"
     if not os.path.isdir(d):
         print(f"FAIL {name}: no spark output dir"); fail += 1; continue
@@ -51,6 +60,6 @@ for name, sql in sorted(oracle.items()):
             bad = [(i, a, b) for i, (a, b) in enumerate(zip(srows, drows)) if a != b][:3]
             print(f"FAIL {name}: value mismatch, e.g. {bad}")
         fail += 1; continue
-    print(f"OK   {name} ({spark_tbl.num_rows} rows)")
+    print(f"OK   {name} ({spark_tbl.num_rows} rows)", flush=True)
 print("ALL OK" if fail == 0 else f"{fail} FAILURES")
 sys.exit(1 if fail else 0)
