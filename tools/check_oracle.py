@@ -22,7 +22,14 @@ for t in glob.glob(f"{sf}/*.parquet"):
     name = os.path.basename(t)[:-8]
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{t}'")
 oracle = json.load(open(f"{out}/oracle_sql.json"))
+if only is not None:
+    # A mistyped filter must not silently compare zero queries and pass.
+    unknown = only - set(oracle)
+    if unknown:
+        print(f"FAIL: filter names not in oracle_sql.json: {sorted(unknown)}")
+        sys.exit(2)
 fail = 0
+compared = 0
 def norm(v):
     if isinstance(v, float):
         return round(v, 9)
@@ -61,5 +68,8 @@ for name, sql in sorted(oracle.items()):
             print(f"FAIL {name}: value mismatch, e.g. {bad}")
         fail += 1; continue
     print(f"OK   {name} ({spark_tbl.num_rows} rows)", flush=True)
-print("ALL OK" if fail == 0 else f"{fail} FAILURES")
+    compared += 1
+if compared == 0 and fail == 0:
+    print("FAIL: 0 queries compared"); sys.exit(2)
+print(f"ALL OK ({compared} compared)" if fail == 0 else f"{fail} FAILURES")
 sys.exit(1 if fail else 0)

@@ -16,6 +16,9 @@ def main() -> None:
     row_ratio = sys.argv[3] if len(sys.argv) > 3 else "?"
     common = sorted(set(base) & set(cur))
     skipped = sorted(set(base) ^ set(cur))
+    if not common:
+        print("no common queries between the two bench files")
+        sys.exit(2)
     fams = {}
     for q in common:
         fams.setdefault(q.split("_")[0], []).append(q)

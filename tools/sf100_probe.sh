@@ -30,11 +30,12 @@ python3 tools/flatten_scaled.py "$WORK" "$FLAT"
 
 echo "== [3/3] bench subset at 100x (local[32], 64g driver, 16m splits)"
 # A name-filtered Bench run never writes BENCH_LOCAL.json (guarded in
-# Bench itself); backup anyway so an interrupted run can't lose it.
+# Bench itself); backup anyway so an interrupted run can't lose it —
+# restored by trap so a mid-pipeline failure still restores it.
 cp BENCH_LOCAL.json /tmp/bench_local.bak
+trap 'cp /tmp/bench_local.bak BENCH_LOCAL.json' EXIT
 SPARK_GRAFT_SF_DIR=$FLAT SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=64g \
   SPARK_GRAFT_MAX_PART_BYTES=16777216 SPARK_GRAFT_BENCH_ONLY=$ONLY \
   sbt -batch "runMain graft.Bench" 2>/dev/null | grep '{"metric"' \
   | sed 's/^\[info\] //' | tee /tmp/bench_sf100_probe.json
-cp /tmp/bench_local.bak BENCH_LOCAL.json
 echo "sf100 probe complete -> /tmp/bench_sf100_probe.json"
