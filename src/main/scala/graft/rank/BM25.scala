@@ -272,32 +272,50 @@ object BM25 {
     * by term so the selection is deterministic cross-engine). The tf
     * table feeds three consumers (feedback ranking, expansion scoring,
     * final scoring) — localCheckpoint'ed once so the corpus tokenize
-    * scan is paid once, not three times. */
+    * scan is paid once, not three times.
+    *
+    * df is computed PER TERM SET, never for the whole vocabulary: the
+    * term restriction (isin literals for the query terms; a broadcast
+    * semi-join for the feedback docs' candidate terms) runs map-side on
+    * the checkpointed tf BEFORE the groupBy, so the df exchange carries
+    * only the restricted terms' partials. The round-7 spelling joined
+    * the few-hundred-row candidate side against a full-vocabulary df
+    * table — a corpus-scale exchange per query (49x at the 10x gate) for
+    * df values only the candidates ever read. */
+  private def dfForTermSet(tf: DataFrame, termSet: DataFrame): DataFrame =
+    tf.join(broadcast(termSet.select("term")), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("doc_frequency"))
+
   private def expansionFrames(spark: SparkSession, docs: DataFrame,
                               query: String, feedbackK: Int, expandE: Int,
                               k1: Double, b: Double)
-      : (Seq[String], DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (Seq[String], DataFrame, DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
     val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty)
       .distinct.toSeq
     val tf = InvertedIndex.termFrequency(docs).localCheckpoint(true)
-    val dfreq = InvertedIndex.docFrequencyFromTf(tf)
     val dl = InvertedIndex.docLengthFromTf(tf)
     val stats = InvertedIndex.corpusInfo(docs)
     val qTerms = terms.toDF("term")
     val fb = rank(tf.join(broadcast(qTerms), Seq("term")),
-      dfreq.join(broadcast(qTerms), Seq("term")), dl, stats, k1, b,
+      dfForTermSet(tf, qTerms), dl, stats, k1, b,
       feedbackK).select("doc_id")
-    val exp = tf.join(fb, Seq("doc_id"), "left_semi")
+    // The candidate vocabulary lives in feedbackK docs — a constant-size
+    // frame. Checkpointed so the feedback ranking is paid once, then df
+    // for exactly these terms derives from tf and broadcasts back in.
+    val fbTf = tf.join(fb, Seq("doc_id"), "left_semi")
       .filter(!col("term").isin(terms: _*))
-      .join(dfreq, Seq("term"))
+      .localCheckpoint(true)
+    val exp = fbTf
+      .join(broadcast(dfForTermSet(tf, fbTf.select("term").distinct())),
+        Seq("term"))
       .crossJoin(broadcast(stats.select("doc_n")))
       .groupBy("term")
       .agg(round(sum(col("term_frequency").cast("double") *
         log(col("doc_n").cast("double") / col("doc_frequency"))), 6)
         .as("expansion_weight"))
       .orderBy(desc("expansion_weight"), asc("term")).limit(expandE)
-    (terms, tf, dfreq, dl, stats, exp)
+    (terms, tf, dl, stats, exp)
   }
 
   /** The chosen expansion terms themselves — the observable a relevance
@@ -305,7 +323,7 @@ object BM25 {
   def expansionTerms(spark: SparkSession, docs: DataFrame, query: String,
                      feedbackK: Int = 10, expandE: Int = 5,
                      k1: Double = 1.0, b: Double = 0.75): DataFrame =
-    expansionFrames(spark, docs, query, feedbackK, expandE, k1, b)._6
+    expansionFrames(spark, docs, query, feedbackK, expandE, k1, b)._5
       .orderBy(desc("expansion_weight"), asc("term"))
 
   /** RM3-style pseudo-relevance-feedback search (Lavrenko & Croft'01
@@ -328,12 +346,16 @@ object BM25 {
                      expandWeight: Double = 0.5, k1: Double = 1.0,
                      b: Double = 0.75, topK: Int = 10): DataFrame = {
     import spark.implicits._
-    val (terms, tf, dfreq, dl, stats, exp) =
+    val (terms, tf, dl, stats, exp) =
       expansionFrames(spark, docs, query, feedbackK, expandE, k1, b)
+    // The union query is |terms| + expandE rows; checkpointed so the
+    // expansion-term selection (a rank over the feedback docs) is paid
+    // once, not once per consumer below.
     val wq = terms.toDF("term").withColumn("qw", lit(1.0))
       .unionByName(exp.select(col("term"), lit(expandWeight).as("qw")))
+      .localCheckpoint(true)
     val qtf = tf.join(broadcast(wq), Seq("term"))
-    val qdf = dfreq.join(broadcast(wq.select("term")), Seq("term"))
+    val qdf = dfForTermSet(tf, wq)
     qtf.join(broadcast(qdf), Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
