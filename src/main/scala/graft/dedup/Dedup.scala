@@ -1335,44 +1335,44 @@ object Dedup {
     * lowest label) — no RNG, no partition-order dependence, so the
     * oracle unrolls the rounds CTE-by-CTE like pageRankFromPairs.
     *
-    * Scale notes (100 TB): each round is one exchange — edges join the
-    * label frame on dst, then a (node, label) count-aggregate and a
-    * per-node argmax window; work is O(|E|) per round with no
-    * all-pairs step anywhere (edges come from the df-capped pair
-    * lineage). Per-round localCheckpoint keeps lineage flat, same
-    * discipline (and same cluster caveat) as duplicateClusters. */
+    * Scale notes (100 TB): each round — edges join the label frame on
+    * dst, a (node, label) count-aggregate, then a per-node argmax as a
+    * lexicographic struct MAX instead of a row_number window: both
+    * aggregates partial-aggregate map-side and never sort, where the
+    * window sorted every (node, label) partition per round; work is
+    * O(|E|) per round with no all-pairs step anywhere (edges come from
+    * the df-capped pair lineage). Because `rounds` is a FIXED small
+    * constant, the whole propagation stays ONE lazy plan over the
+    * checkpointed edge frame: no per-round eager checkpoint jobs (the
+    * flat-lineage discipline duplicateClusters needs for its unbounded
+    * convergence loop buys nothing for a depth-3 chain, and at 10x the
+    * per-round driver round-trips were most of the wall). The label
+    * frame is NOT broadcast by hint — one row per node, unbounded at
+    * corpus scale; AQE may still choose to at small n. */
   def lpaCommunities(pairs: DataFrame, rounds: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val p = pairs.select(col("doc_a"), col("doc_b")).persist()
-    p.count()
+    val p = pairs.select(col("doc_a"), col("doc_b"))
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().persist()
-    try {
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id")).localCheckpoint(true)
-      var t = 0
-      while (t < rounds) {
-        val w = Window.partitionBy("doc_id")
-          .orderBy(col("__c").desc, col("__nl"))
-        val next = edges
-          .join(labels.select(col("doc_id").as("dst"), col("label").as("__nl")),
-            Seq("dst"))
-          .groupBy(col("src").as("doc_id"), col("__nl"))
-          .agg(count(lit(1)).as("__c"))
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .select(col("doc_id"), col("__nl").as("label"))
-          .localCheckpoint(true)
-        labels = next
-        t += 1
-      }
-      labels.select(col("doc_id"), col("label").as("community"))
-        .orderBy("doc_id")
-    } finally {
-      edges.unpersist()
-      p.unpersist()
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    var t = 0
+    while (t < rounds) {
+      // modal neighbor label; deterministic tie-break = highest count,
+      // then LOWEST label, as one lexicographic struct max (-label makes
+      // "lowest label" the max; labels are nonnegative doc ids)
+      labels = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label").as("__nl")),
+          Seq("dst"))
+        .groupBy(col("src"), col("__nl"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(max(struct(col("__c"), (-col("__nl")).as("__neg"))).as("__m"))
+        .select(col("doc_id"), (-col("__m.__neg")).as("label"))
+      t += 1
     }
+    labels.select(col("doc_id"), col("label").as("community"))
+      .orderBy("doc_id")
   }
 
   /** LPA communities from the trigram-Jaccard pair lineage (the
