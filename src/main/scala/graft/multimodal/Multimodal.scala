@@ -42,61 +42,147 @@ object Multimodal {
     docs.select("doc_id", "text").unionByName(copies)
   }
 
-  /** Max Hamming distance for phash near-dup pairs. 4 bands of 16 bits
-    * with 1-bit query expansion keep the band join EXACT for ham <= 7
-    * (pigeonhole: 7 flipped bits over 4 bands leave some band with
-    * <= floor(7/4) = 1 flip). */
+  /** Max Hamming distance for phash near-dup pairs. Either blocking
+    * geometry keeps the band join EXACT for ham <= 7 by pigeonhole:
+    * 4 bands of 16 bits with 1-bit probe expansion (7 flips over 4 bands
+    * leave some band with <= floor(7/4) = 1), or 2 bands of 32 bits with
+    * 3-bit probe expansion (some band has <= floor(7/2) = 3). */
   val DefaultPHashMaxHamming = 7
+
+  /** Corpus-size cutoff between the two blocking geometries (media count,
+    * from a count over the checkpointed 3-column hash frame). The dial
+    * trades probe-side explode rows (linear, map-side streamed through a
+    * broadcast join — never shuffled) against the RANDOM band-collision
+    * floor (quadratic, and every phantom candidate is shuffled 3 times:
+    * distinct + two hash-frame joins):
+    *   4x16-bit bands, 17 probes/band:  68n streamed + n^2*68/2^16 floor
+    *   2x32-bit bands, 5489 probes/band: 10978n streamed + n^2*10978/2^32
+    * The 32-bit floor RATE is 128x lower (n^2/391k vs n^2/964), so past
+    * ~tens of thousands of media the quadratic term — which at the 10x
+    * gate grew shuffle rows 94x for 10x media — stays subdominant to the
+    * linear probe stream out to ~100M media (probe cost = floor cost at
+    * n ~ 10978/2.56e-6). Below the cutoff the 16-bit geometry's 161x
+    * smaller probe stream wins because the floor is only ~n/964
+    * candidates per item. Empirically at the cutoff scale the two cost
+    * within 2x of each other either way (BASELINE.md round 8). */
+  val PHashAdaptiveCutoff = 16384L
 
   /** Near-identical payloads by perceptual dHash: pairs of media whose
     * 64-bit byte-grid hashes differ in <= maxHamming bits.
     *
     * Candidates come from multi-index hashing with query expansion
     * (Norouzi et al., "Fast Search in Hamming Space with Multi-Index
-    * Hashing"): the hash splits into 4 disjoint 16-bit bands; the probe
-    * side emits each band value plus its 16 one-bit flips, the build
+    * Hashing"): the hash splits into m disjoint bands; the probe side
+    * emits each band value plus its <= floor(7/m)-bit flips, the build
     * side its exact band values, and the equi-join on (band, value)
-    * meets every true pair — ham <= 7 over 4 bands forces some band to
-    * <= 1 flip, which the expansion covers. The verify step is two XOR +
-    * bit_count column ops on the candidate rows.
+    * meets every true pair by pigeonhole. The band COUNT adapts to the
+    * corpus ([[PHashAdaptiveCutoff]]): 4x16-bit bands below (cheapest
+    * probe stream), 2x32-bit bands above (128x lower quadratic collision
+    * floor — the round-7 geometry's floor already dominated at the 10x
+    * gate: shuffle rows grew 94x for 10x media). The verify step is two
+    * XOR + bit_count column ops on the candidate rows.
     *
-    * Why not 8 bands of 8 bits (the round-5 spelling): an 8-bit band
-    * agrees BY CHANCE at 1/256 per band, so random non-dup hashes met at
-    * a fixed n^2*8/256 collision floor — at the 10x gate that floor was
-    * 39M candidate rows and 209 s for 50k media. 16-bit bands with 17
-    * probes collide at 4*17/65536 ~ 1/964 — ~30x fewer phantom
-    * candidates, same exact result (the oracle thresholds ALL pairs
-    * unbanded, so the blocking stays provably invisible). Identical-hash
-    * cliques still pair in full, but those are TRUE ham=0 pairs — output,
-    * not noise. The hash itself is one codegen expression pass
-    * (graft_phash) — unlike the SimHash family this one is md5-free
-    * integer arithmetic end-to-end and therefore fully oracle-checkable:
-    * DuckDB rebuilds every hash from hex bytes and must agree on every
-    * pair AND every distance. */
+    * Plan shape either way: the build side is m exact rows per item —
+    * small enough that AQE broadcasts it at any n where the floor
+    * matters (no broadcast HINT: one row per item is unbounded at corpus
+    * scale, and past broadcast range the exchange is still linear) — so
+    * the probe explode is map-side streamed, never shuffled; only
+    * verified candidates and true pairs hit exchanges. Identical-hash
+    * cliques still pair in full, but those are TRUE ham=0 pairs —
+    * output, not noise. The hash itself is one codegen expression pass
+    * (graft_phash) — md5-free integer arithmetic end-to-end and
+    * therefore fully oracle-checkable: DuckDB rebuilds every hash from
+    * hex bytes WITHOUT any banding and must agree on every pair AND
+    * every distance, so the geometry choice is provably invisible. */
   def phashPairs(media: DataFrame,
-                 maxHamming: Int = DefaultPHashMaxHamming): DataFrame = {
+                 maxHamming: Int = DefaultPHashMaxHamming): DataFrame =
+    phashPairsBanded(media, maxHamming, nBands = 0)
+
+  /** XOR masks of Hamming weight <= 2 over a 32-bit band (probe-side
+    * expansion for the 2-band geometry): 1 + 32 + 496 = 529 masks. The
+    * radius-3 coverage the ham<=7 pigeonhole needs is SPLIT across the
+    * two join sides (2 probe-side + 1 build-side): a single-sided r=3
+    * expansion is 5489 masks — measured 10x slower end-to-end at the
+    * 10x gate than the (2,1) split, whose streamed rows are 529/item
+    * against a 33/item build. */
+  private lazy val flip2Masks32: Array[Long] = {
+    val m = scala.collection.mutable.ArrayBuffer(0L)
+    for (i <- 0 until 32) m += (1L << i)
+    for (i <- 0 until 32; j <- i + 1 until 32) m += ((1L << i) | (1L << j))
+    m.toArray
+  }
+
+  /** XOR masks of Hamming weight <= 1 over a 32-bit band (build-side
+    * expansion for the 2-band geometry): 33 masks. */
+  private lazy val flip1Masks32: Array[Long] =
+    (0L +: (0 until 32).map(1L << _)).toArray
+
+  /** Band-geometry-forced form — `nBands` 0 picks adaptively by media
+    * count; 4 and 2 force a geometry (spec-pinned identical outputs:
+    * MultimodalSpec proves both geometries equal the unbanded oracle). */
+  private[graft] def phashPairsBanded(media: DataFrame, maxHamming: Int,
+                                      nBands: Int): DataFrame = {
     require(maxHamming <= 7,
-      s"maxHamming=$maxHamming > 7 breaks the 4-band/1-flip pigeonhole")
+      s"maxHamming=$maxHamming > 7 breaks the band/probe pigeonhole")
     graft.functions.PHashFunctions.ensureRegistered(media.sparkSession)
+    // ONE payload scan: everything downstream (bands, probes, both
+    // verify joins, the adaptive count) reads the 3-column hash frame
     val ph = media
       .select(col("media_id"), graft.functions.PHashFunctions.phash(col("payload")).as("ph"))
       .filter(col("ph").isNotNull)
       .select(col("media_id"), col("ph.ph_hi").as("hi"), col("ph.ph_lo").as("lo"))
-    val bands = ph.select(col("media_id"), col("hi"), col("lo"),
-        explode(typedLit((0 until 4).toArray)).as("k"))
-      // hi/lo are unsigned 32-bit values in longs, so plain signed >>
-      // is exact; band k = 16-bit slice k of the 64-bit hash
-      .withColumn("bv",
-        expr("CASE WHEN k < 2 THEN (lo >> (k * 16)) % 65536 " +
-          "ELSE (hi >> ((k - 2) * 16)) % 65536 END"))
-      .select("media_id", "k", "bv")
-    // probe side: the exact band value (j = 0) plus its 16 one-bit flips
-    val probes = bands
-      .select(col("media_id"), col("k"), col("bv"),
-        explode(typedLit((0 to 16).toArray)).as("j"))
-      .select(col("media_id"), col("k"),
-        when(col("j") === 0, col("bv"))
-          .otherwise(expr("bv ^ (CAST(1 AS BIGINT) << (j - 1))")).as("bv"))
+      .localCheckpoint(true)
+    val m =
+      if (nBands == 4 || nBands == 2) nBands
+      else if (ph.count() <= PHashAdaptiveCutoff) 4 else 2
+    val (bands, probes) =
+      if (m == 4) {
+        val bands = ph.select(col("media_id"), col("hi"), col("lo"),
+            explode(typedLit((0 until 4).toArray)).as("k"))
+          // hi/lo are unsigned 32-bit values in longs, so plain signed >>
+          // is exact; band k = 16-bit slice k of the 64-bit hash
+          .withColumn("bv",
+            expr("CASE WHEN k < 2 THEN (lo >> (k * 16)) % 65536 " +
+              "ELSE (hi >> ((k - 2) * 16)) % 65536 END"))
+          .select("media_id", "k", "bv")
+        // probe side: the exact band value (j = 0) plus its 16 one-bit flips
+        val probes = bands
+          .select(col("media_id"), col("k"), col("bv"),
+            explode(typedLit((0 to 16).toArray)).as("j"))
+          .select(col("media_id"), col("k"),
+            when(col("j") === 0, col("bv"))
+              .otherwise(expr("bv ^ (CAST(1 AS BIGINT) << (j - 1))")).as("bv"))
+        (bands, probes)
+      } else {
+        val raw = ph.select(col("media_id"),
+            explode(typedLit((0 until 2).toArray)).as("k"),
+            col("hi"), col("lo"))
+          .withColumn("bv",
+            when(col("k") === 0, col("lo")).otherwise(col("hi")))
+          .select("media_id", "k", "bv")
+        // radius 3 per band, split (2,1) across the join sides: a pair
+        // whose band distance is d <= 3 meets at v = build-band with one
+        // differing bit flipped toward the probe (d(build,v) <= 1,
+        // d(probe,v) = d-1 <= 2). The build side carries the broadcast
+        // HINT: the optimizer sizes both explodes from their
+        // 2-rows-per-item input and would otherwise pick the 16x-larger
+        // probe side as the build side (2.7 GiB driver collect at the
+        // 10x gate). The hinted side is 66 rows per item — valid to ~3M
+        // media under Spark's 8 GiB broadcast cap; past that drop it and
+        // the join degrades to a still-linear (529x write-amplified)
+        // exchange.
+        val build = raw
+          .select(col("media_id"), col("k"), col("bv"),
+            explode(typedLit(flip1Masks32)).as("msk"))
+          .select(col("media_id"), col("k"),
+            expr("bv ^ msk").as("bv"))
+        val probes = raw
+          .select(col("media_id"), col("k"), col("bv"),
+            explode(typedLit(flip2Masks32)).as("msk"))
+          .select(col("media_id"), col("k"),
+            expr("bv ^ msk").as("bv"))
+        (broadcast(build), probes)
+      }
     val cand = probes.alias("a")
       .join(bands.alias("b"), col("a.k") === col("b.k") &&
         col("a.bv") === col("b.bv") && col("a.media_id") < col("b.media_id"))

@@ -310,6 +310,26 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.length == planted.size)
   }
 
+  test("phash pairs: both band geometries equal the adaptive default exactly") {
+    assume(new java.io.File("/root/testdata/sf0.001/documents.parquet").exists())
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val media = Multimodal.fromDocuments(
+      Multimodal.withPerturbedCopies(base, every = 10))
+    // the blocking geometry is a pure pruning choice: 4x16-bit/1-flip and
+    // 2x32-bit/(2,1)-flip must produce the SAME pair set at the SAME
+    // distances (the pigeonhole proof holds for both), and the adaptive
+    // default (media count < cutoff here -> 4 bands) must match
+    val g4 = Multimodal.phashPairsBanded(media, 7, 4).as[(Long, Long, Long)]
+      .collect().toSeq
+    val g2 = Multimodal.phashPairsBanded(media, 7, 2).as[(Long, Long, Long)]
+      .collect().toSeq
+    val auto = Multimodal.phashPairs(media).as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(g4.nonEmpty)
+    assert(g4 == g2)
+    assert(g4 == auto)
+  }
+
   test("phash clusters: every perturbed copy labels to its original") {
     import org.apache.spark.sql.functions.col
     assume(new java.io.File("/root/testdata/sf0.001/documents.parquet").exists())
