@@ -23,10 +23,14 @@ sbt -batch "runMain graft.tools.MakeScaled $SRC $WORK $COPIES uniq" \
 echo "== [2/4] flatten -> ${FLAT}"
 python3 tools/flatten_scaled.py "$WORK" "$FLAT"
 
-echo "== [3/4] full Verify + oracle sweep at 10x"
+# Optional targeted sweep: SF1_ORACLE_ONLY=q1,q2 restricts Verify + the
+# DuckDB compare to those queries (the full 10x sweep is hours of DuckDB
+# time in the pairwise/recursive oracle CTEs — run it on the round's
+# plan-changed queries; the full sweep is a once-per-major-round cost).
+echo "== [3/4] Verify + oracle sweep at 10x (${SF1_ORACLE_ONLY:-full})"
 SPARK_GRAFT_CPUS=8 sbt -batch \
-  "runMain graft.Verify $FLAT /tmp/verify_sf1" 2>/dev/null | tail -1
-python3 tools/check_oracle.py "$FLAT" /tmp/verify_sf1 | tail -4
+  "runMain graft.Verify $FLAT /tmp/verify_sf1 ${SF1_ORACLE_ONLY:-}" 2>/dev/null | tail -1
+python3 tools/check_oracle.py "$FLAT" /tmp/verify_sf1 ${SF1_ORACLE_ONLY:-} | tail -6
 
 echo "== [4/4] bench at 10x -> BENCH_sf1.json"
 # NOTE: same core count as BENCH_LOCAL (local[32]) — an sf1/sf0.1 time
@@ -35,10 +39,15 @@ echo "== [4/4] bench at 10x -> BENCH_sf1.json"
 # EXPLICITLY: graft.Bench defaults to 4 cores when the env is unset, so
 # an env-less gate run used to silently bench the 10x fixture at 4
 # cores against a 32-core BENCH_LOCAL.
+# MAX_PART_BYTES=32m: the flattened 1-file fixture otherwise serializes
+# scan-shaped stages at 10x (1-4 input partitions for a corpus a real 10x
+# deployment would receive as ~10x more files) — pinned like
+# sf100_probe.sh so family ratios measure plans, not fixture layout.
 cp BENCH_LOCAL.json /tmp/bench_local.bak
-SPARK_GRAFT_SF_DIR=$FLAT SPARK_GRAFT_CPUS=32 sbt -batch \
+trap 'cp /tmp/bench_local.bak BENCH_LOCAL.json' EXIT
+SPARK_GRAFT_SF_DIR=$FLAT SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_MAX_PART_BYTES=33554432 sbt -batch \
   "runMain graft.Bench" 2>/dev/null | grep '{"metric"' \
   | sed 's/^\[info\] //' > BENCH_sf1.json
-cp /tmp/bench_local.bak BENCH_LOCAL.json
 head -c 400 BENCH_sf1.json; echo
 echo "sf1 gate complete"
