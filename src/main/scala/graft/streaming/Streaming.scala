@@ -604,8 +604,19 @@ object Streaming {
     *
     * The buffer is the honest cost of exact out-of-order funnels —
     * bounded per user by that user's funnel-relevant events, the same
-    * state a watermark-delayed batch recompute would hold. */
-  class FunnelProcessor(stages: Seq[String])
+    * state a watermark-delayed batch recompute would hold. At
+    * production retention that bound needs a dial: `bufferTtl` evicts
+    * buffered events by processing-time TTL (RocksDB-native, no timer
+    * plumbing), trading exactness beyond the lateness horizon — an event
+    * arriving later than the TTL can no longer move reach times earlier.
+    * The `reach` MapState stays un-TTL'd deliberately: it is the tiny
+    * (<= stages entries per user) monotone result, not the buffer, and
+    * evicting it would silently reset progress rather than bound
+    * lateness. Default NONE preserves the exact semantics the
+    * batch-equivalence spec pins. */
+  class FunnelProcessor(stages: Seq[String],
+                        bufferTtl: org.apache.spark.sql.streaming.TTLConfig =
+                          org.apache.spark.sql.streaming.TTLConfig.NONE)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, String, Long), FunnelProgress] {
     @transient private var buf:
@@ -618,7 +629,7 @@ object Streaming {
         org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.STRING,
           org.apache.spark.sql.Encoders.scalaLong),
-        org.apache.spark.sql.streaming.TTLConfig.NONE)
+        bufferTtl)
       reach = getHandle.getMapState[String, Long]("reach",
         org.apache.spark.sql.Encoders.STRING,
         org.apache.spark.sql.Encoders.scalaLong,
@@ -636,15 +647,24 @@ object Streaming {
       var blocked = false
       stages.foreach { st =>
         if (!blocked) {
+          // committed reach time as a FLOOR: under bufferTtl, evicted
+          // events must not regress reported progress — the prior stays
+          // valid because prev-stage reach times only ever move earlier.
+          // In exact (NONE) mode the prior derives from a subset of the
+          // current buffer under a >= constraint, so prior >= buffer min
+          // and the min() below is provably the plain buffer recompute.
+          val prior =
+            if (reach.containsKey(st)) reach.getValue(st) else Long.MaxValue
           val cand = evs.collect {
             case (tpe, us) if tpe == st &&
               (n == 0 || us > prevReach) => us
           }
-          if (cand.isEmpty) blocked = true
+          val best = math.min(prior, if (cand.isEmpty) Long.MaxValue else cand.min)
+          if (best == Long.MaxValue) blocked = true
           else {
-            prevReach = cand.min
-            reach.updateValue(st, prevReach)
-            last = prevReach
+            prevReach = best
+            if (best < prior) reach.updateValue(st, best)
+            last = best
             n += 1
           }
         }
@@ -654,14 +674,25 @@ object Streaming {
   }
 
   def funnelProgressTws(events: Dataset[(Long, String, Long)],
-                        stages: Seq[String] = Seq("signup", "click", "purchase"))
+                        stages: Seq[String] = Seq("signup", "click", "purchase"),
+                        bufferTtl: org.apache.spark.sql.streaming.TTLConfig =
+                          org.apache.spark.sql.streaming.TTLConfig.NONE)
       : Dataset[FunnelProgress] = {
     import events.sparkSession.implicits._
+    // TTL'd state requires the ProcessingTime time mode; the exact
+    // (NONE) form keeps TimeMode.None as before. Note the engine keeps
+    // scheduling TTL-cleanup batches for a ProcessingTime query even
+    // with no new data, so processAllAvailable-style quiescence waits
+    // do not return — drive TTL'd queries by polling the sink (the
+    // bufferTtl spec shows the pattern)
+    val timeMode =
+      if (bufferTtl == org.apache.spark.sql.streaming.TTLConfig.NONE)
+        org.apache.spark.sql.streaming.TimeMode.None()
+      else org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
     events
       .groupByKey(_._1)
-      .transformWithState(new FunnelProcessor(stages),
-        org.apache.spark.sql.streaming.TimeMode.None(),
-        OutputMode.Update())
+      .transformWithState(new FunnelProcessor(stages, bufferTtl),
+        timeMode, OutputMode.Update())
   }
 
   /** The retained latest-wins state per key (CdcProcessor). */

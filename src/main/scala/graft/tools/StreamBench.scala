@@ -116,6 +116,27 @@ object StreamBench {
       results += (("funnel", r._1, r._2, r._3, r._4))
     }
 
+    // 3b) funnel at 4x the keys, same event count: makes the state
+    //     growth law visible in the artifact — the ListState buffer is
+    //     sized by BUFFERED EVENTS (here: all events, the worst case),
+    //     not by user count, so state_bytes stays ~flat while state_rows
+    //     (per-(user,stage) reach entries + per-user lists) scales with
+    //     keys. Eviction dial: funnelProgressTws(bufferTtl) bounds the
+    //     buffer by a processing-time lateness horizon (BASELINE.md r8).
+    locally {
+      val stages = Seq("signup", "click", "purchase")
+      val in = MemoryStream[(Long, String, Long)]
+      val q = graft.streaming.Streaming.funnelProgressTws(in.toDS(), stages)
+        .writeStream.format("memory").queryName("sb_funnel4")
+        .outputMode(OutputMode.Update()).start()
+      val keys4 = nKeys * 4
+      val r = drive(q, b => in.addData(
+        (b * perBatch until (b + 1) * perBatch).map { i =>
+          ((i % keys4).toLong, stages((i / keys4) % stages.size), i.toLong)
+        }), "sb_funnel4")
+      results += (("funnel_4x_keys", r._1, r._2, r._3, r._4))
+    }
+
     // 4) CDC materializer: (key, tsUs, eventId, type, value) with a
     //    tombstone every 97th change — latest-wins state per key
     locally {

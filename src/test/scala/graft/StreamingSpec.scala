@@ -583,6 +583,65 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState funnel bufferTtl: events past the lateness " +
+    "horizon are evicted and can no longer refine reach times") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, String, Long)]
+    val q = Streaming.funnelProgressTws(input.toDS(),
+        bufferTtl = org.apache.spark.sql.streaming.TTLConfig(
+          java.time.Duration.ofSeconds(2)))
+      .writeStream.format("memory").queryName("funnel_ttl")
+      .outputMode(OutputMode.Update()).start()
+    // a TTL'd query keeps scheduling cleanup batches, so
+    // processAllAvailable never observes quiescence — poll the sink for
+    // the emission instead of awaiting no-new-data
+    def await(pred: => Boolean): Unit = {
+      val t0 = System.currentTimeMillis
+      while (!pred && System.currentTimeMillis - t0 < 60000)
+        Thread.sleep(200)
+      assert(pred, "timed out waiting for stream output")
+    }
+    def rows(): Seq[Streaming.FunnelProgress] =
+      spark.table("funnel_ttl").as[Streaming.FunnelProgress]
+        .collect().toSeq.filter(_.userId == 1L)
+    try {
+      // purchase@400 does NOT qualify yet: click reached at 500
+      input.addData((1L, "signup", 100L), (1L, "click", 500L),
+        (1L, "purchase", 400L))
+      await(rows().nonEmpty)
+      val p1 = rows().maxBy(_.stagesReached)
+      assert(p1.stagesReached == 2 && p1.lastReachUs == 500L)
+      // wait past the TTL horizon: the buffered events evict
+      Thread.sleep(4000)
+      // the late click@200 moves the click reach earlier; the EXACT
+      // funnel would then re-qualify purchase@400 (3 stages) — but that
+      // purchase is evicted, so the TTL'd funnel reports 2: committed
+      // progress is kept (the reach-map floor), evicted events can no
+      // longer re-qualify — the documented bounded-lateness trade
+      input.addData((1L, "click", 200L))
+      await(rows().size >= 2)
+      val p2 = rows()
+      assert(p2.map(_.stagesReached).max == 2,
+        s"evicted purchase still re-qualified: ${p2.mkString(",")}")
+      // the refinement the late event CAN still make happened: click's
+      // committed reach moved 500 -> 200
+      assert(p2.exists(p => p.stagesReached == 2 && p.lastReachUs == 200L),
+        s"late click did not refine the committed reach: ${p2.mkString(",")}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState funnel equals batch funnelCounts on real events") {
     implicit val sqlCtx = spark.sqlContext
     val prevProvider = spark.conf.getOption(
