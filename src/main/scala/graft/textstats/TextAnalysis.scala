@@ -263,10 +263,20 @@ object TextAnalysis {
   }
 
   /** Quality heuristics: length, mean token length, type-token ratio,
-    * stopword ratio — the length/punct/stopword family of filters. */
+    * stopword ratio — the length/punct/stopword family of filters.
+    *
+    * The global doc_id sort runs BELOW the projection (round-8 100x
+    * probe finding): a Sort above a heavy projection makes the range
+    * sampler execute the projection a second time to draw its keys, and
+    * pins both evaluations to scan-stage parallelism (file-layout-bound
+    * — 4 tasks on the flattened 100x fixture). Sorting the raw
+    * (doc_id, text) rows first costs a wider exchange but evaluates the
+    * 5-expression token pipeline ONCE, at shuffle parallelism, and a
+    * Project preserves the child's ordering. Measured at 100x:
+    * 49.3 s -> 4.1 s for the identical result. */
   def qualityScores(docs: DataFrame): DataFrame = {
     val n = size(toks).cast("double")
-    docs.select(
+    docs.select(col("doc_id"), col("text")).orderBy("doc_id").select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars"),
       size(toks).cast("long").as("n_tokens"),
@@ -279,7 +289,6 @@ object TextAnalysis {
         .otherwise(size(array_intersect(toks,
           array(LangMarkers("en").map(lit): _*))) / n), 4)
         .as("stopword_type_ratio"))
-      .orderBy("doc_id")
   }
 
   /** Sentence-level quality stats — the C4/Gopher sentence rules the
