@@ -120,12 +120,14 @@ object TextAnalysis {
     * what dedup consumes anyway). Pure per-row column ops in one codegen
     * stage — no shuffle at all until the output sort. */
   def normalizeText(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("n_chars").as("chars_before"),
+    // sort below the projection (see qualityScores)
+    docs.select(col("doc_id"), col("n_chars"), col("text"))
+      .orderBy("doc_id")
+      .select(col("doc_id"), col("n_chars").as("chars_before"),
         trim(regexp_replace(regexp_replace(col("text"),
           "[\\x00-\\x1F\\x7F]", " "), " +", " ")).as("__t"))
       .select(col("doc_id"), md5(col("__t")).as("norm_hash"),
         col("chars_before"), length(col("__t")).cast("long").as("chars_after"))
-      .orderBy("doc_id")
 
   /** UTF-8 byte-economics per language — the tokenizer-budgeting input
     * (byte-level tokenizers pay bytes_per_char; a BPE trained on English
@@ -227,12 +229,14 @@ object TextAnalysis {
 
   /** Token counts: regex tokens + whitespace tokens per doc. */
   def tokenCounts(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    // sort below the projection (see qualityScores): one evaluation of
+    // the two tokenize passes, at shuffle parallelism
+    docs.select(col("doc_id"), col("text")).orderBy("doc_id")
+      .select(col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
       when(length(trim(col("text"))) === 0, 0L)
         .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
         .as("n_ws_tokens"))
-      .orderBy("doc_id")
 
   /** Within-document repetition (the Gopher/C4 repetition filter family):
     * duplicate-trigram fraction (1 - distinct/total) and the hottest
@@ -302,12 +306,13 @@ object TextAnalysis {
     val segs = filter(split(col("text"), "[.!?]+"),
       s => length(trim(s)) > 0)
     val ns = size(segs).cast("long")
-    docs.select(col("doc_id"), ns.as("n_sentences"),
+    // sort below the projection (see qualityScores)
+    docs.select(col("doc_id"), col("text")).orderBy("doc_id")
+      .select(col("doc_id"), ns.as("n_sentences"),
         round(when(ns === 0, 0.0)
           .otherwise(size(toks).cast("double") / ns), 4)
           .as("tokens_per_sentence"),
         col("text").rlike("[.!?]\\s*$").as("ends_terminal"))
-      .orderBy("doc_id")
   }
 
   /** Linear quality probe, fit CLOSED-FORM: least-squares
@@ -419,7 +424,10 @@ object TextAnalysis {
       lang -> size(filter(toks, t => t.isInCollection(markers))).cast("long")
     }
     def h(l: String) = col(s"__h_$l")
-    val keyed = docs.select(col("doc_id") +:
+    // sort below the projection (see qualityScores): the per-language
+    // marker filters are evaluated once, post-exchange
+    val keyed = docs.select(col("doc_id"), col("text")).orderBy("doc_id")
+      .select(col("doc_id") +:
       hitCols.map { case (l, c) => c.as(s"__h_$l") }: _*)
       .withColumn("__tot", langs.map(l => h(l._1)).reduce(_ + _))
       .withColumn("__top",
@@ -440,15 +448,15 @@ object TextAnalysis {
           col("__top").cast("double") / col("__tot").cast("double"))
           .otherwise(0.0), 4).as("top_share"),
         round(entropy, 4).as("mix_entropy"))
-      .orderBy("doc_id")
   }
 
   /** Canonical-form document fingerprint: md5 of the normalized token
     * stream. Whitespace/case/punctuation-insensitive exact dedup key. */
   def fingerprints(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      md5(array_join(toks, " ")).as("fingerprint"))
-      .orderBy("doc_id")
+    // sort below the projection (see qualityScores)
+    docs.select(col("doc_id"), col("text")).orderBy("doc_id")
+      .select(col("doc_id"),
+        md5(array_join(toks, " ")).as("fingerprint"))
 
   /** Corpus-level term stats: the top-k most frequent terms. */
   def topTerms(docs: DataFrame, k: Int = 20): DataFrame =
@@ -890,14 +898,16 @@ object TextAnalysis {
     // otherwise be double-counted as a phone the replacement never sees)
     val emailRedacted = regexp_replace(
       graft.text.Tokenize.asciiFold(col("text")), EmailPattern, "<EMAIL>")
-    docs.select(col("doc_id"),
+    // sort below the projection (see qualityScores): the three regex
+    // passes are the heaviest per-row work in the text family
+    docs.select(col("doc_id"), col("text")).orderBy("doc_id")
+      .select(col("doc_id"),
       size(regexp_extract_all(graft.text.Tokenize.asciiFold(col("text")), lit(EmailPattern), lit(0)))
         .cast("long").as("n_emails"),
       size(regexp_extract_all(emailRedacted, lit(PhonePattern), lit(0)))
         .cast("long").as("n_phones"),
       md5(regexp_replace(emailRedacted, PhonePattern, "<PHONE>"))
         .as("redacted_hash"))
-      .orderBy("doc_id")
   }
 
   /** Token-window chunking with overlap — the pretraining/RAG splitter:
