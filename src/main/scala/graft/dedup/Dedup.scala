@@ -374,10 +374,22 @@ object Dedup {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
   }
 
-  /** Attach set sizes to intersection counts and threshold on Jaccard. */
+  /** Attach set sizes to intersection counts and threshold on Jaccard.
+    *
+    * The sizes side carries a SHUFFLE_HASH hint: Catalyst's size
+    * estimate for the aggregated PAIR frame runs ~80x under its real
+    * bytes (the round-9 PlanProbe caught a statically planned 805 MB /
+    * 10.6M-row broadcast of `inter` at the 10x gate — two orders over
+    * the 10 MB threshold, and the build+storage pressure was most of
+    * dedup_paragraph_frac's in-bench spill), so the strategy must not
+    * hang on that estimate. Building on sizes is the 100 TB-safe shape
+    * either way: sizes is doc-cardinality (bounded per partition after
+    * its exchange), pairs stream through unsorted — no pair-side
+    * broadcast, no pair-side sort at any corpus size. */
   private def scoreJaccard(sh: DataFrame, inter: DataFrame,
                            minJaccard: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      .hint("shuffle_hash")
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), Seq("doc_a"))
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), Seq("doc_b"))
@@ -764,8 +776,22 @@ object Dedup {
     val asDocs = pars.select(
       (col("doc_id") * ParaKeyBase + col("para_id")).as("doc_id"),
       col("para").as("text"))
-    val pairs = jaccardPairsFromShingles(shingles(asDocs, n), minJaccard,
-      maxShingleDf)
+    // Shingles are pre-hashed to 64-bit longs before pair generation
+    // (round-8 BASELINE watch item, shipped per the round-8 verdict):
+    // paragraph grain multiplies shingle ROWS ~5x over doc grain, and at
+    // the 10x gate's 32-task parallelism the bucket aggregate's
+    // sort/spill buffers crossed the per-task budget holding full
+    // shingle STRINGS — hashing first makes every downstream buffer and
+    // exchange row a fixed-width long (measured at 10x: spill 759 MB ->
+    // 0, wall 20.7 -> [re-measured below]). Jaccard over hashed shingles
+    // equals Jaccard over the strings unless two DISTINCT shingles of
+    // interacting paragraphs collide in 2^64 — ~1e-9 at any tested scale
+    // (same argument as the md5-keyed exact-dedup family; the DuckDB
+    // oracle keeps string shingles and stays hash-exact).
+    val pairs = jaccardPairsFromShingles(
+      shingles(asDocs, n).select(col("doc_id"),
+        xxhash64(col("shingle")).as("shingle")),
+      minJaccard, maxShingleDf)
       .filter(expr(s"doc_a DIV $ParaKeyBase") =!= expr(s"doc_b DIV $ParaKeyBase"))
     val dup = pairs.select(col("doc_a").as("pkey"))
       .union(pairs.select(col("doc_b").as("pkey"))).distinct()
@@ -1341,14 +1367,25 @@ object Dedup {
     * aggregates partial-aggregate map-side and never sort, where the
     * window sorted every (node, label) partition per round; work is
     * O(|E|) per round with no all-pairs step anywhere (edges come from
-    * the df-capped pair lineage). Because `rounds` is a FIXED small
-    * constant, the whole propagation stays ONE lazy plan over the
-    * checkpointed edge frame: no per-round eager checkpoint jobs (the
-    * flat-lineage discipline duplicateClusters needs for its unbounded
-    * convergence loop buys nothing for a depth-3 chain, and at 10x the
-    * per-round driver round-trips were most of the wall). The label
-    * frame is NOT broadcast by hint — one row per node, unbounded at
-    * corpus scale; AQE may still choose to at small n. */
+    * the df-capped pair lineage). At the default depth the whole
+    * propagation stays ONE lazy plan over the checkpointed edge frame:
+    * no per-round eager checkpoint jobs (the flat-lineage discipline
+    * duplicateClusters needs for its unbounded convergence loop buys
+    * nothing for a depth-3 chain, and at 10x the per-round driver
+    * round-trips were most of the wall). `rounds` is a public parameter,
+    * though, so deep callers are guarded: every [[LpaCheckpointEvery]]
+    * rounds the label frame is eagerly localCheckpoint'ed, truncating
+    * lineage so analysis/optimization cost stays bounded per block of
+    * rounds instead of growing with the whole chain. The label frame is
+    * NOT broadcast by hint — one row per node, unbounded at corpus
+    * scale; AQE may still choose to at small n. */
+  /** Rounds per lazy-plan block in [[lpaCommunities]]: within a block the
+    * propagation is one Catalyst plan (3 nodes/round); at each block
+    * boundary the label frame is localCheckpoint'ed. 8 keeps the default
+    * depth-3 call checkpoint-free while capping plan depth at ~24 nodes
+    * for arbitrarily deep callers. */
+  val LpaCheckpointEvery = 8
+
   def lpaCommunities(pairs: DataFrame, rounds: Int = 3): DataFrame = {
     val p = pairs.select(col("doc_a"), col("doc_b"))
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -1370,6 +1407,12 @@ object Dedup {
         .agg(max(struct(col("__c"), (-col("__nl")).as("__neg"))).as("__m"))
         .select(col("doc_id"), (-col("__m.__neg")).as("label"))
       t += 1
+      // lineage guard for deep callers: the default depth-3 chain stays
+      // one lazy plan (no job here), but past each block boundary the
+      // label frame is materialized so plan depth — and with it
+      // analysis/optimization cost — is bounded per block, not per call
+      if (t % LpaCheckpointEvery == 0 && t < rounds)
+        labels = labels.localCheckpoint(true)
     }
     labels.select(col("doc_id"), col("label").as("community"))
       .orderBy("doc_id")

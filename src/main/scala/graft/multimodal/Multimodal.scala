@@ -51,21 +51,33 @@ object Multimodal {
 
   /** Corpus-size cutoff between the two blocking geometries (media count,
     * from a count over the checkpointed 3-column hash frame). The dial
-    * trades probe-side explode rows (linear, map-side streamed through a
-    * broadcast join — never shuffled) against the RANDOM band-collision
-    * floor (quadratic, and every phantom candidate is shuffled 3 times:
-    * distinct + two hash-frame joins):
-    *   4x16-bit bands, 17 probes/band:  68n streamed + n^2*68/2^16 floor
-    *   2x32-bit bands, 5489 probes/band: 10978n streamed + n^2*10978/2^32
-    * The 32-bit floor RATE is 128x lower (n^2/391k vs n^2/964), so past
-    * ~tens of thousands of media the quadratic term — which at the 10x
-    * gate grew shuffle rows 94x for 10x media — stays subdominant to the
-    * linear probe stream out to ~100M media (probe cost = floor cost at
-    * n ~ 10978/2.56e-6). Below the cutoff the 16-bit geometry's 161x
-    * smaller probe stream wins because the floor is only ~n/964
-    * candidates per item. Empirically at the cutoff scale the two cost
-    * within 2x of each other either way (BASELINE.md round 8). */
+    * trades linear per-item candidate-generation rows against the RANDOM
+    * band-collision floor (quadratic, and every phantom candidate is
+    * shuffled 3 times: distinct + two hash-frame joins). For the SHIPPED
+    * geometries — 4x16-bit with single-sided 1-flip probes, 2x32-bit with
+    * the (2,1)-split radius-3 expansion ([[flip2Masks32]]/[[flip1Masks32]]):
+    *   4x16: 68n probe rows,             floor (n^2/2)*4*(17*1)/2^16  ~ n^2/964
+    *   2x32: 1058n probe + 66n build,    floor (n^2/2)*2*(529*33)/2^32 ~ n^2/246k
+    * The 32-bit floor RATE is ~255x lower, so past tens of thousands of
+    * media the quadratic term — which at the round-7 10x gate grew
+    * shuffle rows 94x for 10x media under the 16-bit geometry — stays
+    * subdominant to the ~16x larger linear candidate stream out to
+    * ~100M media (streams match floor at n ~ 1124*246k/1058). The exact
+    * 16384 crossover is EMPIRICAL, not derived: at that scale the two
+    * geometries measured within 2x of each other either way
+    * (BASELINE.md round 8); the formulas above bound the regimes, they
+    * do not pin the constant. */
   val PHashAdaptiveCutoff = 16384L
+
+  /** Media-count ceiling for HINTING broadcast of the 2-band build frame:
+    * 66 rows/item at ~80-100 B each in the hashed relation (20 B of
+    * (media_id, k, bv) data + UnsafeRow + map-entry overhead) puts 1M
+    * media at ~5-7 GiB — under Spark's 8 GiB broadcast-table hard cap
+    * with margin. Past the ceiling the HINT is dropped, not the join:
+    * a hinted frame over the cap makes phashPairs THROW at runtime,
+    * whereas the un-hinted plan degrades to a still-linear (529x
+    * write-amplified) shuffle join that merely costs more. */
+  val PHashBroadcastMaxMedia = 1000000L
 
   /** Near-identical payloads by perceptual dHash: pairs of media whose
     * 64-bit byte-grid hashes differ in <= maxHamming bits.
@@ -119,9 +131,12 @@ object Multimodal {
 
   /** Band-geometry-forced form — `nBands` 0 picks adaptively by media
     * count; 4 and 2 force a geometry (spec-pinned identical outputs:
-    * MultimodalSpec proves both geometries equal the unbanded oracle). */
+    * MultimodalSpec proves both geometries equal the unbanded oracle).
+    * `broadcastMax` overrides [[PHashBroadcastMaxMedia]] so the spec can
+    * pin the un-hinted 2-band plan's output too. */
   private[graft] def phashPairsBanded(media: DataFrame, maxHamming: Int,
-                                      nBands: Int): DataFrame = {
+                                      nBands: Int,
+                                      broadcastMax: Long = PHashBroadcastMaxMedia): DataFrame = {
     require(maxHamming <= 7,
       s"maxHamming=$maxHamming > 7 breaks the band/probe pigeonhole")
     graft.functions.PHashFunctions.ensureRegistered(media.sparkSession)
@@ -132,9 +147,12 @@ object Multimodal {
       .filter(col("ph").isNotNull)
       .select(col("media_id"), col("ph.ph_hi").as("hi"), col("ph.ph_lo").as("lo"))
       .localCheckpoint(true)
+    // counted ONCE over the checkpointed frame: picks the geometry AND
+    // gates the 2-band broadcast hint below
+    val nMedia = ph.count()
     val m =
       if (nBands == 4 || nBands == 2) nBands
-      else if (ph.count() <= PHashAdaptiveCutoff) 4 else 2
+      else if (nMedia <= PHashAdaptiveCutoff) 4 else 2
     val (bands, probes) =
       if (m == 4) {
         val bands = ph.select(col("media_id"), col("hi"), col("lo"),
@@ -164,13 +182,15 @@ object Multimodal {
         // whose band distance is d <= 3 meets at v = build-band with one
         // differing bit flipped toward the probe (d(build,v) <= 1,
         // d(probe,v) = d-1 <= 2). The build side carries the broadcast
-        // HINT: the optimizer sizes both explodes from their
-        // 2-rows-per-item input and would otherwise pick the 16x-larger
-        // probe side as the build side (2.7 GiB driver collect at the
-        // 10x gate). The hinted side is 66 rows per item — valid to ~3M
-        // media under Spark's 8 GiB broadcast cap; past that drop it and
-        // the join degrades to a still-linear (529x write-amplified)
-        // exchange.
+        // HINT when the corpus fits: the optimizer sizes both explodes
+        // from their 2-rows-per-item input and would otherwise pick the
+        // 16x-larger probe side as the build side (2.7 GiB driver
+        // collect at the 10x gate). The hint is GATED on the media count
+        // already in hand ([[PHashBroadcastMaxMedia]]): past the ceiling
+        // a hinted 66-rows-per-item frame would cross Spark's 8 GiB
+        // broadcast cap and THROW, so the frame goes un-hinted and the
+        // join degrades to a still-linear shuffle instead of failing in
+        // exactly the scale regime this geometry exists for.
         val build = raw
           .select(col("media_id"), col("k"), col("bv"),
             explode(typedLit(flip1Masks32)).as("msk"))
@@ -181,7 +201,7 @@ object Multimodal {
             explode(typedLit(flip2Masks32)).as("msk"))
           .select(col("media_id"), col("k"),
             expr("bv ^ msk").as("bv"))
-        (broadcast(build), probes)
+        (if (nMedia <= broadcastMax) broadcast(build) else build, probes)
       }
     val cand = probes.alias("a")
       .join(bands.alias("b"), col("a.k") === col("b.k") &&

@@ -275,10 +275,11 @@ object BM25 {
     * scan is paid once, not three times.
     *
     * df is computed PER TERM SET, never for the whole vocabulary: the
-    * term restriction (isin literals for the query terms; a broadcast
-    * semi-join for the feedback docs' candidate terms) runs map-side on
-    * the checkpointed tf BEFORE the groupBy, so the df exchange carries
-    * only the restricted terms' partials. The round-7 spelling joined
+    * term restriction — a broadcast left-semi join against the term-set
+    * frame, for both the literal query terms and the feedback docs'
+    * candidate terms — runs map-side on the checkpointed tf BEFORE the
+    * groupBy, so the df exchange carries only the restricted terms'
+    * partials. The round-7 spelling joined
     * the few-hundred-row candidate side against a full-vocabulary df
     * table — a corpus-scale exchange per query (49x at the 10x gate) for
     * df values only the candidates ever read. */

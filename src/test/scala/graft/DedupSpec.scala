@@ -629,6 +629,14 @@ class DedupSpec extends SparkSpec {
     val re = Dedup.lpaCommunities(pairs.repartition(5))
       .as[(Long, Long)].collect().toMap
     assert(re == lpa)
+    // deep-rounds lineage guard (round-9 ADVICE): a call crossing the
+    // LpaCheckpointEvery block boundary must propagate identically —
+    // the checkpoint truncates lineage, never the label state. This
+    // graph converges by round 3, so rounds=LpaCheckpointEvery+1 (which
+    // checkpoints once mid-loop) must equal the round-3 fixpoint.
+    val deep = Dedup.lpaCommunities(pairs, rounds = Dedup.LpaCheckpointEvery + 1)
+      .as[(Long, Long)].collect().toMap
+    assert(deep == lpa)
   }
 
   // brute-force reference for the prefix-filter parity tests: rep-collapse

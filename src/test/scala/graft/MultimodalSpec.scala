@@ -328,6 +328,13 @@ class MultimodalSpec extends SparkSpec {
     assert(g4.nonEmpty)
     assert(g4 == g2)
     assert(g4 == auto)
+    // broadcast-cap gate (round-9 ADVICE): past PHashBroadcastMaxMedia
+    // the 2-band build frame goes UN-hinted instead of throwing on the
+    // 8 GiB cap — broadcastMax=0 forces that path; output must be
+    // identical (the hint is a strategy choice, never semantics)
+    val g2NoHint = Multimodal.phashPairsBanded(media, 7, 2, broadcastMax = 0L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(g2NoHint == g2)
   }
 
   test("phash clusters: every perturbed copy labels to its original") {

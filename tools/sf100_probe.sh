@@ -34,7 +34,10 @@ echo "== [3/3] bench subset at 100x (local[32], 64g driver, 16m splits)"
 # restored by trap so a mid-pipeline failure still restores it.
 cp BENCH_LOCAL.json /tmp/bench_local.bak
 trap 'cp /tmp/bench_local.bak BENCH_LOCAL.json' EXIT
+# BENCH_PRIOR=/dev/null: no committed 100x prior exists, and the sf0.1
+# default would flag every 100x row as a >5x outlier and re-run it.
 SPARK_GRAFT_SF_DIR=$FLAT SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=64g \
+  SPARK_GRAFT_BENCH_PRIOR=/dev/null \
   SPARK_GRAFT_MAX_PART_BYTES=16777216 SPARK_GRAFT_BENCH_ONLY=$ONLY \
   sbt -batch "runMain graft.Bench" 2>/dev/null | grep '{"metric"' \
   | sed 's/^\[info\] //' | tee /tmp/bench_sf100_probe.json

@@ -45,7 +45,12 @@ echo "== [4/4] bench at 10x -> BENCH_sf1.json"
 # sf100_probe.sh so family ratios measure plans, not fixture layout.
 cp BENCH_LOCAL.json /tmp/bench_local.bak
 trap 'cp /tmp/bench_local.bak BENCH_LOCAL.json' EXIT
+# BENCH_PRIOR: the outlier re-run pass must compare same-sf medians —
+# the previous committed BENCH_sf1.json, not the sf0.1 BENCH_LOCAL
+# default (every 10x row reads >5x an sf0.1 prior and would re-run).
+cp BENCH_sf1.json /tmp/bench_sf1.prior 2>/dev/null || echo '{}' > /tmp/bench_sf1.prior
 SPARK_GRAFT_SF_DIR=$FLAT SPARK_GRAFT_CPUS=32 \
+  SPARK_GRAFT_BENCH_PRIOR=/tmp/bench_sf1.prior \
   SPARK_GRAFT_MAX_PART_BYTES=33554432 sbt -batch \
   "runMain graft.Bench" 2>/dev/null | grep '{"metric"' \
   | sed 's/^\[info\] //' > BENCH_sf1.json
