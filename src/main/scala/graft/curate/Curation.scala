@@ -629,35 +629,50 @@ object Curation {
     * shared boilerplate block) can still cross the boundary below the
     * cluster threshold, and this reports exactly that residue.
     *
-    * Scale notes (100 TB): the (doc_id, split, shingle) frame is
-    * referenced ONCE, so the corpus is TOKENIZED ONCE (the round-6
-    * spelling re-tokenized the payload for the train side, the hit
-    * count, and the window count). Instead of a train-distinct +
-    * self-join, a window over the shingle partitioning flags each
-    * occurrence whose shingle appears in ANY train doc — everything
-    * exchanges by shingle hash exactly once, then reduces to doc grain;
-    * a hot window costs df linear rows inside its partition, not df²
-    * (the sharedNgramStats argument). The cluster CC behind the split
-    * does not recompute on the second reference: duplicateClusters
-    * returns a localCheckpointed frame. NOTE the exchange-by-shingle is
-    * deliberate and replaces the previous broadcast-shaped joins — at
-    * sf0.1 Catalyst could broadcast the train-shingle set, but that plan
-    * dies at 100 TB while this one's per-task work stays bounded; the
-    * bench_diff shuffle-row growth for this query is the reviewed,
-    * intended cost of the single-pass shape (see BASELINE.md round 7). */
+    * Scale notes (100 TB, reworked round 9 — the round-7 spelling was
+    * the most expensive row of the 100x probe at 387 s): the corpus is
+    * still TOKENIZED ONCE and the window rows still exchange EXACTLY
+    * ONCE with the per-eval-doc flag computed as a window max (a hot
+    * window costs df linear rows inside its partition, never df^2 — the
+    * sharedNgramStats argument), but two cost terms are cut. (1) The
+    * split label is computed INLINE before tokenization — it needs only
+    * the near-dup cluster frame (docs that HAVE a duplicate, small by
+    * construction and localCheckpointed), so the label rides the scan
+    * instead of joining the corpus-windows frame against a
+    * doc-cardinality split frame. (2) The window partitions by the
+    * 8-byte xxhash64 of the window, never the packed 8-token string:
+    * the full-corpus exchange shrinks ~3x in bytes, and the mandatory
+    * per-partition sort under the window becomes a fixed-width radix
+    * sort over longs instead of a comparison sort over ~60-byte strings
+    * (measured at 100x in BASELINE.md round 9). Two DISTINCT interacting
+    * windows colliding in 2^64 is ~1e-9 at any tested scale — the same
+    * argument as the md5-keyed exact-dedup family; the DuckDB oracle
+    * keeps string windows and stays hash-exact. The exchange-by-window
+    * remains deliberate (vs broadcasting a train-window set, which dies
+    * at 100 TB): per-task work stays bounded at any corpus size. */
   def splitContamination(docs: DataFrame, pairs: DataFrame,
                          n: Int = 8): DataFrame = {
-    val split = leakageSafeSplit(docs, pairs).select("doc_id", "split")
-    val sh = Dedup.shingles(docs, n).join(split, Seq("doc_id"))
-    val wSh = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    graft.functions.TextFunctions.ensureRegistered(docs.sparkSession)
+    val cl = Dedup.duplicateClusters(pairs)
+      .select(col("doc_id"), col("cluster_id"))
+    val labeled = graft.sources.Sampling.hashSplit(
+      docs.select("doc_id", "text").join(cl, Seq("doc_id"), "left")
+        .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id"))),
+      "group_id")
+    val sh = labeled.select(col("doc_id"), col("split"),
+        explode(array_distinct(graft.functions.TextFunctions.shingles(
+          graft.text.Tokenize.tokens(col("text")), n))).as("shingle"))
+      .select(col("doc_id"), col("split"),
+        xxhash64(col("shingle")).as("h"))
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
     val counts = sh
       .withColumn("__t",
-        max((col("split") === "train").cast("long")).over(wSh))
+        max((col("split") === "train").cast("long")).over(wH))
       .filter(col("split") =!= "train")
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_windows"),
         sum("__t").as("n_shared_windows"))
-    split.filter(col("split") =!= "train")
+    labeled.filter(col("split") =!= "train").select("doc_id", "split")
       .join(counts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("split"),
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
