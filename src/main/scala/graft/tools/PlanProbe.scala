@@ -36,6 +36,25 @@ object PlanProbe {
             qe: org.apache.spark.sql.execution.QueryExecution,
             e: Exception): Unit = ()
       })
+    // Per-JOB wall timing: iterative queries (CC rounds, power-iteration
+    // .head()s, eager localCheckpoints) spend most of their wall in jobs
+    // BEFORE the final noop write, which is the only execution the
+    // QueryExecutionListener (and graft.Bench's plan metrics) sees. A
+    // job-level timeline is what localizes the cost of those loops.
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val jobLines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobStarts.put(js.jobId, System.nanoTime())
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t = Option(jobStarts.get(je.jobId))
+            .map(s => (System.nanoTime() - s) / 1e9).getOrElse(-1.0)
+          jobLines.add(f"  job ${je.jobId}%3d  ${t}%7.2f s")
+        }
+      })
     val t0 = System.nanoTime()
     graft.SparkEntry.queries(name)(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
@@ -43,8 +62,14 @@ object PlanProbe {
     var waited = 0
     while (qeRef.get() == null && waited < 4000) { Thread.sleep(20); waited += 20 }
     println(f"== $name%s on $sfDir%s: $sec%.1f s (first run, cold)")
+    println("-- job timeline (wall seconds per Spark job):")
+    jobLines.forEach(l => println(l))
     val interesting = Seq("spillSize", "shuffleRecordsWritten",
-      "shuffleBytesWritten", "numOutputRows", "peakMemory", "dataSize")
+      "shuffleBytesWritten", "numOutputRows", "peakMemory", "dataSize",
+      // time metrics: codegen pipeline time, scan/agg/sort/shuffle-write
+      // and broadcast build times localize WHERE the wall goes per node
+      "pipelineTime", "scanTime", "aggTime", "sortTime", "shuffleWriteTime",
+      "fetchWaitTime", "buildTime", "collectTime", "broadcastTime")
     def walk(n: SparkPlan, depth: Int): Unit = {
       val ms = interesting.flatMap { k =>
         n.metrics.get(k).filter(_.value > 0)
