@@ -191,16 +191,51 @@ object Dedup {
     if (maxShingleDf <= 0) {
       return scoreJaccard(sh0, sharedShingleCounts(sh0), minJaccard)
     }
+    cappedPairStats(sh0, maxShingleDf)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Shared df-capped pair engine: (doc_a, doc_b, inter, sza, szb) over
+    * the capped shingle universe, doc_a < doc_b.
+    *
+    * Round-9 plan rework (optimization guide §2.3/§2.4, measured with the
+    * 10x PlanProbe): the previous shape aggregated pair counts and then
+    * JOINED per-doc set sizes on doc_a and again on doc_b — three
+    * pair-grain exchanges (12.5M + 11.3M + 11.3M rows at the 10x gate for
+    * jaccard; AQE even flipped the sizes joins into a broadcast of the
+    * 11.6M-row PAIR side, 805 MB, for containment — exactly the estimate
+    * failure §3.1 warns about, and a hard 8 GiB-cap hazard at scale).
+    * Here the capped sizes are computed once at (doc, shingle) grain and
+    * carried INTO the posting buckets, so each exploded pair already
+    * holds (sza, szb) and the scorer needs NO post-aggregation join: the
+    * only pair-grain exchange left is the inter aggregate itself. Costs
+    * one extra narrow exchange of the capped (shingle, doc_id) frame by
+    * doc_id (to attach sz) and a rebuild of the buckets — both linear in
+    * corpus shingles and ~20x smaller than the two exchanges removed.
+    * (sza, szb) are functions of (doc_a, doc_b), so adding them to the
+    * aggregate key changes no group. Nothing is broadcast or collected:
+    * every frame stays corpus-linear, the 100 TB doctrine unchanged. */
+  private def cappedPairStats(sh0: DataFrame, maxShingleDf: Int): DataFrame = {
     val buckets = sh0
       .groupBy("shingle").agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) <= maxShingleDf)
-    val inter = buckets
-      .select(explode(col("ds")).as("doc_a"), col("ds"))
-      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    val cappedSh = buckets.select(explode(col("ds")).as("doc_id"))
-    scoreJaccard(cappedSh, inter, minJaccard)
+    val cappedSh = buckets
+      .select(col("shingle"), explode(col("ds")).as("doc_id"))
+    val sizes = cappedSh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val sized = cappedSh.join(sizes, Seq("doc_id"))
+      .groupBy("shingle")
+      .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
+    sized
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
+      .agg(count(lit(1)).as("inter"))
   }
 
   /** Asymmetric containment near-dup: containment = |A∩B| / min(|A|,|B|)
@@ -208,25 +243,14 @@ object Dedup {
     * quoted or embedded verbatim inside a larger one scores 1.0 here,
     * while the size mismatch dilutes symmetric Jaccard to
     * |small|/|large| (below any useful threshold once the host doc is
-    * ~2x the excerpt). Identical ONE-exchange bucket lineage and df-cap
-    * pair bound as jaccardPairsFromShingles; only the scorer differs.
+    * ~2x the excerpt). Identical df-capped pair engine as
+    * jaccardPairsFromShingles (cappedPairStats — sizes carried inside
+    * the buckets, no pair-grain sizes join); only the scorer differs.
     * The emitted jaccard column makes the asymmetry visible per pair. */
   def containmentPairs(docs: DataFrame, n: Int = 3,
                        minContainment: Double = 0.9,
                        maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
-    val buckets = shingles(docs, n)
-      .groupBy("shingle").agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) <= maxShingleDf)
-    val inter = buckets
-      .select(explode(col("ds")).as("doc_a"), col("ds"))
-      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    val sizes = buckets.select(explode(col("ds")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), Seq("doc_b"))
+    cappedPairStats(shingles(docs, n), maxShingleDf)
       .withColumn("containment",
         col("inter").cast("double") / least(col("sza"), col("szb")))
       .filter(col("containment") >= minContainment)
@@ -713,12 +737,23 @@ object Dedup {
     * (boilerplate header in millions of docs) costs df LINEAR join rows,
     * not the df^2 a pair-generator pays, so no df-cap is needed here. */
   def sharedNgramStats(docs: DataFrame, n: Int = 8): DataFrame = {
+    // Round-9 plan rework (the splitContamination pattern, guide §2.3):
+    // shingles() is distinct-per-doc, so df >= 2 means ">= 2 distinct
+    // docs", i.e. min(doc_id) != max(doc_id) over the window's rows —
+    // computed as a per-hash window aggregate over ONE exchange of
+    // xxhash64 longs instead of a string-keyed df aggregate joined back
+    // to the string-keyed shingle frame. Collision odds are the
+    // documented ~1e-9 2^-64 argument; the DuckDB oracle keeps string
+    // windows and stays hash-exact.
     val sh = shingles(docs, n)
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val per = sh.join(dfreq, Seq("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val per = sh
+      .withColumn("__shared",
+        (min("doc_id").over(wH) =!= max("doc_id").over(wH)).cast("long"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared_windows"))
+        sum(col("__shared")).as("n_shared_windows"))
     // short docs (< n tokens) have zero windows but must appear in the report
     docs.select("doc_id").join(per, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -833,13 +868,28 @@ object Dedup {
   def duplicatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.TextFunctions.ensureRegistered(docs.sparkSession)
-    val win = docs.select(col("doc_id"), Tokenize.tokens(col("text")).as("t"))
+    // Round-9 plan rework (the splitContamination pattern, guide
+    // §2.3/§2.4): the old shape shuffled the window STRINGS three times
+    // (distinct + df count + join back) and AQE broadcast the BIG
+    // positional side (612 MB at the 10x gate) into the join. Here the
+    // window text is xxhash64-hashed before its one exchange and the
+    // cross-doc test is a per-hash window min/max (a window occurs in
+    // >= 2 distinct docs iff min(doc_id) != max(doc_id) over its rows —
+    // within-doc repeats can't separate min from max): ONE exchange of
+    // fixed-width longs, no join, nothing broadcast. Two DISTINCT
+    // interacting windows colliding in 2^64 is ~1e-9 at any tested
+    // scale (the splitContamination/md5 argument); the DuckDB oracle
+    // keeps string windows and stays hash-exact.
+    val wins = docs.select(col("doc_id"), Tokenize.tokens(col("text")).as("t"))
       .select(col("doc_id"), posexplode(
         graft.functions.TextFunctions.shingles(col("t"), k)).as(Seq("pos", "win")))
-    val shared = win.select("doc_id", "win").distinct()
-      .groupBy("win").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select("win")
-    val hits = win.join(shared, Seq("win")).select("doc_id", "pos")
+      .select(col("doc_id"), col("pos"), xxhash64(col("win")).as("h"))
+    val wH = Window.partitionBy("h")
+    val hits = wins
+      .withColumn("__mn", min("doc_id").over(wH))
+      .withColumn("__mx", max("doc_id").over(wH))
+      .filter(col("__mn") =!= col("__mx"))
+      .select("doc_id", "pos")
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val run = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1438,12 +1488,21 @@ object Dedup {
     * however large the corpus. Pairs with zero overlap are absent (inner
     * join) on both engines. */
   def sourceOverlapMatrix(docs: DataFrame, n: Int = 3): DataFrame = {
-    val srcSh = shingles(docs.select("doc_id", "text"), n)
+    // Round-9 plan rework (guide §2.3): shingles are xxhash64-hashed
+    // before their exchange (fixed-width longs instead of n-gram
+    // strings), and the (source, shingle) DISTINCT + regroup-by-shingle
+    // two-exchange chain collapses into ONE collect_set aggregate —
+    // collect_set dedups (source, h) in-agg, with per-bucket memory
+    // bounded by the source-label count. The per-source sizes re-derive
+    // from the same buckets. Collision odds: the documented 2^-64
+    // argument; the oracle keeps string shingles.
+    val buckets = shingles(docs.select("doc_id", "text"), n)
       .join(docs.select("doc_id", "source"), Seq("doc_id"))
-      .select("source", "shingle").distinct()
-    val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("sz"))
-    val inter = srcSh.groupBy("shingle")
-      .agg(collect_list(col("source")).as("ss"))
+      .select(col("source"), xxhash64(col("shingle")).as("h"))
+      .groupBy("h").agg(collect_set(col("source")).as("ss"))
+    val sizes = buckets.select(explode(col("ss")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("sz"))
+    val inter = buckets
       .select(explode(col("ss")).as("source_a"), col("ss"))
       .select(col("source_a"), explode(col("ss")).as("source_b"))
       .filter(col("source_a") < col("source_b"))

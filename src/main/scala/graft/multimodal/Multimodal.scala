@@ -140,9 +140,24 @@ object Multimodal {
     require(maxHamming <= 7,
       s"maxHamming=$maxHamming > 7 breaks the band/probe pigeonhole")
     graft.functions.PHashFunctions.ensureRegistered(media.sparkSession)
+    // Parallelism floor (round-9 PlanProbe finding): a small/flattened
+    // corpus arrives as 1-2 scan partitions, the localCheckpoint below
+    // PRESERVES that layout, and the ~529-mask probe explode + band join
+    // then run near-serial (12.2 s of a 21.7 s wall on ONE task at the
+    // 10x gate). When the input has fewer partitions than the session's
+    // parallelism, hash-repartition by media_id first — deterministic
+    // placement (never round-robin-on-rand, §2.5), and the exchange is
+    // the small corpus's payloads only: a real 100 TB corpus arrives as
+    // proportionally many files, the gate never fires, and no payload
+    // byte is ever shuffled at scale (§8 discipline).
+    val sc = media.sparkSession.sparkContext
+    val mediaPar =
+      if (media.rdd.getNumPartitions < sc.defaultParallelism)
+        media.repartition(sc.defaultParallelism, col("media_id"))
+      else media
     // ONE payload scan: everything downstream (bands, probes, both
     // verify joins, the adaptive count) reads the 3-column hash frame
-    val ph = media
+    val ph = mediaPar
       .select(col("media_id"), graft.functions.PHashFunctions.phash(col("payload")).as("ph"))
       .filter(col("ph").isNotNull)
       .select(col("media_id"), col("ph.ph_hi").as("hi"), col("ph.ph_lo").as("lo"))

@@ -1107,7 +1107,19 @@ object Similarity {
     BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Mean-centering shared by the power-iteration family: per-dim mean
-    * from exact decimal sums, one driver row of d values. */
+    * from exact decimal sums, one driver row of d values.
+    *
+    * Round-9 plan rework (guide §1.2 step 1 / §5): the centered vectors
+    * are MATERIALIZED once (eager localCheckpoint) instead of being a
+    * Column recomputed by every matvec scan — pcaTop2 runs 2·iters+3
+    * aggregate passes, and each one previously re-read the parquet,
+    * re-cast to double, and re-evaluated the interpreted zip_with
+    * lambda per row (HOFs don't codegen). The checkpoint is n·d doubles
+    * — the same byte class as one extra input pass, MEMORY_AND_DISK on
+    * a cluster — traded against 2·iters+2 decode+center passes. Values
+    * are bit-identical (same expression, evaluated once), and the
+    * decimal matvec sums stay order-independent, so results cannot
+    * move. */
   private def centeredFrame(embeddings: DataFrame,
                             dims: Int): (DataFrame, Column, Double) = {
     VectorFunctions.ensureRegistered(embeddings.sparkSession)
@@ -1119,7 +1131,9 @@ object Similarity {
     val n = muRow.getLong(0).toDouble
     val mu = Array.tabulate(dims)(i => muRow.getDecimal(i + 1).doubleValue / n)
     val muLit = array(mu.map(lit): _*)
-    (x, zip_with(col("v"), muLit, (a, b) => a - b), n)
+    val xc = x.select(zip_with(col("v"), muLit, (a, b) => a - b).as("xc"))
+      .localCheckpoint(true)
+    (xc, col("xc"), n)
   }
 
   /** One power-iteration chain: `iters` rounds of v ← unit(Σᵢ x'ᵢ(x'ᵢ·v)),

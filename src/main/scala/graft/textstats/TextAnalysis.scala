@@ -842,23 +842,33 @@ object TextAnalysis {
       .withColumn("rn", row_number().over(wRank))
       .filter(col("rn") <= m)
       .select("doc_id", "term", "tfidf")
-    val buckets = feats.groupBy("term")
-      .agg(collect_list(struct(col("doc_id"), col("tfidf"))).as("ps"))
+    // Round-9 plan rework (the cappedPairStats discipline, guide
+    // §2.3/§3.1): norms are attached at FEATURE grain — the rank window
+    // above already partitions by doc_id, so the norm aggregate and the
+    // attach join reuse that exchange — and ride the buckets into the
+    // pair explode, so the dot aggregate emits (na, nb) with every pair
+    // and the scorer needs NO pair-grain join. The old shape joined the
+    // 6.8M-row dot table against norms twice; AQE broadcast the PAIR
+    // side (537 MB at the 10x gate) into a sort-merge join with two
+    // 800 MB sorts — the §3.1 estimate failure, and an 8 GiB-cap hazard
+    // at scale. n2 is a function of doc_id, so widening the aggregate
+    // key changes no group; the <= m-term float sums are unchanged.
+    val norms = feats.groupBy("doc_id")
+      .agg(sum(col("tfidf") * col("tfidf")).as("n2"))
+    val buckets = feats.join(norms, Seq("doc_id"))
+      .groupBy("term")
+      .agg(collect_list(struct(col("doc_id"), col("tfidf"), col("n2"))).as("ps"))
       .filter(size(col("ps")) <= maxFeatureDf)
     val dots = buckets
       .select(explode(col("ps")).as("a"), col("ps"))
       .select(col("a"), explode(col("ps")).as("b"))
       .filter(col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("neighbor_id"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("neighbor_id"),
+        col("a.n2").as("na"), col("b.n2").as("nb"))
       .agg(sum(col("a.tfidf") * col("b.tfidf")).as("dot"))
-    val norms = feats.groupBy("doc_id")
-      .agg(sum(col("tfidf") * col("tfidf")).as("n2"))
     val w = Window.partitionBy("doc_id")
       .orderBy(desc("cosine"), asc("neighbor_id"))
     dots
-      .join(norms.withColumnRenamed("n2", "na"), Seq("doc_id"))
-      .join(norms.select(col("doc_id").as("neighbor_id"),
-        col("n2").as("nb")), Seq("neighbor_id"))
       // try_divide: an all-identical corpus makes every tfidf (and so
       // every norm) 0 — ln(n/df)=0 — and 0/0 must be NULL (dropped by
       // the >0 filter) in both engines, not an ANSI throw
