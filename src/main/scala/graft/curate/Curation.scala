@@ -44,28 +44,40 @@ object Curation {
                    maxDupTrigramFrac: Double = 0.2, n: Int = 3,
                    minJaccard: Double = 0.5,
                    maxShingleDf: Int = 100): DataFrame = {
-    // language and token count are both scalar per-row stats: ONE fused
-    // corpus scan, no join between them (round-3 continuation — the
-    // previous three stat frames cost three tokenize scans + two joins)
-    val scalar = TextAnalysis.withLangGuess(docs)
+    // language, token count AND the duplicate-trigram fraction are all
+    // scalar per-row stats: ONE fused corpus scan, no join (round-3
+    // continuation; round-9 folds the trigram fraction in-row — the
+    // fraction is 1 - |distinct trigrams|/|trigrams|, i.e. two array
+    // sizes over the codegen shingle expression, so the funnel no longer
+    // pays repetitionStats' explode + countDistinct exchange for a
+    // per-row quantity. Same integers, same double division, same
+    // round(4) as repetitionStats — the oracle is unchanged.)
+    graft.functions.TextFunctions.ensureRegistered(docs.sparkSession)
+    val tri3 = graft.functions.TextFunctions.shingles(
+      graft.text.Tokenize.tokens(col("text")), 3)
+    val dtf = when(size(tri3) === 0, lit(0.0))
+      .otherwise(round(lit(1.0) -
+        size(array_distinct(tri3)).cast("double") / size(tri3), 4))
+    val stats = TextAnalysis.withLangGuess(docs)
       .select(col("doc_id"), (col("lang_guess") =!= "und").as("__pl"),
-        size(graft.text.Tokenize.tokens(col("text"))).cast("long").as("__nt"))
-    val rep = TextAnalysis.repetitionStats(docs)
-      .select(col("doc_id"), col("dup_trigram_frac").as("__dtf"))
-    val stats = scalar.join(rep, Seq("doc_id"))
+        size(graft.text.Tokenize.tokens(col("text"))).cast("long").as("__nt"),
+        dtf.as("__dtf"))
       .withColumn("__pq", col("__pl") && col("__nt") >= minTokens &&
         col("__dtf") <= maxDupTrigramFrac)
       .select(col("doc_id"), col("__pl"), col("__pq"))
       .localCheckpoint(true)
     val q = docs.select(col("doc_id"), col("text"))
       .join(stats.filter(col("__pq")).select("doc_id"), Seq("doc_id"), "left_semi")
-    // exact-dup representatives among quality survivors; like `stats`, the
-    // verdict is narrow and has two consumers (the Jaccard feed and the
-    // final tag join) — checkpoint so the md5 aggregate runs once
-    val reps = q.groupBy(md5(col("text")).as("__h")).agg(min("doc_id").as("__rep"))
+    // exact-dup representatives among quality survivors; the verdict is
+    // narrow and has two consumers (the Jaccard feed and the final tag
+    // join) — checkpoint so it computes once. Round-9: the rep test is a
+    // per-md5 window min (doc == min(doc) over its content-hash group) —
+    // ONE md5 evaluation and ONE exchange instead of the aggregate +
+    // re-hash + join-back chain (the duplicatedSpans window pattern).
     val exact = q.select(col("doc_id"), md5(col("text")).as("__h"))
-      .join(reps, Seq("__h"))
-      .select(col("doc_id"), (col("doc_id") === col("__rep")).as("__pe"))
+      .select(col("doc_id"), (col("doc_id") ===
+        min("doc_id").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("__h"))).as("__pe"))
       .localCheckpoint(true)
     val s3docs = q.join(exact.filter(col("__pe")).select("doc_id"),
       Seq("doc_id"), "left_semi")
@@ -568,14 +580,21 @@ object Curation {
       .withColumn("b",
         conv(substring(md5(col("bigram")), 1, 6), 16, 10).cast("long") %
           buckets)
-    val raw = occ.groupBy("b").agg(count(lit(1)).as("cr"))
-    val tgt = occ.filter(col("source") === targetSource)
-      .groupBy("b").agg(count(lit(1)).as("ct"))
-    val totals = occ.agg(count(lit(1)).as("nr"),
-      sum((col("source") === targetSource).cast("long")).as("nt"))
+    // Round-9 (guide §1.2 step 1 — don't compute things twice): raw and
+    // target bucket counts fuse into ONE aggregate over the occ lineage
+    // (conditional sum instead of a second filtered scan), and the two
+    // corpus totals re-derive from the 1024-row bucket frame instead of
+    // a third scan — the tokenize+bigram+md5 projection, the most
+    // expensive per-row work here, now evaluates twice (stats + scored)
+    // instead of four times. Counts are identical by construction
+    // (nr = Σcr, nt = Σct; a bucket absent from tgt scores ct = 0 in
+    // both spellings), so every lp double is unchanged.
+    val stats = occ.groupBy("b").agg(count(lit(1)).as("cr"),
+      sum((col("source") === targetSource).cast("long")).as("ct"))
+    val totals = stats.agg(
+      sum("cr").cast("long").as("nr"), sum("ct").cast("long").as("nt"))
     val scored = occ.select("doc_id", "b")
-      .join(broadcast(raw), Seq("b"))
-      .join(broadcast(tgt), Seq("b"), "left")
+      .join(broadcast(stats), Seq("b"))
       .crossJoin(broadcast(totals))
       .select(col("doc_id"),
         (log((coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0)) /

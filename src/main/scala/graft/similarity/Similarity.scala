@@ -471,7 +471,13 @@ object Similarity {
     VectorFunctions.ensureRegistered(embeddings.sparkSession)
     require(iters >= 1 && nCells >= 1)
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 18)
-    val e = unitVecs(embeddings)
+    // Round-9 (the centeredFrame discipline, guide §1.2/§5): the unit
+    // vectors are materialized ONCE — every Lloyd round (plus the seed
+    // scan) previously re-read the parquet and re-evaluated the
+    // interpreted unitize lambda per row. n·d doubles, one input pass in
+    // bytes; decimal per-dim sums keep the trained centroids
+    // bit-identical to the lazy spelling.
+    val e = unitVecs(embeddings).localCheckpoint(true)
     var cells = ivfCells(e, nCells, seed).localCheckpoint(true)
     var perCell: DataFrame = null
     var it = 0

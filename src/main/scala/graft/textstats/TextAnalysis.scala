@@ -247,20 +247,28 @@ object TextAnalysis {
   def repetitionStats(docs: DataFrame): DataFrame = {
     graft.functions.TextFunctions.ensureRegistered(docs.sparkSession)
     val toksOf = docs.select(col("doc_id"), Tokenize.tokens(col("text")).as("t"))
+    // Round-9 (guide §1.2 step 1): the trigram fraction is a PER-ROW
+    // quantity — 1 - |distinct trigrams|/|trigrams| — i.e. two array
+    // sizes over the codegen shingle expression; the old explode +
+    // count/countDistinct exchange computed the same integers with a
+    // corpus-grain shuffle. The bigram branch keeps its aggregate (max
+    // multiplicity is not an array-size). Same integers, same double
+    // division, same round(4); zero-trigram docs score 0.0 in both
+    // spellings (previously via the missing-row coalesce).
+    val g3 = graft.functions.TextFunctions.shingles(col("t"), 3)
     val tri = toksOf.select(col("doc_id"),
-        explode(graft.functions.TextFunctions.shingles(col("t"), 3)).as("g"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tri"), countDistinct("g").as("n_tri_d"))
+      size(g3).cast("long").as("n_tri"),
+      size(array_distinct(g3)).cast("long").as("n_tri_d"))
     val big = toksOf.select(col("doc_id"),
         explode(graft.functions.TextFunctions.shingles(col("t"), 2)).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max("c").as("max_big"), sum("c").as("n_big"))
-    docs.select("doc_id")
-      .join(tri, Seq("doc_id"), "left")
+    tri
       .join(big, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        round(coalesce(lit(1.0) - col("n_tri_d").cast("double") / col("n_tri"),
-          lit(0.0)), 4).as("dup_trigram_frac"),
+        round(when(col("n_tri") === 0, lit(0.0))
+          .otherwise(lit(1.0) - col("n_tri_d").cast("double") / col("n_tri")),
+          4).as("dup_trigram_frac"),
         round(coalesce(col("max_big").cast("double") / col("n_big"),
           lit(0.0)), 4).as("top_bigram_frac"))
       .orderBy("doc_id")
