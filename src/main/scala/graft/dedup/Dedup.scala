@@ -369,15 +369,21 @@ object Dedup {
     // same corpus, and the wide row carried the shingle string). The
     // prefix filter is lossless, so every J >= t pair has BOTH reps in
     // candReps and the final threshold needs no candidate-pair join.
-    val rshc = rsh.join(candReps, Seq("rep"))
+    // Round-9 (the cappedPairStats discipline): set sizes ride the
+    // candidate postings into the self-join — one extra long per posting
+    // row — so the pair aggregate already carries (sza, szb) and the two
+    // pair-grain sizes joins (2 x ~12M rows at the 10x gate) disappear.
+    // (sza, szb) are functions of (rep_a, rep_b): no group changes. Both
+    // self-join sides stay byte-identical, so ReuseExchange still
+    // computes the postings lineage once.
+    val rshc = rsh.join(candReps, Seq("rep")).join(sizes, Seq("rep"))
     val inter = rshc.alias("a")
       .join(rshc.alias("b"), col("a.shingle") === col("b.shingle") &&
         col("a.rep") < col("b.rep"))
-      .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"))
-      .groupBy("rep_a", "rep_b").agg(count(lit(1)).as("inter"))
+      .select(col("a.rep").as("rep_a"), col("b.rep").as("rep_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
+      .groupBy("rep_a", "rep_b", "sza", "szb").agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col("rep").as("rep_a"), col("sz").as("sza")), Seq("rep_a"))
-      .join(sizes.select(col("rep").as("rep_b"), col("sz").as("szb")), Seq("rep_b"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= minJaccard)

@@ -188,9 +188,13 @@ object TextAnalysis {
       .filter(col("n_cooc") >= minCount)
     val slotW = Window.orderBy(
       md5(concat_ws(":", col("term"), lit(seed))), col("term"))
+    // vocabulary-sized; checkpointed because the __v scalar subquery and
+    // the slot join would otherwise each re-run the corpus token scan +
+    // distinct behind it (round-9, the pmiPairs totals finding)
     val negTable = docs.select(explode(tk).as("term")).distinct()
       .select(col("term").as("negative"),
         (row_number().over(slotW) - 1).cast("long").as("slot"))
+      .localCheckpoint(true)
     val vSize = negTable.agg(count(lit(1)).as("__v"))
     pos
       .select(col("center"), col("context"), col("n_cooc"),
@@ -1533,9 +1537,18 @@ object TextAnalysis {
     }
     val pairs = pairArms.reduce(_ unionByName _)
       .select(col("p.a").as("a"), col("p.b").as("b"))
+    // Round-9 (guide §1.2 step 1, PlanProbe): the corpus totals are
+    // scalar subqueries, so without materialization the `window`-scan
+    // pair union evaluated TWICE (totals + the scoring join) and the
+    // unigram scan likewise — two ~9.5 s duplicate stages at the 10x
+    // gate. Both frames are aggregated count tables (vocabulary-bounded,
+    // far below corpus size), so one eager localCheckpoint each is the
+    // kmeansFit discipline, not a corpus-sized cache.
     val pc = pairs.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint(true)
     val tc = docs.select(explode(tk).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c_t"))
+      .localCheckpoint(true)
     val totPairs = pc.agg(sum("c_ab").as("__T"))
     val totToks = tc.agg(sum("c_t").as("__N"))
     pc.filter(col("c_ab") >= minCount)
