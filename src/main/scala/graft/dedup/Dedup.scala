@@ -476,12 +476,51 @@ object Dedup {
         Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    // Exact-verify candidates only.
-    val inter = candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    scoreJaccard(sh, inter, minJaccard)
+    // Exact-verify candidates only. Round-9 (guide §2.3/§3.3, the
+    // cappedPairStats discipline): the old verify joined each candidate
+    // PAIR against both full posting lists — the wide fan-out exchange
+    // (pairs x set size rows, carrying shingle strings) the batch-A
+    // jaccard rework removed — and then attached sizes with two more
+    // pair-grain joins (scoreJaccard). Now the postings of CANDIDATE
+    // DOCS only (semi-join by doc_id) rebuild sized buckets, pair
+    // intersections explode locally per bucket carrying (sza, szb)
+    // — bucket width still bounded by the df cap — and the LSH
+    // candidate restriction applies as ONE pair-grain semi-join of two
+    // aggregated pair frames. Pairs sharing a bucket but not
+    // LSH-candidates are computed then dropped by the semi-join, so the
+    // output is IDENTICAL to the old spelling at any input; identical
+    // subtrees keep ReuseExchange sharing one shingle lineage. The
+    // bucket rebuild is only safe because the df cap bounds bucket
+    // width — the uncapped form keeps the streaming join verify.
+    if (maxShingleDf <= 0) {
+      val inter = candidates
+        .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+          Seq("doc_b", "shingle"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      return scoreJaccard(sh, inter, minJaccard)
+    }
+    val candDocs = candidates
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi")
+    val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val sized = shc.join(sizes, Seq("doc_id"))
+      .groupBy("shingle")
+      .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
+    val stats = sized
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
+      .agg(count(lit(1)).as("inter"))
+    stats.join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** (doc_id, band, band_hash) rows from a signature table — the LSH

@@ -108,8 +108,19 @@ object BM25 {
     val tfAll = InvertedIndex.termFrequency(docs)
     val tf = tfAll.join(broadcast(qTerms), Seq("term")).localCheckpoint(true)
     val qdf = InvertedIndex.docFrequencyFromTf(tf)
-    val dl = InvertedIndex.docLengthFromTf(tfAll)
-    val stats = InvertedIndex.corpusInfo(docs)
+    // Round-9 (guide §1.2 step 1): dl used to re-derive from the
+    // UN-checkpointed tfAll (tf's checkpoint truncates the lineage dl
+    // would have shared), so each of dl's two consumers — champion
+    // scoring and the final rank — re-ran the full tokenize + explode +
+    // (doc, term) aggregate, the scan-dominant cost, and corpusInfo
+    // re-scanned the text twice more. docInfo is the no-shuffle size()
+    // spelling (identical doc_length wherever a posting exists:
+    // Σ tf == size(tokens); zero-token docs never join a posting), the
+    // checkpoint pays its ONE narrow scan once for both consumers, and
+    // stats re-derives from the same frame instead of re-reading text.
+    val info = InvertedIndex.docInfo(docs).localCheckpoint(true)
+    val dl = info
+    val stats = InvertedIndex.corpusInfoFromDocInfo(info)
     // phase-1a: θ from the champions' EXACT scores (unrounded)
     val champ = InvertedIndex.championListsFromTf(tf, topK)
       .select("term", "doc_id", "term_frequency")
@@ -164,8 +175,11 @@ object BM25 {
     val tfAll = InvertedIndex.termFrequency(docs)
     val tf = tfAll.join(broadcast(qTerms), Seq("term")).localCheckpoint(true)
     val qdf = InvertedIndex.docFrequencyFromTf(tf)
-    val dl = InvertedIndex.docLengthFromTf(tfAll)
-    val stats = InvertedIndex.corpusInfo(docs)
+    // same dl/stats rework as searchWand (one checkpointed size() scan
+    // instead of three tokenize+aggregate re-evaluations — see there)
+    val info = InvertedIndex.docInfo(docs).localCheckpoint(true)
+    val dl = info
+    val stats = InvertedIndex.corpusInfoFromDocInfo(info)
     val champ = InvertedIndex.championListsFromTf(tf, topK)
       .select("term", "doc_id", "term_frequency")
     val champTop = scoreAll(champ, qdf, dl, stats, k1, b)

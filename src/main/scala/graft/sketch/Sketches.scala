@@ -222,11 +222,21 @@ object Sketches {
         when(col("kk") < k, col("kk").cast("double"))
           .otherwise(lit((k - 1) * KmvHashSpace) / col("uk"))
           .as("union_est"))
-    val terms = kmvTerms(docs).distinct()
-    val exactInter = terms.alias("x")
-      .join(terms.alias("y"), col("x.term") === col("y.term") &&
-        col("x.source") < col("y.source"))
-      .select(col("x.source").as("source_a"), col("y.source").as("source_b"))
+    // Round-9 (guide §2.3, the sourceOverlapMatrix rework): the exact
+    // arm used to DISTINCT the (source, bigram-STRING) frame and
+    // self-join it on the string key — two corpus-scale exchanges
+    // carrying bigram text plus a string-keyed join. One collect_set
+    // aggregate over xxhash64 keys replaces both: fixed-width longs
+    // cross the single exchange, collect_set dedups (source, h) in-agg
+    // with bucket memory bounded by the source-label count, and the
+    // pair counts explode locally per bucket. Collision odds: the
+    // documented 2^-64 argument; the ORACLE keeps string bigrams.
+    val exactInter = kmvTerms(docs)
+      .select(col("source"), xxhash64(col("term")).as("h"))
+      .groupBy("h").agg(collect_set(col("source")).as("ss"))
+      .select(explode(col("ss")).as("source_a"), col("ss"))
+      .select(col("source_a"), explode(col("ss")).as("source_b"))
+      .filter(col("source_a") < col("source_b"))
       .groupBy("source_a", "source_b").agg(count(lit(1)).as("exact_inter"))
     est.join(exactInter, Seq("source_a", "source_b"), "left")
       .select(col("source_a"), col("source_b"),
