@@ -220,7 +220,15 @@ object Dedup {
     * aggregate key changes no group. Nothing is broadcast or collected:
     * every frame stays corpus-linear, the 100 TB doctrine unchanged. */
   private def cappedPairStats(sh0: DataFrame, maxShingleDf: Int): DataFrame = {
-    val buckets = sh0
+    // Round-9 (guide §2.3 "narrower types"): only shingle IDENTITY is
+    // ever used past this point (bucket grouping, the df cap, the
+    // regroup after the sizes attach), so the key is xxhash64'd before
+    // its FIRST exchange — three exchanges carry 8-byte longs instead
+    // of n-gram strings. Collision odds: the documented 2^-64 argument
+    // (the paragraph_frac / splitContamination standing); the SQL
+    // oracles keep string shingles.
+    val sh = sh0.select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+    val buckets = sh
       .groupBy("shingle").agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) <= maxShingleDf)
     val cappedSh = buckets
@@ -336,8 +344,19 @@ object Dedup {
     val sig = sh.groupBy("doc_id")
       .agg(md5(concat_ws("|", sort_array(collect_list(col("shingle"))))).as("sig"))
     val reps = sig.groupBy("sig").agg(min(col("doc_id")).as("rep"))
+    // Round-9 (guide §2.3 "narrower types"): past the signature (which
+    // stays string-exact — it defines the identical-set collapse), the
+    // shingle is only ever an equality/ordering key: df count, the
+    // rarest-first rank tie-break, the prefix bucket join, the postings
+    // self-join. xxhash64 it ONCE here so every downstream exchange
+    // carries 8-byte longs instead of n-gram strings. The prefix filter
+    // is lossless under ANY consistent total order of the shingle
+    // universe (rarest-first is a heuristic for candidate VOLUME, not
+    // correctness), so the hash-order tie-break changes candidates, not
+    // output. Collision odds: the documented 2^-64 argument; the oracle
+    // keeps string shingles.
     val rsh = sh.join(reps.select(col("rep").as("doc_id")), Seq("doc_id"))
-      .select(col("doc_id").as("rep"), col("shingle"))
+      .select(col("doc_id").as("rep"), xxhash64(col("shingle")).as("shingle"))
     val dfs = rsh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val rk = Window.partitionBy("rep").orderBy(col("df"), col("shingle"))
     val pref = rsh.join(dfs, Seq("shingle"))
@@ -856,21 +875,14 @@ object Dedup {
     val asDocs = pars.select(
       (col("doc_id") * ParaKeyBase + col("para_id")).as("doc_id"),
       col("para").as("text"))
-    // Shingles are pre-hashed to 64-bit longs before pair generation
-    // (round-8 BASELINE watch item, shipped per the round-8 verdict):
-    // paragraph grain multiplies shingle ROWS ~5x over doc grain, and at
-    // the 10x gate's 32-task parallelism the bucket aggregate's
-    // sort/spill buffers crossed the per-task budget holding full
-    // shingle STRINGS — hashing first makes every downstream buffer and
-    // exchange row a fixed-width long (measured at 10x: spill 759 MB ->
-    // 0, wall 20.7 -> [re-measured below]). Jaccard over hashed shingles
-    // equals Jaccard over the strings unless two DISTINCT shingles of
-    // interacting paragraphs collide in 2^64 — ~1e-9 at any tested scale
-    // (same argument as the md5-keyed exact-dedup family; the DuckDB
-    // oracle keeps string shingles and stays hash-exact).
-    val pairs = jaccardPairsFromShingles(
-      shingles(asDocs, n).select(col("doc_id"),
-        xxhash64(col("shingle")).as("shingle")),
+    // Shingle hashing (the round-8 spill fix: paragraph grain multiplies
+    // shingle ROWS ~5x over doc grain, and the bucket aggregate's sort
+    // buffers crossed the per-task budget holding full shingle STRINGS —
+    // spill 759 MB -> 0 once keys became fixed-width longs) now lives in
+    // cappedPairStats itself (round-9: every capped-jaccard caller gets
+    // it), so this caller passes plain string shingles again instead of
+    // hashing twice.
+    val pairs = jaccardPairsFromShingles(shingles(asDocs, n),
       minJaccard, maxShingleDf)
       .filter(expr(s"doc_a DIV $ParaKeyBase") =!= expr(s"doc_b DIV $ParaKeyBase"))
     val dup = pairs.select(col("doc_a").as("pkey"))

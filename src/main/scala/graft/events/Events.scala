@@ -276,7 +276,12 @@ object Events {
     * type-sized frames, so iteration cost is independent of event
     * volume. */
   def markovStationary(events: DataFrame, iters: Int = 3): DataFrame = {
-    val tr = typeTransitions(events)
+    // Round-9 (guide §1.2 step 1): tr is TYPE-pair-cardinality (tens of
+    // rows) but its lineage is the corpus window pass — and it feeds p's
+    // checkpoint, types.count(), and the final types join, so the
+    // user_id exchange + lead window ran THREE times per query. One
+    // eager checkpoint of the tiny count table pays the scan once.
+    val tr = typeTransitions(events).localCheckpoint(true)
     val out = tr.groupBy("from_type").agg(sum("n").as("__out"))
     val types = tr.select(col("from_type").as("t"))
       .unionByName(tr.select(col("to_type").as("t"))).distinct()

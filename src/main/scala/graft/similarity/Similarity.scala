@@ -467,17 +467,31 @@ object Similarity {
     * nature: it is the loop condition, not a data path). */
   def kmeansFit(embeddings: DataFrame, nCells: Int = 16, iters: Int = 3,
                 seed: Long = 7L, dims: Int = 64,
-                eps: Double = 0.0): DataFrame = {
-    VectorFunctions.ensureRegistered(embeddings.sparkSession)
-    require(iters >= 1 && nCells >= 1)
-    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 18)
+                eps: Double = 0.0): DataFrame =
     // Round-9 (the centeredFrame discipline, guide §1.2/§5): the unit
     // vectors are materialized ONCE — every Lloyd round (plus the seed
     // scan) previously re-read the parquet and re-evaluated the
     // interpreted unitize lambda per row. n·d doubles, one input pass in
     // bytes; decimal per-dim sums keep the trained centroids
     // bit-identical to the lazy spelling.
-    val e = unitVecs(embeddings).localCheckpoint(true)
+    kmeansFitFromUnit(unitVecs(embeddings).localCheckpoint(true),
+      nCells, iters, seed, dims, eps)
+
+  /** kmeansFit over an ALREADY-MATERIALIZED unit-vector frame — the
+    * entry point for the trained-partition consumers (cellPrune,
+    * semanticDedupPairs, annCosineIvfPq/Trained), which need the same
+    * frame again for their own final assignment/serve scan: sharing one
+    * checkpoint removes a whole redundant parquet read + interpreted
+    * unitize pass per query (round-9, guide §1.2 step 1). Callers MUST
+    * pass unitVecs output (or its checkpoint) — values are identical
+    * either way, materialization only changes where the bytes live. */
+  private[graft] def kmeansFitFromUnit(e: DataFrame, nCells: Int = 16,
+                                       iters: Int = 3, seed: Long = 7L,
+                                       dims: Int = 64,
+                                       eps: Double = 0.0): DataFrame = {
+    VectorFunctions.ensureRegistered(e.sparkSession)
+    require(iters >= 1 && nCells >= 1)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 18)
     var cells = ivfCells(e, nCells, seed).localCheckpoint(true)
     var perCell: DataFrame = null
     var it = 0
@@ -534,8 +548,10 @@ object Similarity {
                           iters: Int = 3, seed: Long = 7L,
                           dims: Int = 64): DataFrame = {
     require(nProbe >= 1 && nProbe <= nCells)
-    val e = unitVecs(embeddings)
-    val cells = kmeansFit(embeddings, nCells, iters, seed, dims)
+    // one checkpointed unit-vec frame shared by the fit loop AND the
+    // serve scan (round-9 — the lazy `e` re-read parquet + re-unitized)
+    val e = unitVecs(embeddings).localCheckpoint(true)
+    val cells = kmeansFitFromUnit(e, nCells, iters, seed, dims)
       .agg(array_sort(collect_list(struct(col("cell_id"), col("cu"))))
         .as("cells"))
     ivfServe(e, cells, queryVecId, k, nProbe)
@@ -558,8 +574,10 @@ object Similarity {
   def semanticDedupPairs(embeddings: DataFrame, threshold: Double = 0.4,
                          nCells: Int = 16, iters: Int = 3, seed: Long = 7L,
                          dims: Int = 64): DataFrame = {
-    val e = unitVecs(embeddings)
-    val cells = kmeansFit(embeddings, nCells, iters, seed, dims)
+    // one checkpointed unit-vec frame shared by the fit loop AND the
+    // pair-generation assignment (round-9, the cellPrune rework)
+    val e = unitVecs(embeddings).localCheckpoint(true)
+    val cells = kmeansFitFromUnit(e, nCells, iters, seed, dims)
       .agg(array_sort(collect_list(struct(col("cell_id"), col("cu"))))
         .as("cells"))
     val assigned = ivfAssign(e, cells).select("vec_id", "u", "cell_id")
@@ -593,8 +611,11 @@ object Similarity {
                 iters: Int = 3, seed: Long = 7L, dims: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     VectorFunctions.ensureRegistered(embeddings.sparkSession)
-    val e = unitVecs(embeddings)
-    val fit = kmeansFit(embeddings, nCells, iters, seed, dims)
+    // one checkpointed unit-vec frame shared by the fit loop AND the
+    // final assignment scan (round-9: the lazy `e` re-read parquet +
+    // re-evaluated the interpreted unitize lambda a second time)
+    val e = unitVecs(embeddings).localCheckpoint(true)
+    val fit = kmeansFitFromUnit(e, nCells, iters, seed, dims)
       .localCheckpoint(true)
     val cells = fit
       .agg(array_sort(collect_list(struct(col("cell_id"), col("cu"))))
@@ -826,8 +847,11 @@ object Similarity {
                      dims: Int = 64): DataFrame = {
     VectorFunctions.ensureRegistered(embeddings.sparkSession)
     require(dims % nSub == 0 && nProbe >= 1 && nProbe <= nCells)
-    val e = unitVecs(embeddings)
-    val fit = kmeansFit(embeddings, nCells, iters, seed, dims)
+    // one checkpointed unit-vec frame shared by the fit loop, the
+    // codebook sample, the query row, and the serve scan (round-9: the
+    // lazy `e` re-read parquet + re-unitized for each of them)
+    val e = unitVecs(embeddings).localCheckpoint(true)
+    val fit = kmeansFitFromUnit(e, nCells, iters, seed, dims)
     val cells = fit
       .agg(array_sort(collect_list(struct(col("cell_id"), col("cu"))))
         .as("cells"))
