@@ -68,19 +68,23 @@ object Curation {
       .localCheckpoint(true)
     val q = docs.select(col("doc_id"), col("text"))
       .join(stats.filter(col("__pq")).select("doc_id"), Seq("doc_id"), "left_semi")
-    // exact-dup representatives among quality survivors; the verdict is
-    // narrow and has two consumers (the Jaccard feed and the final tag
-    // join) — checkpoint so it computes once. Round-9: the rep test is a
-    // per-md5 window min (doc == min(doc) over its content-hash group) —
-    // ONE md5 evaluation and ONE exchange instead of the aggregate +
-    // re-hash + join-back chain (the duplicatedSpans window pattern).
+    // exact-dup representatives among quality survivors; the rep frame
+    // is narrow and has two consumers (the Jaccard feed and the final
+    // tag join) — checkpoint so it computes once. Round-10 skew fix
+    // (guide §2.5; round-9 verdict item 2): round 9's per-md5 window min
+    // put every copy of a mass-duplicated body on ONE task (a window has
+    // no partial aggregation). The representative SET is all the
+    // aggregate ever produces, so keep only it: groupBy(__h).min(doc_id)
+    // partial-aggregates map-side (a hot md5 collapses to one row per
+    // map task before the shuffle), and every attach downstream is keyed
+    // by doc_id — unique, skew-free by construction. Docs absent from
+    // `exact` are non-representatives: the final tag join is already a
+    // left join + coalesce(false), so no per-doc boolean frame is needed.
     val exact = q.select(col("doc_id"), md5(col("text")).as("__h"))
-      .select(col("doc_id"), (col("doc_id") ===
-        min("doc_id").over(org.apache.spark.sql.expressions.Window
-          .partitionBy("__h"))).as("__pe"))
+      .groupBy("__h").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(true).as("__pe"))
       .localCheckpoint(true)
-    val s3docs = q.join(exact.filter(col("__pe")).select("doc_id"),
-      Seq("doc_id"), "left_semi")
+    val s3docs = q.join(exact.select("doc_id"), Seq("doc_id"), "left_semi")
     val dropNear = Dedup.duplicateClusters(
         Dedup.jaccardPairs(s3docs, n, minJaccard, maxShingleDf))
       .filter(col("cluster_id") =!= col("doc_id"))
@@ -648,27 +652,21 @@ object Curation {
     * shared boilerplate block) can still cross the boundary below the
     * cluster threshold, and this reports exactly that residue.
     *
-    * Scale notes (100 TB, reworked round 9 — the round-7 spelling was
-    * the most expensive row of the 100x probe at 387 s): the corpus is
-    * still TOKENIZED ONCE and the window rows still exchange EXACTLY
-    * ONCE with the per-eval-doc flag computed as a window max (a hot
-    * window costs df linear rows inside its partition, never df^2 — the
-    * sharedNgramStats argument), but two cost terms are cut. (1) The
+    * Scale notes (100 TB, reworked round 9 and again round 10): the
     * split label is computed INLINE before tokenization — it needs only
     * the near-dup cluster frame (docs that HAVE a duplicate, small by
     * construction and localCheckpointed), so the label rides the scan
     * instead of joining the corpus-windows frame against a
-    * doc-cardinality split frame. (2) The window partitions by the
-    * 8-byte xxhash64 of the window, never the packed 8-token string:
-    * the full-corpus exchange shrinks ~3x in bytes, and the mandatory
-    * per-partition sort under the window becomes a fixed-width radix
-    * sort over longs instead of a comparison sort over ~60-byte strings
-    * (measured at 100x in BASELINE.md round 9). Two DISTINCT interacting
-    * windows colliding in 2^64 is ~1e-9 at any tested scale — the same
-    * argument as the md5-keyed exact-dedup family; the DuckDB oracle
-    * keeps string windows and stays hash-exact. The exchange-by-window
-    * remains deliberate (vs broadcasting a train-window set, which dies
-    * at 100 TB): per-task work stays bounded at any corpus size. */
+    * doc-cardinality split frame — and windows are keyed by their
+    * 8-byte xxhash64, never the packed 8-token string (round 9; 2^-64
+    * per-pair collision odds, the md5-keyed exact-dedup argument; the
+    * DuckDB oracle keeps string windows and stays hash-exact). Round 10
+    * replaces round 9's flag-as-window-max with a partial-aggregated
+    * train-window set + a streaming join over the eval minority (see
+    * inline) so no hot boilerplate window can concentrate on one task.
+    * The h-keyed exchanges remain deliberate (vs broadcasting a
+    * train-window set, which dies at 100 TB): per-task state stays
+    * bounded at any corpus size. */
   def splitContamination(docs: DataFrame, pairs: DataFrame,
                          n: Int = 8): DataFrame = {
     graft.functions.TextFunctions.ensureRegistered(docs.sparkSession)
@@ -683,14 +681,40 @@ object Curation {
           graft.text.Tokenize.tokens(col("text")), n))).as("shingle"))
       .select(col("doc_id"), col("split"),
         xxhash64(col("shingle")).as("h"))
-    val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    val counts = sh
-      .withColumn("__t",
-        max((col("split") === "train").cast("long")).over(wH))
-      .filter(col("split") =!= "train")
+    // Round-10 skew fix (guide §2.5; round-9 verdict item 2): round 9
+    // computed the train flag as max(split='train') over
+    // Window.partitionBy(h) — one exchange, but a window has NO partial
+    // aggregation: every occurrence of a hot window (boilerplate in
+    // millions of docs) lands on one task and is BUFFERED there
+    // (WindowExec holds each key group in memory/spill), plus the whole
+    // corpus-window frame paid the window's mandatory per-partition
+    // sort. Split the sides instead: the TRAIN windows collapse to a
+    // distinct h set whose PARTIAL-distinct aggregate collapses a hot
+    // key map-side before its shuffle (boilerplate never concentrates),
+    // and only the EVAL windows (the val/test minority) stream through
+    // a left SHUFFLE_HASH join against it — no sort, no buffering
+    // anywhere, and AQE's skew-join splitting can cut a hot eval
+    // partition, which it can never do for a window. The opposite split
+    // filters push below the tokenize, so the two sides tokenize
+    // DISJOINT doc sets — one corpus tokenize total, exactly as before
+    // (the filters also make the two exchange subtrees canonically
+    // different, so no shared-exchange spelling exists here; the label
+    // lineage re-evaluates per side, a scan-shaped cost the removed
+    // corpus-wide sort pays for). Same flag semantics (h appears in
+    // some train doc), same xxhash64 keys; the DuckDB oracle keeps
+    // string windows and stays hash-exact.
+    val trainH = sh.filter(col("split") === "train")
+      .select("h").distinct()
+      .withColumn("__t", lit(1L))
+      // shuffle_hash, not broadcast: the train-window set is
+      // corpus-scale (unbounded), and the build side arrives
+      // pre-partitioned by h from its distinct aggregate
+      .hint("shuffle_hash")
+    val counts = sh.filter(col("split") =!= "train")
+      .join(trainH, Seq("h"), "left")
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_windows"),
-        sum("__t").as("n_shared_windows"))
+        sum(coalesce(col("__t"), lit(0L))).as("n_shared_windows"))
     labeled.filter(col("split") =!= "train").select("doc_id", "split")
       .join(counts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("split"),

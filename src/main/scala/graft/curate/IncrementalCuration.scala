@@ -68,11 +68,14 @@ object IncrementalCuration {
   private def tagsFromState(verdicts: DataFrame, shingleStore: DataFrame,
                             p: Params): DataFrame = {
     val q = verdicts.filter(col("pass_quality"))
-    val reps = q.groupBy("content_hash").agg(min("doc_id").as("__rep"))
-    val exact = q.join(reps, Seq("content_hash"))
-      .select(col("doc_id"), (col("doc_id") === col("__rep")).as("__pe"))
+    // representative-set spelling (round 10, matching curationTags): the
+    // content-hash aggregate partial-aggregates map-side, and the attach
+    // below is keyed by doc_id — unique, skew-free; docs absent from
+    // `exact` are non-representatives via the left join + coalesce(false)
+    val exact = q.groupBy("content_hash").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(true).as("__pe"))
       .localCheckpoint(true)
-    val s3ids = exact.filter(col("__pe")).select("doc_id")
+    val s3ids = exact.select("doc_id")
     val pairs = Dedup.jaccardPairsFromShingles(
       shingleStore.join(s3ids, Seq("doc_id"), "left_semi"),
       p.minJaccard, p.maxShingleDf)

@@ -801,23 +801,50 @@ object Dedup {
     * (boilerplate header in millions of docs) costs df LINEAR join rows,
     * not the df^2 a pair-generator pays, so no df-cap is needed here. */
   def sharedNgramStats(docs: DataFrame, n: Int = 8): DataFrame = {
-    // Round-9 plan rework (the splitContamination pattern, guide §2.3):
-    // shingles() is distinct-per-doc, so df >= 2 means ">= 2 distinct
-    // docs", i.e. min(doc_id) != max(doc_id) over the window's rows —
-    // computed as a per-hash window aggregate over ONE exchange of
-    // xxhash64 longs instead of a string-keyed df aggregate joined back
-    // to the string-keyed shingle frame. Collision odds are the
-    // documented ~1e-9 2^-64 argument; the DuckDB oracle keeps string
-    // windows and stays hash-exact.
+    // Round-10 skew fix (guide §2.5; round-9 verdict item 2): the
+    // round-9 shape computed the cross-doc test as min/max over
+    // Window.partitionBy(h) — ONE exchange, but a window has NO partial
+    // aggregation, so every occurrence of a hot key (a boilerplate
+    // window present in millions of docs) lands on one task and must be
+    // BUFFERED there (WindowExec holds each key group in memory/spill):
+    // a guaranteed straggler at corpus scale. The report only needs,
+    // per doc, HOW MANY of its windows are shared — so invert:
+    // aggregate (h) -> (count, min, max), and observe that every
+    // UNSHARED h (min == max: all its rows in one doc) belongs entirely
+    // to doc min(doc_id). Re-keying those singleton groups by that doc
+    // gives per-doc unshared counts, and n_shared = n_windows -
+    // n_unshared — bit-identical to the per-row min!=max flag on ANY
+    // input (collisions included: the singleton sums count exactly the
+    // rows the flag marked 0). Both grains — (h) for the shared test,
+    // (doc_id) for n_windows — come out of ONE GROUPING SETS aggregate,
+    // so the corpus is tokenized once and exchanged once (two separately
+    // grouped aggregates would re-run the tokenize+shingle scan: each
+    // consumer's column pruning breaks exchange-subtree identity, so
+    // ReuseExchange cannot deduplicate them — measured +70% wall at the
+    // 10x gate). Expand doubles rows BEFORE the partial aggregate, which
+    // collapses a hot h map-side — full skew collapse with no sort and
+    // no window buffering anywhere. The second grouping re-keys the
+    // grain-mixed rows by doc in one more tiny aggregate. Keys stay
+    // xxhash64 longs (round-9, guide §2.3); the DuckDB oracle keeps
+    // string windows and stays hash-exact.
     val sh = shingles(docs, n)
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-    val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    val per = sh
-      .withColumn("__shared",
-        (min("doc_id").over(wH) =!= max("doc_id").over(wH)).cast("long"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_windows"),
-        sum(col("__shared")).as("n_shared_windows"))
+    // __gid: 1 = grouped by h (doc_id aggregated), 2 = grouped by doc_id
+    val g = sh.groupingSets(Seq(Seq(col("h")), Seq(col("doc_id"))),
+        col("h"), col("doc_id"))
+      .agg(grouping_id().as("__gid"), count(lit(1)).as("__cnt"),
+        min("doc_id").as("__mn"), max("doc_id").as("__mx"))
+    val per = g
+      .filter(col("__gid") === 2 ||
+        (col("__gid") === 1 && col("__mn") === col("__mx")))
+      .groupBy(when(col("__gid") === 2, col("doc_id"))
+        .otherwise(col("__mn")).as("doc_id"))
+      .agg(sum(when(col("__gid") === 2, col("__cnt")).otherwise(0L))
+          .as("n_windows"),
+        sum(when(col("__gid") === 1, col("__cnt")).otherwise(0L))
+          .as("__n_unshared"))
+      .select(col("doc_id"), col("n_windows"),
+        (col("n_windows") - col("__n_unshared")).as("n_shared_windows"))
     // short docs (< n tokens) have zero windows but must appear in the report
     docs.select("doc_id").join(per, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -925,27 +952,51 @@ object Dedup {
   def duplicatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.TextFunctions.ensureRegistered(docs.sparkSession)
-    // Round-9 plan rework (the splitContamination pattern, guide
-    // §2.3/§2.4): the old shape shuffled the window STRINGS three times
-    // (distinct + df count + join back) and AQE broadcast the BIG
-    // positional side (612 MB at the 10x gate) into the join. Here the
-    // window text is xxhash64-hashed before its one exchange and the
-    // cross-doc test is a per-hash window min/max (a window occurs in
+    // Round-10 skew fix (guide §2.5; round-9 verdict item 2): round 9
+    // computed the cross-doc test as min/max over Window.partitionBy(h)
+    // — one exchange of hashed longs, but a window has NO partial
+    // aggregation: every occurrence of a hot window (boilerplate in
+    // millions of docs) lands on one task and is BUFFERED there
+    // (WindowExec holds each key group in memory/spill): a guaranteed
+    // straggler at corpus scale. Two-level instead: the shared-h set
+    // comes from a groupBy(h) min/max — a hash aggregate that STREAMS a
+    // hot key in constant memory — and positions attach back via a
+    // left-semi SHUFFLE_HASH join whose probe side also streams. The
+    // window frame has two consumers (that aggregate and the join
+    // probe); left lazy, each re-runs the tokenize+posexplode scan —
+    // per-consumer column pruning makes the two exchange subtrees
+    // canonically different, so ReuseExchange cannot deduplicate them
+    // (measured +30% wall at the 10x gate). One eager localCheckpoint
+    // materializes the frame once for both: one tokenize total, then
+    // the aggregate exchanges PARTIAL-COLLAPSED rows (a hot h folds to
+    // one row per map task before the shuffle — the skew collapse the
+    // window never had) and the probe exchanges the raw positions it
+    // must move anyway. (A repartition(h) before the checkpoint would
+    // make both consumers exchange-free in principle, but AQE-executed
+    // checkpoints surface UnknownPartitioning, so the exchange returns
+    // — verified in the executed plan; the plain checkpoint is the
+    // shape that actually wins.) The frame is 3 fixed-width columns per
+    // window (the compact lineage-cut the centeredFrame checkpoint
+    // precedent established); blocks are freed by the ContextCleaner
+    // when the frame is GC’d. Same test as round 9 (a window occurs in
     // >= 2 distinct docs iff min(doc_id) != max(doc_id) over its rows —
-    // within-doc repeats can't separate min from max): ONE exchange of
-    // fixed-width longs, no join, nothing broadcast. Two DISTINCT
-    // interacting windows colliding in 2^64 is ~1e-9 at any tested
-    // scale (the splitContamination/md5 argument); the DuckDB oracle
-    // keeps string windows and stays hash-exact.
+    // within-doc repeats can’t separate min from max), same xxhash64
+    // keys (round-9, guide §2.3); the DuckDB oracle keeps string
+    // windows and stays hash-exact.
     val wins = docs.select(col("doc_id"), Tokenize.tokens(col("text")).as("t"))
       .select(col("doc_id"), posexplode(
         graft.functions.TextFunctions.shingles(col("t"), k)).as(Seq("pos", "win")))
       .select(col("doc_id"), col("pos"), xxhash64(col("win")).as("h"))
-    val wH = Window.partitionBy("h")
-    val hits = wins
-      .withColumn("__mn", min("doc_id").over(wH))
-      .withColumn("__mx", max("doc_id").over(wH))
+      .localCheckpoint(true)
+    val sharedH = wins.groupBy("h")
+      .agg(min("doc_id").as("__mn"), max("doc_id").as("__mx"))
       .filter(col("__mn") =!= col("__mx"))
+      .select("h")
+      // shuffle_hash, not broadcast: the shared-window set is
+      // corpus-scale (unbounded), and it arrives pre-partitioned by h
+      // from its aggregate
+      .hint("shuffle_hash")
+    val hits = wins.join(sharedH, Seq("h"), "left_semi")
       .select("doc_id", "pos")
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val run = Window.partitionBy("doc_id").orderBy("pos")
