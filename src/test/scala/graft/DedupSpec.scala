@@ -685,6 +685,26 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("prefix jaccard: broadcast and shuffle_hash verify paths agree") {
+    // broadcastMaxPairs 0 forces the shuffle_hash attach path the
+    // corpus-scale gate takes; output must be identical to the default
+    // (broadcast) path — the PHashBroadcastMaxMedia discipline
+    val rows = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog again and again today",
+      2L -> "the quick brown fox jumps over the lazy cat again and again today",
+      3L -> "the quick brown fox jumps over the lazy dog again and again today",
+      4L -> "completely different content with nothing shared whatsoever here now",
+      5L -> "the quick brown fox jumps over the lazy dog",
+    )
+    val df = rows.toDF("doc_id", "text")
+    val bcast = Dedup.prefixJaccardPairs(df, 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val shuffled = Dedup.prefixJaccardPairs(df, 3, 0.5, broadcastMaxPairs = 0L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(bcast == shuffled)
+    assert(bcast.nonEmpty)
+  }
+
   test("prefix jaccard: threshold sweep keeps parity (the ceil boundary)") {
     // sizes chosen to sit ON the ceil(t*sz) boundary at t = 0.5
     val rows = Seq(
