@@ -871,13 +871,26 @@ object TextAnalysis {
       .groupBy("term")
       .agg(collect_list(struct(col("doc_id"), col("tfidf"), col("n2"))).as("ps"))
       .filter(size(col("ps")) <= maxFeatureDf)
-    val dots = buckets
+    // Round-10 (verdict item 4; guide §2.3): each unordered pair is
+    // generated ONCE (doc_id < neighbor_id) and mirrored AFTER the
+    // aggregate — the round-9 shape exploded both orientations through
+    // the dot aggregate, so the pair-grain exchange carried every pair
+    // twice (18.3M rows at the 10x gate; halved here). The mirror is a
+    // projection over the aggregated (tiny) pair table: dot(a,b) =
+    // dot(b,a) term-for-term (each product commutes exactly in IEEE),
+    // and the <= m-term sums of round(4) weights keep both directions'
+    // sums rounding-identical — the same discipline the oracle already
+    // relies on for the two independent per-direction sums it replaced.
+    val half = buckets
       .select(explode(col("ps")).as("a"), col("ps"))
       .select(col("a"), explode(col("ps")).as("b"))
-      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("neighbor_id"),
         col("a.n2").as("na"), col("b.n2").as("nb"))
       .agg(sum(col("a.tfidf") * col("b.tfidf")).as("dot"))
+    val dots = half.unionByName(half.select(
+      col("neighbor_id").as("doc_id"), col("doc_id").as("neighbor_id"),
+      col("nb").as("na"), col("na").as("nb"), col("dot")))
     val w = Window.partitionBy("doc_id")
       .orderBy(desc("cosine"), asc("neighbor_id"))
     dots
