@@ -1316,8 +1316,9 @@ object Dedup {
     * lookup only ever lowers a label). Plain propagation needs O(cluster
     * diameter) rounds — fine for shallow near-dup clusters but fatal for
     * path-shaped graphs (a grid DBSCAN eps-graph has hop diameter in the
-    * hundreds); the jump halves every label-chain per round, so
-    * convergence is O(log diameter) regardless of shape. The fixed point
+    * hundreds); the two chained jumps per round (round 10) QUARTER
+    * every label-chain, so convergence is O(log diameter) regardless of
+    * shape with about half the eager rounds a single jump needed. The fixed point
     * is unchanged: stability under neighbor-min forces equal labels
     * across every edge, i.e. the component minimum.
     *
@@ -1375,17 +1376,37 @@ object Dedup {
           .select(col("doc_id"), col("__prev"),
             least(col("__prev"), coalesce(col("__nmin"), col("__prev")))
               .as("__mid"))
-          // materialized once: the jump below reads it on BOTH sides of
-          // the self-join, and checkpointing beats recomputing the
-          // edge-join aggregate twice per round
+          // materialized once: the jumps below read it on FOUR sides of
+          // self-joins, and checkpointing beats recomputing the
+          // edge-join aggregate that many times per round
           .localCheckpoint(true)
-        val next = stepped
-          .join(stepped.select(col("doc_id").as("__mid"),
-            col("__mid").as("__jump")), Seq("__mid"), "left")
-          .select(col("doc_id"),
+        // Round-10 (verdict item 6; guide §5): TWO pointer jumps per
+        // checkpointed round instead of one. Each jump is a node-grain
+        // self-lookup — far cheaper than the edge-join pass — and both
+        // read only the checkpointed `stepped` leaf, so the lazy plan
+        // stays constant-size. Label chains quarter instead of halve
+        // per round: convergence needs ~half the rounds, i.e. ~half the
+        // eager-checkpoint jobs and driver round-trips the loop pays —
+        // which the 10x PlanProbe showed dominating every caller of
+        // this loop. Monotonicity keeps any jump count valid (labels
+        // only decrease; the fixed point — stability under neighbor
+        // min — is unchanged, and convergence still means no label
+        // moved across the whole doubled round).
+        val lut = stepped.select(col("doc_id").as("__k"),
+          col("__mid").as("__v"))
+        val once = stepped
+          .join(lut.withColumnRenamed("__k", "__mid")
+            .withColumnRenamed("__v", "__jump"), Seq("__mid"), "left")
+          .select(col("doc_id"), col("__prev"),
             least(col("__mid"), coalesce(col("__jump"), col("__mid")))
+              .as("__j1"))
+        val next = once
+          .join(lut.withColumnRenamed("__k", "__j1")
+            .withColumnRenamed("__v", "__jump2"), Seq("__j1"), "left")
+          .select(col("doc_id"),
+            least(col("__j1"), coalesce(col("__jump2"), col("__j1")))
               .as("cluster_id"),
-            (least(col("__mid"), coalesce(col("__jump"), col("__mid")))
+            (least(col("__j1"), coalesce(col("__jump2"), col("__j1")))
               < col("__prev")).as("__changed"))
           .localCheckpoint(true)
         converged = next.filter(col("__changed")).count() == 0
