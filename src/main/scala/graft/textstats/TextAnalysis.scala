@@ -1253,8 +1253,15 @@ object TextAnalysis {
     val weights = classTerm.join(classTot, Seq("cls")).crossJoin(vocabSize)
       .select(col("cls"), col("term"),
         unats((col("n") + lit(1)).cast("double") / (col("nc") + col("v"))).as("lw"))
+    // broadcast PINNED (round 10, verdict item 5): left un-hinted, AQE
+    // flipped this vocab semi-join between a 6.2k-row broadcast and a
+    // 1.15M-row shuffle run to run — nondeterministic plans in the
+    // bench. The distinct-term set is vocabulary-bounded, strictly
+    // smaller than the (cls, term) weights table already broadcast
+    // below, so the same boundedness argument pins it.
     val evalCnt = eval.select(col("doc_id"), explode(toks).as("term"))
-      .join(classTerm.select("term").distinct(), Seq("term"), "left_semi")
+      .join(broadcast(classTerm.select("term").distinct()),
+        Seq("term"), "left_semi")
       .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
     val perClass = evalCnt
       .crossJoin(broadcast(classes.select(col("cls"), col("lw0"))))

@@ -46,8 +46,9 @@ class BenchInvariantsSpec extends SparkSpec {
       shuffles.flatMap(_.metrics.get("shuffleRecordsWritten").map(_.value)).sum)
   }
 
-  // (query, exact exchange count, record ceiling ~2x measured sf0.01)
-  private val pins = Seq(
+  // (query, allowed exchange count(s), record ceiling ~2x measured sf0.01)
+  private implicit def exactPin(n: Int): Range = n to n
+  private val pins: Seq[(String, Range, Long)] = Seq(
     // pre-agg + orders join + suppkey agg; window reuses the join exchange
     ("rel_sole_late_supplier", 3, 240000L),
     // funnel tail over checkpointed verdicts: the near-dup verdict join
@@ -57,7 +58,13 @@ class BenchInvariantsSpec extends SparkSpec {
     // blow-up), so the tiny side no longer broadcasts statically — AQE
     // converts at runtime from the MEASURED size, which is the contract
     // that stays safe when a verdict table is genuinely large.
-    ("curate_funnel", 3, 100L),
+    // Round-10 re-pin to a RANGE: whether a runtime-converted broadcast
+    // leaves 3 or 4 ShuffleExchange nodes in the executed plan depends
+    // on which query stages had already materialized when AQE converted
+    // — a benign race observed flaking across full-suite JVMs (438/439
+    // twice this round, passing in isolation every time). The record
+    // ceiling still guards the volume regression this pin exists for.
+    ("curate_funnel", 3 to 4, 100L),
     // ONE partial+final aggregate + 4-row sort — the round-3 scare
     ("rel_case_agg", 2, 50L),
     // round-6 re-pin: the exact arms are now distinct-then-count
@@ -97,11 +104,13 @@ class BenchInvariantsSpec extends SparkSpec {
   )
 
   pins.foreach { case (name, nShuffles, maxRecords) =>
-    test(s"$name: $nShuffles exchanges, <= $maxRecords shuffled records") {
+    val label = if (nShuffles.size == 1) s"${nShuffles.head}"
+      else s"${nShuffles.head}-${nShuffles.last}"
+    test(s"$name: $label exchanges, <= $maxRecords shuffled records") {
       assume(new java.io.File(dir).isDirectory, s"testdata absent at $dir")
       val (n, recs) = profile(name)
-      assert(n == nShuffles,
-        s"$name now plans $n exchanges (pinned $nShuffles) — plan regressed")
+      assert(nShuffles.contains(n),
+        s"$name now plans $n exchanges (pinned $label) — plan regressed")
       assert(recs <= maxRecords,
         s"$name shuffled $recs records (ceiling $maxRecords) — volume regressed")
     }
