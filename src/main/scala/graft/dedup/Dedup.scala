@@ -591,6 +591,16 @@ object Dedup {
         .select(col("shingle"), explode(col("ds")).as("doc_id"))
     val sig = minhashFromShingles(sh, numHashes)
     val banded = bandHashes(sig, numHashes, bands)
+    // NOT checkpointed (round-10: the round-9 advice to checkpoint this
+    // two-consumer frame was tried and REVERTED on measurement — 11.6 ->
+    // 20.3 s at the 10x gate): the candidates lineage shares the capped
+    // shingle exchange with the verify path below, and an eager
+    // checkpoint severs that reuse, so the shingle scan + cap aggregate
+    // run twice. ReuseExchange dedups both the shingle exchange AND the
+    // banding self-join across the two candidate consumers inside the
+    // one final job; the AQE-identity risk the advice named has not
+    // materialized in any committed plan (the *_after evidence carries
+    // the ReusedExchange nodes).
     val candidates = banded.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
       .join(banded.select(col("doc_id").as("doc_b"), col("band"), col("band_hash")),
         Seq("band", "band_hash"))

@@ -150,9 +150,18 @@ object Multimodal {
     // the small corpus's payloads only: a real 100 TB corpus arrives as
     // proportionally many files, the gate never fires, and no payload
     // byte is ever shuffled at scale (§8 discipline).
+    // queryExecution.toRdd, not .rdd (round-9 advice): .rdd wraps the
+    // internal RDD in a row-deserializing conversion layer per call;
+    // toRdd reads the partition count off the already-planned physical
+    // RDD. (Both plan the frame once — `media` is a raw scan in every
+    // caller, so this is scan-partition arithmetic, not a job.) The
+    // media_id repartition key is non-null by the corpus contract
+    // (synthetic and stored media tables key every row); a null-heavy
+    // media frame would concentrate in one partition and needs a
+    // null-safe key before this gate fires.
     val sc = media.sparkSession.sparkContext
     val mediaPar =
-      if (media.rdd.getNumPartitions < sc.defaultParallelism)
+      if (media.queryExecution.toRdd.getNumPartitions < sc.defaultParallelism)
         media.repartition(sc.defaultParallelism, col("media_id"))
       else media
     // ONE payload scan: everything downstream (bands, probes, both

@@ -61,9 +61,25 @@ object PlanProbe {
     val sec = (System.nanoTime() - t0) / 1e9
     var waited = 0
     while (qeRef.get() == null && waited < 4000) { Thread.sleep(20); waited += 20 }
+    // drain the async listener bus before reading the job queue (round-9
+    // advice: the last jobs of a query could be missing from the
+    // timeline): poll until the queue stops growing (the bus API is
+    // private[spark]). Lines are then sorted by jobId —
+    // ConcurrentLinkedQueue order is completion order, which interleaves
+    // for concurrent jobs. Timings remain listener-bus-delayed
+    // (started/ended stamps are taken on the listener thread), good to
+    // ~tens of ms.
+    var lastN = -1
+    var drainWaited = 0
+    while (jobLines.size != lastN && drainWaited < 4000) {
+      lastN = jobLines.size
+      Thread.sleep(200); drainWaited += 200
+    }
     println(f"== $name%s on $sfDir%s: $sec%.1f s (first run, cold)")
     println("-- job timeline (wall seconds per Spark job):")
-    jobLines.forEach(l => println(l))
+    jobLines.toArray(Array.empty[String]).sortBy(l =>
+      l.trim.stripPrefix("job").trim.takeWhile(_.isDigit).toInt)
+      .foreach(println)
     val interesting = Seq("spillSize", "shuffleRecordsWritten",
       "shuffleBytesWritten", "numOutputRows", "peakMemory", "dataSize",
       // time metrics: codegen pipeline time, scan/agg/sort/shuffle-write
