@@ -22,7 +22,7 @@ python3 tools/make_edge.py "$SRC" "$WORK"
 
 : > EDGE_GATE.txt
 overall=0
-for fx in empty one_doc identical unicode long; do
+for fx in empty one_doc identical unicode long boilerplate; do
   echo "== edge fixture: $fx"
   out=/tmp/verify_edge_$fx
   SPARK_GRAFT_CPUS=8 sbt -batch \

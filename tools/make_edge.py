@@ -104,4 +104,20 @@ rows.append({"doc_id": max(r["doc_id"] for r in rows) + 1,
              "n_chars": 0})
 variant("long", rows)
 
+# 6. boilerplate (round-10 verdict item 2): ONE 8-token window pasted
+# into 50% of otherwise-unique docs — the hot-key straggler fixture for
+# every window/hash-keyed dedup shape (sharedNgramStats, duplicatedSpans,
+# splitContamination, curationTags' md5 family). Unlike `identical`,
+# docs stay distinct, so nothing collapses early: the hot window's rows
+# genuinely concentrate on one hash key and the partial-aggregated
+# shapes must stay correct AND finish.
+rows = copy_rows()
+HOT = "terms of service apply to all content here"
+for r in rows:
+    if r["doc_id"] % 2 == 0:
+        toks = r["text"].split(" ")
+        mid = len(toks) // 2
+        r["text"] = " ".join(toks[:mid] + HOT.split(" ") + toks[mid:])
+variant("boilerplate", rows)
+
 print(f"edge fixtures at {OUT}")
